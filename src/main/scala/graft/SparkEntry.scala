@@ -9,10 +9,10 @@ object SparkEntry {
 
   /** All registered operator queries, in SURVEY §2 order. */
   def registry: Seq[Q] =
-    queries_relational ++ queries_windows
-
-  private def queries_relational = graft.queries.Relational.all
-  private def queries_windows = graft.queries.Windows.all
+    graft.queries.Relational.all ++
+      graft.queries.Windows.all ++
+      graft.queries.Functions.all ++
+      graft.queries.TimeWindows.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H-Q1-shaped aggregate over lineitem (SURVEY §7 step 0). */
