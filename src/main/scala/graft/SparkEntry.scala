@@ -12,7 +12,8 @@ object SparkEntry {
     graft.queries.Relational.all ++
       graft.queries.Windows.all ++
       graft.queries.Functions.all ++
-      graft.queries.TimeWindows.all
+      graft.queries.TimeWindows.all ++
+      graft.queries.Catalog.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H-Q1-shaped aggregate over lineitem (SURVEY §7 step 0). */

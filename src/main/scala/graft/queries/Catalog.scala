@@ -1,0 +1,218 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.catalog.{Ddl, Profile}
+import graft.ingest.Ingest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Profiling / catalog / source-sink query keys (SURVEY.md §2.1-2.2).
+  * The oracle for the profiler keys duplicates the regex/stat logic in
+  * portable SQL (the semantics are engine-independent by construction —
+  * Profile's type detection is regex-based precisely so both engines
+  * agree; SURVEY §2.2 P2).
+  */
+object Catalog {
+
+  /** events columns profiled (ts excluded: its string form differs
+    * between engines — ns vs µs precision). */
+  private val eventCols = Seq("event_id", "user_id", "event_type", "value", "props")
+
+  private def meltSql(cols: Seq[String]): String =
+    cols.map(c => s"SELECT '$c' AS col, CAST($c AS VARCHAR) AS v FROM events")
+      .mkString("\n  UNION ALL ")
+
+  val qProfileTypes = Q(
+    "q_profile_types",
+    s"""WITH m AS (
+       |  ${meltSql(eventCols)})
+       |SELECT col, count(*) AS n,
+       |       CAST(count(*) - count(v) AS BIGINT) AS nulls,
+       |       count(DISTINCT v) AS n_distinct,
+       |       CAST(sum(CASE WHEN regexp_matches(v, '${Profile.IntRe}') THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+       |       CAST(sum(CASE WHEN regexp_matches(v, '${Profile.NumRe}') THEN 1 ELSE 0 END) AS BIGINT) AS n_num,
+       |       CASE WHEN count(v) = 0 THEN 'TEXT'
+       |            WHEN sum(CASE WHEN regexp_matches(v, '${Profile.BoolRe}') THEN 1 ELSE 0 END) = count(v) THEN 'BOOLEAN'
+       |            WHEN sum(CASE WHEN regexp_matches(v, '${Profile.IntRe}') THEN 1 ELSE 0 END) = count(v) THEN 'INTEGER'
+       |            WHEN sum(CASE WHEN regexp_matches(v, '${Profile.NumRe}') THEN 1 ELSE 0 END) = count(v) THEN 'REAL'
+       |            WHEN sum(CASE WHEN regexp_matches(v, '${Profile.DateRe}') THEN 1 ELSE 0 END) = count(v) THEN 'DATE'
+       |            WHEN sum(CASE WHEN regexp_matches(v, '${Profile.TsRe}') THEN 1 ELSE 0 END) = count(v) THEN 'TIMESTAMP'
+       |            ELSE 'TEXT' END AS inferred
+       |FROM m GROUP BY col ORDER BY col""".stripMargin) { (s, d) =>
+    Profile.typeTallies(Tables.events(s, d), eventCols)
+      .select("col", "n", "nulls", "n_distinct", "n_int", "n_num", "inferred")
+      .orderBy("col")
+  }
+
+  val qProfileSemantic = Q(
+    "q_profile_semantic",
+    s"""WITH m AS (
+       |  ${meltSql(eventCols)}),
+       |stats AS (
+       |  SELECT col, count(v) AS nonnull, count(DISTINCT v) AS n_distinct
+       |  FROM m GROUP BY col)
+       |SELECT col,
+       |       CASE WHEN (col = 'id' OR col LIKE '%\\_id' ESCAPE '\\' OR col LIKE '%key')
+       |                 AND n_distinct = nonnull THEN 'Unique Identifier'
+       |            WHEN (col = 'id' OR col LIKE '%\\_id' ESCAPE '\\' OR col LIKE '%key') THEN 'Category'
+       |            WHEN nonnull > 0 AND n_distinct <= greatest(1, nonnull / 10) THEN 'Category'
+       |            ELSE 'General Text' END AS semantic
+       |FROM stats WHERE col IN ('event_id', 'user_id', 'event_type')
+       |ORDER BY col""".stripMargin) { (s, d) =>
+    // name-rule subset that is cleanly expressible in both engines;
+    // the full classifier (Profile.semanticType) is golden-tested.
+    Profile.typeTallies(Tables.events(s, d), eventCols)
+      .filter(col("col").isin("event_id", "user_id", "event_type"))
+      .select(
+        col("col"),
+        when((col("col") === "id" || col("col").like("%\\_id") || col("col").like("%key"))
+          && col("n_distinct") === col("n_nonnull"), "Unique Identifier")
+          .when(col("col") === "id" || col("col").like("%\\_id") || col("col").like("%key"), "Category")
+          .when(col("n_nonnull") > 0 &&
+            col("n_distinct") <= greatest(lit(1), col("n_nonnull") / 10), "Category")
+          .otherwise("General Text").as("semantic"))
+      .orderBy("col")
+  }
+
+  val qQualityNulls = Q(
+    "q_quality_nulls",
+    s"""WITH m AS (
+       |  ${meltSql(eventCols)})
+       |SELECT col, count(*) AS n,
+       |       CAST(count(*) - count(v) AS BIGINT) AS nulls,
+       |       round(CAST(count(*) - count(v) AS DOUBLE) / count(*), 4) AS null_ratio
+       |FROM m GROUP BY col ORDER BY col""".stripMargin) { (s, d) =>
+    Profile.melt(Tables.events(s, d), eventCols)
+      .groupBy("col")
+      .agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - count(col("v"))).cast("bigint").as("nulls"))
+      .withColumn("null_ratio", round(col("nulls").cast("double") / col("n"), 4))
+      .orderBy("col")
+  }
+
+  /** Outliers via mean ± 3σ per group (P5) — one pass with window stats,
+    * then a count of exceedances. */
+  val qQualityOutliers = Q(
+    "q_quality_outliers",
+    """WITH stats AS (
+      |  SELECT l_returnflag, avg(l_extendedprice) AS mu,
+      |         stddev_samp(l_extendedprice) AS sigma, count(*) AS n
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT s.l_returnflag, s.n,
+      |       round(s.mu, 4) AS mean_price,
+      |       CAST(sum(CASE WHEN abs(l.l_extendedprice - s.mu) > 3 * s.sigma
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag
+      |GROUP BY s.l_returnflag, s.n, s.mu
+      |ORDER BY s.l_returnflag""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val stats = li.groupBy("l_returnflag")
+      .agg(
+        avg("l_extendedprice").as("mu"),
+        stddev_samp(col("l_extendedprice")).as("sigma"),
+        count(lit(1)).as("n"))
+    li.join(stats, "l_returnflag")
+      .groupBy(col("l_returnflag"), col("n"), col("mu"))
+      .agg(sum(when(abs(col("l_extendedprice") - col("mu")) > lit(3) * col("sigma"), 1)
+        .otherwise(0)).cast("bigint").as("n_outliers"))
+      .select(
+        col("l_returnflag"), col("n"),
+        round(col("mu"), 4).as("mean_price"), col("n_outliers"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Cardinality check (P5): exact distinct ratio per column; the HLL
+    * approximate twin lives in q_agg_approx_distinct. */
+  val qQualityCardinality = Q(
+    "q_quality_cardinality",
+    s"""WITH m AS (
+       |  ${meltSql(eventCols)})
+       |SELECT col, count(v) AS nonnull, count(DISTINCT v) AS n_distinct,
+       |       round(CAST(count(DISTINCT v) AS DOUBLE) / count(v), 4) AS ratio,
+       |       count(DISTINCT v) = count(v) AS is_unique
+       |FROM m GROUP BY col ORDER BY col""".stripMargin) { (s, d) =>
+    Profile.melt(Tables.events(s, d), eventCols)
+      .groupBy("col")
+      .agg(count(col("v")).as("nonnull"), countDistinct(col("v")).as("n_distinct"))
+      .select(
+        col("col"), col("nonnull"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("nonnull"), 4).as("ratio"),
+        (col("n_distinct") === col("nonnull")).as("is_unique"))
+      .orderBy("col")
+  }
+
+  /** DDL synthesis (P6): deterministic string; golden-tested, rows-only
+    * here (no DuckDB equivalent of the generator). */
+  val qDdlSynthesis = Q.noOracle("q_ddl_synthesis") { (s, d) =>
+    import s.implicits._
+    Seq(
+      ("orders", Ddl.fromSchema("orders", Tables.orders(s, d).schema)),
+      ("events", Ddl.fromSchema("events", Tables.events(s, d).schema)),
+      ("documents", Ddl.fromSchema("documents", Tables.documents(s, d).schema)))
+      .toDF("table_name", "ddl")
+      .orderBy("table_name")
+  }
+
+  // ------------------------------------------------------------ sources / sinks
+
+  private val fixtureDir = "/root/repo/target/fixtures"
+
+  /** Reference-shaped ingest fixtures (FIXTURES.md §B), generated
+    * deterministically on first use. */
+  def ensureFixtures(): Unit = {
+    val dir = new java.io.File(fixtureDir)
+    if (!dir.exists()) {
+      dir.mkdirs()
+      def write(name: String, content: String): Unit =
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$fixtureDir/$name"), content)
+      write("basic.csv", "id,name,active,score\n1,Ann,true,9.5\n2,Bo,false,7.25\n3,Cy,true,8.0\n")
+      write("mixed_types.csv", "id,mixed\n1,12\n2,abc\n3,true\n")
+      write("array.json", """[{"a":1,"b":"x"},{"a":2,"b":"y"},{"a":3,"b":"z","extra":true}]""")
+      write("single_object.json", """{"a":1,"b":"x"}""")
+    }
+  }
+
+  /** CSV source scan (S1): no oracle — the fixture isn't a driver table;
+    * rows-only check + exact-value unit tests. */
+  val qCsvScan = Q.noOracle("q_csv_scan") { (s, _) =>
+    ensureFixtures()
+    Ingest.csv(s, s"$fixtureDir/basic.csv").orderBy("id")
+  }
+
+  val qJsonScan = Q.noOracle("q_json_scan") { (s, _) =>
+    ensureFixtures()
+    Ingest.json(s, s"$fixtureDir/array.json").orderBy("a")
+  }
+
+  /** Load round-trip (S5/S6): write a table through the engine's sink,
+    * read it back, aggregate — atomicity via Spark's job commit
+    * protocol replaces the reference's single-transaction batch insert
+    * (pgliteService.ts:65-71). */
+  val qLoadRoundtrip = Q(
+    "q_load_roundtrip",
+    """SELECT count(*) AS n, round(sum(l_quantity), 4) AS sum_qty FROM lineitem""") { (s, d) =>
+    val path = "/root/repo/target/roundtrip/lineitem"
+    Tables.lineitem(s, d).write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+  }
+
+  /** Parquet scan with predicate+projection pushdown (S9): the explain
+    * plan must show PushedFilters + a 2-column ReadSchema (unit test
+    * asserts it). */
+  val qParquetScan = Q(
+    "q_parquet_scan",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_totalprice > 400000 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_totalprice") > 400000)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val all: Seq[Q] = Seq(
+    qProfileTypes, qProfileSemantic, qQualityNulls, qQualityOutliers,
+    qQualityCardinality, qDdlSynthesis, qCsvScan, qJsonScan,
+    qLoadRoundtrip, qParquetScan)
+}

