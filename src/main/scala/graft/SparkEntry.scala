@@ -13,7 +13,8 @@ object SparkEntry {
       graft.queries.Windows.all ++
       graft.queries.Functions.all ++
       graft.queries.TimeWindows.all ++
-      graft.queries.Catalog.all
+      graft.queries.Catalog.all ++
+      graft.queries.Extensions.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H-Q1-shaped aggregate over lineitem (SURVEY §7 step 0). */

@@ -1,0 +1,73 @@
+package graft.extensions
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling (SURVEY.md §2.4 X5 + builder brief): media
+  * payloads ride as opaque `binary` columns with typed metadata beside
+  * them; decode / feature-extraction runs as a partition-local typed
+  * transformation (the Scala analogue of a vectorized Python UDF batch).
+  *
+  * The actual media codecs are NOT in this environment, so the decode
+  * step is a pluggable seam ([[FeatureExtractor]]); the default
+  * [[ByteHistogram]] is a deterministic, real computation over the raw
+  * bytes, which keeps the Spark-side plumbing (schema, batching,
+  * partition locality, feature shape) fully testable.
+  *
+  * Scale notes: feature extraction is embarrassingly parallel —
+  * mapPartitions keeps per-record overhead amortized (one extractor
+  * instance per partition, the batch shape a Pandas UDF would give);
+  * binary payloads never shuffle (extract features first, then join the
+  * small feature vectors).
+  */
+object Multimodal {
+
+  /** One media record: id + raw payload bytes. */
+  case class MediaRecord(doc_id: Long, payload: Array[Byte])
+
+  /** Extracted fixed-width feature vector. */
+  case class MediaFeatures(doc_id: Long, features: Array[Double])
+
+  /** The decode/extract seam. Implementations must be deterministic and
+    * serializable (constructed on the driver, executed per partition). */
+  trait FeatureExtractor extends Serializable {
+    def dim: Int
+    def extract(payload: Array[Byte]): Array[Double]
+  }
+
+  /** Default extractor: `bins`-bucket byte-value histogram, L1-normalized.
+    * Stands in for image/audio decoders (absent in this container) while
+    * exercising the real distribution path. */
+  final class ByteHistogram(bins: Int = 8) extends FeatureExtractor {
+    require(256 % bins == 0)
+    val dim: Int = bins
+    def extract(payload: Array[Byte]): Array[Double] = {
+      val counts = new Array[Double](bins)
+      var i = 0
+      while (i < payload.length) {
+        counts((payload(i) & 0xff) * bins / 256) += 1.0
+        i += 1
+      }
+      val total = math.max(1.0, payload.length.toDouble)
+      counts.map(_ / total)
+    }
+  }
+
+  /** Distributed feature extraction: binary column in, feature vectors
+    * out, one extractor instance per partition. */
+  def extractFeatures(records: Dataset[MediaRecord],
+      extractor: FeatureExtractor): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map(r => MediaFeatures(r.doc_id, extractor.extract(r.payload)))
+    }
+  }
+
+  /** documents.text as a stand-in binary payload (utf-8 bytes). */
+  def documentPayloads(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+  }
+}

