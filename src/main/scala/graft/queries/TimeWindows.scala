@@ -80,7 +80,9 @@ object TimeWindows {
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_val"))
       .select(
         col("user_id"),
-        date_trunc("second", col("w.start")).as("session_start"),
+        // session_window coerces NTZ event time to LTZ — cast back so the
+        // emitted value is naive like every other timestamp output
+        date_trunc("second", col("w.start")).cast("timestamp_ntz").as("session_start"),
         col("n"), col("sum_val"))
       .orderBy("user_id", "session_start")
   }

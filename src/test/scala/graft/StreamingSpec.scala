@@ -1,0 +1,40 @@
+package graft
+
+import graft.streaming.Streams
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming lift ≡ batch semantics: the streamed results over the same
+  * parquet must equal the oracle-checked batch query keys (SURVEY §5). */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame, cols: String*) =
+    df.orderBy(cols.head, cols.tail: _*).collect().map(_.toString).toSeq
+
+  test("streaming tumbling window == batch q_stream_tumbling") {
+    val events = Streams.eventsStream(spark, sf)
+    assert(events.isStreaming)
+    Streams.runToMemory(Streams.tumblingCounts(events), "t_tumbling", "complete")
+    val streamed = sortedRows(spark.table("t_tumbling"), "wstart", "event_type")
+    val batch = sortedRows(SparkEntry.queries("q_stream_tumbling")(spark, sf),
+      "wstart", "event_type")
+    assert(streamed == batch)
+  }
+
+  test("streaming session windows == batch q_stream_session") {
+    val events = Streams.eventsStream(spark, sf)
+    Streams.runToMemory(Streams.sessionAgg(events), "t_session", "complete")
+    val streamed = sortedRows(spark.table("t_session"), "user_id", "session_start")
+    val batch = sortedRows(SparkEntry.queries("q_stream_session")(spark, sf),
+      "user_id", "session_start")
+    assert(streamed == batch)
+  }
+
+  test("streaming dedup within watermark preserves distinct event ids") {
+    val events = Streams.eventsStream(spark, sf)
+    Streams.runToMemory(Streams.dedupStream(events), "t_dedup", "append")
+    val n = spark.table("t_dedup").count()
+    val expected = Tables.events(spark, sf).select("event_id").distinct().count()
+    assert(n == expected)
+  }
+}
