@@ -1,0 +1,128 @@
+package graft.pipeline
+
+import graft.ingest.Ingest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+import org.apache.spark.sql.execution.QueryExecution
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+/** The "self-healing" pipeline surface (reference README.md:4-17 declares
+  * a self-healing ETL pipeline; its only concrete mechanisms are the
+  * process log `types.ts:16-21` + parse-error tolerance
+  * `dataProcessingService.ts:14-17`). Here that intent becomes concrete,
+  * deterministic machinery:
+  *
+  *  - [[Retry.withRetry]]: bounded retry with exponential backoff for
+  *    transient job failures;
+  *  - [[Quarantine]]: PERMISSIVE ingest that *routes* corrupt rows to a
+  *    quarantine output instead of failing or dropping (heal = keep the
+  *    good rows flowing, preserve the bad ones for repair);
+  *  - [[Monitor]]: structured log entries (the reference's ETL log shape)
+  *    plus a QueryExecutionListener feeding a queryable log DataFrame.
+  *
+  * Scale notes: quarantine is a single extra column + partitioned filter
+  * writes (no second scan); the monitor's state is driver-side and O(jobs),
+  * never per-row.
+  */
+object Retry {
+
+  final case class Attempt(n: Int, errorClass: String, message: String)
+
+  /** Run `body` up to `maxAttempts` times with exponential backoff.
+    * Returns the result plus the attempt log. Non-fatal errors only —
+    * analysis errors (bad SQL/schema) fail fast since retrying cannot
+    * heal them; runtime/IO errors retry. */
+  def withRetry[T](maxAttempts: Int = 3, initialBackoffMs: Long = 100,
+      retryable: Throwable => Boolean = defaultRetryable)
+      (body: => T): (Either[Throwable, T], Seq[Attempt]) = {
+    var attempts = Vector.empty[Attempt]
+    var backoff = initialBackoffMs
+    var i = 0
+    while (true) {
+      i += 1
+      try return (Right(body), attempts)
+      catch {
+        case NonFatal(e) =>
+          attempts :+= Attempt(i, e.getClass.getSimpleName, String.valueOf(e.getMessage).take(200))
+          if (i >= maxAttempts || !retryable(e)) return (Left(e), attempts)
+          Thread.sleep(backoff)
+          backoff *= 2
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Analysis/parse errors are deterministic — retry cannot fix them. */
+  def defaultRetryable(e: Throwable): Boolean = e match {
+    case _: org.apache.spark.sql.AnalysisException => false
+    case _: IllegalArgumentException => false
+    case _ => true
+  }
+}
+
+/** Corrupt-record routing for ingestion: the reference logs CSV errors
+  * and keeps going (dataProcessingService.ts:14-17); we additionally
+  * keep the bad rows addressable. */
+object Quarantine {
+
+  final case class SplitResult(clean: DataFrame, quarantined: DataFrame)
+
+  /** Read a CSV keeping corrupt lines, then split: clean rows flow on,
+    * corrupt raw lines (with the reason) go to the quarantine side. */
+  def csv(spark: SparkSession, path: String): SplitResult = {
+    // PERMISSIVE + corrupt-record column requires the column in the schema:
+    // infer first, then re-read with the widened schema
+    val inferred = Ingest.csv(spark, path).schema
+    val widened = org.apache.spark.sql.types.StructType(
+      inferred.fields.filterNot(_.name == Ingest.CorruptRecordCol) :+
+        org.apache.spark.sql.types.StructField(Ingest.CorruptRecordCol,
+          org.apache.spark.sql.types.StringType))
+    val raw = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", Ingest.CorruptRecordCol)
+      .schema(widened)
+      .csv(path)
+      .cache() // one scan serves both splits
+    SplitResult(
+      clean = raw.filter(col(Ingest.CorruptRecordCol).isNull)
+        .drop(Ingest.CorruptRecordCol),
+      quarantined = raw.filter(col(Ingest.CorruptRecordCol).isNotNull)
+        .select(col(Ingest.CorruptRecordCol).as("raw_line"),
+          lit("CSV parse failure").as("reason")))
+  }
+}
+
+/** The reference's ETL log entry shape (types.ts:16-21). */
+final case class LogEntry(id: Long, ts_ms: Long, message: String, level: String)
+
+/** Structured process log — fed manually and by a QueryExecutionListener,
+  * queryable as a DataFrame (reference P10). */
+final class Monitor(spark: SparkSession) extends Serializable {
+
+  private val entries = new ConcurrentLinkedQueue[LogEntry]()
+  private val nextId = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def log(message: String, level: String = "info"): Unit =
+    entries.add(LogEntry(nextId.getAndIncrement(), System.currentTimeMillis(), message, level))
+
+  /** Spark-level success/failure feed (maps reference P10 progress log). */
+  val listener: QueryExecutionListener = new QueryExecutionListener {
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+      log(s"$funcName completed in ${durationNs / 1000000} ms", "success")
+    override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit =
+      log(s"$funcName failed: ${e.getMessage}", "error")
+  }
+
+  def install(): Unit = spark.listenerManager.register(listener)
+  def uninstall(): Unit = spark.listenerManager.unregister(listener)
+
+  def toDF(): DataFrame = {
+    import spark.implicits._
+    entries.asScala.toSeq.toDF()
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.pipeline.{Monitor, Quarantine, Retry}
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("retry: transient failures heal, attempts are logged") {
+    var calls = 0
+    val (res, attempts) = Retry.withRetry(maxAttempts = 3, initialBackoffMs = 1) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException(s"transient $calls")
+      42
+    }
+    assert(res == Right(42))
+    assert(attempts.map(_.n) == Seq(1, 2))
+  }
+
+  test("retry: analysis errors fail fast (retrying cannot heal bad SQL)") {
+    var calls = 0
+    val (res, attempts) = Retry.withRetry(maxAttempts = 5, initialBackoffMs = 1) {
+      calls += 1
+      spark.sql("SELECT definitely_not_a_column FROM range(1)").collect()
+    }
+    assert(res.isLeft && calls == 1 && attempts.size == 1)
+  }
+
+  test("quarantine: corrupt CSV rows are routed aside, clean rows flow") {
+    val dir = new java.io.File("/root/repo/target/fixtures")
+    dir.mkdirs()
+    val p = s"$dir/quarantine.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      "id,score\n1,9.5\n2,notanumber,extra,fields\n3,7.25\n")
+    val split = Quarantine.csv(spark, p)
+    assert(split.clean.count() == 2)
+    assert(split.quarantined.count() == 1)
+    val bad = split.quarantined.collect().head
+    assert(bad.getAs[String]("raw_line").contains("notanumber"))
+  }
+
+  test("monitor: log entries accumulate and surface as a DataFrame") {
+    val m = new Monitor(spark)
+    m.log("pipeline started")
+    m.log("step failed", "error")
+    val rows = m.toDF().orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("message") == "pipeline started")
+    assert(rows(1).getAs[String]("level") == "error")
+  }
+
+  test("end-to-end self-healing ingest: retry + quarantine + monitor") {
+    val m = new Monitor(spark)
+    val p = "/root/repo/target/fixtures/quarantine.csv"
+    val (res, _) = Retry.withRetry(maxAttempts = 2, initialBackoffMs = 1) {
+      val split = Quarantine.csv(spark, p)
+      val n = split.clean.count()
+      m.log(s"ingested $n clean rows", "success")
+      m.log(s"quarantined ${split.quarantined.count()} rows", "warning")
+      n
+    }
+    assert(res == Right(2L))
+    assert(m.toDF().filter("level = 'warning'").count() == 1)
+  }
+}
