@@ -1,0 +1,95 @@
+package graft
+
+import graft.catalog.{Ddl, Profile}
+import graft.ingest.Ingest
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+/** Property-based invariants (SURVEY.md §5.3). Spark-touching properties
+  * keep generated data tiny and the case count low — each case is a job. */
+object PropertySpec extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = SparkTestSession.spark
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(8).mkString)
+
+  property("tableName always sanitizes to [a-zA-Z0-9_]+") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      val t = Ingest.tableName(s + ".csv")
+      t.nonEmpty && t.matches("[a-zA-Z0-9_]+")
+    }
+
+  property("semanticType always lands in the reference vocabulary") = {
+    val vocab = Set("Email Address", "Unique Identifier", "Category",
+      "Person Name", "URL", "Date/Time", "Monetary Value", "Count",
+      "Numeric Value", "General Text")
+    forAll(word, Gen.oneOf("TEXT", "INTEGER", "REAL", "BOOLEAN"),
+      Gen.chooseNum(0L, 100L), Gen.chooseNum(0L, 100L)) { (name, t, d, n) =>
+      vocab.contains(Profile.semanticType(name, t, math.min(d, n), n))
+    }
+  }
+
+  property("ddl synthesis quotes the table and lists every column") =
+    forAll(Gen.nonEmptyListOf(word).map(_.distinct.take(5))) { cols =>
+      cols.nonEmpty ==> {
+        val profile = cols.map(c => catalog.ColumnProfile(
+          c, "string", "TEXT", "General Text", "", Nil, 1, 0, 1))
+        val ddl = Ddl.fromProfile("t", profile)
+        ddl.startsWith("CREATE TABLE \"t\" (") && ddl.endsWith(");") &&
+          cols.forall(c => ddl.contains(s""""$c" TEXT"""))
+      }
+    }
+
+  property("profiler invariants: nulls <= rows, distinct <= non-null, type in menu") =
+    forAll(Gen.listOfN(12, Gen.option(Gen.oneOf(
+      Gen.chooseNum(-999, 999).map(_.toString), word)))) { vals =>
+      import spark.implicits._
+      val df = vals.map(v => Tuple1(v.orNull)).toDF("c")
+      val menu = Set("TEXT", "INTEGER", "REAL", "DATE", "TIMESTAMP", "BOOLEAN", "BLOB")
+      val p = Profile.of(df).head
+      p.nullCount <= p.rowCount &&
+        p.distinctCount <= (p.rowCount - p.nullCount) &&
+        menu.contains(p.inferredSqlType)
+    }
+
+  property("exact dedup is idempotent") =
+    forAll(Gen.listOfN(20, Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(0, 3)))) { xs =>
+      import spark.implicits._
+      val df = xs.toDF("a", "b")
+      val once = df.dropDuplicates("a", "b")
+      once.count() == once.dropDuplicates("a", "b").count() &&
+        once.count() == xs.distinct.size
+    }
+
+  property("shingleRows emits exactly the distinct scala-side trigrams") =
+    forAll(Gen.listOfN(12, word)) { words =>
+      import spark.implicits._
+      val text = words.mkString(" ")
+      val expected = words.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val got = graft.functions.TextOps.shingleRows(df, "doc_id", "text", 3)
+        .collect().map(_.getString(1)).toSet
+      got == expected
+    }
+
+  property("window running-sum final value equals the group sum") =
+    forAll(Gen.listOfN(15, Gen.zip(Gen.chooseNum(0, 2), Gen.chooseNum(1, 50)))) { xs =>
+      xs.nonEmpty ==> {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        val df = xs.zipWithIndex.map { case ((k, v), i) => (k, v.toLong, i) }
+          .toDF("k", "v", "ord")
+        val w = Window.partitionBy("k").orderBy("ord")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val lastRunning = df.withColumn("rs", sum("v").over(w))
+          .groupBy("k").agg(max("rs").as("final_rs"))
+        val groupSum = df.groupBy("k").agg(sum("v").as("gs"))
+        lastRunning.join(groupSum, "k")
+          .filter(col("final_rs") =!= col("gs")).count() == 0
+      }
+    }
+}
