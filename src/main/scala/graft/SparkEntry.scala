@@ -14,6 +14,7 @@ object SparkEntry {
       graft.queries.Functions.all ++
       graft.queries.TimeWindows.all ++
       graft.queries.Catalog.all ++
+      graft.queries.Analytics.all ++
       graft.queries.Extensions.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

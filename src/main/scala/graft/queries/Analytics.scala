@@ -1,0 +1,144 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Second-tier analytic SQL surface (still provenance-D, SURVEY §2.3):
+  * pivot, statistical aggregates, percentiles, and the recursive-CTE
+  * workaround for Spark's documented gap (SURVEY §7 risk 5).
+  */
+object Analytics {
+
+  /** PIVOT: status columns per priority. Oracle uses portable CASE
+    * aggregation (identical semantics; DuckDB's PIVOT syntax differs). */
+  val qPivot = Q(
+    "q_pivot",
+    """SELECT o_orderpriority,
+      |       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS F,
+      |       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS O,
+      |       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS P
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum("o_totalprice"), 4))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Statistical aggregate family: corr / covariance / stddev / variance /
+    * skewness-free portable subset (skewness normalization differs across
+    * engines, so it stays out of the oracle set). */
+  val qAggStats = Q(
+    "q_agg_stats",
+    """SELECT l_returnflag,
+      |       round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+      |       round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+      |       round(stddev_samp(l_discount), 4) AS disc_stddev,
+      |       round(var_samp(l_tax), 4) AS tax_var,
+      |       round(min(l_quantity), 4) AS min_qty,
+      |       round(max(l_quantity), 4) AS max_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr("l_quantity", "l_extendedprice"), 4).as("qty_price_corr"),
+        round(covar_samp("l_quantity", "l_extendedprice"), 4).as("qty_price_covar"),
+        round(stddev_samp(col("l_discount")), 4).as("disc_stddev"),
+        round(var_samp(col("l_tax")), 4).as("tax_var"),
+        round(min("l_quantity"), 4).as("min_qty"),
+        round(max("l_quantity"), 4).as("max_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Exact percentiles: continuous interpolation matches DuckDB
+    * quantile_cont; the approximate twin (approx_percentile / HLL-style
+    * sketches) is rows-only in q_agg_approx_percentile. */
+  val qAggPercentile = Q(
+    "q_agg_percentile",
+    """SELECT o_orderstatus,
+      |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      |       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** t-digest-style approximate percentiles — engine-specific sketch,
+    * rows-only check; exact twin above is the oracle. */
+  val qAggApproxPercentile = Q.noOracle("q_agg_approx_percentile") { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("approx_percentile(o_totalprice, 0.5, 1000)"), 4).as("ap50"),
+        round(expr("approx_percentile(o_totalprice, 0.9, 1000)"), 4).as("ap90"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Recursive CTE — Spark SQL has none (SURVEY §7 risk 5); the library
+    * workaround is an iterative DataFrame fixpoint loop. Query: reachable
+    * set + depth walking the nationkey chain (src → src+1) from node 0.
+    * DuckDB's native WITH RECURSIVE is the oracle, checking the loop
+    * reproduces true recursion semantics. */
+  val qCteRecursive = Q(
+    "q_cte_recursive",
+    """WITH RECURSIVE reach(node, depth) AS (
+      |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
+      |  UNION ALL
+      |  SELECT e.dst, r.depth + 1
+      |  FROM reach r
+      |  JOIN (SELECT n_nationkey AS src, n_nationkey + 1 AS dst
+      |        FROM nation WHERE n_nationkey < 24) e
+      |    ON e.src = r.node)
+      |SELECT CAST(node AS BIGINT) AS node, CAST(depth AS BIGINT) AS depth
+      |FROM reach ORDER BY node""".stripMargin) { (s, d) =>
+    val edges = Tables.nation(s, d)
+      .filter(col("n_nationkey") < 24)
+      .select(col("n_nationkey").cast("bigint").as("src"),
+        (col("n_nationkey") + 1).cast("bigint").as("dst"))
+    Fixpoint.iterate(
+      seed = s.range(1).select(lit(0L).as("node"), lit(0L).as("depth")),
+      step = frontier => frontier
+        .join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node"), (col("depth") + 1).as("depth")),
+      maxIterations = 64)
+      .orderBy("node")
+  }
+
+  val all: Seq[Q] =
+    Seq(qPivot, qAggStats, qAggPercentile, qAggApproxPercentile, qCteRecursive)
+}
+
+/** Iterative fixpoint evaluation — the workaround for Spark's missing
+  * recursive CTE. Accumulates `seed ∪ step(seed) ∪ step²(seed) ∪ …` until
+  * a step yields no rows (or maxIterations).
+  *
+  * Scale notes: each step is one distributed join; the frontier is
+  * localCheckpoint'd per iteration to cut the exponentially growing
+  * lineage (the classic iterative-algorithm failure mode on Spark). */
+object Fixpoint {
+  def iterate(seed: DataFrame, step: DataFrame => DataFrame,
+      maxIterations: Int): DataFrame = {
+    var acc = seed
+    var frontier = seed.localCheckpoint(true)
+    var i = 0
+    while (i < maxIterations && !frontier.isEmpty) {
+      frontier = step(frontier).localCheckpoint(true)
+      acc = acc.unionByName(frontier)
+      i += 1
+    }
+    acc
+  }
+}
