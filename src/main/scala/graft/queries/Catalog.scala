@@ -211,8 +211,60 @@ object Catalog {
       .orderBy("o_orderkey")
   }
 
+  /** Typed-Aggregator UDAF profile (SURVEY §2.3 UDAF row): single-pass
+    * per-group numeric stats; oracle is the equivalent built-in SQL. */
+  val qUdafProfile = Q(
+    "q_udaf_profile",
+    """SELECT l_returnflag,
+      |       count(*) AS n,
+      |       round(min(l_extendedprice), 4) AS min_price,
+      |       round(max(l_extendedprice), 4) AS max_price,
+      |       round(avg(l_extendedprice), 4) AS mean_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val prof = udaf(graft.functions.ProfileAggregator.numeric)
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(prof(col("l_extendedprice")).as("p"))
+      .select(
+        col("l_returnflag"),
+        col("p.n").as("n"),
+        round(col("p.min"), 4).as("min_price"),
+        round(col("p.max"), 4).as("max_price"),
+        round(col("p.mean"), 4).as("mean_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** CSV sink round-trip (the reference's only sink is its Postgres
+    * table; a real pipeline needs file sinks too). Values survive a
+    * write→read cycle through the text format. */
+  val qSinkCsvRoundtrip = Q(
+    "q_sink_csv_roundtrip",
+    """SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |       round(sum(o_totalprice), 2) AS price_sum
+      |FROM orders""".stripMargin) { (s, d) =>
+    val path = "/root/repo/target/roundtrip/orders_csv"
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").option("header", "true").csv(path)
+    s.read.option("header", "true").option("inferSchema", "true").csv(path)
+      .agg(count(lit(1)).as("n"),
+        sum("o_orderkey").cast("bigint").as("key_sum"),
+        round(sum("o_totalprice"), 2).as("price_sum"))
+  }
+
+  val qSinkJsonRoundtrip = Q(
+    "q_sink_json_roundtrip",
+    """SELECT count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS key_sum
+      |FROM customer""".stripMargin) { (s, d) =>
+    val path = "/root/repo/target/roundtrip/customer_json"
+    Tables.customer(s, d).select("c_custkey", "c_name").write.mode("overwrite").json(path)
+    s.read.json(path)
+      .agg(count(lit(1)).as("n"), sum("c_custkey").cast("bigint").as("key_sum"))
+  }
+
   val all: Seq[Q] = Seq(
     qProfileTypes, qProfileSemantic, qQualityNulls, qQualityOutliers,
     qQualityCardinality, qDdlSynthesis, qCsvScan, qJsonScan,
-    qLoadRoundtrip, qParquetScan)
+    qLoadRoundtrip, qParquetScan, qUdafProfile,
+    qSinkCsvRoundtrip, qSinkJsonRoundtrip)
 }
