@@ -63,6 +63,46 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame: parent id, frame index, frame bytes. */
+  case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame sampling for video/audio-shaped payloads: split the byte
+    * stream into fixed-size frames and keep every `stride`-th one — the
+    * 1-row→N-rows generator shape a real decoder would have (UDTF-style),
+    * run partition-locally so payload bytes never shuffle before
+    * down-sampling. A real codec plugs in by replacing the fixed-size
+    * splitter; the sampling/fan-out plumbing is what's exercised here. */
+  def sampleFrames(records: Dataset[MediaRecord], frameBytes: Int,
+      stride: Int): Dataset[Frame] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.flatMap { r =>
+        r.payload.grouped(frameBytes).zipWithIndex.collect {
+          case (bytes, i) if i % stride == 0 => Frame(r.doc_id, i, bytes)
+        }
+      }
+    }
+  }
+
+  /** Resize a feature vector to `targetDim` by averaging (downscale) or
+    * linear interpolation (upscale) — the deterministic stand-in for an
+    * image resize kernel, applied AFTER extraction so only small vectors
+    * flow through the plan. */
+  def resizeFeatures(features: Array[Double], targetDim: Int): Array[Double] = {
+    val n = features.length
+    if (n == targetDim) features
+    else Array.tabulate(targetDim) { i =>
+      val lo = i.toDouble * n / targetDim
+      val hi = (i + 1).toDouble * n / targetDim
+      val from = lo.toInt
+      val until = math.min(n, math.max(from + 1, math.ceil(hi).toInt))
+      var s = 0.0
+      var j = from
+      while (j < until) { s += features(j); j += 1 }
+      s / (until - from)
+    }
+  }
+
   /** documents.text as a stand-in binary payload (utf-8 bytes). */
   def documentPayloads(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._

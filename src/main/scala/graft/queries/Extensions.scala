@@ -451,10 +451,29 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** Frame sampling over binary payloads (1→N generator run partition-
+    * locally; Multimodal.sampleFrames). Oracle: the frame count/offsets
+    * are pure arithmetic over the byte length. */
+  val qMultimodalFrames = Q(
+    "q_multimodal_frames",
+    // frames of 64 bytes, keep every 2nd ⇒ per doc: ceil(bytes/64) frames,
+    // indices 0,2,4,…; count = floor((ceil(bytes/64)+1)/2)
+    // DuckDB // is integer division (plain / promotes to double)
+    """SELECT doc_id,
+      |       CAST((CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) + 1) // 2 AS BIGINT) AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Multimodal.sampleFrames(Multimodal.documentPayloads(s, d), frameBytes = 64, stride = 2)
+      .groupByKey(_.doc_id)
+      .count()
+      .toDF("doc_id", "n_frames")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     qDedupExact, qNeardup, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qSimilarityTopk, qAnnIvf, qAnnLsh,
     qTextAnalysis, qTextTopwords, qLangId, qTextQuality, qTokenCount,
     qDocFingerprint,
-    qMultimodalJoin, qMultimodalMeta, qMultimodalFeatures)
+    qMultimodalJoin, qMultimodalMeta, qMultimodalFeatures, qMultimodalFrames)
 }
