@@ -21,6 +21,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming sliding window == batch q_stream_sliding") {
+    val events = Streams.eventsStream(spark, sf)
+    Streams.runToMemory(Streams.slidingCounts(events), "t_sliding", "complete")
+    val streamed = sortedRows(spark.table("t_sliding"), "wstart")
+    val batch = sortedRows(SparkEntry.queries("q_stream_sliding")(spark, sf), "wstart")
+    assert(streamed == batch)
+  }
+
   test("streaming session windows == batch q_stream_session") {
     val events = Streams.eventsStream(spark, sf)
     Streams.runToMemory(Streams.sessionAgg(events), "t_session", "complete")
