@@ -1,0 +1,30 @@
+package graft
+
+import graft.functions.{CosineSimilarityExpr, DotProductExpr}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session extension installing the engine's native expressions as
+  * first-class SQL functions — `SELECT vec_cosine(a, b)` works in any
+  * query (spark.sql, views, the S8 passthrough) with no per-session
+  * registration call. Activated two ways:
+  *
+  *  - `GraftSession.builder(...)` wires it via `.withExtensions`;
+  *  - `--conf spark.sql.extensions=graft.GraftExtensions` for sessions
+  *    built elsewhere (spark-submit / thrift server).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "vec_cosine"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimilarityExpr(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "vec_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProductExpr(exprs(0), exprs(1))))
+  }
+}

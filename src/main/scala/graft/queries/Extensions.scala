@@ -254,6 +254,30 @@ object Extensions {
       .orderBy("qid", "rnk")
   }
 
+  /** The native vec_cosine expression reached through plain SQL — proves
+    * the SparkSessionExtensions registration (graft.GraftExtensions)
+    * end-to-end on the S8 passthrough surface. */
+  val qSimilaritySql = Q(
+    "q_similarity_sql",
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+      |pairs AS (SELECT q.vec_id AS ida, c.vec_id AS idb, q.embedding AS ea,
+      |                 c.embedding AS eb
+      |          FROM q JOIN embeddings c ON q.vec_id < c.vec_id),
+      |flat AS (SELECT ida, idb, CAST(unnest(ea) AS DOUBLE) AS x,
+      |                CAST(unnest(eb) AS DOUBLE) AS y FROM pairs),
+      |sims AS (SELECT ida, idb, sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS cos
+      |         FROM flat GROUP BY ida, idb)
+      |SELECT ida, idb, round(cos, 4) AS cos FROM sims WHERE cos >= 0.3
+      |ORDER BY ida, idb""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
+    s.sql(
+      """SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |       round(vec_cosine(a.embedding, b.embedding), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id % 100 = 0 AND vec_cosine(a.embedding, b.embedding) >= 0.3
+        |ORDER BY ida, idb""".stripMargin)
+  }
+
   // ----------------------------------------------------------- text analysis
 
   val qTextAnalysis = Q(
@@ -472,7 +496,7 @@ object Extensions {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qNeardup, qDedupMinhash, qDedupSimhash, qDedupEmbed,
-    qSimilarityTopk, qAnnIvf, qAnnLsh,
+    qSimilarityTopk, qSimilaritySql, qAnnIvf, qAnnLsh,
     qTextAnalysis, qTextTopwords, qLangId, qTextQuality, qTokenCount,
     qDocFingerprint,
     qMultimodalJoin, qMultimodalMeta, qMultimodalFeatures, qMultimodalFrames)
