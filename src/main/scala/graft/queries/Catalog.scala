@@ -161,16 +161,17 @@ object Catalog {
   /** Reference-shaped ingest fixtures (FIXTURES.md §B), generated
     * deterministically on first use. */
   def ensureFixtures(): Unit = {
-    val dir = new java.io.File(fixtureDir)
-    if (!dir.exists()) {
-      dir.mkdirs()
-      def write(name: String, content: String): Unit =
-        java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$fixtureDir/$name"), content)
-      write("basic.csv", "id,name,active,score\n1,Ann,true,9.5\n2,Bo,false,7.25\n3,Cy,true,8.0\n")
-      write("mixed_types.csv", "id,mixed\n1,12\n2,abc\n3,true\n")
-      write("array.json", """[{"a":1,"b":"x"},{"a":2,"b":"y"},{"a":3,"b":"z","extra":true}]""")
-      write("single_object.json", """{"a":1,"b":"x"}""")
+    new java.io.File(fixtureDir).mkdirs()
+    // per-file check: another writer may have created the directory with
+    // only its own fixtures in it
+    def write(name: String, content: String): Unit = {
+      val p = java.nio.file.Paths.get(s"$fixtureDir/$name")
+      if (!java.nio.file.Files.exists(p)) java.nio.file.Files.writeString(p, content)
     }
+    write("basic.csv", "id,name,active,score\n1,Ann,true,9.5\n2,Bo,false,7.25\n3,Cy,true,8.0\n")
+    write("mixed_types.csv", "id,mixed\n1,12\n2,abc\n3,true\n")
+    write("array.json", """[{"a":1,"b":"x"},{"a":2,"b":"y"},{"a":3,"b":"z","extra":true}]""")
+    write("single_object.json", """{"a":1,"b":"x"}""")
   }
 
   /** CSV source scan (S1): no oracle — the fixture isn't a driver table;
