@@ -38,6 +38,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("flatMapGroupsWithState per-user stats match batch aggregation") {
+    import org.apache.spark.sql.functions._
+    val events = Streams.eventsStream(spark, sf)
+    Streams.runToMemory(Streams.userStats(events).toDF(), "t_userstats", "update")
+    val streamed = spark.table("t_userstats")
+      .select("user_id", "n", "sum_val")
+      .orderBy("user_id").collect().map(_.toString).toSeq
+    val batch = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        (round(sum("value") * 10000) / 10000).as("sum_val"))
+      .orderBy("user_id").collect().map(_.toString).toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming dedup within watermark preserves distinct event ids") {
     val events = Streams.eventsStream(spark, sf)
     Streams.runToMemory(Streams.dedupStream(events), "t_dedup", "append")
