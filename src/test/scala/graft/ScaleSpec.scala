@@ -28,6 +28,41 @@ class ScaleSpec extends AnyFunSuite {
     assert(joined.count() == plain.count())
   }
 
+  test("partitioned write enables static partition pruning on read") {
+    val path = "/root/repo/target/partitioned/lineitem_by_flag"
+    Tables.lineitem(spark, sf).write.mode("overwrite")
+      .partitionBy("l_returnflag").parquet(path)
+    val pruned = spark.read.parquet(path).filter(col("l_returnflag") === "A")
+      .select("l_orderkey", "l_quantity")
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      plan.linesIterator.take(8).mkString("\n"))
+    val expected = Tables.lineitem(spark, sf).filter(col("l_returnflag") === "A").count()
+    assert(pruned.count() == expected)
+  }
+
+  test("dynamic partition pruning fires on a partitioned fact join") {
+    val path = "/root/repo/target/partitioned/lineitem_by_flag"
+    if (!new java.io.File(path).exists())
+      Tables.lineitem(spark, sf).write.mode("overwrite")
+        .partitionBy("l_returnflag").parquet(path)
+    import spark.implicits._
+    // DPP needs a selective predicate on a real (file) relation — a
+    // LocalRelation folds its filter away and never triggers pruning
+    val dimPath = "/root/repo/target/partitioned/flag_dim"
+    Seq(("A", "accepted"), ("N", "new"), ("R", "returned"))
+      .toDF("flag", "label").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = spark.read.parquet(path)
+      .join(dim.filter(col("label") === "returned"),
+        col("l_returnflag") === col("flag"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+      plan.linesIterator.take(12).mkString("\n"))
+  }
+
   test("salted join equals the plain join on skewed data") {
     import spark.implicits._
     // pathological skew: 90% of rows share one key
