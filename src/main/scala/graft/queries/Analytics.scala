@@ -117,8 +117,24 @@ object Analytics {
       .orderBy("node")
   }
 
+  /** UNPIVOT (wide→long): the inverse of q_pivot; also the reshape the
+    * profiler's melt builds on. Oracle: portable UNION ALL. */
+  val qUnpivot = Q(
+    "q_unpivot",
+    """SELECT o_orderkey, 'o_totalprice' AS metric, round(o_totalprice, 4) AS v FROM orders
+      |UNION ALL
+      |SELECT o_orderkey, 'o_custkey' AS metric, CAST(o_custkey AS DOUBLE) AS v FROM orders
+      |ORDER BY o_orderkey, metric""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        expr("stack(2, 'o_totalprice', round(o_totalprice, 4), " +
+          "'o_custkey', CAST(o_custkey AS DOUBLE)) AS (metric, v)"))
+      .orderBy("o_orderkey", "metric")
+  }
+
   val all: Seq[Q] =
-    Seq(qPivot, qAggStats, qAggPercentile, qAggApproxPercentile, qCteRecursive)
+    Seq(qPivot, qAggStats, qAggPercentile, qAggApproxPercentile,
+      qCteRecursive, qUnpivot)
 }
 
 /** Iterative fixpoint evaluation — the workaround for Spark's missing
