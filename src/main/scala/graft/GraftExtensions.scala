@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarityExpr, DotProductExpr}
+import graft.functions.{CosineSimilarityExpr, DotProductExpr, WordSetJaccardExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -26,5 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductExpr].getName, "vec_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProductExpr(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("word_jaccard"),
+      new ExpressionInfo(classOf[WordSetJaccardExpr].getName, "word_jaccard"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WordSetJaccardExpr(exprs(0), exprs(1))))
   }
 }

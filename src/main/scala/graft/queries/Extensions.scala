@@ -99,10 +99,18 @@ object Extensions {
     val estJ = (0 until 16)
       .map(i => when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0))
       .reduce(_ + _).cast("double") / 16.0
+    // the production LSH pattern: bucket candidates, then confirm each
+    // pair with an exact similarity — here the fused word_jaccard
+    // expression (graft.functions.WordSetJaccardExpr) over the raw texts
+    val texts = Tables.documents(s, d).select(col("doc_id"), col("text"))
     cand
       .join(sig.as("sa"), col("ida") === col("sa.doc_id"))
       .join(sig.as("sb"), col("idb") === col("sb.doc_id"))
-      .select(col("ida"), col("idb"), round(estJ, 4).as("est_jaccard"))
+      .join(texts.as("ta"), col("ida") === col("ta.doc_id"))
+      .join(texts.as("tb"), col("idb") === col("tb.doc_id"))
+      .select(col("ida"), col("idb"), round(estJ, 4).as("est_jaccard"),
+        round(call_function("word_jaccard", col("ta.text"), col("tb.text")), 4)
+          .as("exact_word_jaccard"))
       .orderBy("ida", "idb")
   }
 

@@ -191,6 +191,31 @@ object Functions {
       .orderBy("event_id")
   }
 
+  /** Bitwise family. DuckDB: xor() is a function, shifts are <</>>,
+    * bit_count returns the popcount as in Spark. */
+  val qFnBitwise = Q(
+    "q_fn_bitwise",
+    """SELECT o_orderkey,
+      |       CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
+      |       CAST(o_orderkey | 1 AS BIGINT) AS with_low_bit,
+      |       CAST(xor(o_orderkey, 21845) AS BIGINT) AS xored,
+      |       CAST(o_orderkey << 2 AS BIGINT) AS shifted_l,
+      |       CAST(o_orderkey >> 3 AS BIGINT) AS shifted_r,
+      |       CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(255).cast("bigint").as("low_byte"),
+        col("o_orderkey").bitwiseOR(1).cast("bigint").as("with_low_bit"),
+        col("o_orderkey").bitwiseXOR(21845).cast("bigint").as("xored"),
+        shiftleft(col("o_orderkey"), 2).cast("bigint").as("shifted_l"),
+        shiftright(col("o_orderkey"), 3).cast("bigint").as("shifted_r"),
+        bit_count(col("o_orderkey")).cast("bigint").as("popcount"))
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[Q] =
-    Seq(qFnString, qFnDate, qFnMath, qFnJson, qFnArray, qFnExplode, qFnMap)
+    Seq(qFnString, qFnDate, qFnMath, qFnJson, qFnArray, qFnExplode, qFnMap,
+      qFnBitwise)
 }

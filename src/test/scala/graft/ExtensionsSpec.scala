@@ -77,6 +77,33 @@ class ExtensionsSpec extends AnyFunSuite {
       s"fast=${r.getDouble(0)} hof=${r.getDouble(1)}"))
   }
 
+  test("word_jaccard expression matches the DataFrame set-jaccard formulation") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).limit(30).select("doc_id", "text")
+    val a = docs.select(col("doc_id").as("ida"), col("text").as("ta"))
+    val b = docs.select(col("doc_id").as("idb"), col("text").as("tb"))
+    val pairs = a.join(b, col("ida") < col("idb"))
+    val viaExpr = pairs.select(col("ida"), col("idb"),
+      round(call_function("word_jaccard", col("ta"), col("tb")), 6).as("j"))
+    val viaDf = pairs.select(col("ida"), col("idb"),
+      round(
+        size(array_intersect(split(col("ta"), " "), split(col("tb"), " "))).cast("double") /
+          size(array_union(split(col("ta"), " "), split(col("tb"), " "))), 6).as("j"))
+    val diff = viaExpr.except(viaDf).count() + viaDf.except(viaExpr).count()
+    assert(diff == 0)
+  }
+
+  test("minhash candidates carry exact word-jaccard confirmation") {
+    val rows = SparkEntry.queries("q_dedup_minhash")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Double]("exact_word_jaccard")
+      assert(exact >= 0.0 && exact <= 1.0)
+      // planted near-dups: candidates surfaced by LSH really are similar
+      assert(exact > 0.5, s"candidate pair ${r} not actually similar")
+    }
+  }
+
   test("xx fingerprint is stable and collision-free on distinct texts") {
     val fp = Tables.documents(spark, sf)
       .select(graft.functions.TextOps.xxFingerprint(col("text")).as("fp"))
