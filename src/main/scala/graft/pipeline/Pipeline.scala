@@ -95,6 +95,31 @@ object Quarantine {
         .select(col(Ingest.CorruptRecordCol).as("raw_line"),
           lit("CSV parse failure").as("reason")))
   }
+
+  /** JSON twin: malformed records land in the corrupt column instead of
+    * failing the read (mirrors the reference's "Invalid JSON format."
+    * error path, dataProcessingService.ts:24-27 — but healing, not
+    * aborting). */
+  def json(spark: SparkSession, path: String): SplitResult = {
+    val inferred = Ingest.json(spark, path).schema
+    val widened =
+      if (inferred.fieldNames.contains(Ingest.CorruptRecordCol)) inferred
+      else org.apache.spark.sql.types.StructType(
+        inferred.fields :+ org.apache.spark.sql.types.StructField(
+          Ingest.CorruptRecordCol, org.apache.spark.sql.types.StringType))
+    val raw = spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", Ingest.CorruptRecordCol)
+      .schema(widened)
+      .json(path)
+      .cache()
+    SplitResult(
+      clean = raw.filter(col(Ingest.CorruptRecordCol).isNull)
+        .drop(Ingest.CorruptRecordCol),
+      quarantined = raw.filter(col(Ingest.CorruptRecordCol).isNotNull)
+        .select(col(Ingest.CorruptRecordCol).as("raw_line"),
+          lit("JSON parse failure").as("reason")))
+  }
 }
 
 /** The reference's ETL log entry shape (types.ts:16-21). */

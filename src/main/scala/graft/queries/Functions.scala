@@ -215,7 +215,29 @@ object Functions {
       .orderBy("o_orderkey")
   }
 
+  /** Struct (row-value) surface: build a struct, project fields through
+    * it. The oracle computes the same scalars directly — field access
+    * through a freshly built struct is the identity on both engines. */
+  val qFnStruct = Q(
+    "q_fn_struct",
+    """SELECT o_orderkey,
+      |       o_orderstatus AS s_status,
+      |       round(o_totalprice, 4) AS s_price,
+      |       CAST(2 AS BIGINT) AS n_fields
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("st", struct(
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice"), 4).as("price")))
+      .select(
+        col("o_orderkey"),
+        col("st.status").as("s_status"),
+        col("st.price").as("s_price"),
+        expr("CAST(size(json_object_keys(to_json(st))) AS BIGINT)").as("n_fields"))
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[Q] =
     Seq(qFnString, qFnDate, qFnMath, qFnJson, qFnArray, qFnExplode, qFnMap,
-      qFnBitwise)
+      qFnBitwise, qFnStruct)
 }

@@ -95,5 +95,28 @@ object Windows {
       .orderBy("o_custkey", "rn")
   }
 
-  val all: Seq[Q] = Seq(qWinRank, qWinLaglead, qWinFrame, qTopkPergroup)
+  /** Distribution window functions: cume_dist + nth_value. */
+  val qWinDistribution = Q(
+    "q_win_distribution",
+    """SELECT o_custkey, o_orderkey,
+      |       round(cume_dist() OVER w, 4) AS cdist,
+      |       nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_best
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(cume_dist().over(w), 4).as("cdist"),
+        nth_value(col("o_orderkey"), 2)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("second_best"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val all: Seq[Q] =
+    Seq(qWinRank, qWinLaglead, qWinFrame, qTopkPergroup, qWinDistribution)
 }

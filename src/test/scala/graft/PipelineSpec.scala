@@ -39,6 +39,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(bad.getAs[String]("raw_line").contains("notanumber"))
   }
 
+  test("quarantine: malformed JSON records routed aside") {
+    val p = "/root/repo/target/fixtures/quarantine.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      "{\"a\": 1, \"b\": \"x\"}\n{not json at all\n{\"a\": 3, \"b\": \"z\"}\n")
+    val split = graft.pipeline.Quarantine.json(spark, p)
+    assert(split.clean.count() == 2)
+    assert(split.quarantined.count() == 1)
+    assert(split.quarantined.collect().head.getAs[String]("raw_line").contains("not json"))
+  }
+
+  test("profiler honors the 50-row sample cap (reference P1 parity)") {
+    val df = Tables.events(spark, sf).select("event_id", "event_type")
+    val sampled = graft.catalog.Profile.of(df, sampleRows = Some(50))
+    assert(sampled.forall(_.rowCount == 50))
+    val full = graft.catalog.Profile.of(df)
+    assert(full.forall(_.rowCount == 1000))
+  }
+
+  test("streaming progress feeds the monitor log") {
+    val m = new Monitor(spark)
+    val l = graft.streaming.Streams.attachProgress(spark, m)
+    try {
+      val events = graft.streaming.Streams.eventsStream(spark, sf)
+      graft.streaming.Streams.runToMemory(
+        graft.streaming.Streams.tumblingCounts(events), "t_mon", "complete")
+      // listener events are async — wait for delivery
+      var tries = 0
+      while (m.toDF().count() < 2 && tries < 50) { Thread.sleep(100); tries += 1 }
+      val levels = m.toDF().collect().map(_.getAs[String]("level")).toSet
+      assert(levels.contains("success"), s"got: ${m.toDF().collect().mkString}")
+    } finally spark.streams.removeListener(l)
+  }
+
   test("monitor: log entries accumulate and surface as a DataFrame") {
     val m = new Monitor(spark)
     m.log("pipeline started")
