@@ -132,9 +132,25 @@ object Analytics {
       .orderBy("o_orderkey", "metric")
   }
 
+  /** Value histogram via explicit bucketing (portable: floor division —
+    * width_bucket semantics differ across engines at the edges). */
+  val qAggHistogram = Q(
+    "q_agg_histogram",
+    """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+      |       count(*) AS n,
+      |       round(min(value), 4) AS lo, round(max(value), 4) AS hi
+      |FROM events
+      |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(floor(col("value") / 50.0).cast("bigint").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min("value"), 4).as("lo"), round(max("value"), 4).as("hi"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[Q] =
     Seq(qPivot, qAggStats, qAggPercentile, qAggApproxPercentile,
-      qCteRecursive, qUnpivot)
+      qCteRecursive, qUnpivot, qAggHistogram)
 }
 
 /** Iterative fixpoint evaluation — the workaround for Spark's missing
