@@ -75,6 +75,33 @@ object PropertySpec extends Properties("graft") {
       got == expected
     }
 
+  property("AsOf.join matches a brute-force model on random event streams") =
+    forAll(
+      Gen.listOfN(14, Gen.zip(Gen.chooseNum(0, 2), Gen.chooseNum(0L, 30L))),
+      Gen.listOfN(10, Gen.zip(Gen.chooseNum(0, 2), Gen.chooseNum(0L, 30L)))) { (ls, rs) =>
+      (ls.nonEmpty && rs.nonEmpty) ==> {
+        import spark.implicits._
+        import org.apache.spark.sql.functions.col
+        // distinct (key, ts) pairs: equal-ts within a side has no defined order
+        val ld = ls.distinct.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        val rd = rs.distinct.filterNot(r => ls.distinct.contains(r))
+          .zipWithIndex.map { case ((k, t), i) => (k, t, 1000L + i) }
+        (ld.nonEmpty && rd.nonEmpty) ==> {
+          val left = ld.toDF("k", "ts", "lid")
+          val right = rd.toDF("k", "ts", "rid")
+          val got = graft.operators.AsOf.join(left, right, Seq("k"),
+              "ts", "ts", Seq("rid"))
+            .select("lid", "rid").collect()
+            .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+          val model = ld.map { case (k, t, lid) =>
+            val prior = rd.filter(r => r._1 == k && r._2 < t)
+            lid -> (if (prior.isEmpty) -1L else prior.maxBy(r => (r._2, r._3))._3)
+          }.toMap
+          got == model
+        }
+      }
+    }
+
   property("window running-sum final value equals the group sum") =
     forAll(Gen.listOfN(15, Gen.zip(Gen.chooseNum(0, 2), Gen.chooseNum(1, 50)))) { xs =>
       xs.nonEmpty ==> {
