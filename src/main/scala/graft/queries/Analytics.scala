@@ -148,9 +148,29 @@ object Analytics {
       .orderBy("bucket")
   }
 
+  /** argmin/argmax aggregates. Ordering values are continuous doubles,
+    * unique within each group in this data — deterministic; a production
+    * user ties-breaks by composing the struct-max idiom instead. */
+  val qAggArgmax = Q(
+    "q_agg_argmax",
+    """SELECT o_custkey,
+      |       max_by(o_orderkey, o_totalprice) AS best_order,
+      |       min_by(o_orderkey, o_totalprice) AS worst_order,
+      |       round(max(o_totalprice), 4) AS best_price
+      |FROM orders
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(
+        max_by(col("o_orderkey"), col("o_totalprice")).as("best_order"),
+        min_by(col("o_orderkey"), col("o_totalprice")).as("worst_order"),
+        round(max("o_totalprice"), 4).as("best_price"))
+      .orderBy("o_custkey")
+  }
+
   val all: Seq[Q] =
     Seq(qPivot, qAggStats, qAggPercentile, qAggApproxPercentile,
-      qCteRecursive, qUnpivot, qAggHistogram)
+      qCteRecursive, qUnpivot, qAggHistogram, qAggArgmax)
 }
 
 /** Iterative fixpoint evaluation — the workaround for Spark's missing
