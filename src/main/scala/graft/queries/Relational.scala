@@ -524,8 +524,22 @@ object Relational {
     registerViews(s, d); s.sql(passthroughSql)
   }
 
+  /** Correlated LATERAL subquery with per-row ORDER BY + LIMIT (the SQL
+    * form of per-group top-k); same SQL runs verbatim in DuckDB. */
+  private val lateralSql =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+      |         WHERE o.o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |ORDER BY c_custkey, o_orderkey""".stripMargin
+
+  val qLateral = Q("q_lateral", lateralSql) { (s, d) =>
+    registerViews(s, d); s.sql(lateralSql)
+  }
+
   val all: Seq[Q] = Seq(
-    qProject, qFilterPred, qCaseExpr, qCast,
+    qProject, qFilterPred, qCaseExpr, qCast, qLateral,
     qJoinInner, qJoinOuter, qJoinBroadcast, qJoinSortmerge, qJoinSemi,
     qJoinAnti, qJoinRange, qJoinCross, qJoinAsof,
     qAggGroup, qAggGlobal, qAggDistinct, qAggApproxDistinct,
