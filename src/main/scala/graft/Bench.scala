@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,13 +12,27 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def r3(v: Double): Double = math.round(v * 1000).toDouble / 1000
+    def jmap(rs: Seq[(String, Double, Boolean)]): String =
+      rs.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val errors = results.collect { case (n, _, false) => "\"" + n + "\"" }
+    val total = r3(results.map(_._2).sum)
+    // Full per-query detail goes to a file; stdout gets ONE COMPACT line
+    // (total + the 10 slowest + failures) so it survives a bounded
+    // tail-capture by the harness (the round-1 full line was truncated
+    // mid-JSON and failed to parse).
+    val slowest = results.sortBy(-_._2).take(10)
+    Files.writeString(Paths.get("BENCH_DETAIL.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
+      s""""errors":${errors.mkString("[", ",", "]")},"queries":${jmap(results)},"sf":"$sfDir"}""" + "\n")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
+      s""""errors":${errors.mkString("[", ",", "]")},"queries":${jmap(slowest)},""" +
+      s""""detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expressions for the vector hot path (SURVEY.md §4
   * "optional custom Catalyst work").
@@ -20,10 +20,17 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * accumulation), so DuckDB oracles and the HOF twin agree bit-for-bit
   * after round(.,4).
   */
-abstract class FusedFloatVecExpr extends BinaryExpression {
+abstract class FusedFloatVecExpr extends BinaryExpression with ExpectsInputTypes {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = getClass.getSimpleName.stripSuffix("$").toLowerCase
+  // These are registered session-wide (vec_cosine/vec_dot), so an
+  // array<double>/array<int> argument must fail at analysis time like a
+  // built-in would — the eval path reads raw float slots and would
+  // otherwise return silently wrong values. (Covariant override:
+  // AbstractDataType itself is private[sql] in Spark 4.)
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
 }
 
 /** cosine(a, b) over two array<float> columns in one pass; 0.0 for zero

@@ -13,29 +13,43 @@ import org.apache.spark.sql.functions._
 object AsOf {
 
   /** As-of join: for each left row, the latest right row with
-    * `rightTs <= leftTs`, matched within `keys`. Implemented as
-    * union + per-key ordered window (`last(_, ignoreNulls)` over
-    * UNBOUNDED PRECEDING .. 1 PRECEDING for strict, .. CURRENT ROW for
-    * inclusive) — one shuffle keyed by `keys`, no nested loop, state
-    * linear in partition size. DuckDB ASOF JOIN is the oracle shape
-    * (strict: `<`; tie-break latest-first by the right id column).
+    * `rightTs < leftTs` (strict) / `<= leftTs` (inclusive), matched within
+    * `keys`. Implemented as union + per-key ordered window
+    * (`last(_, ignoreNulls)` over UNBOUNDED PRECEDING .. 1 PRECEDING) —
+    * one shuffle keyed by `keys`, no nested loop, state linear in
+    * partition size. DuckDB ASOF JOIN is the oracle shape.
     *
-    * @param valueCols right-side columns to carry onto left rows
+    * The right ts is renamed to an internal column before the union, so a
+    * left column named `rightTs` (the common leftTs == rightTs case)
+    * survives to the output. Ties among right rows with equal (keys, ts)
+    * are broken deterministically when `rightId` is given: the row with
+    * the LARGEST `rightId` wins (latest-first, matching an oracle
+    * `ORDER BY ts, id` last-value frame). Without `rightId`, tie order is
+    * whatever the sort produced — pass one whenever the right side can
+    * hold duplicate (keys, ts).
+    *
+    * @param valueCols right-side columns to carry onto left rows (must not
+    *   collide with left column names)
+    * @param rightId right-side column that is unique per row, used as the
+    *   deterministic tie-break
     */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, valueCols: Seq[String],
-      strict: Boolean = true): DataFrame = {
+      strict: Boolean = true, rightId: Option[String] = None): DataFrame = {
     val leftTagged = left
       .withColumn("__t", col(leftTs))
       .withColumn("__is_left", lit(1))
+    val tieSel = rightId.map(c => col(c).as("__tie")).toSeq
     val rightTagged = right
-      .select((keys :+ rightTs).map(col) ++ valueCols.map(col): _*)
-      .withColumn("__t", col(rightTs))
+      .select(keys.map(col) ++ valueCols.map(col) ++ tieSel :+ col(rightTs).as("__t"): _*)
       .withColumn("__is_left", lit(0))
     val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
     // right rows sort before left rows at equal __t iff inclusive
     val tie = if (strict) col("__is_left").desc else col("__is_left").asc
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__t").asc, tie)
+    // largest __tie sorts last within equal (__t, __is_left), so the
+    // last(...) frame picks it; left rows carry null __tie and sort first
+    val ord = Seq(col("__t").asc, tie) ++ rightId.map(_ => col("__tie").asc_nulls_first)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val carried = valueCols.foldLeft(unioned) { (df, c) =>
       df.withColumn(c,
@@ -44,7 +58,7 @@ object AsOf {
           .otherwise(col(c)))
     }
     carried.filter(col("__is_left") === 1)
-      .drop("__t", "__is_left", rightTs)
+      .drop("__t", "__is_left", "__tie")
   }
 }
 

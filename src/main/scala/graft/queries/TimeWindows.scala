@@ -58,7 +58,7 @@ object TimeWindows {
     // Oracle: classic gaps-and-islands — a new session starts when the
     // gap from the previous event of the same user exceeds 30 minutes.
     """WITH flagged AS (
-      |  SELECT user_id, ts, value,
+      |  SELECT user_id, ts, value, event_id,
       |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
       |                   > INTERVAL '30 minutes'
       |              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -66,7 +66,7 @@ object TimeWindows {
       |  FROM events),
       |numbered AS (
       |  SELECT user_id, ts, value,
-      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                                ROWS UNBOUNDED PRECEDING) AS session_id
       |  FROM flagged)
       |SELECT user_id,

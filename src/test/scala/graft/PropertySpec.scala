@@ -82,23 +82,23 @@ object PropertySpec extends Properties("graft") {
       (ls.nonEmpty && rs.nonEmpty) ==> {
         import spark.implicits._
         import org.apache.spark.sql.functions.col
-        // distinct (key, ts) pairs: equal-ts within a side has no defined order
-        val ld = ls.distinct.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
-        val rd = rs.distinct.filterNot(r => ls.distinct.contains(r))
-          .zipWithIndex.map { case ((k, t), i) => (k, t, 1000L + i) }
-        (ld.nonEmpty && rd.nonEmpty) ==> {
-          val left = ld.toDF("k", "ts", "lid")
-          val right = rd.toDF("k", "ts", "rid")
-          val got = graft.operators.AsOf.join(left, right, Seq("k"),
-              "ts", "ts", Seq("rid"))
-            .select("lid", "rid").collect()
-            .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
-          val model = ld.map { case (k, t, lid) =>
-            val prior = rd.filter(r => r._1 == k && r._2 < t)
-            lid -> (if (prior.isEmpty) -1L else prior.maxBy(r => (r._2, r._3))._3)
-          }.toMap
-          got == model
-        }
+        // duplicate (key, ts) pairs stay in on BOTH sides — rightId makes
+        // the equal-ts tie-break deterministic (largest rid wins)
+        val ld = ls.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        val rd = rs.zipWithIndex.map { case ((k, t), i) => (k, t, 1000L + i) }
+        val left = ld.toDF("k", "ts", "lid")
+        val right = rd.toDF("k", "ts", "rid")
+        val got = graft.operators.AsOf.join(left, right, Seq("k"),
+            "ts", "ts", Seq("rid"), rightId = Some("rid"))
+          .select("lid", "rid", "ts").collect()
+          .map(r => r.getLong(0) ->
+            ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getLong(2))).toMap
+        val model = ld.map { case (k, t, lid) =>
+          val prior = rd.filter(r => r._1 == k && r._2 < t)
+          // the left ts column must survive the name collision untouched
+          lid -> ((if (prior.isEmpty) -1L else prior.maxBy(r => (r._2, r._3))._3), t)
+        }.toMap
+        got == model
       }
     }
 

@@ -16,7 +16,8 @@ class TimeJoinsSpec extends AnyFunSuite {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id").as("click_event_id"))
     val got = AsOf.join(errors, clicks, Seq("user_id"),
-        leftTs = "ts", rightTs = "ts", valueCols = Seq("click_event_id"))
+        leftTs = "ts", rightTs = "ts", valueCols = Seq("click_event_id"),
+        rightId = Some("click_event_id"))
       .select("event_id", "user_id", "click_event_id")
       .orderBy("event_id")
       .collect().map(_.toString).toSeq

@@ -27,9 +27,16 @@ def main(sf_dir, out_dir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     n_pass = n_fail = n_noracle = 0
-    for qdir in sorted(glob.glob(os.path.join(out_dir, "q_*"))):
-        name = os.path.basename(qdir)
-        files = glob.glob(os.path.join(qdir, "*.parquet"))
+    # union of oracle keys, the full registry (queries.json, written by
+    # Verify), and produced q_* dirs: a query whose Spark run threw before
+    # writing must FAIL, not vanish
+    dirs = {os.path.basename(d): d
+            for d in glob.glob(os.path.join(out_dir, "q_*"))}
+    reg_path = os.path.join(out_dir, "queries.json")
+    registry = set(json.load(open(reg_path))) if os.path.exists(reg_path) else set()
+    for name in sorted(set(oracle) | set(dirs) | registry):
+        qdir = dirs.get(name)
+        files = glob.glob(os.path.join(qdir, "*.parquet")) if qdir else []
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         spark_df = canon(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
