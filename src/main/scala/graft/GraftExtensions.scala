@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarityExpr, DotProductExpr, WordSetJaccardExpr}
+import graft.functions.{CosineSimilarityExpr, DotProductExpr, TopKPairsAgg, WordSetJaccardExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -31,5 +31,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordSetJaccardExpr].getName, "word_jaccard"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WordSetJaccardExpr(exprs(0), exprs(1))))
+    // the analyzer wraps a bare AggregateFunction in AggregateExpression
+    e.injectFunction((
+      FunctionIdentifier("top_k_pairs"),
+      new ExpressionInfo(classOf[TopKPairsAgg].getName, "top_k_pairs"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TopKPairsAgg(exprs(0), exprs(1), exprs(2))))
   }
 }

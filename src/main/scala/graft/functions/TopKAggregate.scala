@@ -1,0 +1,127 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bounded-heap per-group top-k as a native Catalyst aggregate
+  * (SURVEY.md §2.3 "Per-group top-k", the at-scale formulation).
+  *
+  * The window formulation (`row_number() OVER (PARTITION BY g ORDER BY v
+  * DESC) <= k`, q_topk_pergroup) must shuffle EVERY input row to its
+  * group's partition and sort it there — at 100 TB that is a full-data
+  * exchange to discard all but k·|groups| rows. This aggregate keeps a
+  * k-bounded min-heap per group inside the partial (map-side) aggregate,
+  * so the shuffle carries at most k rows per (group × map partition),
+  * and the final merge is O(k log k) per group. Same preference-order
+  * slot as Spark's internal `CollectTopK` (used by the pandas API's
+  * nlargest), which is not exposed to SQL/DataFrame users.
+  *
+  * Semantics: top `k` (value, id) pairs ordered by (value DESC, id ASC)
+  * — the id tie-break keeps results deterministic and hash-comparable
+  * across engines and partitionings. Null value or id rows are ignored.
+  *
+  * Returns `array<struct<v: double, id: bigint>>` sorted in rank order;
+  * `posexplode` it to get ranked rows.
+  */
+case class TopKPairsAgg(
+    valueExpr: Expression,
+    idExpr: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
+
+  private lazy val k: Int = {
+    val v = kExpr.eval(InternalRow.empty)
+    require(v != null, "top_k_pairs: k must be a non-null literal")
+    v.asInstanceOf[Number].intValue()
+  }
+
+  // the queue's head is the WORST retained pair (smallest v, then largest
+  // id), so a better candidate replaces it in O(log k)
+  private val worstFirst: Ordering[(Double, Long)] =
+    Ordering.by(p => (-p._1, p._2))
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
+    mutable.PriorityQueue.empty(worstFirst)
+
+  private def offer(buf: mutable.PriorityQueue[(Double, Long)], v: Double, id: Long): Unit = {
+    if (buf.size < k) buf.enqueue((v, id))
+    else {
+      val (wv, wid) = buf.head
+      if (v > wv || (v == wv && id < wid)) { buf.dequeue(); buf.enqueue((v, id)) }
+    }
+  }
+
+  override def update(buf: mutable.PriorityQueue[(Double, Long)],
+      input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
+    val v = valueExpr.eval(input)
+    val id = idExpr.eval(input)
+    if (v != null && id != null)
+      offer(buf, v.asInstanceOf[Double], id.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: mutable.PriorityQueue[(Double, Long)],
+      other: mutable.PriorityQueue[(Double, Long)]): mutable.PriorityQueue[(Double, Long)] = {
+    other.foreach { case (v, id) => offer(buf, v, id) }
+    buf
+  }
+
+  override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
+    val ranked = buf.toArray.sortBy(p => (-p._1, p._2))
+    new GenericArrayData(ranked.map { case (v, id) => InternalRow(v, id) })
+  }
+
+  override def serialize(buf: mutable.PriorityQueue[(Double, Long)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (v, id) => out.writeDouble(v); out.writeLong(id) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, Long)] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.enqueue((in.readDouble(), in.readLong())); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("v", DoubleType), StructField("id", LongType))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(valueExpr, idExpr, kExpr)
+  override def prettyName: String = "top_k_pairs"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(valueExpr = newChildren(0), idExpr = newChildren(1), kExpr = newChildren(2))
+}
+
+object TopKAggregate {
+
+  /** Register `top_k_pairs(value, id, k)` in the session's function
+    * registry (same public path as VectorExpressions.register). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "top_k_pairs",
+      exprs => TopKPairsAgg(exprs(0), exprs(1), exprs(2)),
+      "built-in")
+}

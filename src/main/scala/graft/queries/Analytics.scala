@@ -104,14 +104,18 @@ object Analytics {
       |    ON e.src = r.node)
       |SELECT CAST(node AS BIGINT) AS node, CAST(depth AS BIGINT) AS depth
       |FROM reach ORDER BY node""".stripMargin) { (s, d) =>
+    // materialize the (small) edge set once — the loop would otherwise
+    // re-scan the parquet and re-plan the build side on every iteration —
+    // and broadcast it so each step is a map-only BroadcastHashJoin
     val edges = Tables.nation(s, d)
       .filter(col("n_nationkey") < 24)
       .select(col("n_nationkey").cast("bigint").as("src"),
         (col("n_nationkey") + 1).cast("bigint").as("dst"))
+      .localCheckpoint(true)
     Fixpoint.iterate(
       seed = s.range(1).select(lit(0L).as("node"), lit(0L).as("depth")),
       step = frontier => frontier
-        .join(edges, frontier("node") === edges("src"))
+        .join(broadcast(edges), frontier("node") === edges("src"))
         .select(col("dst").as("node"), (col("depth") + 1).as("depth")),
       maxIterations = 64)
       .orderBy("node")

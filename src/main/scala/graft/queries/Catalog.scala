@@ -247,7 +247,11 @@ object Catalog {
     Tables.orders(s, d)
       .select("o_orderkey", "o_totalprice")
       .write.mode("overwrite").option("header", "true").csv(path)
-    s.read.option("header", "true").option("inferSchema", "true").csv(path)
+    // explicit schema-on-read: inferSchema would scan the files a second
+    // time just to learn types — an anti-pattern at any real scale
+    s.read.option("header", "true")
+      .schema("o_orderkey BIGINT, o_totalprice DOUBLE")
+      .csv(path)
       .agg(count(lit(1)).as("n"),
         sum("o_orderkey").cast("bigint").as("key_sum"),
         round(sum("o_totalprice"), 2).as("price_sum"))

@@ -95,6 +95,36 @@ object Windows {
       .orderBy("o_custkey", "rn")
   }
 
+  /** Per-group top-k via the native bounded-heap aggregate
+    * (graft.functions.TopKPairsAgg): partial aggregation keeps at most k
+    * pairs per group per map partition, so the shuffle carries
+    * O(groups·k) rows instead of the full table the window formulation
+    * above exchanges. Oracle: identical SQL to q_topk_pergroup — the
+    * deterministic (value DESC, id ASC) tie-break makes the two plans
+    * bit-equal. */
+  val qTopkAgg = Q(
+    "q_topk_agg",
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+    graft.functions.TopKAggregate.register(s)
+    Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(call_function("top_k_pairs",
+        col("o_totalprice"), col("o_orderkey"), lit(3)).as("tk"))
+      .select(col("o_custkey"), posexplode(col("tk")))
+      .select(
+        col("o_custkey"),
+        col("col.id").as("o_orderkey"),
+        col("col.v").as("o_totalprice"),
+        (col("pos") + 1).cast("bigint").as("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
   /** Distribution window functions: cume_dist + nth_value. */
   val qWinDistribution = Q(
     "q_win_distribution",
@@ -118,5 +148,5 @@ object Windows {
   }
 
   val all: Seq[Q] =
-    Seq(qWinRank, qWinLaglead, qWinFrame, qTopkPergroup, qWinDistribution)
+    Seq(qWinRank, qWinLaglead, qWinFrame, qTopkPergroup, qTopkAgg, qWinDistribution)
 }

@@ -78,4 +78,32 @@ class CatalogSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,400000.0)]"), plan)
     assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"), plan)
   }
+
+  test("ANALYZE TABLE computes row/column stats that feed the CBO") {
+    // on a real warehouse these stats drive join reorder + build-side
+    // selection (spark.sql.cbo.*); here we assert the ANALYZE surface
+    // produces them and the optimizer sees them
+    val saved = spark.conf.getOption("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      spark.sql("DROP TABLE IF EXISTS orders_stats")
+      Tables.orders(spark, sf).write.mode("overwrite").saveAsTable("orders_stats")
+      spark.sql("ANALYZE TABLE orders_stats COMPUTE STATISTICS " +
+        "FOR COLUMNS o_custkey, o_totalprice, o_orderstatus")
+      val stats = spark.table("orders_stats").queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(Tables.orders(spark, sf).count())),
+        s"expected exact row count from ANALYZE, got ${stats.rowCount}")
+      assert(stats.attributeStats.nonEmpty, "expected per-column stats (ndv/min/max)")
+      val ndv = stats.attributeStats.collectFirst {
+        case (a, s) if a.name == "o_orderstatus" => s.distinctCount
+      }.flatten
+      assert(ndv.exists(n => n >= 1 && n <= 5), s"o_orderstatus ndv=$ndv")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_stats")
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+        case None => spark.conf.unset("spark.sql.cbo.enabled")
+      }
+    }
+  }
 }

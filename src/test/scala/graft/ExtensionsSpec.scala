@@ -109,4 +109,44 @@ class ExtensionsSpec extends AnyFunSuite {
       .select(graft.functions.TextOps.xxFingerprint(col("text")).as("fp"))
     assert(fp.distinct().count() == Tables.documents(spark, sf).count())
   }
+
+  test("top_k_pairs aggregate equals the window top-k on every partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.TopKAggregate.register(spark)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val viaWindow = Tables.orders(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+      .collect().map(_.toString).toSeq
+    // repartition to many small partitions so the serialize/merge path of
+    // the TypedImperativeAggregate (partial heaps per map task) is hit
+    for (parts <- Seq(1, 7, 32)) {
+      val viaAgg = Tables.orders(spark, sf)
+        .repartition(parts)
+        .groupBy("o_custkey")
+        .agg(call_function("top_k_pairs",
+          col("o_totalprice"), col("o_orderkey"), lit(3)).as("tk"))
+        .select(col("o_custkey"), posexplode(col("tk")))
+        .select(col("o_custkey"), col("col.id").as("o_orderkey"),
+          col("col.v").as("o_totalprice"), (col("pos") + 1).as("rn"))
+        .orderBy("o_custkey", "rn")
+        .collect().map(_.toString).toSeq
+      assert(viaAgg == viaWindow, s"mismatch at $parts partitions")
+    }
+  }
+
+  test("top_k_pairs works through plain SQL (extension registration)") {
+    Tables.orders(spark, sf).createOrReplaceTempView("orders_tk")
+    val n = spark.sql(
+      """SELECT o_custkey, top_k_pairs(o_totalprice, o_orderkey, 2) AS tk
+        |FROM orders_tk GROUP BY o_custkey""".stripMargin)
+      .select(col("o_custkey"), explode(col("tk")))
+      .count()
+    val groups = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    // every group yields min(2, group size) rows; all sf groups have >=2
+    assert(n >= groups)
+  }
 }

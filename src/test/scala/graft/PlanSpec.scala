@@ -55,4 +55,41 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_join_semi").contains("LeftSemi"))
     assert(plan("q_join_anti").contains("LeftAnti"))
   }
+
+  test("top-k aggregate plans as a partial object-hash agg, not a window sort") {
+    val p = plan("q_topk_agg")
+    assert(p.contains("ObjectHashAggregate"), p.linesIterator.take(12).mkString("\n"))
+    assert(p.contains("partial_top_k_pairs"),
+      "expected map-side partial heaps so the shuffle carries only k rows/group/partition")
+    assert(!p.contains("Window"), "the aggregate formulation must not fall back to a window")
+  }
+
+  test("selective dim filter injects a runtime bloom filter into the fact scan") {
+    // the production thresholds (10 GB application side) are meant for
+    // real clusters; lower them so the optimizer's InjectRuntimeFilter
+    // rule fires at test scale, proving it is wired for the 100 TB case
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val orders = Tables.orders(spark, sf).filter(col("o_totalprice") > 400000)
+      val li = Tables.lineitem(spark, sf)
+      val joined = li.hint("merge")
+        .join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .select("l_orderkey", "l_quantity", "o_totalprice")
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        "expected a bloom-filter runtime filter on the lineitem scan side:\n" +
+          p.linesIterator.take(25).mkString("\n"))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

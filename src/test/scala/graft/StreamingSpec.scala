@@ -60,4 +60,25 @@ class StreamingSpec extends AnyFunSuite {
     val expected = Tables.events(spark, sf).select("event_id").distinct().count()
     assert(n == expected)
   }
+
+  test("RocksDB state store produces identical results to the in-memory store") {
+    // at production state sizes (billions of keys across session windows)
+    // the default HDFS-backed in-memory store OOMs; RocksDB spills state
+    // to local disk. Same query, same results, different state backend.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = Streams.eventsStream(spark, sf)
+      Streams.runToMemory(Streams.tumblingCounts(events), "t_tumbling_rocks", "complete")
+      val rocks = sortedRows(spark.table("t_tumbling_rocks"), "wstart", "event_type")
+      val batch = sortedRows(SparkEntry.queries("q_stream_tumbling")(spark, sf),
+        "wstart", "event_type")
+      assert(rocks == batch)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
