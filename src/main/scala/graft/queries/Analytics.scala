@@ -172,9 +172,26 @@ object Analytics {
       .orderBy("o_custkey")
   }
 
+  /** Count-min sketch: sublinear-memory frequency estimation — the
+    * at-scale substitute for exact per-key counts when the key space is
+    * huge. The sketch aggregation is distributed (one pass, mergeable
+    * buffers); the estimates read here are driver-side lookups on the
+    * merged sketch. Deterministic (fixed seed) but engine-specific →
+    * rows-only check; the unit test asserts the CMS overestimate
+    * property against exact counts. */
+  val qAggCountmin = Q.noOracle("q_agg_countmin") { (s, d) =>
+    val cms = Tables.orders(s, d).stat
+      .countMinSketch("o_custkey", eps = 0.001, confidence = 0.99, seed = 42)
+    val keys = (1L to 10L).toSeq
+    import s.implicits._
+    keys.map(k => (k, cms.estimateCount(Long.box(k))))
+      .toDF("o_custkey", "est_n")
+      .orderBy("o_custkey")
+  }
+
   val all: Seq[Q] =
     Seq(qPivot, qAggStats, qAggPercentile, qAggApproxPercentile,
-      qCteRecursive, qUnpivot, qAggHistogram, qAggArgmax)
+      qCteRecursive, qUnpivot, qAggHistogram, qAggArgmax, qAggCountmin)
 }
 
 /** Iterative fixpoint evaluation — the workaround for Spark's missing

@@ -132,6 +132,31 @@ object Functions {
       .orderBy("event_id")
   }
 
+  /** Variant type (Spark 4's semi-structured column format): parse once
+    * into the binary variant encoding, then typed path extraction —
+    * unlike get_json_object there is no per-access re-parse, which is
+    * the point at corpus scale (parse_json runs once per row in the
+    * scan projection, each variant_get is a cheap binary traversal).
+    * Oracle: DuckDB json_extract + casts, which defines the same typed
+    * semantics. */
+  val qFnVariant = Q(
+    "q_fn_variant",
+    """SELECT event_id,
+      |       CAST(json_extract(props, '$.k') AS BIGINT) AS k_int,
+      |       CAST(json_extract(props, '$.k') AS DOUBLE) AS k_dbl,
+      |       CAST(json_extract(props, '$.missing') AS BIGINT) AS k_missing
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val v = parse_json(col("props"))
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        variant_get(v, "$.k", "bigint").as("k_int"),
+        variant_get(v, "$.k", "double").as("k_dbl"),
+        try_variant_get(v, "$.missing", "bigint").as("k_missing"))
+      .orderBy("event_id")
+  }
+
   val qFnArray = Q(
     "q_fn_array",
     // DuckDB dialect: len/list_transform/list_sum/list_max and 1-based
@@ -238,6 +263,6 @@ object Functions {
   }
 
   val all: Seq[Q] =
-    Seq(qFnString, qFnDate, qFnMath, qFnJson, qFnArray, qFnExplode, qFnMap,
-      qFnBitwise, qFnStruct)
+    Seq(qFnString, qFnDate, qFnMath, qFnJson, qFnVariant, qFnArray, qFnExplode,
+      qFnMap, qFnBitwise, qFnStruct)
 }

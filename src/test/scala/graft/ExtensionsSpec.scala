@@ -138,6 +138,29 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("count-min sketch estimates bound exact counts (overestimate-only)") {
+    val est = SparkEntry.queries("q_agg_countmin")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = Tables.orders(spark, sf)
+      .filter(col("o_custkey").between(1, 10))
+      .groupBy("o_custkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = Tables.orders(spark, sf).count()
+    exact.foreach { case (k, c) =>
+      assert(est(k) >= c, s"CMS must never underestimate: key $k est ${est(k)} < $c")
+      assert(est(k) <= c + (0.001 * n).ceil.toLong + 1,
+        s"key $k est ${est(k)} outside eps bound (exact $c, n $n)")
+    }
+  }
+
+  test("variant path extraction agrees with the JSON-string functions") {
+    val viaVariant = SparkEntry.queries("q_fn_variant")(spark, sf)
+      .select("event_id", "k_int").collect().map(_.toString).toSeq
+    val viaJson = SparkEntry.queries("q_fn_json")(spark, sf)
+      .select("event_id", "k_int").collect().map(_.toString).toSeq
+    assert(viaVariant == viaJson)
+  }
+
   test("top_k_pairs works through plain SQL (extension registration)") {
     Tables.orders(spark, sf).createOrReplaceTempView("orders_tk")
     val n = spark.sql(
