@@ -62,6 +62,23 @@ object AsOf {
   }
 }
 
+/** MERGE / upsert over immutable columnar storage (the reference's
+  * Postgres surface has INSERT .. ON CONFLICT; Spark-on-parquet has no
+  * in-place update, so the pipeline idiom is a snapshot rewrite):
+  * result = updates ∪ (target ∖ keys(updates)). One left-anti join —
+  * shuffles both sides once on the key, or broadcasts the (typically
+  * small) update set; writing the result back out is the caller's
+  * atomic-commit snapshot swap.
+  */
+object Upsert {
+
+  /** @param keys natural key columns present in both frames; `updates`
+    * rows win over `target` rows with the same key */
+  def merge(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    target.join(updates.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(updates)
+}
+
 /** Interval / range join without an equality key: `l.ts ∈ [r.start, r.end)`.
   * The naive plan is a BroadcastNestedLoopJoin — O(|L|·|R|) comparisons,
   * a wall at scale. The bucketed plan discretizes time into cells of

@@ -267,9 +267,41 @@ object Catalog {
       .agg(count(lit(1)).as("n"), sum("c_custkey").cast("bigint").as("key_sum"))
   }
 
+  /** Upsert / MERGE (graft.operators.Upsert): ~1% of orders get a
+    * repriced update row and ~0.1% arrive as brand-new keys; the merged
+    * snapshot must contain updates verbatim, new rows, and untouched
+    * target rows. Oracle: NOT IN + UNION ALL, the relational definition
+    * of the merge. */
+  val qUpsert = Q(
+    "q_upsert",
+    """WITH updates AS (
+      |  SELECT o_orderkey, round(o_totalprice * 0.9, 4) AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 100 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, 1.0 FROM orders WHERE o_orderkey % 1000 = 0)
+      |SELECT o_orderkey, round(o_totalprice, 4) AS price FROM (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+      |  UNION ALL
+      |  SELECT * FROM updates)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val orders = Tables.orders(s, d)
+    val updated = orders.filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"), round(col("o_totalprice") * 0.9, 4).as("o_totalprice"))
+    val inserted = orders.filter(col("o_orderkey") % 1000 === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        lit(1.0).as("o_totalprice"))
+    graft.operators.Upsert.merge(
+      orders.select("o_orderkey", "o_totalprice"),
+      updated.unionByName(inserted),
+      Seq("o_orderkey"))
+      .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("price"))
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[Q] = Seq(
     qProfileTypes, qProfileSemantic, qQualityNulls, qQualityOutliers,
     qQualityCardinality, qDdlSynthesis, qCsvScan, qJsonScan,
     qLoadRoundtrip, qParquetScan, qUdafProfile,
-    qSinkCsvRoundtrip, qSinkJsonRoundtrip)
+    qSinkCsvRoundtrip, qSinkJsonRoundtrip, qUpsert)
 }

@@ -61,6 +61,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == expected)
   }
 
+  test("stream-stream interval join == batch q_join_range") {
+    val events = Streams.eventsStream(spark, sf)
+    Streams.runToMemory(Streams.signupPurchaseJoin(events), "t_ssjoin", "append")
+    val streamed = sortedRows(spark.table("t_ssjoin"), "eid_a", "eid_b")
+    val batch = sortedRows(SparkEntry.queries("q_join_range")(spark, sf), "eid_a", "eid_b")
+    assert(streamed == batch)
+  }
+
+  test("checkpointed file sink is exactly-once across stream restarts") {
+    def rmrf(p: java.io.File): Unit = {
+      Option(p.listFiles()).foreach(_.foreach(rmrf)); p.delete(); ()
+    }
+    val out = new java.io.File("/root/repo/target/stream_out")
+    val chk = new java.io.File("/root/repo/target/stream_chk")
+    rmrf(out); rmrf(chk)
+    def runOnce(): Unit = {
+      val q = Streams.dedupStream(Streams.eventsStream(spark, sf)).writeStream
+        .format("parquet")
+        .option("path", out.getAbsolutePath)
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    val n1 = spark.read.parquet(out.getAbsolutePath).count()
+    // restart from the same checkpoint: committed offsets mean the input
+    // file is NOT reprocessed — no duplicate rows in the sink
+    runOnce()
+    val n2 = spark.read.parquet(out.getAbsolutePath).count()
+    val expected = Tables.events(spark, sf).select("event_id").distinct().count()
+    assert(n1 == expected, s"first run wrote $n1, expected $expected")
+    assert(n2 == n1, s"restart duplicated rows: $n1 -> $n2")
+  }
+
   test("RocksDB state store produces identical results to the in-memory store") {
     // at production state sizes (billions of keys across session windows)
     // the default HDFS-backed in-memory store OOMs; RocksDB spills state
