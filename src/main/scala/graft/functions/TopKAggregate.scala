@@ -12,17 +12,25 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
 /** Bounded-heap per-group top-k as a native Catalyst aggregate
-  * (SURVEY.md §2.3 "Per-group top-k", the at-scale formulation).
+  * (SURVEY.md §2.3 "Per-group top-k").
   *
-  * The window formulation (`row_number() OVER (PARTITION BY g ORDER BY v
-  * DESC) <= k`, q_topk_pergroup) must shuffle EVERY input row to its
-  * group's partition and sort it there — at 100 TB that is a full-data
-  * exchange to discard all but k·|groups| rows. This aggregate keeps a
-  * k-bounded min-heap per group inside the partial (map-side) aggregate,
-  * so the shuffle carries at most k rows per (group × map partition),
-  * and the final merge is O(k log k) per group. Same preference-order
-  * slot as Spark's internal `CollectTopK` (used by the pandas API's
-  * nlargest), which is not exposed to SQL/DataFrame users.
+  * Keeps a k-bounded min-heap per group inside the partial (map-side)
+  * aggregate, so the shuffle carries at most k rows per (group × map
+  * partition) and the final merge is O(k log k) per group. Same
+  * preference-order slot as Spark's internal `CollectTopK` (used by the
+  * pandas API's nlargest), which is not exposed to SQL/DataFrame users.
+  *
+  * Honest comparison with the window formulation (`row_number() OVER
+  * (...) <= k`, q_topk_pergroup): since Spark 3.5 Catalyst rewrites that
+  * rank filter into a map-side `WindowGroupLimit` (pinned in PlanSpec),
+  * so BOTH plans bound the exchange — SCALING.md measures near-identical
+  * shuffle volumes. What this aggregate still buys:
+  *  - no sort anywhere (the group-limit path partially sorts each map
+  *    partition; the heap is O(n log k) with k-sized state);
+  *  - composability: it is a real aggregate, so one `groupBy.agg` pass
+  *    can compute top-k ALONGSIDE count/sum/avg — the window form needs
+  *    a second shuffle and a join to combine with aggregates;
+  *  - reachable from SQL via the session extension (`top_k_pairs`).
   *
   * Semantics: top `k` (value, id) pairs ordered by (value DESC, id ASC)
   * — the id tie-break keeps results deterministic and hash-comparable

@@ -97,11 +97,12 @@ object Windows {
 
   /** Per-group top-k via the native bounded-heap aggregate
     * (graft.functions.TopKPairsAgg): partial aggregation keeps at most k
-    * pairs per group per map partition, so the shuffle carries
-    * O(groups·k) rows instead of the full table the window formulation
-    * above exchanges. Oracle: identical SQL to q_topk_pergroup — the
-    * deterministic (value DESC, id ASC) tie-break makes the two plans
-    * bit-equal. */
+    * pairs per group per map partition. Catalyst's WindowGroupLimit
+    * bounds the window formulation above too (see the TopKPairsAgg
+    * scaladoc for the honest comparison); the aggregate form sorts
+    * nothing and composes with other aggregates in one groupBy pass.
+    * Oracle: identical SQL to q_topk_pergroup — the deterministic
+    * (value DESC, id ASC) tie-break makes the two plans bit-equal. */
   val qTopkAgg = Q(
     "q_topk_agg",
     """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (

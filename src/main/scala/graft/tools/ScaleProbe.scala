@@ -69,16 +69,69 @@ object ScaleProbe {
         .count()
     }
 
+    // per-group top-k, both formulations: the window exchanges every row
+    // to sort it; the bounded-heap aggregate exchanges at most k rows per
+    // (group x map partition). Same result (PlanSpec/ExtensionsSpec).
+    graft.functions.TopKAggregate.register(spark)
+    def topkWindow(o: DataFrame): Long = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey").count()
+    }
+    def topkAgg(o: DataFrame): Long =
+      o.groupBy("o_custkey")
+        .agg(call_function("top_k_pairs",
+          col("o_totalprice"), col("o_orderkey"), lit(3)).as("tk"))
+        .select(col("o_custkey"), explode(col("tk"))).count()
+
     // warm-up
-    q1(li1); smj(li1, ord1)
+    q1(li1); smj(li1, ord1); topkWindow(ord1); topkAgg(ord1)
 
     val results = Seq(
       ("agg (TPC-H Q1 shape)", time(q1(li1))._2, time(q1(li10))._2, 10),
       ("sort-merge join + agg", time(smj(li1, ord1))._2, time(smj(li10, ord10))._2, 10),
-      ("near-dup inverted index", time(neardup(docs1))._2, time(neardup(docs4))._2, 4))
+      ("near-dup inverted index", time(neardup(docs1))._2, time(neardup(docs4))._2, 4),
+      ("top-k per group: window", time(topkWindow(ord1))._2, time(topkWindow(ord10))._2, 10),
+      ("top-k per group: heap agg", time(topkAgg(ord1))._2, time(topkAgg(ord10))._2, 10))
+
+    // shuffle bytes written: the cluster-scale cost the wall-clock hides
+    // on one machine (local shuffles hit page cache; a 1000-executor
+    // cluster pays the network). AQE off so the static plan's exchange
+    // metrics are reachable.
+    def shuffleBytes(mk: DataFrame => DataFrame, o: DataFrame): Long = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val df = mk(o)
+        df.collect()
+        df.queryExecution.executedPlan.collect {
+          case n if n.metrics.contains("shuffleBytesWritten") =>
+            n.metrics("shuffleBytesWritten").value
+        }.sum
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    def wFm(key: String): DataFrame => DataFrame = o => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(key).orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(key, "o_orderkey")
+    }
+    def aFm(key: String): DataFrame => DataFrame = o =>
+      o.groupBy(key)
+        .agg(call_function("top_k_pairs",
+          col("o_totalprice"), col("o_orderkey"), lit(3)).as("tk"))
+        .select(col(key), explode(col("tk")))
+    // two grouping cardinalities. Finding: Catalyst's WindowGroupLimit
+    // (Spark 3.5+) already bounds the window plan's exchange map-side,
+    // so the volumes track each other at both cardinalities — the
+    // honest result, recorded as such below
+    val (shWLo, shALo) = (shuffleBytes(wFm("o_orderpriority"), ord10),
+      shuffleBytes(aFm("o_orderpriority"), ord10))
+    val (shWHi, shAHi) = (shuffleBytes(wFm("o_custkey"), ord10),
+      shuffleBytes(aFm("o_custkey"), ord10))
 
     val sb = new StringBuilder
-    sb.append("# SCALING — measured scale-up behavior (round 1)\n\n")
+    sb.append("# SCALING — measured scale-up behavior (round 2)\n\n")
     sb.append(s"Base = sf0.1 (600k lineitem / 5k documents), amplified by key-shifted\n")
     sb.append(s"copies on local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]. ")
     sb.append("A plan that scales linearly in data volume on fixed\nresources is the ")
@@ -90,7 +143,26 @@ object ScaleProbe {
         f"${(tn / t1) / n * 100}%.0f%% |\n")
     }
     sb.append("\n(vs linear < 100% = better than linear — fixed per-job overhead\n")
-    sb.append("amortizes; > 100% = superlinear growth, a red flag.)\n")
+    sb.append("amortizes; > 100% = superlinear growth, a red flag.\n")
+    sb.append("Near-dup caveat: copy-amplification multiplies TRUE candidate pairs\n")
+    sb.append("~N² — every key-shifted copy matches every other copy of the same\n")
+    sb.append("text — so its honest yardstick is N²=16x work, not 4x rows.)\n\n")
+    sb.append("## Shuffle volume: per-group top-k at 10x (1.5M orders)\n\n")
+    sb.append("Wall-clock converges on one machine (local shuffle = page cache);\n")
+    sb.append("bytes exchanged is what a real cluster pays over the network.\n\n")
+    sb.append("| group key | window row_number | top_k_pairs heap agg | reduction |\n")
+    sb.append("|---|---|---|---|\n")
+    sb.append(f"| o_orderpriority (5 groups) | ${shWLo / 1024.0 / 1024.0}%.2f MiB | " +
+      f"${shALo / 1024.0 / 1024.0}%.2f MiB | ${shWLo.toDouble / math.max(shALo, 1)}%.0fx |\n")
+    sb.append(f"| o_custkey (150k groups) | ${shWHi / 1024.0 / 1024.0}%.2f MiB | " +
+      f"${shAHi / 1024.0 / 1024.0}%.2f MiB | ${shWHi.toDouble / math.max(shAHi, 1)}%.1fx |\n")
+    sb.append("\nFinding: Catalyst's WindowGroupLimit (Spark 3.5+, pinned in PlanSpec)\n")
+    sb.append("already bounds the window formulation's exchange map-side, so both\n")
+    sb.append("plans ship ~k rows per group per partition. TopKPairsAgg's remaining\n")
+    sb.append("edges are sort-free k-sized state (the group-limit path still sorts\n")
+    sb.append("within each map partition) and being a true aggregate — top-k can be\n")
+    sb.append("computed alongside count/sum in ONE groupBy pass, where the window\n")
+    sb.append("form needs a second shuffle plus a join.\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/SCALING.md"),
       sb.toString)
     println(sb.toString)

@@ -64,6 +64,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "the aggregate formulation must not fall back to a window")
   }
 
+  test("window top-k gets Catalyst's map-side WindowGroupLimit") {
+    // Spark 3.5+ rewrites rank()<=k filters into a partial group-limit
+    // below the exchange — the built-in counterpart of TopKPairsAgg's
+    // bounded heap; this pin documents that both formulations bound the
+    // shuffle, and a regression here would silently restore the
+    // full-table exchange
+    assert(plan("q_topk_pergroup").contains("WindowGroupLimit"))
+  }
+
   test("selective dim filter injects a runtime bloom filter into the fact scan") {
     // the production thresholds (10 GB application side) are meant for
     // real clusters; lower them so the optimizer's InjectRuntimeFilter
