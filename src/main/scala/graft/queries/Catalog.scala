@@ -299,9 +299,53 @@ object Catalog {
       .orderBy("o_orderkey")
   }
 
+  /** Hive-style partitioned sink + partition-pruned read-back: the
+    * on-disk layout decision that turns a 100 TB scan into a one-
+    * partition scan when the query filters on the partition column.
+    * The unit test asserts PartitionFilters in the read plan; the
+    * oracle checks the round-tripped values. */
+  val qSinkPartitioned = Q(
+    "q_sink_partitioned",
+    """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS price_sum
+      |FROM orders WHERE o_orderstatus = 'F'
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    val path = "/root/repo/target/roundtrip/orders_part"
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    s.read.parquet(path)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("price_sum"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Deterministic corpus sampling (seeded Bernoulli + stratified
+    * per-class): the standard ops for carving training subsets and
+    * rebalancing label distributions. Sampling is engine-specific RNG →
+    * rows-only check; the unit tests assert seed-determinism and
+    * per-stratum fraction tolerance. */
+  val qSample = Q.noOracle("q_sample") { (s, d) =>
+    Tables.orders(s, d)
+      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val qSampleStratified = Q.noOracle("q_sample_stratified") { (s, d) =>
+    // downsample the dominant classes, keep the rare one whole
+    Tables.orders(s, d)
+      .stat.sampleBy("o_orderstatus",
+        Map("F" -> 0.05, "O" -> 0.05, "P" -> 1.0), seed = 42L)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
   val all: Seq[Q] = Seq(
     qProfileTypes, qProfileSemantic, qQualityNulls, qQualityOutliers,
     qQualityCardinality, qDdlSynthesis, qCsvScan, qJsonScan,
     qLoadRoundtrip, qParquetScan, qUdafProfile,
-    qSinkCsvRoundtrip, qSinkJsonRoundtrip, qUpsert)
+    qSinkCsvRoundtrip, qSinkJsonRoundtrip, qSinkPartitioned, qUpsert,
+    qSample, qSampleStratified)
 }

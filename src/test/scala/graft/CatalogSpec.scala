@@ -79,6 +79,32 @@ class CatalogSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"), plan)
   }
 
+  test("partitioned sink prunes partitions on read-back") {
+    import org.apache.spark.sql.functions.col
+    SparkEntry.queries("q_sink_partitioned")(spark, sf).collect()
+    val pruned = spark.read.parquet("/root/repo/target/roundtrip/orders_part")
+      .filter(col("o_orderstatus") === "F")
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("(o_orderstatus#") || plan.contains("o_orderstatus = F"),
+      s"expected the status predicate to prune directories, got:\n$plan")
+  }
+
+  test("seeded sampling is deterministic; stratified fractions respected") {
+    val a = SparkEntry.queries("q_sample")(spark, sf).collect().map(_.toString).toSeq
+    val b = SparkEntry.queries("q_sample")(spark, sf).collect().map(_.toString).toSeq
+    assert(a == b, "same seed must give the same sample")
+    assert(a.nonEmpty)
+    val full = Tables.orders(spark, sf).groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val strat = SparkEntry.queries("q_sample_stratified")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(strat("P") == full("P"), "fraction 1.0 stratum must be kept whole")
+    assert(strat("F") > 0 && strat("F") < full("F") * 0.15,
+      s"5% stratum out of tolerance: ${strat("F")} of ${full("F")}")
+  }
+
   test("ANALYZE TABLE computes row/column stats that feed the CBO") {
     // on a real warehouse these stats drive join reorder + build-side
     // selection (spark.sql.cbo.*); here we assert the ANALYZE surface
