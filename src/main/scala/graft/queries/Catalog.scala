@@ -342,10 +342,24 @@ object Catalog {
       .orderBy("o_orderstatus")
   }
 
+  /** Custom DataSourceV2 read path (graft.sources.SynthSource): filter
+    * pushdown narrows the generated id range source-side, column pruning
+    * reaches the reader, rows are a pure function of doc_id so ANY
+    * partitioning yields identical output. Engine-generated data → no
+    * DuckDB oracle; unit tests assert pushdown/pruning/determinism. */
+  val qSynthSource = Q.noOracle("q_synth_source") { (s, _) =>
+    s.read.format("graft.sources.SynthSource")
+      .option("rows", "10000").option("partitions", "8").load()
+      .filter(col("doc_id") >= 9000)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_tokens").as("tokens"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] = Seq(
     qProfileTypes, qProfileSemantic, qQualityNulls, qQualityOutliers,
     qQualityCardinality, qDdlSynthesis, qCsvScan, qJsonScan,
     qLoadRoundtrip, qParquetScan, qUdafProfile,
     qSinkCsvRoundtrip, qSinkJsonRoundtrip, qSinkPartitioned, qUpsert,
-    qSample, qSampleStratified)
+    qSample, qSampleStratified, qSynthSource)
 }

@@ -105,6 +105,26 @@ class CatalogSpec extends AnyFunSuite {
       s"5% stratum out of tolerance: ${strat("F")} of ${full("F")}")
   }
 
+  test("DSv2 synth source: pushdown, pruning, partition-count determinism") {
+    import org.apache.spark.sql.functions.col
+    def read(parts: Int) = spark.read.format("graft.sources.SynthSource")
+      .option("rows", "5000").option("partitions", parts.toString).load()
+
+    // doc_id range predicate narrows generation source-side
+    val filtered = read(8).filter(col("doc_id") >= 4500 && col("doc_id") < 4600)
+      .select("doc_id", "lang")
+    filtered.collect()
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("range=[4500,4599]"),
+      s"expected the id predicate pushed into the source range:\n$plan")
+    assert(plan.contains("cols=doc_id,lang"), s"expected pruned read schema:\n$plan")
+
+    // pure-function rows: identical output at any parallelism
+    val p1 = read(1).collect().map(_.toString).sorted.toSeq
+    val p8 = read(8).collect().map(_.toString).sorted.toSeq
+    assert(p1 == p8 && p1.size == 5000)
+  }
+
   test("ANALYZE TABLE computes row/column stats that feed the CBO") {
     // on a real warehouse these stats drive join reorder + build-side
     // selection (spark.sql.cbo.*); here we assert the ANALYZE surface
