@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components via iterative min-label propagation — the step
+  * that turns near-duplicate PAIRS into dedup CLUSTERS (every transitive
+  * group gets one canonical id = its minimum doc_id, the keeper).
+  *
+  * Each iteration is one shuffle-join keyed by node: every node adopts
+  * the minimum label among itself and its neighbors; convergence takes
+  * O(graph diameter) iterations (near-dup clusters are shallow — a
+  * handful). This is the standard large-graph formulation (HashToMin
+  * family): state per node is one label, no adjacency materialization
+  * beyond the edge list, so it scales to corpus-sized graphs where a
+  * driver-side union-find cannot hold the nodes.
+  */
+object ConnectedComponents {
+
+  /** @param edges undirected edge list (one row per pair)
+    * @return (node, label) — label = min node id of the component */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = sym.join(labels, col("b") === col("node"))
+        .groupBy(col("a")).agg(min("lbl").as("nbr_lbl"))
+      val next = labels.join(nbrMin, col("node") === col("a"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      changed = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+}

@@ -40,6 +40,46 @@ object Extensions {
       .orderBy("keep_id")
   }
 
+  /** Near-dup pair core shared by q_neardup and q_dedup_cluster:
+    * inverted-index shingle join → shared-count per pair → Jaccard
+    * filter. Returns (ida, idb, jaccard ≥ threshold). */
+  private[queries] def nearDupPairs(s: SparkSession, d: String,
+      threshold: Double): DataFrame = {
+    val inv = TextOps.shingleRows(Tables.documents(s, d), "doc_id", "text", 3)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("s"))
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val shared = inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(count(lit(1)).as("c"))
+    val j = col("c").cast("double") /
+      (col("sa.sz") + col("sb.sz") - col("c"))
+    shared
+      .join(sizes.as("sa"), col("ida") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("idb") === col("sb.doc_id"))
+      .filter(j >= threshold)
+      .select(col("ida"), col("idb"), round(j, 4).as("jaccard"))
+  }
+
+  /** The near-dup pair set as portable SQL (the oracle twin of
+    * [[nearDupPairs]]), reused as a CTE by the clustering oracle. */
+  private val nearDupPairsSql =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+      |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+      |       FROM w WHERE len(ws) >= 3),
+      |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+      |inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |shared AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
+      |           FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT ida, idb
+      |  FROM shared
+      |  JOIN sizes sa ON ida = sa.doc_id
+      |  JOIN sizes sb ON idb = sb.doc_id
+      |  WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.2)""".stripMargin
+
   /** Exact n-gram (3-shingle) Jaccard near-dup join via inverted index:
     * explode shingles → equi-join on shingle → count shared per pair →
     * Jaccard from set sizes. The shuffle is keyed by shingle, so pair
@@ -65,21 +105,31 @@ object Extensions {
     // join on xxhash64(shingle), not the string — smaller shuffle keys;
     // a 64-bit collision over ~10^5 distinct shingles is ~10^-9, and the
     // oracle's string-keyed join agrees unless one actually occurs
-    val inv = TextOps.shingleRows(Tables.documents(s, d), "doc_id", "text", 3)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("s"))
-    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val shared = inv.as("a").join(inv.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
-      .agg(count(lit(1)).as("c"))
-    val j = col("c").cast("double") /
-      (col("sa.sz") + col("sb.sz") - col("c"))
-    shared
-      .join(sizes.as("sa"), col("ida") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("idb") === col("sb.doc_id"))
-      .filter(j >= 0.2)
-      .select(col("ida"), col("idb"), round(j, 4).as("jaccard"))
-      .orderBy("ida", "idb")
+    nearDupPairs(s, d, 0.2).orderBy("ida", "idb")
+  }
+
+  /** Dedup clustering — the step after pair generation: transitive
+    * near-dup groups collapse to one cluster whose id is the minimum
+    * doc_id (the canonical keeper). Spark side:
+    * graft.operators.ConnectedComponents (iterative min-label
+    * propagation, one shuffle-join per round, O(diameter) rounds).
+    * Oracle: DuckDB recursive CTE reachability over the same pair set. */
+  val qDedupCluster = Q(
+    "q_dedup_cluster",
+    s"""WITH RECURSIVE $nearDupPairsSql,
+       |edges AS (SELECT ida AS a, idb AS b FROM pairs
+       |          UNION ALL SELECT idb, ida FROM pairs),
+       |reach(src, node) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node)
+       |SELECT src AS doc_id, min(node) AS cluster_id
+       |FROM reach GROUP BY src
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.operators.ConnectedComponents
+      .run(nearDupPairs(s, d, 0.2), "ida", "idb")
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy("doc_id")
   }
 
   /** MinHash + LSH banding near-dup: 16 minhashes, 4 bands × 4 rows.
@@ -503,7 +553,7 @@ object Extensions {
   }
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qNeardup, qDedupMinhash, qDedupSimhash, qDedupEmbed,
+    qDedupExact, qNeardup, qDedupCluster, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qSimilarityTopk, qSimilaritySql, qAnnIvf, qAnnLsh,
     qTextAnalysis, qTextTopwords, qLangId, qTextQuality, qTokenCount,
     qDocFingerprint,

@@ -138,6 +138,21 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup clusters are closed over near-dup pairs with min-id canonicals") {
+    val cluster = SparkEntry.queries("q_dedup_cluster")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairEdges = pairs("q_neardup")
+    assert(pairEdges.nonEmpty && cluster.nonEmpty)
+    // both endpoints of every pair land in the same cluster
+    pairEdges.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters")
+    }
+    // the cluster id is the minimum member (the keeper)
+    cluster.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid: min member ${members.keys.min}")
+    }
+  }
+
   test("count-min sketch estimates bound exact counts (overestimate-only)") {
     val est = SparkEntry.queries("q_agg_countmin")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
