@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Second-tier analytic SQL surface (still provenance-D, SURVEY §2.3):
@@ -189,9 +190,32 @@ object Analytics {
       .orderBy("o_custkey")
   }
 
+  /** approx_top_k (Spark 4 frequent-items sketch): heavy-hitter
+    * estimation in sublinear memory. With maxItemsTracked ≥ the distinct
+    * count the sketch degenerates to exact counts, which makes it
+    * oracle-checkable here; at corpus scale the same call bounds memory
+    * where an exact groupBy cannot. Output re-sorted (n DESC, item) for
+    * a deterministic compare. */
+  val qAggApproxTopk = Q(
+    "q_agg_approxtopk",
+    """SELECT o_orderpriority AS item, n, CAST(rnk AS BIGINT) AS rnk FROM (
+      |  SELECT o_orderpriority, count(*) AS n,
+      |         row_number() OVER (ORDER BY count(*) DESC, o_orderpriority) AS rnk
+      |  FROM orders GROUP BY o_orderpriority) t
+      |WHERE rnk <= 3 ORDER BY rnk""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .agg(expr("approx_top_k(o_orderpriority, 3, 100)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("item"), col("e.count").as("n"))
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("n").desc, col("item"))).cast("bigint"))
+      .orderBy("rnk")
+  }
+
   val all: Seq[Q] =
     Seq(qPivot, qAggStats, qAggPercentile, qAggApproxPercentile,
-      qCteRecursive, qUnpivot, qAggHistogram, qAggArgmax, qAggCountmin)
+      qCteRecursive, qUnpivot, qAggHistogram, qAggArgmax, qAggCountmin,
+      qAggApproxTopk)
 }
 
 /** Iterative fixpoint evaluation — the workaround for Spark's missing

@@ -43,7 +43,7 @@ object Extensions {
   /** Near-dup pair core shared by q_neardup and q_dedup_cluster:
     * inverted-index shingle join → shared-count per pair → Jaccard
     * filter. Returns (ida, idb, jaccard ≥ threshold). */
-  private[queries] def nearDupPairs(s: SparkSession, d: String,
+  private[graft] def nearDupPairs(s: SparkSession, d: String,
       threshold: Double): DataFrame = {
     val inv = TextOps.shingleRows(Tables.documents(s, d), "doc_id", "text", 3)
       .select(col("doc_id"), xxhash64(col("shingle")).as("s"))

@@ -6,6 +6,30 @@ import org.scalatest.funsuite.AnyFunSuite
 class PipelineSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("curation pipeline: monotone row accounting, budget respected, pruned sink") {
+    import org.apache.spark.sql.functions._
+    val out = "/root/repo/target/curated_test"
+    val budget = 20000L
+    val stages = graft.examples.CurationDemo.run(spark, sf, out, budget)
+    val byName = stages.map(s => s.stage -> s.rows).toMap
+    // each gate only removes rows, never invents them
+    val order = Seq("input", "exact_dedup", "neardup_dedup", "quality_gate", "token_budget")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(byName(b) <= byName(a), s"$b (${byName(b)}) > $a (${byName(a)})")
+    }
+    assert(byName("sink") == byName("token_budget"))
+    assert(byName("token_budget") > 0)
+    // per-language budget held by the curated output
+    val curated = spark.read.parquet(out)
+    curated.groupBy("lang").agg(sum("n_tokens").as("t")).collect()
+      .foreach(r => assert(r.getLong(1) <= budget,
+        s"lang ${r.getString(0)} exceeds budget: ${r.getLong(1)}"))
+    // the lang partitioning prunes on read
+    val pruned = curated.filter(col("lang") === "en")
+    pruned.collect()
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+
   test("retry: transient failures heal, attempts are logged") {
     var calls = 0
     val (res, attempts) = Retry.withRetry(maxAttempts = 3, initialBackoffMs = 1) {
