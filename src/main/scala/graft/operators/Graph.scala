@@ -31,13 +31,15 @@ object ConnectedComponents {
     while (changed > 0 && i < maxIter) {
       val nbrMin = sym.join(labels, col("b") === col("node"))
         .groupBy(col("a")).agg(min("lbl").as("nbr_lbl"))
+      // carry the change flag through the checkpoint so convergence
+      // detection is a local count over materialized partitions, not a
+      // second shuffle-join against the previous labels
+      val newLbl = least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl")))
       val next = labels.join(nbrMin, col("node") === col("a"), "left")
-        .select(col("node"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .select(col("node"), newLbl.as("lbl"), (newLbl =!= col("lbl")).as("chg"))
         .localCheckpoint(true)
-      changed = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.lbl") =!= col("o.lbl")).count()
-      labels = next
+      changed = next.filter(col("chg")).count()
+      labels = next.drop("chg")
       i += 1
     }
     labels
