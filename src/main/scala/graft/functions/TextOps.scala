@@ -109,4 +109,56 @@ object TextOps {
     * marker vocabulary. */
   def markerHits(words: Column, markers: Seq[String]): Column =
     size(filter(words, w => w.isInCollection(markers)))
+
+  /** Lowercased sliding character n-grams; empty array when the text is
+    * shorter than n. All built-ins (sequence + substr), stays in codegen. */
+  def charNgrams(text: Column, n: Int = 3): Column = {
+    val t = lower(text)
+    when(length(t) >= n,
+      transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+  }
+}
+
+/** Character-n-gram-profile language identification (Cavnar–Trenkle
+  * style, simplified to profile-overlap scoring): TRAIN per-language
+  * top-K trigram profiles from a labeled corpus — one groupBy + ranked
+  * window, fully distributed — then CLASSIFY by counting how many of a
+  * document's distinct trigrams appear in each language's profile.
+  * Profiles are dimension-sized (|langs|·K rows) and broadcast, so
+  * classification is a map-side join at any corpus size.
+  */
+object LangId {
+
+  import org.apache.spark.sql.functions.{broadcast => bcast}
+
+  /** (lang, g, rnk) — the top-`k` trigrams per language by frequency. */
+  def trainProfiles(docs: DataFrame, langCol: String, textCol: String,
+      k: Int = 100): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("g"))
+    docs.select(col(langCol).as("lang"),
+        explode(TextOps.charNgrams(col(textCol))).as("g"))
+      .groupBy("lang", "g").agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("lang", "g", "rnk")
+  }
+
+  /** (id, predicted, score): argmax profile overlap, deterministic
+    * lexicographic tie-break; docs with no scoreable trigrams → 'und'. */
+  def classify(docs: DataFrame, idCol: String, textCol: String,
+      profiles: DataFrame): DataFrame = {
+    val grams = docs.select(col(idCol).as("__id"),
+      explode(array_distinct(TextOps.charNgrams(col(textCol)))).as("g"))
+    val w = Window.partitionBy("__id").orderBy(col("score").desc, col("lang"))
+    val best = grams.join(bcast(profiles), Seq("g"))
+      .groupBy("__id", "lang").agg(count(lit(1)).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    docs.select(col(idCol).as("__id")).distinct()
+      .join(best, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("lang"), lit("und")).as("predicted"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
 }

@@ -407,6 +407,19 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** Character-trigram-profile language ID (graft.functions.LangId):
+    * profiles trained on the corpus itself, classification via broadcast
+    * profile join. The synthetic corpus shares one vocabulary across
+    * lang labels, so accuracy is not meaningful here — determinism and
+    * plumbing are unit-tested; rows-only check (the marker-based
+    * q_lang_id above is the oracle-checked twin). */
+  val qLangIdNgram = Q.noOracle("q_lang_id_ngram") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val profiles = graft.functions.LangId.trainProfiles(docs, "lang", "text", k = 100)
+    graft.functions.LangId.classify(docs, "doc_id", "text", profiles)
+      .orderBy("doc_id")
+  }
+
   /** Per-document quality scoring: token count, type-token ratio,
     * stopword ratio, average word length, and a weighted quality score —
     * the standard pre-training corpus filters. */
@@ -555,7 +568,7 @@ object Extensions {
   val all: Seq[Q] = Seq(
     qDedupExact, qNeardup, qDedupCluster, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qSimilarityTopk, qSimilaritySql, qAnnIvf, qAnnLsh,
-    qTextAnalysis, qTextTopwords, qLangId, qTextQuality, qTokenCount,
+    qTextAnalysis, qTextTopwords, qLangId, qLangIdNgram, qTextQuality, qTokenCount,
     qDocFingerprint,
     qMultimodalJoin, qMultimodalMeta, qMultimodalFeatures, qMultimodalFrames)
 }

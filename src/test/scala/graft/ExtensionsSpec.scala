@@ -153,6 +153,20 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("char-ngram lang-ID: every doc classified, deterministic, scores bounded") {
+    val a = SparkEntry.queries("q_lang_id_ngram")(spark, sf).collect()
+    val b = SparkEntry.queries("q_lang_id_ngram")(spark, sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    assert(a.length == Tables.documents(spark, sf).count())
+    val labels = Tables.documents(spark, sf).select("lang").distinct()
+      .collect().map(_.getString(0)).toSet + "und"
+    a.foreach { r =>
+      val score = r.getLong(2)
+      assert(score >= 0 && score <= 100, s"score out of profile bound: $r")
+      assert(labels.contains(r.getString(1)), s"unknown label in $r")
+    }
+  }
+
   test("count-min sketch estimates bound exact counts (overestimate-only)") {
     val est = SparkEntry.queries("q_agg_countmin")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

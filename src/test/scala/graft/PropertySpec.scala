@@ -102,6 +102,45 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  property("ConnectedComponents matches a brute-force union-find model") =
+    forAll(Gen.listOfN(10, Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 15L)))) { es =>
+      es.nonEmpty ==> {
+        import spark.implicits._
+        val got = graft.operators.ConnectedComponents
+          .run(es.toDF("a", "b"), "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // model: classic union-find over the same edges
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = es.flatMap(t => Seq(t._1, t._2)).distinct
+        val roots = nodes.map(n => n -> find(n)).toMap
+        val minOfComp = nodes.groupBy(roots).map { case (r, ns) => r -> ns.min }
+        val model = nodes.map(n => n -> minOfComp(roots(n))).toMap
+        got == model
+      }
+    }
+
+  property("Upsert.merge == overlay model (updates win, rest untouched)") =
+    forAll(
+      Gen.listOfN(12, Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0, 99))),
+      Gen.listOfN(6, Gen.zip(Gen.chooseNum(0L, 12L), Gen.chooseNum(100, 199)))) { (t, u) =>
+      import spark.implicits._
+      val updates = u.toMap.toSeq // distinct keys, updates win
+      val got = graft.operators.Upsert
+        .merge(t.toDF("k", "v"), updates.toDF("k", "v"), Seq("k"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+      val updKeys = updates.map(_._1).toSet
+      val model = (t.filterNot(r => updKeys.contains(r._1)) ++ updates).sorted
+      got == model
+    }
+
   property("window running-sum final value equals the group sum") =
     forAll(Gen.listOfN(15, Gen.zip(Gen.chooseNum(0, 2), Gen.chooseNum(1, 50)))) { xs =>
       xs.nonEmpty ==> {
