@@ -96,6 +96,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(n2 == n1, s"restart duplicated rows: $n1 -> $n2")
   }
 
+  test("streaming upsert sink maintains a keyed snapshot; replay is idempotent") {
+    import org.apache.spark.sql.functions._
+    def rmrf(p: java.io.File): Unit = {
+      Option(p.listFiles()).foreach(_.foreach(rmrf)); p.delete(); ()
+    }
+    val target = new java.io.File("/root/repo/target/upsert_snapshot")
+    val chk = new java.io.File("/root/repo/target/upsert_chk")
+    rmrf(target); rmrf(chk)
+    // latest state per user from the event stream, keyed on user_id
+    val events = Streams.eventsStream(spark, sf)
+      .select(col("user_id"), col("event_type"), col("value"))
+    val q = Streams.upsertSink(events, target.getAbsolutePath,
+      Seq("user_id"), chk.getAbsolutePath)
+    try q.processAllAvailable() finally q.stop()
+    val snap = spark.read.parquet(target.getAbsolutePath)
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(snap.count() == users, "one row per key in the snapshot")
+    // replaying the same batch converges (merge is idempotent on key)
+    Streams.mergeIntoSnapshot(spark, target.getAbsolutePath,
+      Tables.events(spark, sf).select("user_id", "event_type", "value"), Seq("user_id"))
+    assert(spark.read.parquet(target.getAbsolutePath).count() == users)
+  }
+
   test("RocksDB state store produces identical results to the in-memory store") {
     // at production state sizes (billions of keys across session windows)
     // the default HDFS-backed in-memory store OOMs; RocksDB spills state
