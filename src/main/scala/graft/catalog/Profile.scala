@@ -18,6 +18,19 @@ case class ColumnProfile(
     nullCount: Long,
     distinctCount: Long)
 
+/** The profiling seam (SURVEY.md §7 design stance): the deterministic
+  * [[Profile]] implementation is the library's contract, but the
+  * reference's original profiler is an LLM (geminiService.ts:50-99) —
+  * an LLM-backed implementation slots in here without touching any
+  * caller (DDL synthesis, quality checks, and the q_profile_* keys all
+  * consume [[ColumnProfile]] rows, not the producer).
+  */
+trait Profiler {
+  /** @param sampleRows profile only the first N rows (the reference
+    *   caps its LLM sample at 50, constants.ts:5); None = full data */
+  def profile(df: DataFrame, sampleRows: Option[Int] = None): Seq[ColumnProfile]
+}
+
 /** Deterministic data profiler (SURVEY.md §2.2). The reference sends a
   * 50-row sample to Gemini to infer per-column SQL type, semantic type,
   * description, and quality issues (geminiService.ts:50-99); here the
@@ -31,7 +44,10 @@ case class ColumnProfile(
   * which also makes it DuckDB-oracle-checkable) rather than cast-based
   * (engines disagree on string→int truncation).
   */
-object Profile {
+object Profile extends Profiler {
+
+  override def profile(df: DataFrame, sampleRows: Option[Int] = None): Seq[ColumnProfile] =
+    of(df, sampleRows)
 
   // Type-detection regexes — the deterministic replacement for the LLM
   // type menu TEXT/INTEGER/REAL/DATE/TIMESTAMP/BOOLEAN/BLOB

@@ -149,6 +149,48 @@ object LangId {
       .select("lang", "g", "rnk")
   }
 
+  /** Driver-local model: lang → its profile trigram set. The profile is
+    * dimension-sized (|langs|·k strings), so collecting it is O(model),
+    * not O(corpus) — the train-once / serve-broadcast pattern. */
+  def trainProfilesLocal(docs: DataFrame, langCol: String, textCol: String,
+      k: Int = 100): Map[String, Seq[String]] =
+    trainProfiles(docs, langCol, textCol, k)
+      .collect()
+      .groupBy(_.getAs[String]("lang"))
+      .map { case (lang, rows) => lang -> rows.map(_.getAs[String]("g")).toSeq }
+
+  /** Zero-shuffle classification against a local model: score per lang =
+    * |distinct doc trigrams ∩ profile set| evaluated as a codegen'd
+    * array filter over literal InSets — classification is one map pass
+    * at any corpus size (vs. the explode + join + two-shuffle
+    * formulation in [[classify]], kept as the oracle-shaped twin).
+    * Same output contract: argmax with lexicographic tie-break, docs
+    * with zero overlap → 'und'. */
+  def classifyLocal(docs: DataFrame, idCol: String, textCol: String,
+      profiles: Map[String, Seq[String]]): DataFrame = {
+    val langs = profiles.keys.toSeq.sorted
+    // struct comparison is field-order lexicographic: score first, then
+    // NEGATED lang index — array_max therefore picks highest score and,
+    // on ties, the lexicographically SMALLEST language name
+    val entries = langs.zipWithIndex.map { case (lang, i) =>
+      val set = profiles(lang)
+      struct(
+        size(filter(col("__g"), g => g.isInCollection(set))).as("score"),
+        lit(-i).as("neg"))
+    }
+    val best = array_max(array(entries: _*))
+    docs
+      .select(col(idCol), lower(col(textCol)).as("__t"))
+      .withColumn("__g", array_distinct(TextOps.charNgrams(col("__t"))))
+      .withColumn("__best", best)
+      .select(
+        col(idCol),
+        when(col("__best.score") === 0, lit("und"))
+          .otherwise(element_at(
+            array(langs.map(lit): _*), -col("__best.neg") + 1)).as("predicted"),
+        col("__best.score").cast("long").as("score"))
+  }
+
   /** (id, predicted, score): argmax profile overlap, deterministic
     * lexicographic tie-break; docs with no scoreable trigrams → 'und'. */
   def classify(docs: DataFrame, idCol: String, textCol: String,

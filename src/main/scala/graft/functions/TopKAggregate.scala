@@ -6,7 +6,8 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -45,7 +46,25 @@ case class TopKPairsAgg(
     kExpr: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]]
+  with ImplicitCastInputTypes {
+
+  // analysis-time contract: int/decimal values and int ids implicitly
+  // cast to (double, bigint, int); anything non-coercible fails analysis
+  // instead of ClassCastException-ing at executor time. (Declared as
+  // Seq[DataType] — covariant with the inherited Seq[AbstractDataType],
+  // which itself is private[sql] in Spark 4.)
+  override def inputTypes: Seq[DataType] =
+    Seq(DoubleType, LongType, IntegerType)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!kExpr.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "top_k_pairs: k must be a literal (foldable) expression")
+    else TypeCheckResult.TypeCheckSuccess
+  }
 
   private lazy val k: Int = {
     val v = kExpr.eval(InternalRow.empty)

@@ -18,7 +18,11 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** @param edges undirected edge list (one row per pair)
-    * @return (node, label) — label = min node id of the component */
+    * @return (node, label) — label = min node id of the component
+    * @throws IllegalStateException when maxIter rounds did not converge:
+    *   partial labels would silently split long chains (>maxIter hops)
+    *   into separate clusters, so downstream dedup would keep/drop the
+    *   wrong documents with no signal — fail loudly instead */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25): DataFrame = {
     val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
@@ -42,6 +46,11 @@ object ConnectedComponents {
       labels = next.drop("chg")
       i += 1
     }
+    if (changed > 0) throw new IllegalStateException(
+      s"ConnectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still changing): component diameter exceeds " +
+        "maxIter — raise it (rounds are O(eccentricity from the min node)) " +
+        "or switch to a large-star/small-star contraction for deep graphs")
     labels
   }
 }

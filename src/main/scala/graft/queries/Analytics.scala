@@ -6,8 +6,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Second-tier analytic SQL surface (still provenance-D, SURVEY §2.3):
-  * pivot, statistical aggregates, percentiles, and the recursive-CTE
-  * workaround for Spark's documented gap (SURVEY §7 risk 5).
+  * pivot, statistical aggregates, percentiles, and recursive CTEs
+  * (native in Spark 4.x — SURVEY §7 risk 5 applied to Spark 3.x only).
   */
 object Analytics {
 
@@ -88,11 +88,14 @@ object Analytics {
       .orderBy("o_orderstatus")
   }
 
-  /** Recursive CTE — Spark SQL has none (SURVEY §7 risk 5); the library
-    * workaround is an iterative DataFrame fixpoint loop. Query: reachable
-    * set + depth walking the nationkey chain (src → src+1) from node 0.
-    * DuckDB's native WITH RECURSIVE is the oracle, checking the loop
-    * reproduces true recursion semantics. */
+  /** Recursive CTE — native `WITH RECURSIVE` through spark.sql (Spark
+    * 4.x ships SPARK-24497; the reference's declared Postgres surface
+    * includes recursion via its executeSql choke point,
+    * pgliteService.ts:36-49). Query: reachable set + depth walking the
+    * nationkey chain (src → src+1) from node 0. DuckDB's WITH RECURSIVE
+    * is the oracle. [[Fixpoint.iterate]] remains the library API for
+    * recursion that SQL can't express (custom convergence tests,
+    * per-round checkpointing as in ConnectedComponents). */
   val qCteRecursive = Q(
     "q_cte_recursive",
     """WITH RECURSIVE reach(node, depth) AS (
@@ -105,21 +108,18 @@ object Analytics {
       |    ON e.src = r.node)
       |SELECT CAST(node AS BIGINT) AS node, CAST(depth AS BIGINT) AS depth
       |FROM reach ORDER BY node""".stripMargin) { (s, d) =>
-    // materialize the (small) edge set once — the loop would otherwise
-    // re-scan the parquet and re-plan the build side on every iteration —
-    // and broadcast it so each step is a map-only BroadcastHashJoin
-    val edges = Tables.nation(s, d)
-      .filter(col("n_nationkey") < 24)
-      .select(col("n_nationkey").cast("bigint").as("src"),
-        (col("n_nationkey") + 1).cast("bigint").as("dst"))
-      .localCheckpoint(true)
-    Fixpoint.iterate(
-      seed = s.range(1).select(lit(0L).as("node"), lit(0L).as("depth")),
-      step = frontier => frontier
-        .join(broadcast(edges), frontier("node") === edges("src"))
-        .select(col("dst").as("node"), (col("depth") + 1).as("depth")),
-      maxIterations = 64)
-      .orderBy("node")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    s.sql(
+      """WITH RECURSIVE reach(node, depth) AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
+        |  UNION ALL
+        |  SELECT e.dst, r.depth + CAST(1 AS BIGINT)
+        |  FROM reach r
+        |  JOIN (SELECT CAST(n_nationkey AS BIGINT) AS src,
+        |               CAST(n_nationkey + 1 AS BIGINT) AS dst
+        |        FROM nation WHERE n_nationkey < 24) e
+        |    ON e.src = r.node)
+        |SELECT node, depth FROM reach ORDER BY node""".stripMargin)
   }
 
   /** UNPIVOT (wide→long): the inverse of q_pivot; also the reshape the
@@ -218,8 +218,10 @@ object Analytics {
       qAggApproxTopk)
 }
 
-/** Iterative fixpoint evaluation — the workaround for Spark's missing
-  * recursive CTE. Accumulates `seed ∪ step(seed) ∪ step²(seed) ∪ …` until
+/** Iterative fixpoint evaluation — the programmatic recursion API for
+  * what SQL `WITH RECURSIVE` can't express (custom convergence tests,
+  * per-round checkpoint/persist policy; see ConnectedComponents).
+  * Accumulates `seed ∪ step(seed) ∪ step²(seed) ∪ …` until
   * a step yields no rows (or maxIterations).
   *
   * Scale notes: each step is one distributed join; the frontier is

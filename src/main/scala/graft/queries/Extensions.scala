@@ -40,16 +40,41 @@ object Extensions {
       .orderBy("keep_id")
   }
 
+  /** Document-frequency cap for the near-dup inverted index: a shingle
+    * appearing in k documents contributes k·(k-1)/2 candidate pairs to
+    * the self-join, so ONE stop-phrase trigram ("one of the") present in
+    * millions of docs would put ~10¹² pairs on a single shuffle key —
+    * skew plus quadratic blowup, the classic near-dup scale-killer.
+    * Shingles with df > cap are non-discriminative (shared boilerplate)
+    * and carry almost no Jaccard signal, so dropping them is standard
+    * MinHash-pipeline practice. 100 keeps per-key join fan-out ≤ 100²/2
+    * rows regardless of corpus size. */
+  private[graft] val MaxShingleDf = 100
+
   /** Near-dup pair core shared by q_neardup and q_dedup_cluster:
     * inverted-index shingle join → shared-count per pair → Jaccard
-    * filter. Returns (ida, idb, jaccard ≥ threshold). */
+    * filter. Returns (ida, idb, jaccard ≥ threshold), where Jaccard is
+    * computed over the DISCRIMINATIVE shingle sets (df ≤ maxShingleDf)
+    * on both the Spark and oracle side. */
   private[graft] def nearDupPairs(s: SparkSession, d: String,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    nearDupPairsOf(Tables.documents(s, d), threshold, MaxShingleDf)
+
+  /** Same, over an arbitrary (doc_id, text) frame — the unit-testable
+    * seam for the df cap. */
+  private[graft] def nearDupPairsOf(docs: DataFrame, threshold: Double,
+      maxShingleDf: Int): DataFrame = {
     // materialize the inverted index once — it feeds the self-join's two
     // sides AND the size lookup, and would otherwise be recomputed
-    // (scan + window + distinct) three times
-    val inv = TextOps.shingleRows(Tables.documents(s, d), "doc_id", "text", 3)
+    // (scan + window + distinct) three times. The df filter runs BEFORE
+    // the checkpoint: one extra shuffle keyed by shingle (same key as
+    // the join itself), bounding every downstream join key's fan-out.
+    val win = Window.partitionBy("s")
+    val inv = TextOps.shingleRows(docs, "doc_id", "text", 3)
       .select(col("doc_id"), xxhash64(col("shingle")).as("s"))
+      .withColumn("__df", count(lit(1)).over(win))
+      .filter(col("__df") <= maxShingleDf)
+      .drop("__df")
       .localCheckpoint(true)
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val shared = inv.as("a").join(inv.as("b"),
@@ -66,14 +91,18 @@ object Extensions {
   }
 
   /** The near-dup pair set as portable SQL (the oracle twin of
-    * [[nearDupPairs]]), reused as a CTE by the clustering oracle. */
+    * [[nearDupPairs]]), reused as a CTE by the clustering oracle. The
+    * `inv` CTE mirrors [[MaxShingleDf]]: the df filter and the sizes
+    * both run over the capped index, exactly like the Spark side. */
   private val nearDupPairsSql =
-    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
       |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
       |       FROM w WHERE len(ws) >= 3),
-      |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
-      |inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |inv0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |inv AS (SELECT doc_id, s FROM inv0
+      |        QUALIFY count(*) OVER (PARTITION BY s) <= $MaxShingleDf),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM inv GROUP BY doc_id),
       |shared AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
       |           FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
       |           GROUP BY 1, 2),
@@ -90,12 +119,14 @@ object Extensions {
     * generation is proportional to actual overlap, not |docs|². */
   val qNeardup = Q(
     "q_neardup",
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
       |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
       |       FROM w WHERE len(ws) >= 3),
-      |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
-      |inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |inv0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |inv AS (SELECT doc_id, s FROM inv0
+      |        QUALIFY count(*) OVER (PARTITION BY s) <= $MaxShingleDf),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM inv GROUP BY doc_id),
       |shared AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
       |           FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
       |           GROUP BY 1, 2)
@@ -192,9 +223,30 @@ object Extensions {
       .orderBy("ida", "idb")
   }
 
+  /** Row cap for the deliberately-exact all-pairs baselines
+    * ([[qDedupEmbed]], [[qSimilaritySql]]): beyond this, the broadcast
+    * side outgrows executor memory AND the n²/2 pair evaluations stop
+    * terminating in reasonable time, so fail fast with a pointer at the
+    * bucketed variants instead of dying mid-shuffle on a cluster. */
+  private[graft] val AllPairsRowCap = 100000
+
+  /** Fail fast when an exact all-pairs twin is pointed at a corpus-sized
+    * input. `limit(cap+1).count()` stops the scan after cap+1 rows, so
+    * the guard itself is O(cap), not a full count. */
+  private[graft] def requireAllPairsSafe(corpus: DataFrame, queryName: String,
+      cap: Int = AllPairsRowCap): Unit = {
+    val n = corpus.limit(cap + 1).count()
+    if (n > cap) throw new IllegalArgumentException(
+      s"$queryName is an exact all-pairs baseline: ${cap}+ input rows would " +
+        s"broadcast-nested-loop over >${cap.toLong * cap / 2} pairs. " +
+        "Use the bucketed variants (q_ann_ivf / q_ann_lsh for similarity, " +
+        "q_dedup_minhash / q_dedup_simhash for near-dup) at corpus scale.")
+  }
+
   /** Embedding-cosine near-dup: all candidate pairs ≥ 0.35 cosine. The
     * embeddings table is dimension-sized (broadcastable); at corpus
-    * scale the LSH/IVF buckets below replace the pair product. */
+    * scale the LSH/IVF buckets below replace the pair product. Guarded:
+    * refuses to run over more than [[AllPairsRowCap]] rows. */
   val qDedupEmbed = Q(
     "q_dedup_embed",
     """WITH pairs AS (
@@ -217,6 +269,7 @@ object Extensions {
     // one codegen'd loop per pair, no intermediate arrays — numerically
     // identical to the HOF formulation and the oracle
     val e = Tables.embeddings(s, d)
+    requireAllPairsSafe(e, "q_dedup_embed")
     val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"))
     val cos = VectorExpressions.cosineFast(col("ea"), col("eb"))
@@ -270,7 +323,10 @@ object Extensions {
     * probe. Approximate → rows-only check. */
   val qAnnIvf = Q.noOracle("q_ann_ivf") { (s, d) =>
     VectorExpressions.register(s)
-    val e = Tables.embeddings(s, d)
+    // the embeddings scan feeds three branches (centroid training, probe
+    // selection, candidate rerank) — materialize it once instead of
+    // re-reading + re-decoding the parquet per branch
+    val e = Tables.embeddings(s, d).localCheckpoint(true)
     // centroid per label: element-wise mean via posexplode + re-assemble
     val centroids = e
       .select(col("label"), posexplode(col("embedding")))
@@ -337,6 +393,7 @@ object Extensions {
       |         FROM flat GROUP BY ida, idb)
       |SELECT ida, idb, round(cos, 4) AS cos FROM sims WHERE cos >= 0.3
       |ORDER BY ida, idb""".stripMargin) { (s, d) =>
+    requireAllPairsSafe(Tables.embeddings(s, d), "q_similarity_sql")
     Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
     s.sql(
       """SELECT a.vec_id AS ida, b.vec_id AS idb,
@@ -426,10 +483,13 @@ object Extensions {
   val qLangIdNgram = Q.noOracle("q_lang_id_ngram") { (s, d) =>
     val docs = Tables.documents(s, d)
     // trigram frequency profiles converge on a fraction of the corpus —
-    // train on a seeded sample (the at-scale pattern), classify everything
-    val profiles = graft.functions.LangId.trainProfiles(
+    // train on a seeded sample (the at-scale pattern), collect the
+    // dimension-sized model, then classify everything in one shuffle-free
+    // map pass (LangId.classifyLocal); agreement with the distributed
+    // join-based classify() is unit-tested
+    val profiles = graft.functions.LangId.trainProfilesLocal(
       docs.sample(withReplacement = false, 0.25, seed = 42L), "lang", "text", k = 100)
-    graft.functions.LangId.classify(docs, "doc_id", "text", profiles)
+    graft.functions.LangId.classifyLocal(docs, "doc_id", "text", profiles)
       .orderBy("doc_id")
   }
 
@@ -549,8 +609,24 @@ object Extensions {
   }
 
   /** Partition-local feature extraction over the binary payload
-    * (Multimodal.ByteHistogram as the deterministic decoder stand-in). */
-  val qMultimodalFeatures = Q.noOracle("q_multimodal_features") { (s, d) =>
+    * (Multimodal.ByteHistogram as the deterministic decoder stand-in).
+    * Oracle: the 8-bin byte histogram is pure arithmetic over the utf-8
+    * payload — the corpus is ASCII, so byte values equal character
+    * codes and DuckDB can recompute every bin from ascii(). */
+  val qMultimodalFeatures = Q(
+    "q_multimodal_features",
+    {
+      val bins = (0 until 8).map(b =>
+        s"round(sum(CASE WHEN bucket = $b THEN 1 ELSE 0 END) / CAST(any_value(tot) AS DOUBLE), 4) AS f$b")
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |         ascii(substring(text, CAST(unnest(range(1, length(text) + 1)) AS INT), 1)) // 32 AS bucket,
+         |         octet_length(encode(text)) AS tot
+         |  FROM documents)
+         |SELECT doc_id,
+         |  ${bins.mkString(",\n  ")}
+         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
     val feats = Multimodal.extractFeatures(
       Multimodal.documentPayloads(s, d), new Multimodal.ByteHistogram(8))
     feats.toDF()
@@ -570,11 +646,11 @@ object Extensions {
     """SELECT doc_id,
       |       CAST((CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) + 1) // 2 AS BIGINT) AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-    import s.implicits._
+    // relational groupBy (not typed groupByKey): the count aggregates in
+    // codegen without deserializing Frame objects
     Multimodal.sampleFrames(Multimodal.documentPayloads(s, d), frameBytes = 64, stride = 2)
-      .groupByKey(_.doc_id)
-      .count()
-      .toDF("doc_id", "n_frames")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"))
       .orderBy("doc_id")
   }
 

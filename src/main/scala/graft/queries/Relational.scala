@@ -322,13 +322,20 @@ object Relational {
   }
 
   /** HLL sketch distinct — engine-specific estimate, so rows-only check
-    * (SURVEY §2.3: no hash-oracle); the exact twin is q_agg_distinct. */
+    * (SURVEY §2.3: no hash-oracle); the exact twin is q_agg_distinct.
+    * Formulated as pre-distinct + plain count rather than mixing
+    * approx_count_distinct with countDistinct in one agg: the mixed form
+    * plans an Expand (row duplication per distinct-set) while this is
+    * one partial-aggregated shuffle; the HLL estimate is identical on
+    * deduplicated input (sketch registers ignore multiplicity). */
   val qAggApproxDistinct = Q.noOracle("q_agg_approx_distinct") { (s, d) =>
     li(s, d)
+      .select("l_returnflag", "l_partkey")
+      .distinct()
       .groupBy("l_returnflag")
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+        count(lit(1)).as("exact_parts"))
       .orderBy("l_returnflag")
   }
 

@@ -1,0 +1,145 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Bucket-partitioned, manifest-committed parquet snapshot — the upsert
+  * sink's storage layer (the plain-parquet core of what a lakehouse
+  * table format provides for MERGE).
+  *
+  * Layout under the snapshot directory:
+  * {{{
+  *   _MANIFEST.<v>    one line per bucket: "<bucket>\t<relativeDir>"
+  *   b<N>_v<v>/       parquet data for key-bucket N, written at version v
+  * }}}
+  *
+  * Why this shape (vs. rewrite-the-directory-and-swap):
+  *  - **Bounded rewrite**: a micro-batch only rewrites the buckets its
+  *    keys hash into. With B buckets and a batch touching t of them, the
+  *    merge reads/writes t/B of the snapshot instead of all of it — at
+  *    scale B is sized so a bucket is a few hundred MB and a small batch
+  *    touches a handful.
+  *  - **Atomic visibility**: a snapshot version becomes visible via ONE
+  *    filesystem rename of its manifest file. Readers resolve the
+  *    highest `_MANIFEST.<v>` and read exactly the bucket dirs it lists,
+  *    so no reader ever observes a half-written snapshot or a missing
+  *    target directory (the failure window of delete-then-rename swaps).
+  *    A crash mid-merge leaves the previous manifest live plus orphan
+  *    staging dirs, which the next successful merge cleans up.
+  *  - **Deterministic winners**: when one batch carries several rows per
+  *    key, the surviving row is chosen by `orderCol` DESC (then all
+  *    remaining columns DESC as tie-break) — so a replayed batch
+  *    converges to byte-identical state, which `dropDuplicates`' pick
+  *    -whatever semantics does not guarantee.
+  */
+object SnapshotStore {
+
+  private val ManifestPrefix = "_MANIFEST."
+
+  final case class Manifest(version: Long, buckets: Map[Int, String])
+
+  /** Key-bucket assignment: stable hash of the key columns. Derivable
+    * from any row, so it is never stored in the data files. */
+  def bucketCol(keys: Seq[String], numBuckets: Int): Column =
+    pmod(xxhash64(keys.map(col): _*), lit(numBuckets)).cast("int")
+
+  private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Highest-version manifest in `dir`, if any snapshot was committed. */
+  def currentManifest(spark: SparkSession, dir: String): Option[Manifest] = {
+    val (fs, p) = fsOf(spark, dir)
+    if (!fs.exists(p)) return None
+    val versions = fs.listStatus(p).map(_.getPath.getName)
+      .filter(n => n.startsWith(ManifestPrefix) && !n.endsWith("__tmp"))
+      .flatMap(n => scala.util.Try(n.stripPrefix(ManifestPrefix).toLong).toOption)
+    if (versions.isEmpty) return None
+    val v = versions.max
+    val in = fs.open(new Path(p, s"$ManifestPrefix$v"))
+    val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val buckets = content.split("\n").filter(_.nonEmpty).map { line =>
+      val Array(b, d) = line.split("\t", 2)
+      b.toInt -> d
+    }.toMap
+    Some(Manifest(v, buckets))
+  }
+
+  /** The current snapshot as a DataFrame (all buckets of the latest
+    * committed version). Throws if nothing was committed yet. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val m = currentManifest(spark, dir).getOrElse(
+      throw new java.io.FileNotFoundException(s"no snapshot manifest in $dir"))
+    val dirs = m.buckets.values.toSeq.sorted.map(d => s"$dir/$d")
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** One MERGE of `batch` into the snapshot at `dir`, rewriting only the
+    * buckets the batch's keys hash into. Idempotent on the key: replaying
+    * a batch produces a new version with identical content.
+    *
+    * @param keys      natural-key columns (present in batch and snapshot)
+    * @param orderCol  column ranking duplicate keys WITHIN a batch (the
+    *   largest value wins, e.g. an event timestamp); remaining columns
+    *   break residual ties so the winner is always deterministic */
+  def merge(spark: SparkSession, dir: String, batch: DataFrame,
+      keys: Seq[String], numBuckets: Int = 16,
+      orderCol: Option[String] = None): Unit = {
+    val (fs, base) = fsOf(spark, dir)
+    // deterministic one-row-per-key within the batch
+    val ordCols = (orderCol.toSeq ++
+      batch.columns.filterNot(c => keys.contains(c) || orderCol.contains(c)).sorted)
+      .map(col(_).desc)
+    val winners =
+      if (ordCols.isEmpty) batch.dropDuplicates(keys) // key-only schema: rows identical
+      else {
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(ordCols: _*)
+        batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+    val updates = winners.withColumn("__b", bucketCol(keys, numBuckets))
+      .localCheckpoint(true) // reused for touched-set + merge; snapshot swap must not re-read inputs
+    val touched = updates.select("__b").distinct().collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return // empty micro-batch: nothing to commit
+    val current = currentManifest(spark, dir)
+    val version = current.map(_.version + 1).getOrElse(1L)
+    val existingDirs = current.toSeq.flatMap(m =>
+      touched.flatMap(m.buckets.get)).map(d => s"$dir/$d")
+    val merged =
+      if (existingDirs.isEmpty) updates.drop("__b")
+      else graft.operators.Upsert.merge(
+        spark.read.parquet(existingDirs: _*), updates.drop("__b"), keys)
+    // stage the touched buckets for this version, then commit via ONE
+    // manifest rename — order matters: data first, pointer last
+    val stage = new Path(base, s"__stage_v$version")
+    merged.withColumn("__b", bucketCol(keys, numBuckets))
+      .write.mode("overwrite").partitionBy("__b").parquet(stage.toString)
+    touched.foreach { b =>
+      val to = new Path(base, s"b${b}_v$version")
+      if (fs.exists(to)) fs.delete(to, true) // orphan of a crashed attempt
+      if (!fs.rename(new Path(stage, s"__b=$b"), to))
+        throw new java.io.IOException(s"failed to stage bucket $b at $to")
+    }
+    val bucketMap = current.map(_.buckets).getOrElse(Map.empty) ++
+      touched.map(b => b -> s"b${b}_v$version")
+    val tmpManifest = new Path(base, s"$ManifestPrefix$version__tmp")
+    val out = fs.create(tmpManifest, true)
+    try out.write(bucketMap.toSeq.sortBy(_._1)
+      .map { case (b, d) => s"$b\t$d" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmpManifest, new Path(base, s"$ManifestPrefix$version")))
+      throw new java.io.IOException(s"manifest commit failed for version $version")
+    // post-commit cleanup (best-effort): staging scaffold, replaced
+    // bucket dirs, superseded manifests
+    fs.delete(stage, true)
+    current.foreach { m =>
+      touched.flatMap(m.buckets.get).foreach(d => fs.delete(new Path(base, d), true))
+      fs.delete(new Path(base, s"$ManifestPrefix${m.version}"), false)
+    }
+    ()
+  }
+}

@@ -100,6 +100,8 @@ object ScaleProbe {
     // cluster pays the network). AQE off so the static plan's exchange
     // metrics are reachable.
     def shuffleBytes(mk: DataFrame => DataFrame, o: DataFrame): Long = {
+      // restore the caller's AQE setting, not a hardcoded value
+      val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       try {
         val df = mk(o)
@@ -108,7 +110,10 @@ object ScaleProbe {
           case n if n.metrics.contains("shuffleBytesWritten") =>
             n.metrics("shuffleBytesWritten").value
         }.sum
-      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      } finally prevAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+        case None => spark.conf.unset("spark.sql.adaptive.enabled")
+      }
     }
     def wFm(key: String): DataFrame => DataFrame = o => {
       val w = org.apache.spark.sql.expressions.Window

@@ -167,6 +167,83 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("hot-shingle df cap stops quadratic candidate inflation") {
+    import spark.implicits._
+    // 60 docs that share exactly ONE trigram ("one of the") and are
+    // otherwise disjoint: without the df cap every pair shares a key in
+    // the inverted index, so candidate generation is C(60,2) = 1770
+    // pairs from a single stop-phrase — the at-scale killer
+    val docs = (0 until 60)
+      .map(i => (i.toLong, s"one of the u$i v$i w$i x$i y$i z$i"))
+      .toDF("doc_id", "text")
+    val uncapped = graft.queries.Extensions
+      .nearDupPairsOf(docs, threshold = 0.0, maxShingleDf = Int.MaxValue)
+    val capped = graft.queries.Extensions
+      .nearDupPairsOf(docs, threshold = 0.0, maxShingleDf = 50)
+    assert(uncapped.count() == 60L * 59 / 2,
+      "without the cap, one hot shingle pairs every doc with every other")
+    assert(capped.count() == 0,
+      "with df cap < 60 the stop-phrase shingle is dropped and no pairs remain")
+    // and the cap is a no-op for genuinely discriminative shingles:
+    // planted near-dups at the real threshold survive it
+    val real = pairs("q_neardup")
+    assert(real.nonEmpty)
+  }
+
+  test("all-pairs exact twins refuse corpus-sized input") {
+    import graft.queries.Extensions.requireAllPairsSafe
+    val big = spark.range(200).toDF("vec_id")
+    val ex = intercept[IllegalArgumentException] {
+      requireAllPairsSafe(big, "q_test_twin", cap = 100)
+    }
+    assert(ex.getMessage.contains("q_ann_ivf"))
+    // under the cap: no exception
+    requireAllPairsSafe(big.limit(50), "q_test_twin", cap = 100)
+  }
+
+  test("classifyLocal agrees with the distributed join-based classify") {
+    import graft.functions.LangId
+    val docs = Tables.documents(spark, sf)
+    val model = LangId.trainProfiles(docs, "lang", "text", k = 50)
+    val local = LangId.trainProfilesLocal(docs, "lang", "text", k = 50)
+    val viaJoin = LangId.classify(docs, "doc_id", "text", model)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val viaLocal = LangId.classifyLocal(docs, "doc_id", "text", local)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(viaLocal == viaJoin)
+  }
+
+  test("connected components throws on non-convergence instead of splitting clusters") {
+    import spark.implicits._
+    // a 30-hop chain needs ~29 min-label rounds; maxIter=3 must fail loudly
+    val chain = (0L until 30L).sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("a", "b")
+    val ex = intercept[IllegalStateException] {
+      graft.operators.ConnectedComponents.run(chain, "a", "b", maxIter = 3).count()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // and with enough rounds the same chain converges to one cluster
+    val ok = graft.operators.ConnectedComponents.run(chain, "a", "b", maxIter = 35)
+    assert(ok.select("lbl").distinct().count() == 1)
+  }
+
+  test("top_k_pairs coerces int inputs and rejects non-literal k at analysis time") {
+    graft.functions.TopKAggregate.register(spark)
+    Tables.orders(spark, sf).createOrReplaceTempView("orders_tk_types")
+    // int value + int id: implicit casts make this analyze and run
+    val n = spark.sql(
+      """SELECT o_custkey, top_k_pairs(CAST(o_orderkey AS INT),
+        |       CAST(o_orderkey AS INT), 2) AS tk
+        |FROM orders_tk_types GROUP BY o_custkey""".stripMargin).count()
+    assert(n > 0)
+    // non-literal k fails analysis, not at executor time
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        """SELECT o_custkey, top_k_pairs(o_totalprice, o_orderkey, o_custkey) AS tk
+          |FROM orders_tk_types GROUP BY o_custkey""".stripMargin).collect()
+    }
+  }
+
   test("count-min sketch estimates bound exact counts (overestimate-only)") {
     val est = SparkEntry.queries("q_agg_countmin")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
