@@ -611,8 +611,12 @@ object Extensions {
   /** Partition-local feature extraction over the binary payload
     * (Multimodal.ByteHistogram as the deterministic decoder stand-in).
     * Oracle: the 8-bin byte histogram is pure arithmetic over the utf-8
-    * payload — the corpus is ASCII, so byte values equal character
-    * codes and DuckDB can recompute every bin from ascii(). */
+    * payload — the corpus is ASCII (asserted in ExtensionsSpec; for
+    * non-ASCII text the ascii()-per-character oracle would diverge from
+    * the byte-level Spark side), so byte values equal character codes
+    * and DuckDB can recompute every bin from ascii(). Both sides filter
+    * empty docs symmetrically: unnest over an empty range emits no rows,
+    * so DuckDB would drop them while Spark emits a zero histogram. */
   val qMultimodalFeatures = Q(
     "q_multimodal_features",
     {
@@ -622,13 +626,14 @@ object Extensions {
          |  SELECT doc_id,
          |         ascii(substring(text, CAST(unnest(range(1, length(text) + 1)) AS INT), 1)) // 32 AS bucket,
          |         octet_length(encode(text)) AS tot
-         |  FROM documents)
+         |  FROM documents WHERE length(text) > 0)
          |SELECT doc_id,
          |  ${bins.mkString(",\n  ")}
          |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
     val feats = Multimodal.extractFeatures(
-      Multimodal.documentPayloads(s, d), new Multimodal.ByteHistogram(8))
+      Multimodal.documentPayloads(s, d).where(octet_length(col("payload")) > 0),
+      new Multimodal.ByteHistogram(8))
     feats.toDF()
       .select(col("doc_id") +:
         (0 until 8).map(i => round(element_at(col("features"), i + 1), 4).as(s"f$i")): _*)

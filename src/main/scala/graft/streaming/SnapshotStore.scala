@@ -38,7 +38,7 @@ object SnapshotStore {
 
   private val ManifestPrefix = "_MANIFEST."
 
-  final case class Manifest(version: Long, buckets: Map[Int, String])
+  final case class Manifest(version: Long, numBuckets: Int, buckets: Map[Int, String])
 
   /** Key-bucket assignment: stable hash of the key columns. Derivable
     * from any row, so it is never stored in the data files. */
@@ -62,15 +62,31 @@ object SnapshotStore {
     val in = fs.open(new Path(p, s"$ManifestPrefix$v"))
     val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    val buckets = content.split("\n").filter(_.nonEmpty).map { line =>
+    val lines = content.split("\n").filter(_.nonEmpty)
+    // header line "#numBuckets=<B>" pins the bucket function for the
+    // snapshot's lifetime (a merge with a different B would hash existing
+    // keys into buckets outside its touched set and silently drop them)
+    val nb = lines.collectFirst {
+      case l if l.startsWith("#numBuckets=") => l.stripPrefix("#numBuckets=").toInt
+    }.getOrElse(throw new IllegalStateException(
+      s"manifest $ManifestPrefix$v in $dir has no #numBuckets header"))
+    val buckets = lines.filterNot(_.startsWith("#")).map { line =>
       val Array(b, d) = line.split("\t", 2)
       b.toInt -> d
     }.toMap
-    Some(Manifest(v, buckets))
+    Some(Manifest(v, nb, buckets))
   }
 
   /** The current snapshot as a DataFrame (all buckets of the latest
-    * committed version). Throws if nothing was committed yet. */
+    * committed version). Throws if nothing was committed yet.
+    *
+    * Concurrency contract: single writer, and readers must not overlap a
+    * merge's post-commit cleanup — cleanup deletes superseded bucket dirs
+    * immediately after the new manifest lands, so a reader that resolved
+    * the previous manifest can hit FileNotFoundException mid-read. The
+    * streaming sink satisfies this (reads happen inside foreachBatch,
+    * serialized with merges); external readers should retry against the
+    * newest manifest on missing-path errors. */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val m = currentManifest(spark, dir).getOrElse(
       throw new java.io.FileNotFoundException(s"no snapshot manifest in $dir"))
@@ -83,6 +99,9 @@ object SnapshotStore {
     * a batch produces a new version with identical content.
     *
     * @param keys      natural-key columns (present in batch and snapshot)
+    * @param numBuckets bucket count for the FIRST merge only; committed to
+    *   the manifest and validated (throw on mismatch) on every later merge,
+    *   since re-bucketing existing keys would orphan rows in untouched dirs
     * @param orderCol  column ranking duplicate keys WITHIN a batch (the
     *   largest value wins, e.g. an event timestamp); remaining columns
     *   break residual ties so the winner is always deterministic */
@@ -90,6 +109,12 @@ object SnapshotStore {
       keys: Seq[String], numBuckets: Int = 16,
       orderCol: Option[String] = None): Unit = {
     val (fs, base) = fsOf(spark, dir)
+    val committed = currentManifest(spark, dir)
+    committed.foreach { m =>
+      require(m.numBuckets == numBuckets,
+        s"snapshot $dir was committed with numBuckets=${m.numBuckets}; " +
+          s"merge called with $numBuckets — re-bucketing would silently drop rows")
+    }
     // deterministic one-row-per-key within the batch
     val ordCols = (orderCol.toSeq ++
       batch.columns.filterNot(c => keys.contains(c) || orderCol.contains(c)).sorted)
@@ -105,7 +130,7 @@ object SnapshotStore {
       .localCheckpoint(true) // reused for touched-set + merge; snapshot swap must not re-read inputs
     val touched = updates.select("__b").distinct().collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) return // empty micro-batch: nothing to commit
-    val current = currentManifest(spark, dir)
+    val current = committed
     val version = current.map(_.version + 1).getOrElse(1L)
     val existingDirs = current.toSeq.flatMap(m =>
       touched.flatMap(m.buckets.get)).map(d => s"$dir/$d")
@@ -126,10 +151,10 @@ object SnapshotStore {
     }
     val bucketMap = current.map(_.buckets).getOrElse(Map.empty) ++
       touched.map(b => b -> s"b${b}_v$version")
-    val tmpManifest = new Path(base, s"$ManifestPrefix$version__tmp")
+    val tmpManifest = new Path(base, s"$ManifestPrefix${version}__tmp")
     val out = fs.create(tmpManifest, true)
-    try out.write(bucketMap.toSeq.sortBy(_._1)
-      .map { case (b, d) => s"$b\t$d" }.mkString("\n").getBytes("UTF-8"))
+    try out.write((s"#numBuckets=$numBuckets" +: bucketMap.toSeq.sortBy(_._1)
+      .map { case (b, d) => s"$b\t$d" }).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(tmpManifest, new Path(base, s"$ManifestPrefix$version")))
       throw new java.io.IOException(s"manifest commit failed for version $version")

@@ -51,6 +51,19 @@ class ExtensionsSpec extends AnyFunSuite {
     ivf.foreach { case (q, c) => assert(c <= exact(q) + 1e-9) }
   }
 
+  test("documents corpus is ASCII (q_multimodal_features oracle precondition)") {
+    // the DuckDB oracle recomputes byte histograms via ascii() per
+    // CHARACTER; that equals the Spark byte-level histogram only while
+    // every document is single-byte ASCII (empty docs are filtered
+    // symmetrically on both sides). Assert it so a testdata change that
+    // breaks the assumption fails loudly here, not as a silent hash
+    // mismatch.
+    val bad = Tables.documents(spark, sf)
+      .where(length(col("text")) =!= octet_length(col("text")))
+      .count()
+    assert(bad == 0, s"$bad docs are non-ASCII; oracle assumption broken")
+  }
+
   test("byte-histogram features are normalized and deterministic") {
     val f1 = SparkEntry.queries("q_multimodal_features")(spark, sf).collect()
     val f2 = SparkEntry.queries("q_multimodal_features")(spark, sf).collect()

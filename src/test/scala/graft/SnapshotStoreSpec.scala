@@ -1,0 +1,95 @@
+package graft
+
+import graft.streaming.SnapshotStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bucket-partitioned snapshot invariants: bounded rewrite (untouched
+  * bucket dirs survive a merge byte-identical), manifest-pinned bucket
+  * count, deterministic winners on replay. */
+class SnapshotStoreSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def rmrf(p: java.io.File): Unit = {
+    Option(p.listFiles()).foreach(_.foreach(rmrf)); p.delete(); ()
+  }
+
+  private def freshDir(name: String): java.io.File = {
+    val d = new java.io.File(s"/root/repo/target/$name")
+    rmrf(d); d
+  }
+
+  private def filesUnder(d: java.io.File): Map[String, (Long, Long)] =
+    Option(d.listFiles()).getOrElse(Array.empty).flatMap { f =>
+      if (f.isDirectory) filesUnder(f).map { case (k, v) => s"${f.getName}/$k" -> v }
+      else Seq(f.getName -> ((f.length(), f.lastModified())))
+    }.toMap
+
+  test("merge rewrites only touched buckets; untouched dirs stay byte-identical") {
+    import spark.implicits._
+    val dir = freshDir("snap_bounded")
+    val base = (1L to 200L).map(k => (k, s"v$k")).toDF("k", "v")
+    SnapshotStore.merge(spark, dir.getAbsolutePath, base, Seq("k"), numBuckets = 8)
+    val m1 = SnapshotStore.currentManifest(spark, dir.getAbsolutePath).get
+    assert(m1.numBuckets == 8)
+    val before = filesUnder(dir)
+    // a single-key batch touches exactly one bucket
+    val delta = Seq((7L, "updated")).toDF("k", "v")
+    val hot = SnapshotStore.bucketCol(Seq("k"), 8)
+    val hotBucket = delta.select(hot).head.getInt(0)
+    SnapshotStore.merge(spark, dir.getAbsolutePath, delta, Seq("k"), numBuckets = 8)
+    val m2 = SnapshotStore.currentManifest(spark, dir.getAbsolutePath).get
+    assert(m2.version == m1.version + 1)
+    // manifest: only the hot bucket's dir changed
+    assert(m2.buckets(hotBucket) != m1.buckets(hotBucket))
+    (m1.buckets.keySet - hotBucket).foreach { b =>
+      assert(m2.buckets(b) == m1.buckets(b), s"bucket $b dir changed")
+    }
+    // filesystem: every file in an untouched bucket dir is byte-identical
+    // (same path, same length, same mtime — never rewritten)
+    val after = filesUnder(dir)
+    val untouchedDirs = (m1.buckets - hotBucket).values.toSet
+    before.filter { case (p, _) => untouchedDirs.exists(d => p.startsWith(s"$d/")) }
+      .foreach { case (p, sig) =>
+        assert(after.get(p).contains(sig), s"untouched file $p was rewritten")
+      }
+    // content: update applied, everything else intact
+    val snap = SnapshotStore.read(spark, dir.getAbsolutePath)
+    assert(snap.count() == 200)
+    assert(snap.filter($"k" === 7L).head.getString(1) == "updated")
+  }
+
+  test("merge with a different numBuckets than the manifest fails fast") {
+    import spark.implicits._
+    val dir = freshDir("snap_nbguard")
+    val base = (1L to 50L).map(k => (k, k * 2)).toDF("k", "v")
+    SnapshotStore.merge(spark, dir.getAbsolutePath, base, Seq("k"), numBuckets = 4)
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotStore.merge(spark, dir.getAbsolutePath,
+        Seq((1L, 99L)).toDF("k", "v"), Seq("k"), numBuckets = 8)
+    }
+    assert(ex.getMessage.contains("numBuckets=4"))
+    // snapshot unchanged by the rejected merge
+    assert(SnapshotStore.read(spark, dir.getAbsolutePath).count() == 50)
+  }
+
+  test("replaying a batch with in-batch duplicates converges to one deterministic winner") {
+    import spark.implicits._
+    val dir = freshDir("snap_replay")
+    val batch = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "ts", "v")
+    SnapshotStore.merge(spark, dir.getAbsolutePath, batch, Seq("k"),
+      numBuckets = 4, orderCol = Some("ts"))
+    val first = SnapshotStore.read(spark, dir.getAbsolutePath)
+      .orderBy("k").collect().map(_.toString).toSeq
+    assert(first.size == 2)
+    // largest ts wins
+    assert(SnapshotStore.read(spark, dir.getAbsolutePath)
+      .filter($"k" === 1L).head.getAs[String]("v") == "b")
+    SnapshotStore.merge(spark, dir.getAbsolutePath, batch, Seq("k"),
+      numBuckets = 4, orderCol = Some("ts"))
+    val replayed = SnapshotStore.read(spark, dir.getAbsolutePath)
+      .orderBy("k").collect().map(_.toString).toSeq
+    assert(replayed == first, "replay must converge to identical state")
+  }
+}

@@ -110,13 +110,14 @@ class StreamingSpec extends AnyFunSuite {
     val q = Streams.upsertSink(events, target.getAbsolutePath,
       Seq("user_id"), chk.getAbsolutePath)
     try q.processAllAvailable() finally q.stop()
-    val snap = spark.read.parquet(target.getAbsolutePath)
+    // bucket-dir layout: read through the manifest, not the raw directory
+    val snap = Streams.readSnapshot(spark, target.getAbsolutePath)
     val users = Tables.events(spark, sf).select("user_id").distinct().count()
     assert(snap.count() == users, "one row per key in the snapshot")
     // replaying the same batch converges (merge is idempotent on key)
     Streams.mergeIntoSnapshot(spark, target.getAbsolutePath,
       Tables.events(spark, sf).select("user_id", "event_type", "value"), Seq("user_id"))
-    assert(spark.read.parquet(target.getAbsolutePath).count() == users)
+    assert(Streams.readSnapshot(spark, target.getAbsolutePath).count() == users)
   }
 
   test("RocksDB state store produces identical results to the in-memory store") {
