@@ -10,11 +10,21 @@ object Bench {
     // so the first measured query isn't charged the JVM startup cost
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+    // SPARK_GRAFT_ONLY=q_a,q_b: time just those keys (tail-chasing runs);
+    // SPARK_GRAFT_REPS=N: run each key N times, report the minimum (the
+    // reproducible cost — excludes GC/compilation noise on a shared box)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      (name, runs.map(_._1).min, runs.forall(_._2))
     }
     def r3(v: Double): Double = math.round(v * 1000).toDouble / 1000
     def jmap(rs: Seq[(String, Double, Boolean)]): String =

@@ -23,22 +23,23 @@ object TextOps {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Distinct (id, shingle) rows — the canonical shingle producer for
-    * the dedup pipeline. Formulated as posexplode + window `lead`s so
-    * the tokenizer runs ONCE per document and everything stays in
-    * codegen; the array-valued [[shingles]] variant re-evaluates the
-    * split inside its lambda per element (O(tokens²) per doc — measured
-    * 3× slower end-to-end on the near-dup join) and is kept only for
-    * array-API composition. Shuffles once, keyed by id. */
+    * the dedup pipeline. One shuffle (the final distinct), everything
+    * in whole-stage codegen: the token array is materialized once per
+    * document (CollapseProject keeps a non-cheap alias that is
+    * referenced w+ times in its own projection), positions come from a
+    * codegen'd posexplode over `sequence`, and each shingle is w
+    * element_at lookups + concat_ws — no window (the previous `lead`
+    * formulation paid a shuffle+sort by id before the distinct) and no
+    * higher-order-function lambdas (HOFs are CodegenFallback and would
+    * drop the hot path out of codegen). */
   def shingleRows(df: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame = {
-    val win = Window.partitionBy(idCol).orderBy("__pos")
-    val leadCols = (1 until w).map(k => lead(col("__word"), k).over(win).as(s"__l$k"))
-    df.select(col(idCol), posexplode(tokens(col(textCol))))
-      .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__word")
-      .select(col(idCol) +: col("__word") +: leadCols: _*)
-      // window exprs must be materialized before they can be filtered on
-      .filter(col(s"__l${w - 1}").isNotNull)
+    val ws = col("__ws")
+    df.select(col(idCol), tokens(col(textCol)).as("__ws"))
+      .filter(size(ws) >= w)
+      .select(col(idCol), ws, posexplode(sequence(lit(1), size(ws) - (w - 1))))
       .select(col(idCol),
-        concat_ws(" ", col("__word") +: (1 until w).map(k => col(s"__l$k")): _*).as("shingle"))
+        concat_ws(" ", (0 until w).map(k => element_at(ws, col("col") + k)): _*)
+          .as("shingle"))
       .distinct()
   }
 

@@ -108,7 +108,10 @@ object Analytics {
       |    ON e.src = r.node)
       |SELECT CAST(node AS BIGINT) AS node, CAST(depth AS BIGINT) AS depth
       |FROM reach ORDER BY node""".stripMargin) { (s, d) =>
-    Tables.nation(s, d).createOrReplaceTempView("nation")
+    // each of the ~24 recursion steps re-executes the joined subquery;
+    // checkpointing pins the (tiny) edge input in memory so the steps
+    // replay a LogicalRDD instead of re-listing + re-reading parquet
+    Tables.nation(s, d).localCheckpoint(true).createOrReplaceTempView("nation")
     s.sql(
       """WITH RECURSIVE reach(node, depth) AS (
         |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth

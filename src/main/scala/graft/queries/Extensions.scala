@@ -61,20 +61,34 @@ object Extensions {
     nearDupPairsOf(Tables.documents(s, d), threshold, MaxShingleDf)
 
   /** Same, over an arbitrary (doc_id, text) frame — the unit-testable
-    * seam for the df cap. */
+    * seam for the df cap.
+    *
+    * Skew story, stage by stage (the classic near-dup scale-killers are
+    * a hot shingle's k² join fan-out and its k-row shuffle straggler):
+    *  1. document frequency comes from `groupBy(s).count()` — hash
+    *     aggregation with map-side partial combine, so even a shingle in
+    *     millions of docs ships one partial count per map task, never a
+    *     single-task row pile (a window `count over (partition by s)`
+    *     would);
+    *  2. hot shingles (df > cap) are removed by a BROADCAST anti-join —
+    *     a map-side hash lookup, so the hot keys' rows are dropped
+    *     before ever being shuffled. The hot set is broadcast-safe by
+    *     construction: it is only the boilerplate phrases shared by
+    *     more than cap documents (Zipf head), orders of magnitude
+    *     smaller than the shingle vocabulary;
+    *  3. the surviving self-join's per-key fan-out is ≤ cap²/2 rows and
+    *     its per-key input ≤ cap rows — bounded skew, no salting needed.
+    */
   private[graft] def nearDupPairsOf(docs: DataFrame, threshold: Double,
       maxShingleDf: Int): DataFrame = {
-    // materialize the inverted index once — it feeds the self-join's two
-    // sides AND the size lookup, and would otherwise be recomputed
-    // (scan + window + distinct) three times. The df filter runs BEFORE
-    // the checkpoint: one extra shuffle keyed by shingle (same key as
-    // the join itself), bounding every downstream join key's fan-out.
-    val win = Window.partitionBy("s")
-    val inv = TextOps.shingleRows(docs, "doc_id", "text", 3)
+    // materialized once — feeds the df count, both self-join sides, and
+    // the size lookup (shingleRows shuffles once for its distinct)
+    val inv0 = TextOps.shingleRows(docs, "doc_id", "text", 3)
       .select(col("doc_id"), xxhash64(col("shingle")).as("s"))
-      .withColumn("__df", count(lit(1)).over(win))
-      .filter(col("__df") <= maxShingleDf)
-      .drop("__df")
+      .localCheckpoint(true)
+    val hot = inv0.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf).select("s")
+    val inv = inv0.join(broadcast(hot), Seq("s"), "left_anti")
       .localCheckpoint(true)
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val shared = inv.as("a").join(inv.as("b"),
