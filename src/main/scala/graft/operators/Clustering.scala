@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
+
+/** Distributed Lloyd's k-means over an embedding column — the centroid
+  * trainer behind IVF-style ANN (the reference's vector surface stops at
+  * per-label grouping; a real inverted-file index wants learned cells).
+  *
+  * Scale shape (100 TB stance): the corpus NEVER moves.
+  *  - assignment is map-side — the k centroids are a model-sized literal
+  *    array baked into a codegen'd expression (k·dim floats, a few KB),
+  *    so scoring is one fused cosine loop per centroid per row;
+  *  - the update step ships only (cluster, position, partial sum/count)
+  *    through one partially-aggregated shuffle — k·dim·partitions rows,
+  *    independent of corpus size;
+  *  - the driver holds k·dim doubles per round (the model), never rows.
+  *
+  * Cosine geometry (argmax cosine, mean recombination) to match the ANN
+  * queries it feeds; ties break to the lowest cluster id. Deterministic:
+  * seeded init takes the k lowest-id vectors' values, and per-cluster
+  * means are summed in double precision — row-order differences stay
+  * below the 1e-6 assignment epsilon on unit-scale embeddings.
+  */
+object KMeans {
+
+  /** Driver-side model: `centroids(i)` is cluster i's center. */
+  final case class Model(centroids: Seq[Seq[Float]]) {
+    def k: Int = centroids.size
+  }
+
+  /** Map-side cluster assignment: argmax cosine against the model,
+    * ties to the lowest cluster id (struct max on (cos, -idx)). */
+  def assignment(vec: Column, model: Model): Column = {
+    val entries = model.centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        VectorExpressions.cosineFast(vec, typedlit(c)).as("cos"),
+        lit(-i).as("neg"))
+    }
+    (-array_max(array(entries: _*)).getField("neg")).cast("int")
+  }
+
+  /** Per-row cosine distance (1 - cos) to the assigned centroid —
+    * the inertia contribution, map-side like [[assignment]]. */
+  def distanceToAssigned(vec: Column, model: Model): Column = {
+    val best = array_max(array(model.centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        VectorExpressions.cosineFast(vec, typedlit(c)).as("cos"),
+        lit(-i).as("neg"))
+    }: _*))
+    lit(1.0) - best.getField("cos")
+  }
+
+  /** Train on `df(vecCol)` (array<float>). Init = the k vectors with the
+    * lowest `idCol` (deterministic, corpus-order-independent). Runs up to
+    * `maxIter` update rounds, stopping early when no vector changes
+    * cluster. Empty clusters keep their previous centroid.
+    *
+    * Requires [[VectorExpressions.register]] on the session (the callers
+    * all register; `fit` re-registers defensively). */
+  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      maxIter: Int = 5): Model = {
+    VectorExpressions.register(df.sparkSession)
+    val init = df.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(k).collect()
+      .map(_.getSeq[Float](1).toSeq).toSeq
+    var model = Model(init)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val assigned = df.select(col(vecCol).as("__v"))
+        .withColumn("__c", assignment(col("__v"), model))
+      // element-wise mean per cluster: (cluster, pos) partial sums only
+      val next = assigned
+        .select(col("__c"), posexplode(col("__v")))
+        .groupBy(col("__c"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("v"))
+        .groupBy("__c")
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+        .select(col("__c"),
+          expr("transform(pv, x -> CAST(x.v AS FLOAT))").as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq).toMap
+      val updated = Model(model.centroids.indices.map(i =>
+        next.getOrElse(i, model.centroids(i))))
+      moved = updated != model
+      model = updated
+      iter += 1
+    }
+    model
+  }
+}

@@ -330,47 +330,60 @@ object Extensions {
       .orderBy("qid", "rnk")
   }
 
-  /** IVF-style ANN: coarse centroids (here: per-label mean vectors) →
-    * probes visit only their nprobe=2 nearest cells → exact rerank
-    * inside the visited cells. This is the plan shape that scales: the
-    * corpus is partitioned by cell id and only nprobe cells shuffle per
-    * probe. Approximate → rows-only check. */
+  /** IVF-style ANN over LEARNED cells: Lloyd-trained k-means centroids
+    * (graft.operators.KMeans) partition the corpus into k inverted-file
+    * cells; probes visit only their nprobe=2 nearest cells; exact rerank
+    * runs inside the visited cells. Every per-row step is map-side
+    * against the model-sized centroid literal — corpus cell assignment,
+    * probe cell selection (an array_sort over k struct entries, no
+    * window, no cross-join) — so the only corpus-sized shuffle is the
+    * probe×cell candidate join. Approximate → rows-only check. */
   val qAnnIvf = Q.noOracle("q_ann_ivf") { (s, d) =>
     VectorExpressions.register(s)
-    // the embeddings scan feeds three branches (centroid training, probe
-    // selection, candidate rerank) — materialize it once instead of
-    // re-reading + re-decoding the parquet per branch
+    // the embeddings scan feeds training, probes, and rerank branches —
+    // materialize it once instead of re-decoding the parquet per branch
     val e = Tables.embeddings(s, d).localCheckpoint(true)
-    // centroid per label: element-wise mean via posexplode + re-assemble
-    val centroids = e
-      .select(col("label"), posexplode(col("embedding")))
-      .groupBy(col("label"), col("pos"))
-      .agg(avg(col("col").cast("double")).as("v"))
-      .groupBy("label")
-      .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
-      .select(col("label").as("cell"),
-        expr("transform(pv, x -> CAST(x.v AS FLOAT))").as("centroid"))
-    val probes = e.filter(probeFilter)
+    val model = graft.operators.KMeans.fit(e, "vec_id", "embedding", k = 8, maxIter = 3)
+    val cand = e.select(col("vec_id").as("cid"), col("embedding").as("ec"))
+      .withColumn("cell", graft.operators.KMeans.assignment(col("ec"), model))
+    // nprobe=2 nearest cells, computed as a sort over k model entries
+    val cellsRanked = array_sort(array(model.centroids.zipWithIndex.map {
+      case (c, i) =>
+        struct((lit(-1.0) * VectorExpressions.cosineFast(col("eq"), typedlit(c)))
+          .as("negcos"), lit(i).as("cell"))
+    }: _*))
+    val visited = e.filter(probeFilter)
       .select(col("vec_id").as("qid"), col("embedding").as("eq"))
-    // nprobe=2 nearest cells per probe
-    val cellRank = Window.partitionBy("qid")
-      .orderBy(round(VectorExpressions.cosineFast(col("eq"), col("centroid")), 4).desc,
-        col("cell").asc)
-    val visited = broadcast(probes).join(broadcast(centroids), lit(true))
-      .withColumn("cell_rnk", row_number().over(cellRank))
-      .filter(col("cell_rnk") <= 2)
-      .select("qid", "eq", "cell")
+      .select(col("qid"), col("eq"),
+        explode(slice(cellsRanked, 1, 2)).as("cc"))
+      .select(col("qid"), col("eq"), col("cc.cell").as("cell"))
     // exact rerank within visited cells only
-    val cand = e.select(col("vec_id").as("cid"), col("embedding").as("ec"), col("label").as("cell"))
     val w = Window.partitionBy("qid")
       .orderBy(col("cos").desc, col("cid").asc)
-    visited.join(cand, Seq("cell"))
+    broadcast(visited).join(cand, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         round(VectorExpressions.cosineFast(col("eq"), col("ec")), 4).as("cos"))
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= 3)
       .orderBy("qid", "rnk")
+  }
+
+  /** K-means training surfaced as a query: cluster cardinalities and
+    * cosine inertia of the trained model — the IVF cell-balance report
+    * a corpus curator reads before trusting the index. Engine-specific
+    * (iterative trainer) → rows-only check; the trainer's semantics are
+    * pinned by ClusteringSpec. */
+  val qKmeans = Q.noOracle("q_kmeans") { (s, d) =>
+    VectorExpressions.register(s)
+    val e = Tables.embeddings(s, d).localCheckpoint(true)
+    val model = graft.operators.KMeans.fit(e, "vec_id", "embedding", k = 8, maxIter = 5)
+    e.select(col("vec_id"), col("embedding"))
+      .withColumn("cluster", graft.operators.KMeans.assignment(col("embedding"), model))
+      .withColumn("dist", graft.operators.KMeans.distanceToAssigned(col("embedding"), model))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), round(sum("dist"), 2).as("inertia"))
+      .orderBy("cluster")
   }
 
   /** Random-hyperplane LSH ANN: deterministic hash-derived hyperplanes
@@ -675,7 +688,7 @@ object Extensions {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qNeardup, qDedupCluster, qDedupMinhash, qDedupSimhash, qDedupEmbed,
-    qSimilarityTopk, qSimilaritySql, qAnnIvf, qAnnLsh,
+    qSimilarityTopk, qSimilaritySql, qAnnIvf, qAnnLsh, qKmeans,
     qTextAnalysis, qTextTopwords, qLangId, qLangIdNgram, qTextQuality, qTokenCount,
     qDocFingerprint,
     qMultimodalJoin, qMultimodalMeta, qMultimodalFeatures, qMultimodalFrames)

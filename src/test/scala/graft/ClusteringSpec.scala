@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.KMeans
+
+/** Lloyd k-means invariants: recovery of separated clusters, assignment
+  * consistency, determinism, and the k=1 degenerate case. */
+class ClusteringSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def cos(a: Seq[Float], b: Seq[Float]): Double = {
+    val n = math.min(a.size, b.size)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    (0 until n).foreach { i =>
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0) 0.0 else dot / d
+  }
+
+  // three well-separated direction bundles in 4d, 20 points each, plus
+  // ids interleaved so the lowest-k init spans bundles
+  private lazy val separated = {
+    val base = Seq(
+      Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f), Seq(0f, 0f, 1f, 0f))
+    val rows = (0 until 60).map { i =>
+      val b = base(i % 3)
+      // small deterministic jitter that keeps each point nearest its base
+      val jit = b.zipWithIndex.map { case (v, j) =>
+        v + 0.05f * (((i * 7 + j * 3) % 5) - 2)
+      }
+      (i.toLong, jit)
+    }
+    spark.createDataFrame(rows).toDF("id", "vec")
+  }
+
+  test("k-means recovers well-separated direction clusters") {
+    val model = KMeans.fit(separated, "id", "vec", k = 3, maxIter = 10)
+    val assigned = separated
+      .withColumn("c", KMeans.assignment(col("vec"), model))
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    // every bundle (i % 3) maps to exactly one cluster, and the three
+    // bundles map to three distinct clusters
+    val byBundle = assigned.groupBy(_._1 % 3).map { case (b, rs) =>
+      b -> rs.map(_._2).distinct
+    }
+    byBundle.foreach { case (b, cs) =>
+      assert(cs.size == 1, s"bundle $b split across clusters $cs")
+    }
+    assert(byBundle.values.flatten.toSet.size == 3)
+  }
+
+  test("assignment is argmax cosine against the model, ties to lowest id") {
+    val model = KMeans.fit(separated, "id", "vec", k = 3, maxIter = 10)
+    separated.withColumn("c", KMeans.assignment(col("vec"), model))
+      .collect().foreach { r =>
+        val v = r.getSeq[Float](1)
+        val sims = model.centroids.map(c => cos(v, c))
+        val expected = sims.indices.maxBy(i => (sims(i), -i))
+        assert(r.getInt(2) == expected,
+          s"id ${r.getLong(0)}: got ${r.getInt(2)}, expected $expected ($sims)")
+      }
+  }
+
+  test("fit is deterministic across repeated runs and partitionings") {
+    val a = KMeans.fit(separated, "id", "vec", k = 3, maxIter = 10)
+    val b = KMeans.fit(separated.repartition(7), "id", "vec", k = 3, maxIter = 10)
+    assert(a == b)
+  }
+
+  test("k=1 centroid is the element-wise mean") {
+    val model = KMeans.fit(separated, "id", "vec", k = 1, maxIter = 3)
+    val mean = separated
+      .select(posexplode(col("vec")))
+      .groupBy("pos").agg(avg(col("col").cast("double")).as("v"))
+      .orderBy("pos").collect().map(_.getDouble(1))
+    model.centroids.head.zip(mean).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-6, s"$got vs $want")
+    }
+  }
+
+  test("training reduces cosine inertia vs the init model") {
+    val e = Tables.embeddings(spark, sf).limit(500).localCheckpoint(true)
+    val init = KMeans.Model(
+      e.select(col("vec_id"), col("embedding")).orderBy("vec_id").limit(8)
+        .collect().map(_.getSeq[Float](1).toSeq).toSeq)
+    val trained = KMeans.fit(e, "vec_id", "embedding", k = 8, maxIter = 5)
+    def inertia(m: KMeans.Model): Double =
+      e.select(sum(KMeans.distanceToAssigned(col("embedding"), m)))
+        .head.getDouble(0)
+    assert(inertia(trained) <= inertia(init) + 1e-9)
+  }
+}
