@@ -215,10 +215,29 @@ object Analytics {
       .orderBy("rnk")
   }
 
+  /** Z-order (Morton) layout key over (o_custkey, o_orderkey) — the
+    * multi-dimensional clustering sort a 100 TB table is written in so
+    * conjunctive range scans prune row groups on every dimension (see
+    * graft.functions.ZOrder; pruning measured in LayoutSpec/SCALING.md).
+    * The z-value is portable integer bit math — the oracle computes the
+    * identical expression, so this layout key is hash-checked. */
+  val qZorder = Q(
+    "q_zorder",
+    s"""SELECT o_orderkey, o_custkey,
+       |  ${graft.functions.ZOrder.zvalueSql(Seq("o_custkey", "o_orderkey"), 24)} AS z
+       |FROM orders
+       |ORDER BY z, o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        graft.functions.ZOrder.zvalue(
+          Seq(col("o_custkey"), col("o_orderkey")), 24).as("z"))
+      .orderBy("z", "o_orderkey")
+  }
+
   val all: Seq[Q] =
     Seq(qPivot, qAggStats, qAggPercentile, qAggApproxPercentile,
       qCteRecursive, qUnpivot, qAggHistogram, qAggArgmax, qAggCountmin,
-      qAggApproxTopk)
+      qAggApproxTopk, qZorder)
 }
 
 /** Iterative fixpoint evaluation — the programmatic recursion API for

@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.{GraftSession, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scaling probe: amplifies the sf0.1 tables ~10× by unioning key-shifted
@@ -25,6 +25,12 @@ object ScaleProbe {
     val r = body
     (r, (System.nanoTime() - t0) / 1e9)
   }
+
+  /** Min of 3 runs — the reproducible cost. Single runs on a shared box
+    * swing 2-3× with GC/JIT/page-cache state, enough to invert every
+    * comparison this probe exists to make. */
+  private def timeMin[T](body: => T): Double =
+    (1 to 3).map(_ => time(body)._2).min
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -89,11 +95,11 @@ object ScaleProbe {
     q1(li1); smj(li1, ord1); topkWindow(ord1); topkAgg(ord1)
 
     val results = Seq(
-      ("agg (TPC-H Q1 shape)", time(q1(li1))._2, time(q1(li10))._2, 10),
-      ("sort-merge join + agg", time(smj(li1, ord1))._2, time(smj(li10, ord10))._2, 10),
-      ("near-dup inverted index", time(neardup(docs1))._2, time(neardup(docs4))._2, 4),
-      ("top-k per group: window", time(topkWindow(ord1))._2, time(topkWindow(ord10))._2, 10),
-      ("top-k per group: heap agg", time(topkAgg(ord1))._2, time(topkAgg(ord10))._2, 10))
+      ("agg (TPC-H Q1 shape)", timeMin(q1(li1)), timeMin(q1(li10)), 10),
+      ("sort-merge join + agg", timeMin(smj(li1, ord1)), timeMin(smj(li10, ord10)), 10),
+      ("near-dup inverted index", timeMin(neardup(docs1)), timeMin(neardup(docs4)), 4),
+      ("top-k per group: window", timeMin(topkWindow(ord1)), timeMin(topkWindow(ord10)), 10),
+      ("top-k per group: heap agg", timeMin(topkAgg(ord1)), timeMin(topkAgg(ord10)), 10))
 
     // ---- planted-skew probe: the near-dup scale-killer, measured ----
     // Append one boilerplate phrase to EVERY document of the 4x corpus:
@@ -111,8 +117,8 @@ object ScaleProbe {
       graft.queries.Extensions.nearDupPairsOf(
         docs, 0.2, graft.queries.Extensions.MaxShingleDf).count()
     neardupCapped(docs1) // warm-up
-    val tUniform = time(neardupCapped(docs4))._2
-    val tPlanted = time(neardupCapped(planted(docs4)))._2
+    val tUniform = timeMin(neardupCapped(docs4))
+    val tPlanted = timeMin(neardupCapped(planted(docs4)))
     def candidates(docs: DataFrame, cap: Int): Long = {
       val inv = graft.functions.TextOps.shingleRows(docs, "doc_id", "text", 3)
         .select(col("doc_id"), xxhash64(col("shingle")).as("s"))
@@ -125,6 +131,35 @@ object ScaleProbe {
     }
     val candCapped = candidates(planted(docs1), graft.queries.Extensions.MaxShingleDf)
     val candUncapped = candidates(planted(docs1), Int.MaxValue)
+
+    // ---- z-order layout: rows scanned for 2-d predicates at 10x ----
+    // 1.5M orders in two physical layouts; parquet row-group min/max
+    // stats do the pruning, the layout decides whether they CAN.
+    val rg = Map("parquet.block.size" -> (1024 * 1024).toString)
+    ord10.orderBy("o_orderkey")
+      .write.options(rg).mode("overwrite").parquet(s"$out/lay_linear")
+    graft.functions.ZOrder.layoutBy(ord10, 27, "o_custkey", "o_orderkey")
+      .write.options(rg).mode("overwrite").parquet(s"$out/lay_zorder")
+    def scanRows(path: String, pred: Column): Long = {
+      val df = spark.read.parquet(path).filter(pred)
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.sum
+    }
+    val totalOrd = ord10.count()
+    val custStrip = col("o_custkey").between(1000, 1500)
+    val custOrdBox = custStrip && col("o_orderkey").between(20000000L, 30000000L)
+    val stripLin = scanRows(s"$out/lay_linear", custStrip)
+    val stripZ = scanRows(s"$out/lay_zorder", custStrip)
+    val boxLin = scanRows(s"$out/lay_linear", custOrdBox)
+    val boxZ = scanRows(s"$out/lay_zorder", custOrdBox)
 
     // shuffle bytes written: the cluster-scale cost the wall-clock hides
     // on one machine (local shuffles hit page cache; a 1000-executor
@@ -217,6 +252,23 @@ object ScaleProbe {
     sb.append("needed. Uncapped, the planted phrase alone multiplies the candidate\n")
     sb.append("set by the table above — at 100 TB that key is a single-reducer\n")
     sb.append("~10^12-pair death sentence. The cap turns it into a no-op.\n")
+    sb.append("\n## Z-order layout: parquet rows scanned, 1.5M orders\n\n")
+    sb.append("Same data, two physical layouts (1 MiB row groups), same pushed\n")
+    sb.append("filters — row-group min/max pruning does the work IF the layout\n")
+    sb.append("clusters the predicate columns (graft.functions.ZOrder, q_zorder):\n\n")
+    sb.append("| predicate | sorted by o_orderkey | z-ordered (cust, order) |\n")
+    sb.append("|---|---|---|\n")
+    sb.append(f"| o_custkey strip (non-leading dim) | $stripLin%,d rows " +
+      f"(${stripLin * 100.0 / totalOrd}%.0f%%) | $stripZ%,d (${stripZ * 100.0 / totalOrd}%.0f%%) |\n")
+    sb.append(f"| o_custkey strip AND o_orderkey range | $boxLin%,d " +
+      f"(${boxLin * 100.0 / totalOrd}%.0f%%) | $boxZ%,d (${boxZ * 100.0 / totalOrd}%.0f%%) |\n")
+    sb.append("\nFinding: a 1-d sort cannot prune a predicate on the non-leading\n")
+    sb.append("column — every row group spans the full o_custkey range, so the\n")
+    sb.append("strip scan reads the whole table. The z-layout bounds BOTH key\n")
+    sb.append("ranges per row group, so either predicate shape prunes. At 100 TB\n")
+    sb.append("the strip row is the difference between a full-table scan and\n")
+    sb.append("reading a few percent; the price is z-order's slightly weaker\n")
+    sb.append("best-case on leading-column-only scans.\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/SCALING.md"),
       sb.toString)
     println(sb.toString)
