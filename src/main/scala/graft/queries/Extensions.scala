@@ -181,6 +181,30 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** Incremental first-seen-wins ingestion (graft.operators
+    * .IncrementalDedup over the bucketed SnapshotStore): the documents
+    * table arrives as two batches (even doc_ids first), each deduped
+    * against everything already ingested, survivors merged into the
+    * bucket-pruned snapshot; the final corpus is read back. End-to-end
+    * hash-checked: the oracle picks, per text, the lowest doc_id of the
+    * earliest batch — exactly first-seen-wins. */
+  val qDedupIncremental = Q(
+    "q_dedup_incremental",
+    """WITH r AS (SELECT doc_id, text,
+      |  row_number() OVER (PARTITION BY text ORDER BY (doc_id % 2), doc_id) AS rn
+      |  FROM documents)
+      |SELECT doc_id, text FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin) {
+    (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
+      graft.operators.IncrementalDedup.ingest(
+        s, dir, docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      graft.operators.IncrementalDedup.ingest(
+        s, dir, docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      graft.operators.IncrementalDedup.corpus(s, dir)
+        .select("doc_id", "text").orderBy("doc_id")
+  }
+
   /** MinHash + LSH banding near-dup: 16 minhashes, 4 bands × 4 rows.
     * Candidates share ≥1 band bucket; output the signature-estimated
     * Jaccard. Hash-dependent → rows-only check; recall vs q_neardup is
@@ -688,6 +712,7 @@ object Extensions {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qNeardup, qDedupCluster, qDedupMinhash, qDedupSimhash, qDedupEmbed,
+    qDedupIncremental,
     qSimilarityTopk, qSimilaritySql, qAnnIvf, qAnnLsh, qKmeans,
     qTextAnalysis, qTextTopwords, qLangId, qLangIdNgram, qTextQuality, qTokenCount,
     qDocFingerprint,

@@ -94,6 +94,17 @@ object SnapshotStore {
     spark.read.parquet(dirs: _*)
   }
 
+  /** Only the named buckets of the current snapshot (empty frame with
+    * the snapshot's schema when none of them exist yet). The pruned-read
+    * primitive: a batch-sized key lookup reads |batch buckets|/B of the
+    * table, not all of it. */
+  def readBuckets(spark: SparkSession, dir: String,
+      buckets: Seq[Int]): Option[DataFrame] =
+    currentManifest(spark, dir).flatMap { m =>
+      val dirs = buckets.flatMap(m.buckets.get).sorted.map(d => s"$dir/$d")
+      if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+    }
+
   /** One MERGE of `batch` into the snapshot at `dir`, rewriting only the
     * buckets the batch's keys hash into. Idempotent on the key: replaying
     * a batch produces a new version with identical content.
