@@ -110,9 +110,15 @@ object Analytics {
       |FROM reach ORDER BY node""".stripMargin) { (s, d) =>
     // each of the ~24 recursion steps re-executes the joined subquery;
     // checkpointing pins the (tiny) edge input in memory so the steps
-    // replay a LogicalRDD instead of re-listing + re-reading parquet
+    // replay a LogicalRDD instead of re-listing + re-reading parquet.
+    // AQE is off for the recursion itself — re-optimizing 24 rows-sized
+    // micro-steps costs ~20% (measured, PlanProbe) and buys nothing —
+    // so the result is materialized eagerly under the restored-on-exit
+    // setting (localCheckpoint preserves the ORDER BY for consumers).
     Tables.nation(s, d).localCheckpoint(true).createOrReplaceTempView("nation")
-    s.sql(
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try s.sql(
       """WITH RECURSIVE reach(node, depth) AS (
         |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
         |  UNION ALL
@@ -123,6 +129,8 @@ object Analytics {
         |        FROM nation WHERE n_nationkey < 24) e
         |    ON e.src = r.node)
         |SELECT node, depth FROM reach ORDER BY node""".stripMargin)
+      .localCheckpoint(true)
+    finally s.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   /** UNPIVOT (wide→long): the inverse of q_pivot; also the reshape the

@@ -3,17 +3,36 @@ package graft.tools
 import graft.{GraftSession, Tables}
 import org.apache.spark.sql.functions._
 
-/** One-off plan inspector for the shingle pipeline (diagnostic tool). */
+/** One-off plan/timing inspector (diagnostic tool).
+  * `runMain graft.tools.PlanProbe shingles|recursive`. */
 object PlanProbe {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.builder("local[8]", "8").getOrCreate()
+    val spark = GraftSession.builder(
+      s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
-    val sh = graft.functions.TextOps.shingleRows(docs, "doc_id", "text", 3)
-    val plan = sh.queryExecution.executedPlan.toString
-    val nSplit = "split\\(".r.findAllIn(plan).size
-    println(s"=== split() occurrences in physical plan: $nSplit")
-    println(plan.take(4000))
+    args.headOption.getOrElse("shingles") match {
+      case "recursive" =>
+        val sf = "/root/testdata/sf0.1"
+        def run(): Long =
+          graft.SparkEntry.queries("q_cte_recursive")(spark, sf).count()
+        def t(body: => Long): Double = {
+          val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+        }
+        run() // warm
+        val aqeOn = (1 to 3).map(_ => t(run())).min
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val aqeOff = (1 to 3).map(_ => t(run())).min
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        println(f"=== q_cte_recursive min-of-3: AQE on $aqeOn%.2fs / off $aqeOff%.2fs")
+      case _ =>
+        val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+        val sh = graft.functions.TextOps.shingleRows(docs, "doc_id", "text", 3)
+        val plan = sh.queryExecution.executedPlan.toString
+        val nSplit = "split\\(".r.findAllIn(plan).size
+        println(s"=== split() occurrences in physical plan: $nSplit")
+        println(plan.take(4000))
+    }
     spark.stop()
   }
 }
