@@ -28,8 +28,13 @@ object ConnectedComponents {
     val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .localCheckpoint(true)
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("lbl", col("node")).localCheckpoint(true)
+    // init fused with the first propagation round: every node's label
+    // starts at min(self, neighbors) from ONE aggregation — the separate
+    // distinct-nodes shuffle plus a full first join round would compute
+    // exactly this (every node appears as `a` since edges are symmetric)
+    var labels = sym.groupBy("a").agg(min("b").as("__mb"))
+      .select(col("a").as("node"), least(col("a"), col("__mb")).as("lbl"))
+      .localCheckpoint(true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {

@@ -205,6 +205,41 @@ object Extensions {
         .select("doc_id", "text").orderBy("doc_id")
   }
 
+  /** Token-budget corpus selection: rank documents by quality
+    * (type-token ratio, ties by doc_id), admit greedily until the
+    * cumulative token count reaches the budget — the final cut every
+    * training-data pipeline makes. The running total is
+    * graft.operators.CumSum (range-partitioned parallel prefix sums +
+    * a partition-count-sized offset broadcast), NOT a global-ORDER
+    * window, which Spark would execute on a single task. Oracle: the
+    * single-task window form in DuckDB — identical integer arithmetic. */
+  val qTokenBudget = Q(
+    "q_token_budget",
+    """WITH scored AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |           / len(string_split(text, ' ')) AS q
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tokens, q,
+      |             sum(n_tokens) OVER (ORDER BY q DESC, doc_id) AS cum_tokens
+      |      FROM scored)
+      |SELECT doc_id, n_tokens, cum_tokens, round(q, 4) AS quality
+      |FROM c WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val ws = col("__ws")
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("__ws"))
+      .select(col("doc_id"), size(ws).cast("bigint").as("n_tokens"),
+        (size(array_distinct(ws)).cast("double") / size(ws)).as("q"))
+    graft.operators.CumSum
+      .runningTotal(scored, "n_tokens", "cum_tokens",
+        Seq(col("q").desc, col("doc_id").asc))
+      .filter(col("cum_tokens") <= 10000)
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
+        round(col("q"), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash + LSH banding near-dup: 16 minhashes, 4 bands × 4 rows.
     * Candidates share ≥1 band bucket; output the signature-estimated
     * Jaccard. Hash-dependent → rows-only check; recall vs q_neardup is
@@ -712,7 +747,7 @@ object Extensions {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qNeardup, qDedupCluster, qDedupMinhash, qDedupSimhash, qDedupEmbed,
-    qDedupIncremental,
+    qDedupIncremental, qTokenBudget,
     qSimilarityTopk, qSimilaritySql, qAnnIvf, qAnnLsh, qKmeans,
     qTextAnalysis, qTextTopwords, qLangId, qLangIdNgram, qTextQuality, qTokenCount,
     qDocFingerprint,

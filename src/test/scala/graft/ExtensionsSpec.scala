@@ -291,4 +291,29 @@ class ExtensionsSpec extends AnyFunSuite {
     // every group yields min(2, group size) rows; all sf groups have >=2
     assert(n >= groups)
   }
+
+  test("distributed running total equals the single-task global window") {
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey").cast("bigint").as("v"))
+    val viaOp = graft.operators.CumSum
+      .runningTotal(o, "v", "cum", Seq(col("o_orderkey").asc))
+      .select("o_orderkey", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy("o_orderkey")
+      .rowsBetween(Long.MinValue, 0)
+    val viaWindow = o.withColumn("cum", sum("v").over(w))
+      .select("o_orderkey", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaOp == viaWindow)
+  }
+
+  test("running total is invariant to the input's partitioning") {
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), lit(1L).as("v"))
+    def cums(df: org.apache.spark.sql.DataFrame) = graft.operators.CumSum
+      .runningTotal(df, "v", "cum", Seq(col("o_orderkey").asc))
+      .select("o_orderkey", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cums(o.repartition(3)) == cums(o.repartition(17)))
+  }
 }
