@@ -36,13 +36,17 @@ object Bench {
     // tail-capture by the harness (the round-1 full line was truncated
     // mid-JSON and failed to parse).
     val slowest = results.sortBy(-_._2).take(10)
-    Files.writeString(Paths.get("BENCH_DETAIL.json"),
+    // a key-filtered run must not clobber the committed full-benchmark
+    // record with subset-only totals
+    val detailFile =
+      if (only.isEmpty) "BENCH_DETAIL.json" else "BENCH_DETAIL_partial.json"
+    Files.writeString(Paths.get(detailFile),
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
       s""""errors":${errors.mkString("[", ",", "]")},"queries":${jmap(results)},"sf":"$sfDir"}""" + "\n")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
       s""""errors":${errors.mkString("[", ",", "]")},"queries":${jmap(slowest)},""" +
-      s""""detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+      s""""detail":"$detailFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -20,30 +20,36 @@ object ZOrder {
 
   /** Morton code of `cols` (cast to bigint), `bits` low bits each:
     * column c's bit i lands at output position `i * n + c` (stride
-    * interleave). Requires non-negative inputs < 2^bits and
-    * `bits * cols.size <= 63`; values at or above 2^bits share the top
-    * z-range (clamped ordering degrades gracefully to per-column order).
-    */
+    * interleave). Requires `bits * cols.size <= 63`. Inputs are CLAMPED
+    * into [0, 2^bits): out-of-range values collapse onto the range edge
+    * (coarse but order-preserving) instead of aliasing mod 2^bits,
+    * which would interleave far-apart values into the same z-ranges
+    * and silently destroy the layout's clustering. */
   def zvalue(cols: Seq[Column], bits: Int = 21): Column = {
     val n = cols.size
     require(n >= 1, "zvalue needs at least one column")
     require(bits * n <= 63, s"$n cols x $bits bits overflows a bigint")
+    val hi = (1L << bits) - 1
     val terms = for {
       i <- 0 until bits
       (c, ci) <- cols.zipWithIndex
+      clamped = greatest(least(c.cast("bigint"), lit(hi)), lit(0L))
     } yield shiftleft(
-      shiftright(c.cast("bigint"), i).bitwiseAND(lit(1L)), i * n + ci)
+      shiftright(clamped, i).bitwiseAND(lit(1L)), i * n + ci)
     terms.reduce(_.bitwiseOR(_))
   }
 
-  /** The same Morton code as ANSI SQL text (DuckDB-compatible), for
-    * oracle twins: `exprs` are column names or SQL expressions. */
+  /** The same Morton code (same clamping) as ANSI SQL text
+    * (DuckDB-compatible), for oracle twins: `exprs` are column names or
+    * SQL expressions. */
   def zvalueSql(exprs: Seq[String], bits: Int = 21): String = {
     val n = exprs.size
+    val hi = (1L << bits) - 1
     val terms = for {
       i <- 0 until bits
       (e, ci) <- exprs.zipWithIndex
-    } yield s"(((CAST($e AS BIGINT) >> $i) & 1) << ${i * n + ci})"
+      clamped = s"greatest(least(CAST($e AS BIGINT), $hi), 0)"
+    } yield s"((($clamped >> $i) & 1) << ${i * n + ci})"
     terms.mkString("(", " | ", ")")
   }
 

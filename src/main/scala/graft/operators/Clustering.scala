@@ -31,27 +31,27 @@ object KMeans {
     def k: Int = centroids.size
   }
 
-  /** Map-side cluster assignment: argmax cosine against the model,
-    * ties to the lowest cluster id (struct max on (cos, -idx)). */
-  def assignment(vec: Column, model: Model): Column = {
-    val entries = model.centroids.zipWithIndex.map { case (c, i) =>
-      struct(
-        VectorExpressions.cosineFast(vec, typedlit(c)).as("cos"),
-        lit(-i).as("neg"))
-    }
-    (-array_max(array(entries: _*)).getField("neg")).cast("int")
-  }
-
-  /** Per-row cosine distance (1 - cos) to the assigned centroid —
-    * the inertia contribution, map-side like [[assignment]]. */
-  def distanceToAssigned(vec: Column, model: Model): Column = {
-    val best = array_max(array(model.centroids.zipWithIndex.map { case (c, i) =>
+  /** Map-side best-centroid struct `(cos, neg)`: argmax cosine against
+    * the model, ties to the lowest cluster id (struct max compares cos
+    * first, then the NEGATED index). The shared kernel — evaluate it
+    * once per row and project both fields when cluster AND distance are
+    * needed; [[assignment]]/[[distanceToAssigned]] are the
+    * single-consumer conveniences. */
+  def best(vec: Column, model: Model): Column =
+    array_max(array(model.centroids.zipWithIndex.map { case (c, i) =>
       struct(
         VectorExpressions.cosineFast(vec, typedlit(c)).as("cos"),
         lit(-i).as("neg"))
     }: _*))
-    lit(1.0) - best.getField("cos")
-  }
+
+  /** Cluster id of the best centroid (see [[best]]). */
+  def assignment(vec: Column, model: Model): Column =
+    (-best(vec, model).getField("neg")).cast("int")
+
+  /** Cosine distance (1 - cos) to the assigned centroid — the inertia
+    * contribution (see [[best]]). */
+  def distanceToAssigned(vec: Column, model: Model): Column =
+    lit(1.0) - best(vec, model).getField("cos")
 
   /** Train on `df(vecCol)` (array<float>). Init = the k vectors with the
     * lowest `idCol` (deterministic, corpus-order-independent). Runs up to

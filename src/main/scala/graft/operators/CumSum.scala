@@ -10,9 +10,14 @@ import org.apache.spark.sql.functions._
   * partition — the classic scale cliff). Here the data is range-
   * partitioned on the order key, each partition computes its local
   * prefix sums in parallel, and a partition-count-sized offset table
-  * (collected to the driver, broadcast back) shifts them to global
-  * totals. Cost: one range shuffle + one P-row broadcast — the corpus
-  * is shuffled once and never serialized through a single task.
+  * (collected to the driver via a partial-aggregated P-row shuffle,
+  * broadcast back) shifts them to global totals. Cost: the range
+  * shuffle, plus one more exchange grouping rows by their partition id
+  * for the local-prefix window (the checkpoint erases the physical
+  * ordering, so Catalyst re-sorts; a mapPartitions prefix scan over the
+  * checkpointed partitions would eliminate that second exchange if this
+  * ever dominates a profile). Either way no single task ever sees more
+  * than one partition — the global-window cliff is gone.
   *
   * The order must be TOTAL (include a tiebreaker column): rows with
   * equal keys may land in different range partitions, and only a total

@@ -36,33 +36,45 @@ object IncrementalDedup {
     * carry `idCol` (provenance id, lowest wins within a batch) and
     * `textCol`. Extra columns ride along untouched.
     *
-    * @param numBuckets first ingest fixes the snapshot's bucket count
-    *   (validated by the manifest on every later merge) */
+    * @param numBuckets bucket count for the FIRST ingest only; later
+    *   ingests read it from the committed manifest (a mismatched
+    *   parameter would prune the anti-join with the wrong bucket
+    *   function and let duplicates through) */
   def ingest(spark: SparkSession, dir: String, batch: DataFrame,
       idCol: String, textCol: String, numBuckets: Int = 16): IngestStats = {
+    val buckets = graft.streaming.SnapshotStore.currentManifest(spark, dir)
+      .map(_.numBuckets).getOrElse(numBuckets)
+    // the snapshot key is (fingerprint, text), not the fingerprint
+    // alone: the fp routes bucketing and keeps the shuffle keys small,
+    // while the text equality makes a 64-bit collision merge two rows
+    // instead of silently dropping a distinct document (at the
+    // multi-billion-doc scale this targets, fp-only equality WILL
+    // collide; the text rides in the same bucket, so comparing it
+    // costs nothing extra)
+    val keys = Seq("__fp", textCol)
     val keyed = batch.withColumn("__fp", xxhash64(col(textCol)))
       .localCheckpoint(true) // feeds stats + winner pick + anti-join
     val batchRows = keyed.count()
-    // first-seen within the batch: lowest id per fingerprint
-    val w = Window.partitionBy("__fp").orderBy(col(idCol).asc)
+    // first-seen within the batch: lowest id per text
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol).asc)
     val winners = keyed.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
       .localCheckpoint(true)
     val winnerRows = winners.count()
     // anti-join against only the buckets this batch can touch
     val touched = winners
-      .select(SnapshotStore.bucketCol(Seq("__fp"), numBuckets).as("__b"))
+      .select(SnapshotStore.bucketCol(keys, buckets).as("__b"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val fresh = SnapshotStore.readBuckets(spark, dir, touched) match {
       case Some(existing) =>
-        winners.join(existing.select("__fp"), Seq("__fp"), "left_anti")
+        winners.join(existing.select(keys.map(col): _*), keys, "left_anti")
           .localCheckpoint(true)
       case None => winners
     }
     val accepted = fresh.count()
     if (accepted > 0)
-      SnapshotStore.merge(spark, dir, fresh, keys = Seq("__fp"),
-        numBuckets = numBuckets, orderCol = None)
+      SnapshotStore.merge(spark, dir, fresh, keys = keys,
+        numBuckets = buckets, orderCol = None)
     IngestStats(batchRows, batchRows - winnerRows, winnerRows - accepted,
       accepted)
   }

@@ -196,13 +196,23 @@ object Extensions {
       |SELECT doc_id, text FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin) {
     (s, d) =>
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
-      graft.operators.IncrementalDedup.ingest(
-        s, dir, docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
-      graft.operators.IncrementalDedup.ingest(
-        s, dir, docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
-      graft.operators.IncrementalDedup.corpus(s, dir)
-        .select("doc_id", "text").orderBy("doc_id")
+      val dirPath = java.nio.file.Files.createTempDirectory("graft_incr")
+      try {
+        val dir = dirPath.toString
+        graft.operators.IncrementalDedup.ingest(
+          s, dir, docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        graft.operators.IncrementalDedup.ingest(
+          s, dir, docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        // materialize before the scratch snapshot is deleted (repeated
+        // bench/verify invocations must not accumulate corpus copies)
+        graft.operators.IncrementalDedup.corpus(s, dir)
+          .select("doc_id", "text").orderBy("doc_id")
+          .localCheckpoint(true)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      }
   }
 
   /** Token-budget corpus selection: rank documents by quality
@@ -437,9 +447,11 @@ object Extensions {
     VectorExpressions.register(s)
     val e = Tables.embeddings(s, d).localCheckpoint(true)
     val model = graft.operators.KMeans.fit(e, "vec_id", "embedding", k = 8, maxIter = 5)
-    e.select(col("vec_id"), col("embedding"))
-      .withColumn("cluster", graft.operators.KMeans.assignment(col("embedding"), model))
-      .withColumn("dist", graft.operators.KMeans.distanceToAssigned(col("embedding"), model))
+    // one best-centroid evaluation per row; cluster and distance are
+    // field projections of the same struct (k cosines, not 2k)
+    e.select(graft.operators.KMeans.best(col("embedding"), model).as("__best"))
+      .select((-col("__best.neg")).cast("int").as("cluster"),
+        (lit(1.0) - col("__best.cos")).as("dist"))
       .groupBy("cluster")
       .agg(count(lit(1)).as("n"), round(sum("dist"), 2).as("inertia"))
       .orderBy("cluster")

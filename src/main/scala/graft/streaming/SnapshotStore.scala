@@ -69,7 +69,10 @@ object SnapshotStore {
     val nb = lines.collectFirst {
       case l if l.startsWith("#numBuckets=") => l.stripPrefix("#numBuckets=").toInt
     }.getOrElse(throw new IllegalStateException(
-      s"manifest $ManifestPrefix$v in $dir has no #numBuckets header"))
+      s"manifest $ManifestPrefix$v in $dir has no #numBuckets header — " +
+        "guessing a bucket count would silently orphan rows on the next " +
+        "merge; to migrate a pre-header snapshot, prepend the line " +
+        "'#numBuckets=<B>' with the B it was originally written with"))
     val buckets = lines.filterNot(_.startsWith("#")).map { line =>
       val Array(b, d) = line.split("\t", 2)
       b.toInt -> d
@@ -94,10 +97,10 @@ object SnapshotStore {
     spark.read.parquet(dirs: _*)
   }
 
-  /** Only the named buckets of the current snapshot (empty frame with
-    * the snapshot's schema when none of them exist yet). The pruned-read
-    * primitive: a batch-sized key lookup reads |batch buckets|/B of the
-    * table, not all of it. */
+  /** Only the named buckets of the current snapshot; None when no
+    * manifest is committed yet or none of the named buckets has data.
+    * The pruned-read primitive: a batch-sized key lookup reads
+    * |batch buckets|/B of the table, not all of it. */
   def readBuckets(spark: SparkSession, dir: String,
       buckets: Seq[Int]): Option[DataFrame] =
     currentManifest(spark, dir).flatMap { m =>

@@ -82,7 +82,16 @@ class ClusteringSpec extends AnyFunSuite {
   }
 
   test("training reduces cosine inertia vs the init model") {
-    val e = Tables.embeddings(spark, sf).limit(500).localCheckpoint(true)
+    // unit-normalize first: Lloyd's arithmetic-mean update minimizes
+    // EUCLIDEAN inertia, which matches cosine inertia only when inputs
+    // sit on the unit sphere — on raw vectors a large-norm outlier can
+    // legitimately rotate a centroid and raise sum(1-cos)
+    val norm = sqrt(aggregate(col("embedding"), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val e = Tables.embeddings(spark, sf).limit(500)
+      .withColumn("embedding",
+        transform(col("embedding"), x => (x.cast("double") / norm).cast("float")))
+      .localCheckpoint(true)
     val init = KMeans.Model(
       e.select(col("vec_id"), col("embedding")).orderBy("vec_id").limit(8)
         .collect().map(_.getSeq[Float](1).toSeq).toSeq)
