@@ -1,56 +1,72 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Distributed running total — the scalable form of
   * `sum(x) OVER (ORDER BY ...)`: a global-ORDER window collapses every
   * row onto ONE task (Spark plans an un-partitioned window as a single
-  * partition — the classic scale cliff). Here the data is range-
-  * partitioned on the order key, each partition computes its local
-  * prefix sums in parallel, and a partition-count-sized offset table
-  * (collected to the driver via a partial-aggregated P-row shuffle,
-  * broadcast back) shifts them to global totals. Cost: the range
-  * shuffle, plus one more exchange grouping rows by their partition id
-  * for the local-prefix window (the checkpoint erases the physical
-  * ordering, so Catalyst re-sorts; a mapPartitions prefix scan over the
-  * checkpointed partitions would eliminate that second exchange if this
-  * ever dominates a profile). Either way no single task ever sees more
-  * than one partition — the global-window cliff is gone.
+  * partition — the classic scale cliff). This is the textbook two-pass
+  * parallel scan instead:
+  *
+  *  1. range-partition + sort by the order key — the ONLY exchange;
+  *  2. first narrow pass: each partition sums its values (one row out
+  *     per partition, collected to the driver — P values);
+  *  3. second narrow pass: each partition replays its rows adding its
+  *     exclusive prefix offset (the P-sized offset map ships inside the
+  *     task closure).
+  *
+  * The per-partition passes are `mapPartitions` — genuine per-partition
+  * imperative logic, the documented exception to the no-RDD stance: no
+  * Column formulation can express "running state within the physical
+  * partition" without forcing Catalyst to insert a second exchange plus
+  * sort (a window keyed on spark_partition_id does exactly that, which
+  * doubles the dominant cost; measured before this rewrite).
   *
   * The order must be TOTAL (include a tiebreaker column): rows with
   * equal keys may land in different range partitions, and only a total
-  * order makes their cumulative positions well-defined.
+  * order makes their cumulative positions well-defined. `valueCol` must
+  * be non-null (cast/coalesce upstream).
   */
 object CumSum {
 
-  /** Adds `outCol` = running total of `valueCol` over `orderCols`.
-    * Requires a total order; output row set is the input's. */
+  /** Adds `outCol` (bigint) = running total of `valueCol` over
+    * `orderCols`. Output rows = input rows. */
   def runningTotal(df: DataFrame, valueCol: String, outCol: String,
       orderCols: Seq[Column]): DataFrame = {
-    val spark = df.sparkSession
-    // checkpoint pins partition identity: spark_partition_id is only
-    // meaningful if the partitioning is not re-planned between the
-    // offset computation and the final join
-    val parted = df
+    // normalize the summed column to bigint so both passes read getLong
+    val withV = df.withColumn("__v", col(valueCol).cast("bigint"))
+    val parted = withV
       .repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
-    val sums = parted.groupBy("__pid").agg(sum(col(valueCol)).as("__s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    // exclusive prefix: partition i's offset = total of partitions < i
-    val offByPid = sums.map(_._1)
-      .zip(sums.map(_._2).scanLeft(0L)(_ + _)).toMap
-    import spark.implicits._
-    val offDf = offByPid.toSeq.toDF("__pid", "__off")
-    val w = Window.partitionBy("__pid").orderBy(orderCols: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    parted
-      .withColumn("__local", sum(col(valueCol)).over(w))
-      .join(broadcast(offDf), Seq("__pid"))
-      .withColumn(outCol, col("__local") + col("__off"))
-      .drop("__pid", "__local", "__off")
+      .localCheckpoint(true) // both passes replay the same partitions
+    val vIdx = parted.schema.fieldIndex("__v")
+    // pass 1: per-partition totals (narrow; one output row per partition)
+    val sumSchema = StructType(Seq(
+      StructField("pid", LongType), StructField("s", LongType)))
+    val partSums = parted.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId().toLong
+      var acc = 0L
+      it.foreach(r => acc += r.getLong(vIdx))
+      Iterator.single(Row(pid, acc))
+    }(Encoders.row(sumSchema))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    // exclusive prefix over ALL partition ids (empty ones contribute 0)
+    val nParts = parted.rdd.getNumPartitions
+    val offsets = new Array[Long](math.max(nParts, 1))
+    var acc = 0L
+    (0 until nParts).foreach { p =>
+      offsets(p) = acc; acc += partSums.getOrElse(p, 0L)
+    }
+    // pass 2: replay each partition adding its offset (narrow)
+    val outSchema = StructType(
+      parted.schema.fields :+ StructField(outCol, LongType, nullable = false))
+    parted.mapPartitions { it =>
+      var run = offsets(TaskContext.getPartitionId())
+      it.map { r => run += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ run) }
+    }(Encoders.row(outSchema))
+      .drop("__v")
   }
 }
