@@ -30,6 +30,23 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("out-of-range inputs clamp to the range edge instead of aliasing") {
+    val rows = Seq(
+      (0L, 0L), (1L << 16, 5L), ((1L << 16) - 1, 5L), (-7L, 5L), (123L, 1L << 20))
+    val got = spark.createDataFrame(rows).toDF("x", "y")
+      .withColumn("z", ZOrder.zvalue(Seq(col("x"), col("y")), 16))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val hi = (1L << 16) - 1
+    def clamp(v: Long) = math.max(0L, math.min(v, hi))
+    rows.foreach { case (x, y) =>
+      assert(got((x, y)) == mortonRef(Seq(clamp(x), clamp(y)), 16),
+        s"($x, $y)")
+    }
+    // the aliasing failure this guards: 2^16 must NOT interleave like 0
+    assert(got((1L << 16, 5L)) == got(((1L << 16) - 1, 5L)))
+    assert(got((1L << 16, 5L)) != mortonRef(Seq(0L, 5L), 16))
+  }
+
   test("zvalue SQL twin computes the identical code through spark.sql") {
     val rnd = new scala.util.Random(11)
     val rows = Seq.fill(100)((rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
