@@ -28,28 +28,41 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * The order must be TOTAL (include a tiebreaker column): rows with
   * equal keys may land in different range partitions, and only a total
   * order makes their cumulative positions well-defined. `valueCol` must
-  * be non-null (cast/coalesce upstream).
+  * be an integral type (fractional input would be silently truncated by
+  * the bigint normalization — round/cast explicitly upstream); NULL
+  * values are skipped, matching `sum(x) OVER (...)` semantics.
   */
 object CumSum {
 
   /** Adds `outCol` (bigint) = running total of `valueCol` over
-    * `orderCols`. Output rows = input rows. */
+    * `orderCols`, replacing any pre-existing `outCol` (withColumn
+    * semantics). Output rows = input rows. */
   def runningTotal(df: DataFrame, valueCol: String, outCol: String,
       orderCols: Seq[Column]): DataFrame = {
-    // normalize the summed column to bigint so both passes read getLong
-    val withV = df.withColumn("__v", col(valueCol).cast("bigint"))
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType}
+    df.schema(valueCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"CumSum.runningTotal sums '$valueCol' as bigint; $other input " +
+          "would truncate silently — round/cast to an integral type first")
+    }
+    // normalize the summed column to bigint so both passes read getLong;
+    // internal name picked to not collide with any input column
+    val vName = Iterator.from(0).map(i => s"__cumsum_v$i")
+      .find(n => !df.columns.contains(n)).get
+    val withV = df.drop(outCol).withColumn(vName, col(valueCol).cast("bigint"))
     val parted = withV
       .repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
       .localCheckpoint(true) // both passes replay the same partitions
-    val vIdx = parted.schema.fieldIndex("__v")
+    val vIdx = parted.schema.fieldIndex(vName)
     // pass 1: per-partition totals (narrow; one output row per partition)
     val sumSchema = StructType(Seq(
       StructField("pid", LongType), StructField("s", LongType)))
     val partSums = parted.mapPartitions { it =>
       val pid = TaskContext.getPartitionId().toLong
       var acc = 0L
-      it.foreach(r => acc += r.getLong(vIdx))
+      it.foreach(r => if (!r.isNullAt(vIdx)) acc += r.getLong(vIdx))
       Iterator.single(Row(pid, acc))
     }(Encoders.row(sumSchema))
       .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
@@ -65,8 +78,11 @@ object CumSum {
       parted.schema.fields :+ StructField(outCol, LongType, nullable = false))
     parted.mapPartitions { it =>
       var run = offsets(TaskContext.getPartitionId())
-      it.map { r => run += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ run) }
+      it.map { r =>
+        if (!r.isNullAt(vIdx)) run += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq :+ run)
+      }
     }(Encoders.row(outSchema))
-      .drop("__v")
+      .drop(vName)
   }
 }

@@ -64,10 +64,14 @@ object DumpPlans {
       "scan reads only manifest-listed bucket dirs; no shuffle beyond the " +
       "presentation ORDER BY."),
     "q_token_budget" -> ("Budget cut on a distributed running total " +
-      "(CumSum two-pass scan). What to check: ONE range exchange feeding " +
-      "narrow MapPartitions/DeserializeToObject stages — no global-ORDER " +
-      "window (which would be a single-partition Window node) and no " +
-      "second exchange for the prefix offsets."))
+      "(CumSum two-pass scan). The scan's range exchange + pass 1 run " +
+      "eagerly inside localCheckpoint, so the dumped plan STARTS at 'Scan " +
+      "ExistingRDD' — the checkpointed, already-range-partitioned data. " +
+      "What to check: above that scan there is NO Window node and no " +
+      "exchange except the presentation ORDER BY at the very top; pass 2 " +
+      "is the narrow MapPartitions/DeserializeToObject stage directly on " +
+      "the ExistingRDD (prefix offsets ship in the task closure, not via " +
+      "a shuffle)."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -115,8 +115,9 @@ object ScaleProbe {
         .agg(max("cum")).head.getLong(0)
     }
 
-    // warm-up
-    q1(li1); smj(li1, ord1); topkWindow(ord1); topkAgg(ord1); scanCum(ord1)
+    // warm-up (every timed operator, so no 1x figure pays cold codegen/JIT)
+    q1(li1); smj(li1, ord1); topkWindow(ord1); topkAgg(ord1)
+    scanCum(ord1); windowCum(ord1)
 
     val results = Seq(
       ("agg (TPC-H Q1 shape)", timeMin(q1(li1)), timeMin(q1(li10)), 10),
@@ -279,8 +280,13 @@ object ScaleProbe {
       f"| $tPlanted%.2f (${tPlanted / tUniform}%.2fx uniform) | $candCapped%,d |\n")
     sb.append(f"| planted, UNCAPPED | (not timed — quadratic) | $candUncapped%,d " +
       f"(${candUncapped.toDouble / math.max(candCapped, 1)}%.0fx) |\n")
-    sb.append("\nFinding: with the cap, the planted corpus runs at parity with the\n")
-    sb.append("uniform one — hot keys never reach a shuffle, and the residual\n")
+    val skewRatio = tPlanted / tUniform
+    sb.append(f"\nFinding: with the cap, the planted corpus runs at $skewRatio%.2fx the\n")
+    sb.append(if (skewRatio <= 1.15)
+      "uniform one (parity within run noise)"
+    else
+      f"uniform one (single-run timings on this host swing tens of percent;\nthe structural claim is the candidate-pair column, not the seconds)")
+    sb.append(" — hot keys never reach a shuffle, and the residual\n")
     sb.append("self-join's per-key fan-out is bounded by cap²/2, so no salting is\n")
     sb.append("needed. Uncapped, the planted phrase alone multiplies the candidate\n")
     sb.append("set by the table above — at 100 TB that key is a single-reducer\n")
