@@ -10,7 +10,15 @@ object Verify {
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val failed = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q_a,q_b dumps a subset (local tail-chasing); the
+    // driver runs without it and always gets the full registry
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(keys) => SparkEntry.queries.filter(kv => keys(kv._1))
+      case None       => SparkEntry.queries
+    }
+    val failed = selected.toSeq.flatMap { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

@@ -232,7 +232,8 @@ object Extensions {
       |           / len(string_split(text, ' ')) AS q
       |  FROM documents),
       |c AS (SELECT doc_id, n_tokens, q,
-      |             sum(n_tokens) OVER (ORDER BY q DESC, doc_id) AS cum_tokens
+      |             CAST(sum(n_tokens) OVER (ORDER BY q DESC, doc_id)
+      |               AS BIGINT) AS cum_tokens
       |      FROM scored)
       |SELECT doc_id, n_tokens, cum_tokens, round(q, 4) AS quality
       |FROM c WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin) { (s, d) =>

@@ -49,14 +49,28 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
         ok_schema = list(spark_df.columns) == list(duck_df.columns)
         ok_rows = len(spark_df) == len(duck_df)
+        # the driver's hash is dtype- and bit-exact: an int64 Spark column
+        # vs a float64 oracle column (DuckDB sum(BIGINT)->HUGEINT) hashes
+        # differently even when every value is numerically equal, and any
+        # last-ulp double drift fails it. Mirror that strictness here.
+        ok_kinds = ok_schema and all(
+            spark_df[c].dtype.kind == duck_df[c].dtype.kind
+            for c in spark_df.columns)
         ok_vals = False
         if ok_schema and ok_rows:
             try:
                 pd.testing.assert_frame_equal(spark_df, duck_df,
-                    check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
+                    check_dtype=False, check_exact=True)
                 ok_vals = True
             except AssertionError as e:
                 msg = str(e).split("\n")[0:3]
+        if ok_vals and not ok_kinds:
+            bad = [f"{c}:{spark_df[c].dtype}!={duck_df[c].dtype}"
+                   for c in spark_df.columns
+                   if spark_df[c].dtype.kind != duck_df[c].dtype.kind]
+            msg = ["dtype kind mismatch (driver hash would differ): "
+                   + ", ".join(bad)]
+            ok_vals = False
         if ok_schema and ok_rows and ok_vals:
             print(f"PASS {name} (rows={len(spark_df)})"); n_pass += 1
         else:
