@@ -15,8 +15,14 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val selected = only match {
-      case Some(keys) => SparkEntry.queries.filter(kv => keys(kv._1))
-      case None       => SparkEntry.queries
+      case Some(keys) =>
+        // a misspelled key would silently select nothing and write an
+        // empty failed.json that looks like success — fail fast instead
+        val unknown = keys -- SparkEntry.queries.keySet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
+        SparkEntry.queries.filter(kv => keys(kv._1))
+      case None => SparkEntry.queries
     }
     val failed = selected.toSeq.flatMap { case (name, fn) =>
       try {
@@ -40,13 +46,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // subset runs scope BOTH metadata files to the selection: the full
+    // oracle/registry list would make check.py FAIL every unselected key
+    // (no spark output) or silently compare stale parquet from a prior
+    // full run in the same outDir
+    val json = SparkEntry.oracleSql.filter(kv => selected.contains(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // full registry + failures, so the checker can flag a rows-only query
-    // that threw (it has no oracle key and no output dir to show up in)
+    // selected registry + failures, so the checker can flag a rows-only
+    // query that threw (it has no oracle key and no output dir)
     Files.writeString(Paths.get(s"$outDir/queries.json"),
-      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     Files.writeString(Paths.get(s"$outDir/failed.json"),
       failed.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()

@@ -145,10 +145,15 @@ case class TopKPairsAgg(
 object TopKAggregate {
 
   /** Register `top_k_pairs(value, id, k)` in the session's function
-    * registry (same public path as VectorExpressions.register). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "top_k_pairs",
-      exprs => TopKPairsAgg(exprs(0), exprs(1), exprs(2)),
-      "built-in")
+    * registry (same public path as VectorExpressions.register). No-op
+    * when already resolvable (GraftSession injects it via
+    * GraftExtensions) — re-registering WARNs per call. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("top_k_pairs")))
+      reg.createOrReplaceTempFunction(
+        "top_k_pairs",
+        exprs => TopKPairsAgg(exprs(0), exprs(1), exprs(2)),
+        "built-in")
+  }
 }

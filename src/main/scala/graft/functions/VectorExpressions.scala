@@ -110,12 +110,18 @@ object VectorExpressions {
 
   /** Expose the expressions through the session's function registry (the
     * public extension point; Column-from-Expression constructors are
-    * private[sql] in Spark 4). Idempotent — call before use. */
+    * private[sql] in Spark 4). Idempotent AND quiet: a GraftSession
+    * already has these injected via GraftExtensions, and re-registering
+    * per query call emits a "replaced a previously registered function"
+    * WARN per invocation — so this is a no-op when the name resolves. */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_cosine", exprs => CosineSimilarityExpr(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => DotProductExpr(exprs(0), exprs(1)), "built-in")
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("vec_cosine")))
+      reg.createOrReplaceTempFunction(
+        "vec_cosine", exprs => CosineSimilarityExpr(exprs(0), exprs(1)), "built-in")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")))
+      reg.createOrReplaceTempFunction(
+        "vec_dot", exprs => DotProductExpr(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column API for the fused cosine (requires [[register]]). */

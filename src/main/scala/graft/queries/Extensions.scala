@@ -365,15 +365,29 @@ object Extensions {
 
   // ------------------------------------------------------- similarity search
 
-  private def probeFilter = col("vec_id") % 100 === 0
+  /** Fixed size of the probe batch the similarity/ANN queries answer.
+    * The raw `% 100` sample is corpus-PROPORTIONAL — its broadcast (and
+    * the probe×corpus pair work) grew linearly with the data, the same
+    * scale cliff [[requireAllPairsSafe]] exists for. A real serving
+    * workload answers a bounded batch of queries per job, so the batch
+    * is capped here: broadcast side O([[ProbeBatchSize]]) at ANY corpus
+    * size, total work O(K·n) — an honest linear scan. */
+  private[graft] val ProbeBatchSize = 8
 
-  /** Brute-force cosine top-k: probe rows (tiny) broadcast against the
-    * corpus; ranking on the rounded score with id tie-break keeps the
-    * result hash-stable across engines and partitionings. */
+  /** The K lowest-id probe candidates — deterministic (sorted by vec_id,
+    * then limited), so Spark and the DuckDB oracle pick the same batch.
+    * Plans as TakeOrderedAndProject: per-partition heap + K-row merge,
+    * never a global sort. */
+  private[graft] def probeBatch(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 100 === 0).orderBy("vec_id").limit(ProbeBatchSize)
+
+  /** Brute-force cosine top-k: a fixed-size probe batch broadcast
+    * against the corpus; ranking on the rounded score with id tie-break
+    * keeps the result hash-stable across engines and partitionings. */
   val qSimilarityTopk = Q(
     "q_similarity_topk",
-    """WITH q AS (SELECT vec_id AS qid, embedding AS eq FROM embeddings
-      |           WHERE vec_id % 100 = 0),
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS eq FROM embeddings
+      |           WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT $ProbeBatchSize),
       |pairs AS (SELECT qid, c.vec_id AS cid, eq, c.embedding AS ec
       |          FROM q, embeddings c WHERE c.vec_id <> qid),
       |flat AS (SELECT qid, cid, CAST(unnest(eq) AS DOUBLE) AS x,
@@ -389,7 +403,7 @@ object Extensions {
       |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
     VectorExpressions.register(s)
     val e = Tables.embeddings(s, d)
-    val q = e.filter(probeFilter).select(col("vec_id").as("qid"), col("embedding").as("eq"))
+    val q = probeBatch(e).select(col("vec_id").as("qid"), col("embedding").as("eq"))
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("ec"))
     val sims = broadcast(q).join(c, col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
@@ -422,7 +436,7 @@ object Extensions {
         struct((lit(-1.0) * VectorExpressions.cosineFast(col("eq"), typedlit(c)))
           .as("negcos"), lit(i).as("cell"))
     }: _*))
-    val visited = e.filter(probeFilter)
+    val visited = probeBatch(e)
       .select(col("vec_id").as("qid"), col("embedding").as("eq"))
       .select(col("qid"), col("eq"),
         explode(slice(cellsRanked, 1, 2)).as("cc"))
@@ -464,7 +478,7 @@ object Extensions {
     VectorExpressions.register(s)
     val e = Tables.embeddings(s, d)
       .withColumn("bucket", VectorOps.rhpBucket(col("embedding"), planes = 6))
-    val probes = e.filter(probeFilter)
+    val probes = probeBatch(e)
       .select(col("vec_id").as("qid"), col("embedding").as("eq"), col("bucket"))
     val cand = e.select(col("vec_id").as("cid"), col("embedding").as("ec"), col("bucket"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)

@@ -39,6 +39,22 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("probe batch is fixed-size and deterministic under a 10x corpus") {
+    import spark.implicits._
+    def corpus(n: Int) = spark.range(n).select(
+      col("id").as("vec_id"),
+      array(lit(1.0f), lit(0.0f)).as("embedding"))
+    val k = graft.queries.Extensions.ProbeBatchSize
+    val small = graft.queries.Extensions.probeBatch(corpus(1000))
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    val big = graft.queries.Extensions.probeBatch(corpus(10000))
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    // the broadcast side of every probe join is O(K) at any corpus size,
+    // and the batch itself is the SAME K ids — not just the same count
+    assert(small.size == k, s"expected $k probes, got ${small.size}")
+    assert(big == small, s"probe batch changed under 10x corpus: $big vs $small")
+  }
+
   test("IVF results are a subset-quality approximation of brute force") {
     val exact = SparkEntry.queries("q_similarity_topk")(spark, sf)
       .filter(col("rnk") === 1).collect()

@@ -53,8 +53,11 @@ def main(sf_dir, out_dir):
         # vs a float64 oracle column (DuckDB sum(BIGINT)->HUGEINT) hashes
         # differently even when every value is numerically equal, and any
         # last-ulp double drift fails it. Mirror that strictness here.
+        # full-dtype compare (not just .kind): the driver's hash is
+        # dtype-exact, so int32 vs int64 — same kind 'i' — still differs
+        # there; canon() already normalized datetimes to ns on both sides
         ok_kinds = ok_schema and all(
-            spark_df[c].dtype.kind == duck_df[c].dtype.kind
+            spark_df[c].dtype == duck_df[c].dtype
             for c in spark_df.columns)
         ok_vals = False
         if ok_schema and ok_rows:
@@ -67,8 +70,8 @@ def main(sf_dir, out_dir):
         if ok_vals and not ok_kinds:
             bad = [f"{c}:{spark_df[c].dtype}!={duck_df[c].dtype}"
                    for c in spark_df.columns
-                   if spark_df[c].dtype.kind != duck_df[c].dtype.kind]
-            msg = ["dtype kind mismatch (driver hash would differ): "
+                   if spark_df[c].dtype != duck_df[c].dtype]
+            msg = ["dtype mismatch (driver hash would differ): "
                    + ", ".join(bad)]
             ok_vals = False
         if ok_schema and ok_rows and ok_vals:
