@@ -174,14 +174,27 @@ object Catalog {
     write("single_object.json", """{"a":1,"b":"x"}""")
   }
 
-  /** CSV source scan (S1): no oracle — the fixture isn't a driver table;
-    * rows-only check + exact-value unit tests. */
-  val qCsvScan = Q.noOracle("q_csv_scan") { (s, _) =>
+  /** CSV source scan (S1): DuckDB reads the same fixture file via
+    * read_csv_auto, so the scan itself is hash-checked (values, header
+    * handling, per-column type inference). The one inference difference:
+    * Spark infers small ints as INT, DuckDB as BIGINT — id is cast to
+    * BIGINT on the Spark side per the registry's determinism contract
+    * (derived integers → BIGINT on both sides). */
+  val qCsvScan = Q(
+    "q_csv_scan",
+    s"""SELECT * FROM read_csv_auto('$fixtureDir/basic.csv') ORDER BY id""") { (s, _) =>
     ensureFixtures()
-    Ingest.csv(s, s"$fixtureDir/basic.csv").orderBy("id")
+    Ingest.csv(s, s"$fixtureDir/basic.csv")
+      .withColumn("id", col("id").cast("bigint"))
+      .orderBy("id")
   }
 
-  val qJsonScan = Q.noOracle("q_json_scan") { (s, _) =>
+  /** JSON source scan (S2): same fixture through DuckDB's read_json —
+    * array-of-objects to rows, union-of-keys schema (the `extra` key is
+    * null for rows that lack it on BOTH engines). */
+  val qJsonScan = Q(
+    "q_json_scan",
+    s"""SELECT * FROM read_json('$fixtureDir/array.json', format='array') ORDER BY a""") { (s, _) =>
     ensureFixtures()
     Ingest.json(s, s"$fixtureDir/array.json").orderBy("a")
   }
