@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.functions.TextOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranked full-text search — the engine-native analogue of the Postgres
+  * FTS surface the reference ships by delegation (its `executeSql` choke
+  * point, `automated-data-catalog-&-etl/services/pgliteService.ts:36-49`,
+  * exposes the full Postgres dialect including `to_tsvector`/`ts_rank`;
+  * keyword search is the first query a catalog user runs against a
+  * documents table).
+  *
+  * Formulation: BM25 (Robertson–Spärck Jones idf with the standard
+  * +1 smoothing, k1/b length normalization) over whitespace tokens.
+  * tf-idf is the k1→∞, b=0 degenerate case; BM25 is what Lucene /
+  * Elasticsearch ship as the default ranking, and every factor is plain
+  * SQL arithmetic, so a DuckDB oracle can recompute it exactly.
+  *
+  * Scale shape (the reason this is NOT a `text LIKE '%term%'` scan):
+  *  - tokenize+filter runs map-side (explode → IN-set filter, codegen);
+  *    only rows containing a query term survive — at most
+  *    |terms| rows per doc enter the first shuffle;
+  *  - term frequencies: one hash aggregate keyed (doc, term) with
+  *    map-side partial combine; document length rides along in the same
+  *    pass (no second join against a lengths table);
+  *  - document frequencies: an aggregate over the tf rows — the result
+  *    is |terms|-sized and BROADCAST back, so the per-doc scoring join
+  *    never shuffles the corpus side;
+  *  - corpus stats (N, avgdl) are one scalar row, broadcast via cross
+  *    join;
+  *  - final top-k is TakeOrderedAndProject (per-partition heap + k-row
+  *    driver merge), never a global sort.
+  * At 100 TB the only corpus-sized exchanges are the two hash
+  * aggregates, both keyed by (doc, term) / doc with bounded per-key
+  * cardinality — no skew pile-up, no all-pairs anything.
+  */
+object TextSearch {
+
+  /** BM25 length-normalization defaults (the Lucene/ES defaults). */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Top-`topK` documents for a bag-of-terms query, scored by BM25.
+    *
+    * Determinism contract (registry rules): the returned `score` is
+    * rounded to 4 decimals and BOTH the cutoff and the rank are computed
+    * on the rounded score with id tie-break, so Spark and a DuckDB
+    * oracle rank identically even under last-ulp double drift.
+    *
+    * @return (idCol, score, rnk) — rnk 1..topK, ordered by rnk
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25: empty term set")
+    val ws = TextOps.tokens(col(textCol))
+    // id, doc length, tokens — single projection feeding stats and tf
+    val base = docs.select(
+      col(idCol).as("__id"),
+      size(ws).cast("double").as("__dl"),
+      ws.as("__ws"))
+    // one scalar row: corpus size + average doc length
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("__n"), avg("__dl").as("__avgdl"))
+    // (doc, term) frequencies; dl tags along so no extra lengths join.
+    // The IN-set filter runs before the aggregate: non-query tokens
+    // never leave the map side.
+    // materialized once: tf feeds both the df aggregate and the scoring
+    // join — without this the whole tokenize+explode pipeline (the
+    // dominant cost at corpus scale) runs twice; the checkpoint itself
+    // is narrow (≤ |terms| rows per matching doc)
+    val tf = base
+      .select(col("__id"), col("__dl"), explode(col("__ws")).as("word"))
+      .filter(col("word").isInCollection(terms))
+      .groupBy("__id", "word")
+      .agg(count(lit(1)).cast("double").as("tf"), first("__dl").as("dl"))
+      .localCheckpoint(true)
+    // document frequency per term — |terms| rows, broadcast
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).cast("double").as("df"))
+    // arithmetic written in the same shape as the oracle SQL so both
+    // engines evaluate identical IEEE expression trees (round(.,4)
+    // absorbs any residual last-ulp drift)
+    val idf = log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5))
+    val contrib = idf * (col("tf") * (lit(K1) + 1)) /
+      (col("tf") + lit(K1) * (lit(1.0) - B + lit(B) * col("dl") / col("__avgdl")))
+    val scored = tf
+      .join(broadcast(dfreq), "word")
+      .crossJoin(broadcast(stats))
+      .groupBy("__id")
+      .agg(round(sum(contrib), 4).as("score"))
+    // rank on the ROUNDED score; limit first (heap top-k), then number
+    // the k survivors — the unpartitioned window sees topK rows only
+    val byScore = Window.orderBy(col("score").desc, col("__id").asc)
+    scored
+      .orderBy(col("score").desc, col("__id").asc).limit(topK)
+      .withColumn("rnk", row_number().over(byScore).cast("bigint"))
+      .withColumnRenamed("__id", idCol)
+      .orderBy("rnk")
+  }
+}

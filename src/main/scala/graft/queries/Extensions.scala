@@ -552,6 +552,40 @@ object Extensions {
       .orderBy("lang", "rnk")
   }
 
+  private val searchTerms = Seq("vector", "stream", "window")
+
+  /** Ranked keyword search (graft.operators.TextSearch): BM25 top-20 for
+    * a fixed multi-term query — the engine-native analogue of the
+    * `to_tsvector`/`ts_rank` FTS the reference reaches through its
+    * Postgres passthrough (pgliteService.ts:36-49). Oracle recomputes
+    * BM25 as plain SQL arithmetic over the same tokenization; both sides
+    * rank on the rounded score with doc_id tie-break. */
+  val qTextSearch = Q(
+    "q_text_search",
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(ws)) AS avgdl FROM d),
+      |tok AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS word FROM d),
+      |tf AS (SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf,
+      |              CAST(any_value(dl) AS DOUBLE) AS dl
+      |       FROM tok WHERE word IN (${searchTerms.map(t => s"'$t'").mkString(", ")})
+      |       GROUP BY 1, 2),
+      |df AS (SELECT word, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |         round(sum( ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+      |                    * (t.tf * (1.2 + 1)) /
+      |                    (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / s.avgdl)) ), 4) AS score
+      |  FROM tf t JOIN df f USING (word) CROSS JOIN stats s
+      |  GROUP BY t.doc_id),
+      |ranked AS (SELECT doc_id, score,
+      |                  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+      |           FROM scored)
+      |SELECT doc_id, score, rnk FROM ranked WHERE rnk <= 20
+      |ORDER BY rnk""".stripMargin) { (s, d) =>
+    graft.operators.TextSearch.bm25(
+      Tables.documents(s, d), "doc_id", "text", searchTerms, topK = 20)
+  }
+
   private val enMarkers = Seq("the", "a", "of", "and", "to")
   private val esMarkers = Seq("el", "la", "de", "los", "que")
   private val deMarkers = Seq("der", "die", "das", "und", "ist")
@@ -776,7 +810,7 @@ object Extensions {
     qDedupExact, qNeardup, qDedupCluster, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupIncremental, qTokenBudget,
     qSimilarityTopk, qSimilaritySql, qAnnIvf, qAnnLsh, qKmeans,
-    qTextAnalysis, qTextTopwords, qLangId, qLangIdNgram, qTextQuality, qTokenCount,
+    qTextAnalysis, qTextTopwords, qTextSearch, qLangId, qLangIdNgram, qTextQuality, qTokenCount,
     qDocFingerprint,
     qMultimodalJoin, qMultimodalMeta, qMultimodalFeatures, qMultimodalFrames)
 }

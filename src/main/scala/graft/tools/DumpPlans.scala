@@ -63,6 +63,15 @@ object DumpPlans {
       "bucket-pruned anti-join, bounded-bucket merge). What to check: the " +
       "scan reads only manifest-listed bucket dirs; no shuffle beyond the " +
       "presentation ORDER BY."),
+    "q_text_search" -> ("BM25 keyword search. The tokenize→explode→IN-set " +
+      "filter→tf aggregate pipeline runs eagerly inside a localCheckpoint " +
+      "(it feeds BOTH the df aggregate and the scoring join, and is the " +
+      "dominant cost at corpus scale), so the dumped plan starts at 'Scan " +
+      "ExistingRDD' = the materialized (doc,term,tf,dl) rows. What to " +
+      "check: the df side and the scalar stats row come in as " +
+      "BroadcastExchange (the corpus side never reshuffles for scoring), " +
+      "and the top-k is TakeOrderedAndProject — per-partition heap, no " +
+      "global sort."),
     "q_token_budget" -> ("Budget cut on a distributed running total " +
       "(CumSum two-pass scan). The scan's range exchange + pass 1 run " +
       "eagerly inside localCheckpoint, so the dumped plan STARTS at 'Scan " +

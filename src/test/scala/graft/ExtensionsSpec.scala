@@ -39,6 +39,24 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25 search: term-bearing docs only, tf beats sparsity, ranks dense") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark query engine"),
+      (2L, "spark query engine"),
+      (3L, "unrelated words entirely here"),
+      (4L, "spark")).toDF("doc_id", "text")
+    val r = graft.operators.TextSearch
+      .bm25(docs, "doc_id", "text", Seq("spark"), topK = 3).collect()
+    val ids = r.map(_.getLong(0)).toSeq
+    assert(!ids.contains(3L), "doc without the term must not match")
+    assert(ids.toSet == Set(1L, 2L, 4L))
+    assert(r.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L), "rnk must be 1..k")
+    val score = r.map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(score(1L) > score(2L), "tf=3 must outrank tf=1 at comparable length")
+    assert(score.values.forall(_ > 0))
+  }
+
   test("probe batch is fixed-size and deterministic under a 10x corpus") {
     import spark.implicits._
     def corpus(n: Int) = spark.range(n).select(
