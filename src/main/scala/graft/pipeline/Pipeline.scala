@@ -125,6 +125,83 @@ object Quarantine {
 /** The reference's ETL log entry shape (types.ts:16-21). */
 final case class LogEntry(id: Long, ts_ms: Long, message: String, level: String)
 
+/** One data-lineage edge: a source the executed query read, and where
+  * the result went (an output path for writes, the action name for
+  * driver-side results). */
+final case class LineageEdge(
+    query_id: Long, input: String, output: String, op: String, ts_ms: Long)
+
+/** Data lineage from the same QueryExecutionListener seam as [[Monitor]]
+  * — the reference's README declares lineage as a capability
+  * (`README.md:4-17`) with no code behind it; here every executed query
+  * contributes (input source → output sink) edges, queryable as a
+  * DataFrame and joinable back to the process log by time.
+  *
+  * Inputs are the leaf relations of the ANALYZED plan (file-source root
+  * paths, DataSourceV2 table names); the output is the write command's
+  * target path when the query is a write, else the action name. State
+  * is driver-side and O(executed queries), never per-row.
+  */
+final class Lineage(spark: SparkSession) extends Serializable {
+
+  private val edges = new ConcurrentLinkedQueue[LineageEdge]()
+  private val nextId = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private[pipeline] def record(funcName: String,
+      qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+    val inputs = Lineage.inputsOf(qe.analyzed)
+    val output = Lineage.outputOf(qe.analyzed).getOrElse(s"($funcName)")
+    val id = nextId.getAndIncrement()
+    val now = System.currentTimeMillis()
+    inputs.foreach(in => edges.add(LineageEdge(id, in, output, funcName, now)))
+  }
+
+  val listener: QueryExecutionListener = new QueryExecutionListener {
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+      record(funcName, qe)
+    override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit =
+      () // failed queries produced no output — no edge
+  }
+
+  def install(): Unit = spark.listenerManager.register(listener)
+  def uninstall(): Unit = spark.listenerManager.unregister(listener)
+
+  def toDF(): DataFrame = {
+    import spark.implicits._
+    edges.asScala.toSeq.toDF()
+  }
+}
+
+object Lineage {
+
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InsertIntoHadoopFsRelationCommand, LogicalRelation}
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+  /** Leaf data sources of an analyzed plan: file-relation root paths and
+    * V2 table names, deduplicated and sorted. In-memory relations
+    * (literal test frames, localCheckpoints) carry no lineage. */
+  def inputsOf(plan: LogicalPlan): Seq[String] = plan.collect {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+      case other => Seq(other.getClass.getSimpleName)
+    }
+    case r: DataSourceV2Relation => Seq(r.table.name)
+  }.flatten.distinct.sorted
+
+  /** Write target of the plan, when it is a write command. */
+  def outputOf(plan: LogicalPlan): Option[String] = plan.collectFirst {
+    case c: InsertIntoHadoopFsRelationCommand => c.outputPath.toString
+  }
+
+  /** File path / table name → the reference's table-name derivation
+    * (`App.tsx:132` sanitize rule) — so edges can be read at table grain
+    * rather than physical-path grain. Action-name outputs like
+    * "(collect)" pass through untouched. */
+  def tableGrain(source: String): String =
+    if (source.startsWith("(")) source else Ingest.tableName(source)
+}
+
 /** Structured process log — fed manually and by a QueryExecutionListener,
   * queryable as a DataFrame (reference P10). */
 final class Monitor(spark: SparkSession) extends Serializable {

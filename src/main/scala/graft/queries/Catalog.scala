@@ -199,6 +199,30 @@ object Catalog {
     Ingest.json(s, s"$fixtureDir/array.json").orderBy("a")
   }
 
+  /** Data lineage (P10's listener seam; reference README.md:4-17 declares
+    * lineage with no code behind it): run a load→query chain with the
+    * Lineage listener installed, surface the recorded edges at table
+    * grain. Listener delivery is async and op names are engine-specific
+    * → rows-only check; exact edges are pinned in PipelineSpec. */
+  val qLineage = Q.noOracle("q_lineage") { (s, d) =>
+    val lin = new graft.pipeline.Lineage(s)
+    lin.install()
+    try {
+      val out = "/root/repo/target/roundtrip/lineage_chain"
+      Tables.nation(s, d).write.mode("overwrite").parquet(out)
+      s.read.parquet(out).agg(count(lit(1))).collect()
+      // listener events are async — poll for both chain edges (the
+      // polling count() itself reads driver state only, adding no edges)
+      var tries = 0
+      while (lin.toDF().count() < 2 && tries < 50) { Thread.sleep(100); tries += 1 }
+      import s.implicits._
+      lin.toDF().collect().toSeq.map { r =>
+        (graft.pipeline.Lineage.tableGrain(r.getAs[String]("input")),
+          graft.pipeline.Lineage.tableGrain(r.getAs[String]("output")))
+      }.distinct.toDF("input", "output").orderBy("input", "output")
+    } finally lin.uninstall()
+  }
+
   /** Load round-trip (S5/S6): write a table through the engine's sink,
     * read it back, aggregate — atomicity via Spark's job commit
     * protocol replaces the reference's single-transaction batch insert
@@ -371,7 +395,7 @@ object Catalog {
 
   val all: Seq[Q] = Seq(
     qProfileTypes, qProfileSemantic, qQualityNulls, qQualityOutliers,
-    qQualityCardinality, qDdlSynthesis, qCsvScan, qJsonScan,
+    qQualityCardinality, qDdlSynthesis, qCsvScan, qJsonScan, qLineage,
     qLoadRoundtrip, qParquetScan, qUdafProfile,
     qSinkCsvRoundtrip, qSinkJsonRoundtrip, qSinkPartitioned, qUpsert,
     qSample, qSampleStratified, qSynthSource)

@@ -106,6 +106,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(1).getAs[String]("level") == "error")
   }
 
+  test("lineage: a load→query chain yields input→output edges") {
+    import org.apache.spark.sql.functions._
+    val lin = new graft.pipeline.Lineage(spark)
+    lin.install()
+    val out = "/root/repo/target/lineage_test"
+    try {
+      Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(out)
+      spark.read.parquet(out).agg(count(lit(1))).collect()
+      // listener events are async — wait for both edges
+      var tries = 0
+      while (lin.toDF().count() < 2 && tries < 50) { Thread.sleep(100); tries += 1 }
+      val edges = lin.toDF().collect().map(r =>
+        (graft.pipeline.Lineage.tableGrain(r.getAs[String]("input")),
+          graft.pipeline.Lineage.tableGrain(r.getAs[String]("output")),
+          r.getAs[String]("op")))
+      // write edge: orders.parquet → lineage_test dir
+      assert(edges.exists(e => e._1 == "orders" && e._2 == "lineage_test"),
+        s"missing write edge in ${edges.mkString("; ")}")
+      // read edge: lineage_test → the driver-side action
+      assert(edges.exists(e => e._1 == "lineage_test" && e._2 != "lineage_test"),
+        s"missing read edge in ${edges.mkString("; ")}")
+    } finally lin.uninstall()
+  }
+
   test("end-to-end self-healing ingest: retry + quarantine + monitor") {
     val m = new Monitor(spark)
     val p = "/root/repo/target/fixtures/quarantine.csv"
