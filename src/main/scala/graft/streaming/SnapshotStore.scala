@@ -83,18 +83,47 @@ object SnapshotStore {
   /** The current snapshot as a DataFrame (all buckets of the latest
     * committed version). Throws if nothing was committed yet.
     *
-    * Concurrency contract: single writer, and readers must not overlap a
-    * merge's post-commit cleanup — cleanup deletes superseded bucket dirs
-    * immediately after the new manifest lands, so a reader that resolved
-    * the previous manifest can hit FileNotFoundException mid-read. The
-    * streaming sink satisfies this (reads happen inside foreachBatch,
-    * serialized with merges); external readers should retry against the
-    * newest manifest on missing-path errors. */
-  def read(spark: SparkSession, dir: String): DataFrame = {
-    val m = currentManifest(spark, dir).getOrElse(
-      throw new java.io.FileNotFoundException(s"no snapshot manifest in $dir"))
+    * Concurrency contract: single writer; a concurrent merge's
+    * post-commit cleanup deletes superseded bucket dirs immediately
+    * after the new manifest lands, so a reader that resolved the
+    * previous manifest can find a bucket dir missing when the scan
+    * resolves its files. [[read]] heals that window by re-resolving the
+    * NEWEST manifest once on a missing-path error (the cheap half of
+    * reader/writer isolation; a retry against the same version would
+    * just fail again). The streaming sink never needs it — its reads
+    * run inside foreachBatch, serialized with merges. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    readFrom(spark, dir, currentManifest(spark, dir).getOrElse(
+      throw new java.io.FileNotFoundException(s"no snapshot manifest in $dir")))
+
+  /** [[read]] with the manifest already resolved — the retry seam: if a
+    * bucket dir vanished between resolution and the scan (a merge's
+    * cleanup won the race), retry ONCE against the now-newest manifest. */
+  private[graft] def readFrom(spark: SparkSession, dir: String,
+      resolved: Manifest): DataFrame =
+    try readVersion(spark, dir, resolved)
+    catch {
+      case e: Throwable if isMissingPath(e) =>
+        val newest = currentManifest(spark, dir).getOrElse(throw e)
+        if (newest.version == resolved.version) throw e // genuinely gone
+        readVersion(spark, dir, newest)
+    }
+
+  /** All buckets of one resolved manifest version, no retry. */
+  private def readVersion(spark: SparkSession, dir: String, m: Manifest): DataFrame = {
     val dirs = m.buckets.values.toSeq.sorted.map(d => s"$dir/$d")
     spark.read.parquet(dirs: _*)
+  }
+
+  /** A path-deleted-underneath-the-reader error: schema/file-listing
+    * resolution throws AnalysisException PATH_NOT_FOUND, lower layers a
+    * (possibly wrapped) FileNotFoundException. */
+  private def isMissingPath(e: Throwable): Boolean = e match {
+    case null => false
+    case _: java.io.FileNotFoundException => true
+    case ae: org.apache.spark.sql.AnalysisException =>
+      ae.getMessage.contains("PATH_NOT_FOUND") || isMissingPath(ae.getCause)
+    case other => other.getCause != e && isMissingPath(other.getCause)
   }
 
   /** Only the named buckets of the current snapshot; None when no

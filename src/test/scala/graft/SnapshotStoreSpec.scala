@@ -25,6 +25,24 @@ class SnapshotStoreSpec extends AnyFunSuite {
       else Seq(f.getName -> ((f.length(), f.lastModified())))
     }.toMap
 
+  test("reader retry: a stale manifest heals against the newest version") {
+    import spark.implicits._
+    val dir = freshDir("snap_retry").getAbsolutePath
+    SnapshotStore.merge(spark, dir,
+      (1L to 50L).map(k => (k, s"v$k")).toDF("k", "v"), Seq("k"), numBuckets = 4)
+    val stale = SnapshotStore.currentManifest(spark, dir).get
+    // second merge updates every key → every v1 bucket dir is deleted by
+    // post-commit cleanup, exactly the reader/cleanup race window
+    SnapshotStore.merge(spark, dir,
+      (1L to 50L).map(k => (k, s"w$k")).toDF("k", "v"), Seq("k"), numBuckets = 4)
+    assert(!new java.io.File(s"$dir/${stale.buckets.values.head}").exists(),
+      "precondition: the stale manifest must point at a deleted dir")
+    // a reader holding the stale manifest heals to the new version
+    val healed = SnapshotStore.readFrom(spark, dir, stale)
+    assert(healed.count() == 50)
+    assert(healed.filter($"k" === 1L).head.getString(1) == "w1")
+  }
+
   test("merge rewrites only touched buckets; untouched dirs stay byte-identical") {
     import spark.implicits._
     val dir = freshDir("snap_bounded")
