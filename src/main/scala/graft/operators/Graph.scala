@@ -25,6 +25,10 @@ object ConnectedComponents {
     *   wrong documents with no signal — fail loudly instead */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25): DataFrame = {
+    // min-label propagation needs O(eccentricity from the min node)
+    // rounds — right for the shallow clusters near-dup produces; for
+    // deep graphs (long duplicate chains) use [[runStarContraction]],
+    // which converges in O(log n) rounds.
     val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .localCheckpoint(true)
@@ -55,7 +59,82 @@ object ConnectedComponents {
       s"ConnectedComponents did not converge in $maxIter rounds " +
         s"($changed labels still changing): component diameter exceeds " +
         "maxIter — raise it (rounds are O(eccentricity from the min node)) " +
-        "or switch to a large-star/small-star contraction for deep graphs")
+        "or switch to runStarContraction for deep graphs")
     labels
+  }
+
+  /** Connected components by alternating large-star/small-star
+    * contraction (the Kiveris et al. "Connected Components in MapReduce
+    * and Beyond" formulation): each round hooks every node's larger
+    * neighbors (large-star) then its smaller neighborhood (small-star)
+    * directly to the local minimum, roughly squaring how far the min
+    * reaches — O(log n) rounds on ANY topology, vs min-label's
+    * O(eccentricity). Same contract as [[run]]: (node, label),
+    * label = component min.
+    *
+    * Per round: two grouped aggregations (map-side partial min) + two
+    * broadcast-free equi-joins keyed by node — no adjacency
+    * materialization beyond the edge list, bounded per-key state, so the
+    * deep-chain case costs log-many cheap shuffles instead of
+    * diameter-many. Prefer [[run]] when components are known-shallow
+    * (near-dup clusters): it does one join per round, not two. */
+  def runStarContraction(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    var e = edges
+      .select(col(srcCol).as("x"), col(dstCol).as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    // fixpoint detection: the edge multiset is stable when both its size
+    // and its order-independent hash-sum stop moving (the agg rides the
+    // same job that materializes the round's checkpoint output)
+    var prev = (-1L, -1L)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val sig = next.agg(
+        count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      val cur = (sig.getLong(0), sig.getLong(1))
+      converged = cur == prev
+      prev = cur
+      e = next
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"runStarContraction did not converge in $maxIter rounds — " +
+        "O(log n) bound exceeded; the edge input is likely unstable " +
+        "(non-deterministic ids) or maxIter is set far below log2(|V|)")
+    // the fixpoint is a forest of stars centered at each component's
+    // min: non-centers appear as u exactly once, centers label themselves
+    e.select(col("u").as("node"), col("v").as("lbl"))
+      .union(e.select(col("v").as("node"), col("v").as("lbl")))
+      .distinct()
+  }
+
+  /** Large-star: every node connects its STRICTLY LARGER neighbors to
+    * the min of its closed neighborhood. Output rows keep u > v. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u").as("p"), col("v").as("q"))
+      .unionByName(e.select(col("v").as("p"), col("u").as("q")))
+    val mins = sym.groupBy("p").agg(least(min(col("q")), col("p")).as("m"))
+    sym.join(mins, "p")
+      .filter(col("q") > col("p"))
+      .select(col("q").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star: every node rewires its smaller-or-equal neighborhood
+    * (and itself) to that neighborhood's min. Input/output rows u > v. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+    e.join(mins, "u")
+      .select(col("v").as("n"), col("m"))
+      .unionByName(mins.select(col("u").as("n"), col("m")))
+      .filter(col("n") =!= col("m"))
+      .select(col("n").as("u"), col("m").as("v"))
+      .distinct()
   }
 }
