@@ -51,4 +51,25 @@ object VectorOps {
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
+
+  /** `tables` independent hash tables of `planes` sign bits each — the
+    * standard LSH-ANN configuration: a true neighbor needs to collide in
+    * just ONE table, so recall is 1-(1-p^planes)^tables instead of a
+    * single table's p^planes (the recall lever is `tables`, the
+    * candidate-set-size lever is `planes`). Returns the array of per-
+    * table bucket ids; table t's ids are offset by t·2^planes so buckets
+    * never collide across tables and one explode+equi-join serves all
+    * tables at once. Planes are seeded per (table, plane), model-free:
+    * any executor recomputes the same hyperplanes from the hash. */
+  def rhpBuckets(a: Column, planes: Int, tables: Int): Column =
+    array((0 until tables).map { t =>
+      (0 until planes).map { p =>
+        val proj = aggregate(
+          zip_with(a, sequence(lit(0), size(a) - 1),
+            (x, i) => d(x) * (pmod(xxhash64(lit(t * 1024 + p), i), lit(1000000L))
+              .cast("double") / 1e6 - 0.5)),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj > 0, lit(1L << p)).otherwise(0L)
+      }.reduce(_ + _) + lit(t.toLong << planes)
+    }: _*)
 }

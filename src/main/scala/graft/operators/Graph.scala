@@ -80,8 +80,12 @@ object ConnectedComponents {
     * (near-dup clusters): it does one join per round, not two. */
   def runStarContraction(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25): DataFrame = {
-    var e = edges
-      .select(col(srcCol).as("x"), col(dstCol).as("y"))
+    val pairs = edges.select(col(srcCol).as("x"), col(dstCol).as("y"))
+    // contraction operates on self-loop-free canonical edges; nodes whose
+    // every edge is a self-loop would otherwise vanish from the output,
+    // while [[run]] labels them with themselves — they are unioned back
+    // after the fixpoint (same contract as run)
+    var e = pairs
       .filter(col("x") =!= col("y"))
       .select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
       .distinct()
@@ -94,9 +98,12 @@ object ConnectedComponents {
     var i = 0
     while (!converged && i < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // hash-sum summands are wrapped to 32 bits: a long sum of full
+      // 64-bit hashes overflows (an error under ANSI mode); 2^32-bounded
+      // terms keep the sum exact for up to 2^31 edges
       val sig = next.agg(
         count(lit(1)),
-        coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L))).head()
+        coalesce(sum(pmod(xxhash64(col("u"), col("v")), lit(4294967296L))), lit(0L))).head()
       val cur = (sig.getLong(0), sig.getLong(1))
       converged = cur == prev
       prev = cur
@@ -109,9 +116,17 @@ object ConnectedComponents {
         "(non-deterministic ids) or maxIter is set far below log2(|V|)")
     // the fixpoint is a forest of stars centered at each component's
     // min: non-centers appear as u exactly once, centers label themselves
-    e.select(col("u").as("node"), col("v").as("lbl"))
+    val starLabels = e.select(col("u").as("node"), col("v").as("lbl"))
       .union(e.select(col("v").as("node"), col("v").as("lbl")))
       .distinct()
+    // singleton components (nodes seen only in self-loops) re-enter
+    // labeled with themselves — one node-keyed equi-anti-join, the same
+    // shuffle shape as every other stage
+    val allNodes = pairs.select(col("x").as("node"))
+      .unionByName(pairs.select(col("y").as("node"))).distinct()
+    starLabels.unionByName(
+      allNodes.join(starLabels.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("lbl")))
   }
 
   /** Large-star: every node connects its STRICTLY LARGER neighbors to

@@ -49,14 +49,22 @@ object TextSearch {
     * on the rounded score with id tie-break, so Spark and a DuckDB
     * oracle rank identically even under last-ulp double drift.
     *
+    * @param requireAll conjunctive match (Postgres `to_tsquery('a & b')`
+    *   semantics): only documents containing EVERY distinct query term
+    *   are scored — one extra count over the tf rows the OR path already
+    *   aggregates, zero additional shuffles
     * @return (idCol, score, rnk) — rnk 1..topK, ordered by rnk
     */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
-      terms: Seq[String], topK: Int = 20): DataFrame = {
+      terms: Seq[String], topK: Int = 20, requireAll: Boolean = false): DataFrame = {
     require(terms.nonEmpty, "bm25: empty term set")
     val ws = TextOps.tokens(col(textCol))
-    // id, doc length, tokens — single projection feeding stats and tf
-    val base = docs.select(
+    // id, doc length, tokens — single projection feeding stats and tf.
+    // Null text is dropped (not coalesced): Spark's size(split(NULL))
+    // is -1 while SQL engines skip NULL in avg(), so a null row would
+    // skew __n/__avgdl on one side only; "no text" means "not in the
+    // corpus" for ranking purposes, and the oracle filters identically.
+    val base = docs.filter(col(textCol).isNotNull).select(
       col(idCol).as("__id"),
       size(ws).cast("double").as("__dl"),
       ws.as("__ws"))
@@ -84,11 +92,15 @@ object TextSearch {
     val idf = log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5))
     val contrib = idf * (col("tf") * (lit(K1) + 1)) /
       (col("tf") + lit(K1) * (lit(1.0) - B + lit(B) * col("dl") / col("__avgdl")))
-    val scored = tf
+    val scoredAll = tf
       .join(broadcast(dfreq), "word")
       .crossJoin(broadcast(stats))
       .groupBy("__id")
-      .agg(round(sum(contrib), 4).as("score"))
+      .agg(round(sum(contrib), 4).as("score"),
+        count(lit(1)).as("__nterms")) // distinct query terms present (tf is (doc,term) grain)
+    val scored = (if (requireAll)
+      scoredAll.filter(col("__nterms") === terms.distinct.size)
+    else scoredAll).drop("__nterms")
     // rank on the ROUNDED score; limit first (heap top-k), then number
     // the k survivors — the unpartitioned window sees topK rows only
     val byScore = Window.orderBy(col("score").desc, col("__id").asc)
@@ -97,5 +109,59 @@ object TextSearch {
       .withColumn("rnk", row_number().over(byScore).cast("bigint"))
       .withColumnRenamed("__id", idCol)
       .orderBy("rnk")
+  }
+
+  /** Batched BM25: one job scoring a whole batch of queries — the shape
+    * a catalog serving real users runs (per-query jobs would re-tokenize
+    * the corpus per query; here the corpus-side work is paid ONCE for
+    * the batch).
+    *
+    * `queries` is (queryIdCol, termCol), one row per (query, term) —
+    * batch-sized, broadcast twice (term filter + per-query fan-out).
+    * Plan vs the single-query operator: identical corpus-side pipeline
+    * (map-side term filter over the union of all terms → one (doc, term)
+    * hash aggregate), then each query picks up its own terms' rows by a
+    * broadcast equi-join on term, so per-query scores are grouped by
+    * (query, doc) without any additional corpus shuffle. df/avgdl are
+    * corpus-global, so every per-query ranking equals what [[bm25]]
+    * returns for that query's terms (pinned in ExtensionsSpec).
+    *
+    * @return (queryIdCol, idCol, score, rnk) — rnk 1..topK per query
+    */
+  def bm25Batch(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, termCol: String,
+      topK: Int = 20): DataFrame = {
+    val ws = TextOps.tokens(col(textCol))
+    val base = docs.filter(col(textCol).isNotNull).select(
+      col(idCol).as("__id"),
+      size(ws).cast("double").as("__dl"),
+      ws.as("__ws"))
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("__n"), avg("__dl").as("__avgdl"))
+    val batch = queries
+      .select(col(queryIdCol).as("__qid"), col(termCol).as("word")).distinct()
+    val termSet = batch.select("word").distinct()
+    val tf = base
+      .select(col("__id"), col("__dl"), explode(col("__ws")).as("word"))
+      .join(broadcast(termSet), "word") // map-side semi filter on the batch vocabulary
+      .groupBy("__id", "word")
+      .agg(count(lit(1)).cast("double").as("tf"), first("__dl").as("dl"))
+      .localCheckpoint(true)
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5))
+    val contrib = idf * (col("tf") * (lit(K1) + 1)) /
+      (col("tf") + lit(K1) * (lit(1.0) - B + lit(B) * col("dl") / col("__avgdl")))
+    val perQuery = Window.partitionBy("__qid")
+      .orderBy(col("score").desc, col("__id").asc)
+    tf.join(broadcast(dfreq), "word")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(batch), "word") // fan (doc,term) rows out to the queries that asked
+      .groupBy("__qid", "__id")
+      .agg(round(sum(contrib), 4).as("score"))
+      .withColumn("rnk", row_number().over(perQuery).cast("bigint"))
+      .filter(col("rnk") <= topK)
+      .withColumnRenamed("__qid", queryIdCol)
+      .withColumnRenamed("__id", idCol)
+      .orderBy(queryIdCol, "rnk")
   }
 }

@@ -157,14 +157,10 @@ object Extensions {
     nearDupPairs(s, d, 0.2).orderBy("ida", "idb")
   }
 
-  /** Dedup clustering — the step after pair generation: transitive
-    * near-dup groups collapse to one cluster whose id is the minimum
-    * doc_id (the canonical keeper). Spark side:
-    * graft.operators.ConnectedComponents (iterative min-label
-    * propagation, one shuffle-join per round, O(diameter) rounds).
-    * Oracle: DuckDB recursive CTE reachability over the same pair set. */
-  val qDedupCluster = Q(
-    "q_dedup_cluster",
+  /** One recursive-CTE reachability oracle serves BOTH clustering paths
+    * (min-label propagation and star contraction compute the same
+    * function: node → component-min label). */
+  private val dedupClusterOracleSql =
     s"""WITH RECURSIVE $nearDupPairsSql,
        |edges AS (SELECT ida AS a, idb AS b FROM pairs
        |          UNION ALL SELECT idb, ida FROM pairs),
@@ -174,9 +170,35 @@ object Extensions {
        |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node)
        |SELECT src AS doc_id, min(node) AS cluster_id
        |FROM reach GROUP BY src
-       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+       |ORDER BY doc_id""".stripMargin
+
+  /** Dedup clustering — the step after pair generation: transitive
+    * near-dup groups collapse to one cluster whose id is the minimum
+    * doc_id (the canonical keeper). Spark side:
+    * graft.operators.ConnectedComponents (iterative min-label
+    * propagation, one shuffle-join per round, O(diameter) rounds — the
+    * right cost model for near-dup's shallow clusters; [[qDedupClusterStar]]
+    * runs the same pairs through the O(log n) contraction path).
+    * Oracle: DuckDB recursive CTE reachability over the same pair set. */
+  val qDedupCluster = Q(
+    "q_dedup_cluster",
+    dedupClusterOracleSql) { (s, d) =>
     graft.operators.ConnectedComponents
       .run(nearDupPairs(s, d, 0.2), "ida", "idb")
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** The same clustering through the O(log n) large-star/small-star
+    * contraction (ConnectedComponents.runStarContraction) — the path a
+    * DEEP graph (long duplicate chains, diameter ≫ log n) takes, where
+    * min-label's O(diameter) rounds would each be a full shuffle.
+    * Identical oracle: both algorithms compute node → component min. */
+  val qDedupClusterStar = Q(
+    "q_dedup_cluster_star",
+    dedupClusterOracleSql) { (s, d) =>
+    graft.operators.ConnectedComponents
+      .runStarContraction(nearDupPairs(s, d, 0.2), "ida", "idb")
       .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy("doc_id")
   }
@@ -472,20 +494,30 @@ object Extensions {
       .orderBy("cluster")
   }
 
-  /** Random-hyperplane LSH ANN: deterministic hash-derived hyperplanes
-    * bucket the corpus; probes search only their own bucket. */
+  /** Random-hyperplane LSH ANN, multi-table (4 tables × 4 planes —
+    * VectorOps.rhpBuckets): a true neighbor needs to collide in just one
+    * table, which is what makes LSH recall usable (single-table recall
+    * measured ~0.07 on this corpus; the recall gate in ExtensionsSpec
+    * pins the multi-table floor). One explode puts every (table, bucket)
+    * row into the SAME equi-join — at corpus scale the shuffle is keyed
+    * by bucket id, the probe side stays O(batch·tables) broadcast, and a
+    * pair colliding in several tables is deduped by distinct() on the
+    * deterministic (qid, cid, cos) row before ranking. */
   val qAnnLsh = Q.noOracle("q_ann_lsh") { (s, d) =>
     VectorExpressions.register(s)
+    val buckets = VectorOps.rhpBuckets(col("embedding"), planes = 4, tables = 4)
     val e = Tables.embeddings(s, d)
-      .withColumn("bucket", VectorOps.rhpBucket(col("embedding"), planes = 6))
     val probes = probeBatch(e)
-      .select(col("vec_id").as("qid"), col("embedding").as("eq"), col("bucket"))
-    val cand = e.select(col("vec_id").as("cid"), col("embedding").as("ec"), col("bucket"))
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"),
+        explode(buckets).as("bucket"))
+    val cand = e.select(col("vec_id").as("cid"), col("embedding").as("ec"),
+      explode(buckets).as("bucket"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
     broadcast(probes).join(cand, Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         round(VectorExpressions.cosineFast(col("eq"), col("ec")), 4).as("cos"))
+      .distinct()
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= 3)
       .orderBy("qid", "rnk")
@@ -560,14 +592,19 @@ object Extensions {
     * Postgres passthrough (pgliteService.ts:36-49). Oracle recomputes
     * BM25 as plain SQL arithmetic over the same tokenization; both sides
     * rank on the rounded score with doc_id tie-break. */
-  val qTextSearch = Q(
-    "q_text_search",
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  /** Shared BM25 oracle scaffolding: the corpus/tf/df CTEs for a given
+    * term set (null text filtered — [[graft.operators.TextSearch.bm25]]
+    * drops it symmetrically), parameterized by an extra HAVING for the
+    * conjunctive mode. */
+  private def bm25OracleSql(terms: Seq[String], having: String,
+      topK: Int): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |           WHERE text IS NOT NULL),
       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(ws)) AS avgdl FROM d),
       |tok AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS word FROM d),
       |tf AS (SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf,
       |              CAST(any_value(dl) AS DOUBLE) AS dl
-      |       FROM tok WHERE word IN (${searchTerms.map(t => s"'$t'").mkString(", ")})
+      |       FROM tok WHERE word IN (${terms.map(t => s"'$t'").mkString(", ")})
       |       GROUP BY 1, 2),
       |df AS (SELECT word, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
       |scored AS (
@@ -576,14 +613,73 @@ object Extensions {
       |                    * (t.tf * (1.2 + 1)) /
       |                    (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / s.avgdl)) ), 4) AS score
       |  FROM tf t JOIN df f USING (word) CROSS JOIN stats s
-      |  GROUP BY t.doc_id),
+      |  GROUP BY t.doc_id$having),
       |ranked AS (SELECT doc_id, score,
       |                  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
       |           FROM scored)
-      |SELECT doc_id, score, rnk FROM ranked WHERE rnk <= 20
-      |ORDER BY rnk""".stripMargin) { (s, d) =>
+      |SELECT doc_id, score, rnk FROM ranked WHERE rnk <= $topK
+      |ORDER BY rnk""".stripMargin
+
+  val qTextSearch = Q(
+    "q_text_search",
+    bm25OracleSql(searchTerms, having = "", topK = 20)) { (s, d) =>
     graft.operators.TextSearch.bm25(
       Tables.documents(s, d), "doc_id", "text", searchTerms, topK = 20)
+  }
+
+  /** Conjunctive (AND) match mode — Postgres `to_tsquery('a & b & c')`
+    * semantics: only documents containing EVERY query term are ranked.
+    * One HAVING over the tf rows the OR path already aggregates. */
+  val qTextSearchAll = Q(
+    "q_text_search_all",
+    bm25OracleSql(searchTerms,
+      having = s" HAVING count(*) = ${searchTerms.distinct.size}", topK = 20)) { (s, d) =>
+    graft.operators.TextSearch.bm25(
+      Tables.documents(s, d), "doc_id", "text", searchTerms, topK = 20,
+      requireAll = true)
+  }
+
+  /** The query batch the batched-search key scores: query 0 is exactly
+    * [[searchTerms]], so the unit test can pin bm25Batch == bm25. */
+  private[graft] val searchBatch: Seq[(Long, String)] =
+    searchTerms.map(t => (0L, t)) ++
+      Seq((1L, "hash"), (1L, "join"), (2L, "spark"), (2L, "query"), (2L, "fast"))
+
+  /** Batched BM25 — one job scoring three queries; the corpus-side
+    * tokenize/aggregate pipeline is paid once for the whole batch
+    * (graft.operators.TextSearch.bm25Batch). Oracle: the same arithmetic
+    * with the batch as a VALUES relation. */
+  val qTextSearchBatch = Q(
+    "q_text_search_batch",
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |           WHERE text IS NOT NULL),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(ws)) AS avgdl FROM d),
+      |q AS (SELECT CAST(query_id AS BIGINT) AS query_id, word
+      |      FROM (VALUES ${searchBatch.map { case (q, t) => s"($q, '$t')" }.mkString(", ")})
+      |           v(query_id, word)),
+      |tok AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS word FROM d),
+      |tf AS (SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf,
+      |              CAST(any_value(dl) AS DOUBLE) AS dl
+      |       FROM tok WHERE word IN (SELECT word FROM q)
+      |       GROUP BY 1, 2),
+      |df AS (SELECT word, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT q.query_id, t.doc_id,
+      |         round(sum( ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+      |                    * (t.tf * (1.2 + 1)) /
+      |                    (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / s.avgdl)) ), 4) AS score
+      |  FROM tf t JOIN df f USING (word) JOIN q ON q.word = t.word CROSS JOIN stats s
+      |  GROUP BY 1, 2),
+      |ranked AS (SELECT query_id, doc_id, score,
+      |                  CAST(row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+      |           FROM scored)
+      |SELECT query_id, doc_id, score, rnk FROM ranked WHERE rnk <= 10
+      |ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+    import s.implicits._
+    graft.operators.TextSearch.bm25Batch(
+      Tables.documents(s, d), "doc_id", "text",
+      searchBatch.toDF("query_id", "term"), "query_id", "term", topK = 10)
   }
 
   private val enMarkers = Seq("the", "a", "of", "and", "to")
@@ -807,10 +903,11 @@ object Extensions {
   }
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qNeardup, qDedupCluster, qDedupMinhash, qDedupSimhash, qDedupEmbed,
+    qDedupExact, qNeardup, qDedupCluster, qDedupClusterStar, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupIncremental, qTokenBudget,
     qSimilarityTopk, qSimilaritySql, qAnnIvf, qAnnLsh, qKmeans,
-    qTextAnalysis, qTextTopwords, qTextSearch, qLangId, qLangIdNgram, qTextQuality, qTokenCount,
+    qTextAnalysis, qTextTopwords, qTextSearch, qTextSearchAll, qTextSearchBatch,
+    qLangId, qLangIdNgram, qTextQuality, qTokenCount,
     qDocFingerprint,
     qMultimodalJoin, qMultimodalMeta, qMultimodalFeatures, qMultimodalFrames)
 }

@@ -98,7 +98,15 @@ object SnapshotStore {
 
   /** [[read]] with the manifest already resolved — the retry seam: if a
     * bucket dir vanished between resolution and the scan (a merge's
-    * cleanup won the race), retry ONCE against the now-newest manifest. */
+    * cleanup won the race), retry ONCE against the now-newest manifest.
+    *
+    * Healing covers PLAN-TIME resolution only (file listing / schema
+    * inference, which run eagerly here): the returned DataFrame is lazy,
+    * so a bucket dir deleted between this call and a later action still
+    * surfaces as FileNotFoundException at execution time — callers that
+    * hold a snapshot DataFrame across a concurrent merge must either
+    * materialize it promptly (localCheckpoint) or re-call [[read]] on
+    * failure. */
   private[graft] def readFrom(spark: SparkSession, dir: String,
       resolved: Manifest): DataFrame =
     try readVersion(spark, dir, resolved)
@@ -117,13 +125,23 @@ object SnapshotStore {
 
   /** A path-deleted-underneath-the-reader error: schema/file-listing
     * resolution throws AnalysisException PATH_NOT_FOUND, lower layers a
-    * (possibly wrapped) FileNotFoundException. */
-  private def isMissingPath(e: Throwable): Boolean = e match {
-    case null => false
-    case _: java.io.FileNotFoundException => true
-    case ae: org.apache.spark.sql.AnalysisException =>
-      ae.getMessage.contains("PATH_NOT_FOUND") || isMissingPath(ae.getCause)
-    case other => other.getCause != e && isMissingPath(other.getCause)
+    * (possibly wrapped) FileNotFoundException. The cause walk tracks
+    * visited throwables: exception chains can form cycles of any length
+    * (not just the self-referential getCause == this), and an error
+    * handler must not blow the stack on one. */
+  private[graft] def isMissingPath(e: Throwable): Boolean = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Throwable, java.lang.Boolean]())
+    @scala.annotation.tailrec
+    def walk(t: Throwable): Boolean = t match {
+      case null => false
+      case _ if !seen.add(t) => false // cause cycle — nothing new below
+      case _: java.io.FileNotFoundException => true
+      case ae: org.apache.spark.sql.AnalysisException
+          if ae.getMessage.contains("PATH_NOT_FOUND") => true
+      case other => walk(other.getCause)
+    }
+    walk(e)
   }
 
   /** Only the named buckets of the current snapshot; None when no

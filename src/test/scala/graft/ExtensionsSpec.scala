@@ -57,6 +57,43 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(score.values.forall(_ > 0))
   }
 
+  test("bm25Batch per-query ranking equals the single-query operator") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val batch = graft.queries.Extensions.searchBatch
+    val got = graft.operators.TextSearch
+      .bm25Batch(docs, "doc_id", "text",
+        batch.toDF("query_id", "term"), "query_id", "term", topK = 10)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(3))
+        .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq).toMap
+    batch.groupBy(_._1).foreach { case (qid, qterms) =>
+      val single = graft.operators.TextSearch
+        .bm25(docs, "doc_id", "text", qterms.map(_._2), topK = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      assert(got(qid) == single, s"query $qid diverges from single-query bm25")
+    }
+  }
+
+  test("bm25 requireAll keeps only docs containing every term, scores unchanged") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark query engine spark"),
+      (2L, "spark only here"),
+      (3L, "query only here"),
+      (4L, "unrelated words")).toDF("doc_id", "text")
+    val both = graft.operators.TextSearch
+      .bm25(docs, "doc_id", "text", Seq("spark", "query"), topK = 10, requireAll = true)
+      .collect()
+    assert(both.map(_.getLong(0)).toSeq == Seq(1L), "only doc 1 has both terms")
+    // the conjunctive filter must not change the surviving doc's score
+    val orScore = graft.operators.TextSearch
+      .bm25(docs, "doc_id", "text", Seq("spark", "query"), topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(both.head.getDouble(1) == orScore(1L))
+  }
+
   test("probe batch is fixed-size and deterministic under a 10x corpus") {
     import spark.implicits._
     def corpus(n: Int) = spark.range(n).select(
@@ -83,6 +120,28 @@ class ExtensionsSpec extends AnyFunSuite {
     // every probe answered, and the approximate top-1 never beats exact
     assert(ivf.keySet == exact.keySet)
     ivf.foreach { case (q, c) => assert(c <= exact(q) + 1e-9) }
+  }
+
+  test("ANN recall@3 vs exact brute force stays above the per-index gate") {
+    // quantitative regression gate: a parameter change (fewer probes,
+    // coarser buckets, fewer planes) that silently destroys recall must
+    // fail HERE, not surface as bad search quality in production
+    def top3(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sf).filter(col("rnk") <= 3).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = top3("q_similarity_topk")
+    assert(exact.nonEmpty)
+    // gates are measured floors minus safety margin (IVF nprobe=2/8 cells,
+    // LSH 6 planes on this corpus) — a probe missing from the ANN output
+    // counts as zero recall for that probe, not as excluded
+    for ((name, gate) <- Seq("q_ann_ivf" -> 0.5, "q_ann_lsh" -> 0.3)) {
+      val ann = top3(name)
+      val recalls = exact.map { case (q, ex) =>
+        ann.getOrElse(q, Set.empty).count(ex.contains).toDouble / ex.size }
+      val mean = recalls.sum / recalls.size
+      info(f"$name mean recall@3 = $mean%.3f over ${exact.size} probes")
+      assert(mean >= gate, f"$name recall@3 $mean%.3f below gate $gate")
+    }
   }
 
   test("documents corpus is ASCII (q_multimodal_features oracle precondition)") {
@@ -272,6 +331,49 @@ class ExtensionsSpec extends AnyFunSuite {
     // and with enough rounds the same chain converges to one cluster
     val ok = graft.operators.ConnectedComponents.run(chain, "a", "b", maxIter = 35)
     assert(ok.select("lbl").distinct().count() == 1)
+  }
+
+  test("star contraction: deep chain converges in O(log n) rounds where min-label cannot") {
+    import spark.implicits._
+    // a 40-hop chain needs ~39 min-label rounds; star contraction must
+    // finish the same graph well inside 15 (log-bound), with one cluster
+    // labeled by the chain's minimum node
+    val chain = (0L until 40L).sliding(2).map(p => (p(0), p(1))).toSeq.toDF("a", "b")
+    intercept[IllegalStateException] {
+      graft.operators.ConnectedComponents.run(chain, "a", "b", maxIter = 15).count()
+    }
+    val star = graft.operators.ConnectedComponents
+      .runStarContraction(chain, "a", "b", maxIter = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.keySet == (0L until 40L).toSet)
+    assert(star.values.toSet == Set(0L))
+  }
+
+  test("star contraction edge cases: self-loops, two-node, pre-star, singleton-adjacent") {
+    import spark.implicits._
+    val edges = Seq(
+      (7L, 7L),            // self-loop-only node: labels itself
+      (10L, 11L),          // two-node component
+      (20L, 21L), (20L, 22L), (20L, 23L), // already a star (centered at min)
+      (30L, 31L), (31L, 31L) // self-loop on a node that also has a real edge
+    ).toDF("a", "b")
+    val got = graft.operators.ConnectedComponents
+      .runStarContraction(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(
+      7L -> 7L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L,
+      30L -> 30L, 31L -> 30L)
+    assert(got == want)
+  }
+
+  test("both clustering paths agree on the real near-dup pair set") {
+    val viaRun = SparkEntry.queries("q_dedup_cluster")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val viaStar = SparkEntry.queries("q_dedup_cluster_star")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(viaRun.nonEmpty && viaStar == viaRun)
   }
 
   test("top_k_pairs coerces int inputs and rejects non-literal k at analysis time") {

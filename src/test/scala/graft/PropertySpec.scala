@@ -127,6 +127,24 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  property("star contraction == min-label propagation on random graphs") =
+    // chooseNum(0,15) pairs produce self-loops (~1/16 of edges), multi-
+    // edges, and disconnected components; both algorithms must agree on
+    // the full (node → component-min) map, including self-loop-only nodes
+    forAll(Gen.listOfN(10, Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 15L)))) { es =>
+      es.nonEmpty ==> {
+        import spark.implicits._
+        val df = es.toDF("a", "b")
+        val viaRun = graft.operators.ConnectedComponents
+          .run(df, "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val viaStar = graft.operators.ConnectedComponents
+          .runStarContraction(df, "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        viaStar == viaRun
+      }
+    }
+
   property("Upsert.merge == overlay model (updates win, rest untouched)") =
     forAll(
       Gen.listOfN(12, Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0, 99))),

@@ -43,6 +43,22 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(healed.filter($"k" === 1L).head.getString(1) == "w1")
   }
 
+  test("isMissingPath survives cause cycles and still finds wrapped FNF") {
+    // cycle of length 2: a → b → a (IllegalState's initCause allows it
+    // because neither was constructed with a cause)
+    val a = new RuntimeException("a")
+    val b = new RuntimeException("b")
+    a.initCause(b); b.initCause(a)
+    assert(!SnapshotStore.isMissingPath(a)) // must terminate, not overflow
+    // a FileNotFoundException wrapped before the cycle closes is found
+    val fnf = new java.io.FileNotFoundException("gone")
+    val wrapped = new RuntimeException("outer", fnf)
+    assert(SnapshotStore.isMissingPath(wrapped))
+    assert(SnapshotStore.isMissingPath(fnf))
+    assert(!SnapshotStore.isMissingPath(new RuntimeException("plain")))
+    assert(!SnapshotStore.isMissingPath(null))
+  }
+
   test("merge rewrites only touched buckets; untouched dirs stay byte-identical") {
     import spark.implicits._
     val dir = freshDir("snap_bounded")
