@@ -166,6 +166,15 @@ final class Lineage(spark: SparkSession) extends Serializable {
   def install(): Unit = spark.listenerManager.register(listener)
   def uninstall(): Unit = spark.listenerManager.unregister(listener)
 
+  /** Barrier: block until every query-execution event queued so far has
+    * been delivered. Listener delivery is async (it rides the shared
+    * LiveListenerBus), so without this the edge set read after an action
+    * is a race; with it, edges are deterministic — install-time drain
+    * flushes stragglers from EARLIER queries, read-time drain waits for
+    * this chain's own events. */
+  def drain(): Unit =
+    org.apache.spark.graft.ListenerBusHook.drain(spark.sparkContext)
+
   def toDF(): DataFrame = {
     import spark.implicits._
     edges.asScala.toSeq.toDF()

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.catalog.{Ddl, Profile}
+import graft.catalog.{Ddl, Profile, Relations}
 import graft.ingest.Ingest
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -202,19 +202,24 @@ object Catalog {
   /** Data lineage (P10's listener seam; reference README.md:4-17 declares
     * lineage with no code behind it): run a load→query chain with the
     * Lineage listener installed, surface the recorded edges at table
-    * grain. Listener delivery is async and op names are engine-specific
-    * → rows-only check; exact edges are pinned in PipelineSpec. */
-  val qLineage = Q.noOracle("q_lineage") { (s, d) =>
+    * grain. Listener delivery is async, but `Lineage.drain()` (a
+    * listener-bus barrier) makes the edge set deterministic: drain
+    * before install flushes stragglers from earlier queries, drain
+    * before reading waits for this chain's own events — so the exact
+    * edges are a golden the oracle pins as a VALUES relation. */
+  val qLineage = Q(
+    "q_lineage",
+    """SELECT * FROM (VALUES ('lineage_chain', '(collect)'),
+      |                      ('nation', 'lineage_chain'))
+      |  AS t(input, output) ORDER BY input, output""".stripMargin) { (s, d) =>
     val lin = new graft.pipeline.Lineage(s)
+    lin.drain() // earlier queries' events must not land on our listener
     lin.install()
     try {
       val out = "/root/repo/target/roundtrip/lineage_chain"
       Tables.nation(s, d).write.mode("overwrite").parquet(out)
       s.read.parquet(out).agg(count(lit(1))).collect()
-      // listener events are async — poll for both chain edges (the
-      // polling count() itself reads driver state only, adding no edges)
-      var tries = 0
-      while (lin.toDF().count() < 2 && tries < 50) { Thread.sleep(100); tries += 1 }
+      lin.drain() // barrier: both chain edges delivered
       import s.implicits._
       lin.toDF().collect().toSeq.map { r =>
         (graft.pipeline.Lineage.tableGrain(r.getAs[String]("input")),
@@ -393,10 +398,77 @@ object Catalog {
       .orderBy("lang")
   }
 
+  // ----------------------------------------- cross-dataset relationships
+
+  /** Driver tables scanned for relationship discovery with their id-like
+    * candidate columns — the static mirror of `Relations.idLikeColumns`
+    * over the driver schemas, shared by the oracle melt (CatalogSpec
+    * pins that runtime introspection agrees with this list). */
+  private[graft] val relTables: Seq[(String, Seq[String])] = Seq(
+    "region" -> Seq("r_regionkey"),
+    "nation" -> Seq("n_nationkey", "n_regionkey"),
+    "customer" -> Seq("c_custkey", "c_nationkey"),
+    "supplier" -> Seq("s_suppkey", "s_nationkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  private def relMeltSql: String =
+    relTables.flatMap { case (t, cols) =>
+      cols.map(c => s"SELECT DISTINCT '$t' AS tbl, '$c' AS col, " +
+        s"CAST($c AS BIGINT) AS v FROM $t WHERE $c IS NOT NULL")
+    }.mkString("\n  UNION ALL ")
+
+  /** Cross-dataset relationship discovery (reference README.md:7,20 —
+    * the knowledge-graph catalog's declared auto-discovery of dataset
+    * relationships): candidate id columns by name/type affinity, scored
+    * by distinct-value containment, FK verdicts on containment + name
+    * agreement. Rediscovers the lineitem→orders→customer→nation→region
+    * chain from data alone (pinned in CatalogSpec). */
+  val qCatalogRelations = Q(
+    "q_catalog_relations",
+    s"""WITH m AS (
+       |  $relMeltSql),
+       |card AS (SELECT tbl, col, count(*) AS nd FROM m GROUP BY tbl, col),
+       |inter AS (
+       |  SELECT a.tbl AS table_a, a.col AS col_a, b.tbl AS table_b,
+       |         b.col AS col_b, count(*) AS n_common
+       |  FROM m a JOIN m b ON a.v = b.v AND a.tbl <> b.tbl
+       |  GROUP BY 1, 2, 3, 4),
+       |scored AS (
+       |  SELECT table_a, col_a, table_b, col_b,
+       |         CAST(n_common AS BIGINT) AS n_common,
+       |         CAST(n_common AS DOUBLE) / nd AS c
+       |  FROM inter JOIN card ON table_a = card.tbl AND col_a = card.col)
+       |SELECT table_a, col_a, table_b, col_b, n_common,
+       |       round(c, 4) AS containment,
+       |       CASE WHEN c >= 0.95 AND regexp_replace(col_a, '^[a-z]{1,2}_', '') =
+       |                               regexp_replace(col_b, '^[a-z]{1,2}_', '')
+       |            THEN 'fk_candidate'
+       |            WHEN c >= 0.95 THEN 'contained'
+       |            ELSE 'overlap' END AS verdict
+       |FROM scored WHERE c >= 0.5
+       |ORDER BY table_a, col_a, table_b, col_b""".stripMargin) { (s, d) =>
+    Relations.discover(relTables.map { case (t, _) => t -> Tables.load(s, d, t) })
+  }
+
+  /** Sketch-based twin of [[qCatalogRelations]] for catalogs too wide
+    * for the distinct-value join: bottom-k KMV sketches per column,
+    * containment ESTIMATED on the unified bottom-k — approximate by
+    * construction → rows-only; CatalogSpec gates the estimates against
+    * the exact operator's verdicts. */
+  val qCatalogRelationsSketch = Q.noOracle("q_catalog_relations_sketch") { (s, d) =>
+    Relations.sketchDiscover(relTables.map { case (t, _) => t -> Tables.load(s, d, t) })
+  }
+
   val all: Seq[Q] = Seq(
     qProfileTypes, qProfileSemantic, qQualityNulls, qQualityOutliers,
     qQualityCardinality, qDdlSynthesis, qCsvScan, qJsonScan, qLineage,
     qLoadRoundtrip, qParquetScan, qUdafProfile,
     qSinkCsvRoundtrip, qSinkJsonRoundtrip, qSinkPartitioned, qUpsert,
-    qSample, qSampleStratified, qSynthSource)
+    qSample, qSampleStratified, qSynthSource,
+    qCatalogRelations, qCatalogRelationsSketch)
 }

@@ -72,6 +72,17 @@ object DumpPlans {
       "BroadcastExchange (the corpus side never reshuffles for scoring), " +
       "and the top-k is TakeOrderedAndProject — per-partition heap, no " +
       "global sort."),
+    "q_catalog_relations" -> ("Cross-dataset join-key discovery. Each table " +
+      "is scanned ONCE (its id columns melt together via explode), and the " +
+      "only data-sized exchange is the value-keyed collect_set aggregation " +
+      "— it runs eagerly inside a localCheckpoint since it feeds both the " +
+      "intersection counts and the cardinalities, so the dumped plan " +
+      "starts at 'Scan ExistingRDD' = the per-value column sets (≤ C " +
+      "entries each). What to check: NO join below the final catalog-sized " +
+      "combine (pairs are generated map-side by exploding each value's " +
+      "column set), and the per-column cardinalities come in as a " +
+      "BroadcastExchange — at 100 TB only the melt and the one value-keyed " +
+      "exchange grow."),
     "q_token_budget" -> ("Budget cut on a distributed running total " +
       "(CumSum two-pass scan). The scan's range exchange + pass 1 run " +
       "eagerly inside localCheckpoint, so the dumped plan STARTS at 'Scan " +

@@ -152,4 +152,54 @@ class CatalogSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ------------------------------------ cross-dataset relationship discovery
+
+  private def relTables = graft.queries.Catalog.relTables.map {
+    case (t, _) => t -> Tables.load(spark, sf, t)
+  }
+
+  test("relations: runtime id-column introspection agrees with the oracle's static list") {
+    graft.queries.Catalog.relTables.foreach { case (t, cols) =>
+      val actual = graft.catalog.Relations.idLikeColumns(Tables.load(spark, sf, t))
+      assert(actual == cols, s"$t: introspected $actual vs oracle melt $cols")
+    }
+  }
+
+  test("relations: discover rediscovers the TPC-H FK chain from data alone") {
+    val fk = graft.catalog.Relations.discover(relTables)
+      .filter("verdict = 'fk_candidate'")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    val chain = Seq(
+      ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("orders", "o_custkey", "customer", "c_custkey"),
+      ("customer", "c_nationkey", "nation", "n_nationkey"),
+      ("nation", "n_regionkey", "region", "r_regionkey"),
+      ("lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem", "l_suppkey", "supplier", "s_suppkey"))
+    chain.foreach(e => assert(fk.contains(e), s"missing FK edge $e in ${fk.toSeq.sorted}"))
+  }
+
+  test("relations: sketch verdicts agree with the exact operator") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        (r.getString(0), r.getString(1), r.getString(2), r.getString(3)) ->
+          (r.getAs[Double]("containment"), r.getAs[String]("verdict"))
+      }.toMap
+    val exact = pairs(graft.catalog.Relations.discover(relTables))
+    val sketch = pairs(graft.catalog.Relations.sketchDiscover(relTables))
+    // every fully-contained exact FK edge must survive sketching...
+    exact.foreach { case (p, (cont, verdict)) =>
+      if (verdict == "fk_candidate" && cont == 1.0)
+        assert(sketch.get(p).exists(_._2 == "fk_candidate"),
+          s"sketch lost exact FK edge $p (sketch says ${sketch.get(p)})")
+    }
+    // ...and the sketch must not promote a pair the exact scan scores low
+    sketch.foreach { case (p, (_, verdict)) =>
+      if (verdict == "fk_candidate")
+        assert(exact.get(p).exists(_._1 >= 0.9),
+          s"sketch fabricated FK edge $p (exact says ${exact.get(p)})")
+    }
+  }
 }

@@ -109,25 +109,21 @@ class PipelineSpec extends AnyFunSuite {
   test("lineage: a load→query chain yields input→output edges") {
     import org.apache.spark.sql.functions._
     val lin = new graft.pipeline.Lineage(spark)
+    lin.drain() // flush stragglers from earlier tests' queries
     lin.install()
     val out = "/root/repo/target/lineage_test"
     try {
       Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
         .write.mode("overwrite").parquet(out)
       spark.read.parquet(out).agg(count(lit(1))).collect()
-      // listener events are async — wait for both edges
-      var tries = 0
-      while (lin.toDF().count() < 2 && tries < 50) { Thread.sleep(100); tries += 1 }
+      lin.drain() // deterministic: both chain edges delivered, no race
       val edges = lin.toDF().collect().map(r =>
         (graft.pipeline.Lineage.tableGrain(r.getAs[String]("input")),
-          graft.pipeline.Lineage.tableGrain(r.getAs[String]("output")),
-          r.getAs[String]("op")))
-      // write edge: orders.parquet → lineage_test dir
-      assert(edges.exists(e => e._1 == "orders" && e._2 == "lineage_test"),
-        s"missing write edge in ${edges.mkString("; ")}")
-      // read edge: lineage_test → the driver-side action
-      assert(edges.exists(e => e._1 == "lineage_test" && e._2 != "lineage_test"),
-        s"missing read edge in ${edges.mkString("; ")}")
+          graft.pipeline.Lineage.tableGrain(r.getAs[String]("output"))))
+        .distinct.sorted.toSeq
+      // drained bus ⇒ the edge set is EXACTLY the chain, not a superset
+      assert(edges == Seq(("lineage_test", "(collect)"), ("orders", "lineage_test")),
+        s"edge set ${edges.mkString("; ")}")
     } finally lin.uninstall()
   }
 
