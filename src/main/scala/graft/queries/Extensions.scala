@@ -329,30 +329,78 @@ object Extensions {
       .orderBy("ida", "idb")
   }
 
-  /** Row cap for the deliberately-exact all-pairs baselines
-    * ([[qDedupEmbed]], [[qSimilaritySql]]): beyond this, the broadcast
-    * side outgrows executor memory AND the n²/2 pair evaluations stop
-    * terminating in reasonable time, so fail fast with a pointer at the
-    * bucketed variants instead of dying mid-shuffle on a cluster. */
+  /** Row cap for the deliberately-exact pair-scan baselines
+    * ([[qDedupEmbed]], [[qSimilaritySql]]). The block-pair plan keeps
+    * per-task memory bounded at any n (see [[blockPairJoin]]), so the
+    * remaining cost is the n²/2 pair EVALUATIONS — inherent to exact
+    * similarity at permissive thresholds (a cosine-0.35 cone spans ~70°:
+    * no metric blocking or LSH prefilter can prune it losslessly; see
+    * PLANS.md q_dedup_embed). Beyond the cap that quadratic runtime, not
+    * memory, is the failure mode — fail fast with a pointer at the
+    * approximate twins instead of burning cluster-days. */
   private[graft] val AllPairsRowCap = 100000
 
-  /** Fail fast when an exact all-pairs twin is pointed at a corpus-sized
+  /** Fail fast when an exact pair-scan twin is pointed at a corpus-sized
     * input. `limit(cap+1).count()` stops the scan after cap+1 rows, so
     * the guard itself is O(cap), not a full count. */
   private[graft] def requireAllPairsSafe(corpus: DataFrame, queryName: String,
       cap: Int = AllPairsRowCap): Unit = {
     val n = corpus.limit(cap + 1).count()
     if (n > cap) throw new IllegalArgumentException(
-      s"$queryName is an exact all-pairs baseline: ${cap}+ input rows would " +
-        s"broadcast-nested-loop over >${cap.toLong * cap / 2} pairs. " +
-        "Use the bucketed variants (q_ann_ivf / q_ann_lsh for similarity, " +
+      s"$queryName is an exact pair-scan baseline: ${cap}+ input rows mean " +
+        s">${cap.toLong * cap / 2} pair evaluations — quadratic FLOPs no " +
+        "exact plan avoids at permissive thresholds. " +
+        "Use the approximate twins (q_ann_ivf / q_ann_lsh for similarity, " +
         "q_dedup_minhash / q_dedup_simhash for near-dup) at corpus scale.")
   }
 
-  /** Embedding-cosine near-dup: all candidate pairs ≥ 0.35 cosine. The
-    * embeddings table is dimension-sized (broadcastable); at corpus
-    * scale the LSH/IVF buckets below replace the pair product. Guarded:
-    * refuses to run over more than [[AllPairsRowCap]] rows. */
+  /** Number of id-blocks for [[blockPairJoin]]: B(B+1)/2 = 136 block-pair
+    * tasks, each row shuffled B+1 times — sized for tens of executors;
+    * raise with the cluster (per-task memory is 2·n/B rows). */
+  private[graft] val PairScanBlocks = 16
+
+  /** Exact all-pairs as a BLOCK-PAIR equi-join — the distributed-GEMM
+    * shape: rows hash into B id-blocks, a broadcast B(B+1)/2-row index
+    * fans each row out to its block-pair tasks (left side carries block
+    * bi, right side bj), and every unordered pair meets in EXACTLY one
+    * task — cross-block pairs where the lesser block is on the left,
+    * same-block pairs under id order. Properties the naive broadcast
+    * nested-loop lacks: no corpus-sized broadcast, per-task memory
+    * bounded by 2·n/B rows (spillable sort-merge buffers), shuffle
+    * volume (B+1)·n, and parallelism B(B+1)/2 tasks regardless of
+    * key skew. Emits (ida, idb, ea, eb) with ida < idb. */
+  private[graft] def blockPairJoin(e: DataFrame, idCol: String, vecCol: String,
+      blocks: Int = PairScanBlocks): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val idx = broadcast(
+      (for (i <- 0 until blocks; j <- i until blocks) yield (i, j))
+        .toDF("bi", "bj"))
+    val blocked = e.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      pmod(col(idCol), lit(blocks)).cast("int").as("blk"))
+    val left = blocked.join(idx, col("blk") === col("bi"))
+      .select(col("bi"), col("bj"), col("id").as("la"), col("vec").as("va"))
+    val right = blocked.join(idx, col("blk") === col("bj"))
+      .select(col("bi").as("ri"), col("bj").as("rj"),
+        col("id").as("lb"), col("vec").as("vb"))
+    left.join(right,
+        col("bi") === col("ri") && col("bj") === col("rj") &&
+          // same-block pairs once by id order; cross-block pairs meet in
+          // exactly one (bi, bj) arrangement, so no order constraint
+          (col("bi") =!= col("bj") || col("la") < col("lb")))
+      .select(
+        least(col("la"), col("lb")).as("ida"),
+        greatest(col("la"), col("lb")).as("idb"),
+        when(col("la") < col("lb"), col("va")).otherwise(col("vb")).as("ea"),
+        when(col("la") < col("lb"), col("vb")).otherwise(col("va")).as("eb"))
+  }
+
+  /** Embedding-cosine near-dup: all candidate pairs ≥ 0.35 cosine, exact.
+    * Distributed as [[blockPairJoin]] (bounded task memory, no corpus
+    * broadcast); the quadratic pair-evaluation count is inherent to
+    * exactness at this threshold — [[requireAllPairsSafe]] bounds the
+    * runtime and names the approximate twins. Doubles as the recall
+    * oracle the LSH/IVF gates in ExtensionsSpec measure against. */
   val qDedupEmbed = Q(
     "q_dedup_embed",
     """WITH pairs AS (
@@ -376,10 +424,8 @@ object Extensions {
     // identical to the HOF formulation and the oracle
     val e = Tables.embeddings(s, d)
     requireAllPairsSafe(e, "q_dedup_embed")
-    val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"))
     val cos = VectorExpressions.cosineFast(col("ea"), col("eb"))
-    a.join(broadcast(b), col("ida") < col("idb"))
+    blockPairJoin(e, "vec_id", "embedding")
       .filter(cos >= 0.35)
       .select(col("ida"), col("idb"), round(cos, 4).as("cos"))
       .orderBy("ida", "idb")
@@ -540,11 +586,26 @@ object Extensions {
       |ORDER BY ida, idb""".stripMargin) { (s, d) =>
     requireAllPairsSafe(Tables.embeddings(s, d), "q_similarity_sql")
     Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
+    // the custom vec_cosine expression through plain SQL, over the same
+    // block-pair plan as q_dedup_embed (blockPairJoin's shape, spelled
+    // in SQL): no corpus-sized broadcast, every unordered pair meets in
+    // exactly one block-pair task, probe filter on the lesser id
     s.sql(
-      """SELECT a.vec_id AS ida, b.vec_id AS idb,
-        |       round(vec_cosine(a.embedding, b.embedding), 4) AS cos
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE a.vec_id % 100 = 0 AND vec_cosine(a.embedding, b.embedding) >= 0.3
+      """WITH idx AS (
+        |  SELECT CAST(bi.id AS INT) AS bi, CAST(bj.id AS INT) AS bj
+        |  FROM range(16) bi JOIN range(16) bj ON bi.id <= bj.id),
+        |e AS (SELECT vec_id, embedding, CAST(pmod(vec_id, 16) AS INT) AS blk
+        |      FROM embeddings),
+        |l AS (SELECT idx.bi, idx.bj, vec_id AS la, embedding AS va
+        |      FROM e JOIN idx ON e.blk = idx.bi),
+        |r AS (SELECT idx.bi, idx.bj, vec_id AS lb, embedding AS vb
+        |      FROM e JOIN idx ON e.blk = idx.bj)
+        |SELECT least(la, lb) AS ida, greatest(la, lb) AS idb,
+        |       round(vec_cosine(va, vb), 4) AS cos
+        |FROM l JOIN r ON l.bi = r.bi AND l.bj = r.bj
+        |              AND (l.bi <> l.bj OR la < lb)
+        |WHERE least(la, lb) % 100 = 0
+        |  AND vec_cosine(va, vb) >= 0.3
         |ORDER BY ida, idb""".stripMargin)
   }
 

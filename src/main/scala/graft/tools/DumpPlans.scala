@@ -23,9 +23,18 @@ object DumpPlans {
       "heap + k-row driver merge. No full sort, no range-partitioning exchange."),
     "q_neardup" -> ("Near-dup via inverted index: shuffle keyed by shingle hash; " +
       "pair generation is proportional to real overlap, never |docs|^2."),
-    "q_dedup_embed" -> ("All-pairs cosine with the fused native expression " +
-      "(cosinesimilarityexpr) evaluated inside the join condition in codegen — no " +
-      "per-pair array allocation."),
+    "q_dedup_embed" -> ("Exact pair scan as a BLOCK-PAIR equi-join (the " +
+      "distributed-GEMM shape): a broadcast 136-row block-pair index fans " +
+      "each row to its tasks, every unordered pair meets in exactly one " +
+      "task, per-task memory is bounded at 2n/B rows and there is NO " +
+      "corpus-sized broadcast — the failure mode left at scale is the " +
+      "inherent n²/2 pair evaluations (requireAllPairsSafe bounds it; a " +
+      "cosine-0.35 cone spans ~70°, so no LSH/metric blocking can prune " +
+      "losslessly — measured: ALL qualifying sf0.01 pairs sit at " +
+      "0.35-0.6, none above). What to check: the fused cosine " +
+      "(cosinesimilarityexpr) in a codegen Filter directly above the " +
+      "join, and both join sides fed by BroadcastHashJoin against the " +
+      "tiny index — never a BroadcastNestedLoopJoin over the corpus."),
     "q_stream_tumbling" -> ("Tumbling window aggregation: hash agg keyed on " +
       "(window, type) with partial aggregation; lifts to readStream unchanged " +
       "(graft.streaming.Streams)."),

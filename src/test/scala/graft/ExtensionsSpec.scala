@@ -452,4 +452,23 @@ class ExtensionsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cums(o.repartition(3)) == cums(o.repartition(17)))
   }
+
+  test("blockPairJoin meets every unordered pair exactly once") {
+    import org.apache.spark.sql.functions._
+    // n deliberately NOT a multiple of the block count, ids offset so
+    // blocks are unevenly filled — exercises same-block id-order pairs
+    // AND both cross-block arrangements (lesser id in higher block)
+    val n = 37
+    val e = spark.range(100, 100 + n).toDF("vec_id")
+      .withColumn("embedding", array(col("vec_id").cast("float")))
+    val got = graft.queries.Extensions
+      .blockPairJoin(e, "vec_id", "embedding", blocks = 5)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = (for {
+      a <- 100L until (100L + n); b <- (a + 1) until (100L + n)
+    } yield (a, b)).toSeq
+    assert(got.size == expected.size, s"duplicate or lost pairs: ${got.size} vs ${expected.size}")
+    assert(got.toSet == expected.toSet)
+    assert(got.forall { case (a, b) => a < b })
+  }
 }
