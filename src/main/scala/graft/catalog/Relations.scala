@@ -71,24 +71,33 @@ object Relations {
     * (table_a, col_a, table_b, col_b, n_common, containment, verdict).
     * Directed: containment is asymmetric (A→B ≠ B→A). */
   def discover(tables: Seq[(String, DataFrame)], minContainment: Double = 0.5): DataFrame = {
-    // value-keyed sets feed both the intersection counts and the
-    // per-column cardinalities — materialize the shuffle once (measured
-    // faster than relying on ReusedExchange across the two branches)
-    val sets = columnSets(tables).localCheckpoint(true)
+    // per value, emit its singleton memberships (tb/cb null — these
+    // count cardinalities) AND its ordered cross-table pairs (these
+    // count intersections) in ONE exploded pass, so one data-sized
+    // aggregation produces the whole catalog-sized count table: no
+    // second scan, no join below the final combine
+    val memberships = concat(
+      transform(col("cs"), a => struct(
+        a("tbl").as("ta"), a("col").as("ca"),
+        lit(null).cast("string").as("tb"), lit(null).cast("string").as("cb"))),
+      flatten(transform(col("cs"), a =>
+        transform(filter(col("cs"), b => b("tbl") =!= a("tbl")),
+          b => struct(a("tbl").as("ta"), a("col").as("ca"),
+            b("tbl").as("tb"), b("col").as("cb"))))))
+    // catalog-sized (≤ C + C² rows) — checkpoint so the cardinality
+    // lookup and the pair scoring below reread 300 rows, not the data
+    val counts = columnSets(tables)
+      .select(explode(memberships).as("m"))
+      .groupBy(col("m.ta").as("ta"), col("m.ca").as("ca"),
+        col("m.tb").as("tb"), col("m.cb").as("cb"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
 
-    val card = sets.select(explode(col("cs")).as("tc"))
-      .groupBy(col("tc.tbl").as("tbl"), col("tc.col").as("col"))
-      .agg(count(lit(1)).as("nd"))
-
-    // ordered cross-table pairs within each value's column set: ≤ C²
-    // structs per value, generated map-side — no join anywhere
-    val pairs = flatten(transform(col("cs"), a =>
-      transform(filter(col("cs"), b => b("tbl") =!= a("tbl")),
-        b => struct(a.as("a"), b.as("b")))))
-    val inter = sets.select(explode(pairs).as("p"))
-      .groupBy(col("p.a.tbl").as("table_a"), col("p.a.col").as("col_a"),
-        col("p.b.tbl").as("table_b"), col("p.b.col").as("col_b"))
-      .agg(count(lit(1)).as("n_common"))
+    val card = counts.where(col("tb").isNull)
+      .select(col("ta").as("tbl"), col("ca").as("col"), col("n").as("nd"))
+    val inter = counts.where(col("tb").isNotNull)
+      .select(col("ta").as("table_a"), col("ca").as("col_a"),
+        col("tb").as("table_b"), col("cb").as("col_b"), col("n").as("n_common"))
 
     val containment = col("n_common").cast("double") / col("nd")
     inter
@@ -115,17 +124,15 @@ object Relations {
     * [[discover]] with containment replaced by the estimate. */
   def sketchDiscover(tables: Seq[(String, DataFrame)], k: Int = 256,
       minContainment: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // bottom-k hashes per column via the rank filter Catalyst rewrites
-    // into a map-side WindowGroupLimit (pinned in PlanSpec): each map
-    // partition forwards ≤ k hashes per column, so the collect_list
-    // below is k-bounded — never a full distinct-value set in memory
-    val w = Window.partitionBy("tbl", "col").orderBy("h")
+    // one aggregation pass: the native bottom_k_distinct aggregate
+    // (graft.functions.BottomKDistinctAgg) keeps a k-bounded distinct
+    // heap per (column × map partition), so the only exchange carries
+    // ≤ k hashes per column per partition — no distinct shuffle, no
+    // window sort, never a full distinct-value set in memory
     val sk = melt(tables)
-      .select(col("tbl"), col("col"), xxhash64(col("v")).as("h")).distinct()
-      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("tbl"), col("col"), xxhash64(col("v")).as("h"))
       .groupBy("tbl", "col")
-      .agg(sort_array(collect_list(col("h"))).as("sketch"))
+      .agg(call_function("bottom_k_distinct", col("h"), lit(k)).as("sketch"))
 
     val pairs = sk.as("a").join(broadcast(sk.as("b")), col("a.tbl") =!= col("b.tbl"))
     // unified bottom-k of the union, then membership counting

@@ -82,15 +82,17 @@ object DumpPlans {
       "and the top-k is TakeOrderedAndProject — per-partition heap, no " +
       "global sort."),
     "q_catalog_relations" -> ("Cross-dataset join-key discovery. Each table " +
-      "is scanned ONCE (its id columns melt together via explode), and the " +
-      "only data-sized exchange is the value-keyed collect_set aggregation " +
-      "— it runs eagerly inside a localCheckpoint since it feeds both the " +
-      "intersection counts and the cardinalities, so the dumped plan " +
-      "starts at 'Scan ExistingRDD' = the per-value column sets (≤ C " +
-      "entries each). What to check: NO join below the final catalog-sized " +
-      "combine (pairs are generated map-side by exploding each value's " +
-      "column set), and the per-column cardinalities come in as a " +
-      "BroadcastExchange — at 100 TB only the melt and the one value-keyed " +
+      "is scanned ONCE (its id columns melt together via explode); the " +
+      "value-keyed collect_set aggregation is the only data-sized " +
+      "exchange, and ONE exploded membership pass over it (singletons " +
+      "tagged null + ordered cross-table pairs, generated map-side from " +
+      "each value's column set) feeds a single catalog-sized count " +
+      "aggregation — cardinalities and intersections come out of the same " +
+      "pass, checkpointed at ≤ C+C² rows. The dumped plan therefore " +
+      "starts at 'Scan ExistingRDD' = that tiny count table. What to " +
+      "check: no join or second scan anywhere below it; the per-column " +
+      "cardinalities join back as a BroadcastExchange; everything above " +
+      "is ~300-row work — at 100 TB only the melt and the one value-keyed " +
       "exchange grow."),
     "q_token_budget" -> ("Budget cut on a distributed running total " +
       "(CumSum two-pass scan). The scan's range exchange + pass 1 run " +

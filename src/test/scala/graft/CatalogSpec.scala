@@ -181,6 +181,21 @@ class CatalogSpec extends AnyFunSuite {
     chain.foreach(e => assert(fk.contains(e), s"missing FK edge $e in ${fk.toSeq.sorted}"))
   }
 
+  test("bottom_k_distinct: sorted k smallest distinct, dup/null-proof, partition-invariant") {
+    import org.apache.spark.sql.functions._
+    // input values: 0..9 once (i=100..109), 10..99 twice (i and i+100),
+    // i<10 nulled — bottom-15 must be 0..14 with the duplicated 10..14
+    // appearing exactly once, at any partitioning
+    val df = spark.range(200).toDF("i")
+      .select(when(col("i") < 10, null).otherwise(pmod(col("i"), lit(100))).as("v"))
+    def sketch(parts: Int): Seq[Long] =
+      df.repartition(parts)
+        .agg(call_function("bottom_k_distinct", col("v"), lit(15)).as("s"))
+        .collect()(0).getSeq[Long](0)
+    assert(sketch(3) == (0L to 14L))
+    assert(sketch(17) == (0L to 14L))
+  }
+
   test("relations: sketch verdicts agree with the exact operator") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map { r =>
