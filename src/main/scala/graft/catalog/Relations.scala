@@ -47,16 +47,21 @@ object Relations {
     * exploded array of structs, so a 3-FK fact table is not read three
     * times. Rows are NOT yet distinct (the downstream value-keyed
     * aggregation dedups for free via collect_set). */
-  private[graft] def melt(tables: Seq[(String, DataFrame)]): DataFrame =
-    tables.flatMap { case (t, df) =>
+  private[graft] def melt(tables: Seq[(String, DataFrame)]): DataFrame = {
+    val melted = tables.flatMap { case (t, df) =>
       val cols = idLikeColumns(df)
-      if (cols.isEmpty) None
+      if (cols.isEmpty) None // no candidates — table contributes nothing
       else Some(
         df.select(explode(array(cols.map(c =>
           struct(lit(c).as("col"), col(c).cast("long").as("v"))): _*)).as("cv"))
           .select(lit(t).as("tbl"), col("cv.col").as("col"), col("cv.v").as("v"))
           .where(col("v").isNotNull))
-    }.reduce(_ union _)
+    }
+    require(melted.nonEmpty,
+      "relationship discovery found no id-like candidate column (name " +
+        "'id'/'*_id'/'*key' + integral type) in any input table")
+    melted.reduce(_ union _)
+  }
 
   /** Per-value column sets: the one data-sized exchange. collect_set
     * dedups (tbl, col) per value with ≤ C entries of partial-aggregate
@@ -72,19 +77,22 @@ object Relations {
     * Directed: containment is asymmetric (A→B ≠ B→A). */
   def discover(tables: Seq[(String, DataFrame)], minContainment: Double = 0.5): DataFrame = {
     // per value, emit its singleton memberships (tb/cb null — these
-    // count cardinalities) AND its ordered cross-table pairs (these
-    // count intersections) in ONE exploded pass, so one data-sized
-    // aggregation produces the whole catalog-sized count table: no
-    // second scan, no join below the final combine
+    // count cardinalities) AND its cross-table pairs (these count
+    // intersections) in ONE exploded pass, so one data-sized aggregation
+    // produces the whole catalog-sized count table: no second scan, no
+    // join below the final combine. Intersection counts are SYMMETRIC,
+    // so only table-lexicographic pairs are exploded (halves the ≤ C²
+    // per-value fan-out) and the mirror direction is re-derived from the
+    // catalog-sized counts below.
     val memberships = concat(
       transform(col("cs"), a => struct(
         a("tbl").as("ta"), a("col").as("ca"),
         lit(null).cast("string").as("tb"), lit(null).cast("string").as("cb"))),
       flatten(transform(col("cs"), a =>
-        transform(filter(col("cs"), b => b("tbl") =!= a("tbl")),
+        transform(filter(col("cs"), b => b("tbl") > a("tbl")),
           b => struct(a("tbl").as("ta"), a("col").as("ca"),
             b("tbl").as("tb"), b("col").as("cb"))))))
-    // catalog-sized (≤ C + C² rows) — checkpoint so the cardinality
+    // catalog-sized (≤ C + C²/2 rows) — checkpoint so the cardinality
     // lookup and the pair scoring below reread 300 rows, not the data
     val counts = columnSets(tables)
       .select(explode(memberships).as("m"))
@@ -95,9 +103,12 @@ object Relations {
 
     val card = counts.where(col("tb").isNull)
       .select(col("ta").as("tbl"), col("ca").as("col"), col("n").as("nd"))
-    val inter = counts.where(col("tb").isNotNull)
+    val oneWay = counts.where(col("tb").isNotNull)
+    val inter = oneWay
       .select(col("ta").as("table_a"), col("ca").as("col_a"),
         col("tb").as("table_b"), col("cb").as("col_b"), col("n").as("n_common"))
+      .unionByName(oneWay.select(col("tb").as("table_a"), col("cb").as("col_a"),
+        col("ta").as("table_b"), col("ca").as("col_b"), col("n").as("n_common")))
 
     val containment = col("n_common").cast("double") / col("nd")
     inter

@@ -181,6 +181,23 @@ class CatalogSpec extends AnyFunSuite {
     chain.foreach(e => assert(fk.contains(e), s"missing FK edge $e in ${fk.toSeq.sorted}"))
   }
 
+  test("relations: tables without id-like columns are skipped; none at all fails loudly") {
+    import org.apache.spark.sql.functions._
+    val noIds = spark.range(5).toDF("amount") // no name affinity
+    // a candidate-free table mixed in changes nothing
+    val withNoise = relTables :+ ("noise" -> noIds)
+    val fk = graft.catalog.Relations.discover(withNoise)
+      .filter("verdict = 'fk_candidate'").count()
+    val fkBase = graft.catalog.Relations.discover(relTables)
+      .filter("verdict = 'fk_candidate'").count()
+    assert(fk == fkBase)
+    // only candidate-free tables → clear failure, not an empty .reduce crash
+    val e = intercept[IllegalArgumentException] {
+      graft.catalog.Relations.discover(Seq("noise" -> noIds))
+    }
+    assert(e.getMessage.contains("no id-like candidate column"))
+  }
+
   test("bottom_k_distinct: sorted k smallest distinct, dup/null-proof, partition-invariant") {
     import org.apache.spark.sql.functions._
     // input values: 0..9 once (i=100..109), 10..99 twice (i and i+100),
