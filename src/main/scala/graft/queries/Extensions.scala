@@ -26,6 +26,15 @@ import org.apache.spark.sql.expressions.Window
   */
 object Extensions {
 
+  /** Language marker vocabularies + DuckDB list-literal helper, used by
+    * the lang-id, quality, and curation keys. Declared FIRST: object
+    * vals initialize in order, and several oracle strings below embed
+    * them eagerly at init. */
+  private val enMarkers = Seq("the", "a", "of", "and", "to")
+  private val esMarkers = Seq("el", "la", "de", "los", "que")
+  private val deMarkers = Seq("der", "die", "das", "und", "ist")
+  private def markerList(m: Seq[String]) = m.map(x => s"'$x'").mkString("[", ", ", "]")
+
   // ------------------------------------------------------------------ dedup
 
   val qDedupExact = Q(
@@ -270,6 +279,41 @@ object Extensions {
       .filter(col("cum_tokens") <= 10000)
       .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
         round(col("q"), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** End-to-end corpus curation (graft.operators.CorpusCuration): exact
+    * dedup → quality scoring → threshold filter → token-budget cut, the
+    * full LLM-data pipeline as one oracle-checked composite. Stage
+    * formulas are identical to the standalone keys (q_dedup_exact's
+    * first-seen-wins, q_text_quality's weighted score, q_token_budget's
+    * running-total cut), so the oracle is their composition verbatim.
+    * The dedup stage is an identity at sf0.01 (no exact dups in the
+    * small corpora) — a planted-duplicate frame pins it in
+    * ExtensionsSpec. */
+  val qCorpusCuration = Q(
+    "q_corpus_curation",
+    s"""WITH dedup AS (
+       |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+       |scored AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         0.4 * least(1.0, len(string_split(text, ' ')) / 100.0)
+       |       + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |                / len(string_split(text, ' ')))
+       |       + 0.3 * (1 - CAST(len(list_filter(string_split(text, ' '),
+       |                x -> list_contains(${markerList(enMarkers)}, x))) AS DOUBLE)
+       |                / len(string_split(text, ' '))) AS q
+       |  FROM dedup),
+       |c AS (SELECT doc_id, n_tokens, q,
+       |             CAST(sum(n_tokens) OVER (ORDER BY q DESC, doc_id)
+       |               AS BIGINT) AS cum_tokens
+       |      FROM scored WHERE q >= 0.62)
+       |SELECT doc_id, n_tokens, cum_tokens, round(q, 4) AS quality
+       |FROM c WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.operators.CorpusCuration
+      .curate(Tables.documents(s, d).select("doc_id", "text"),
+        enMarkers, minQuality = 0.62, tokenBudget = 10000L)
       .orderBy("doc_id")
   }
 
@@ -743,10 +787,6 @@ object Extensions {
       searchBatch.toDF("query_id", "term"), "query_id", "term", topK = 10)
   }
 
-  private val enMarkers = Seq("the", "a", "of", "and", "to")
-  private val esMarkers = Seq("el", "la", "de", "los", "que")
-  private val deMarkers = Seq("der", "die", "das", "und", "ist")
-  private def markerList(m: Seq[String]) = m.map(x => s"'$x'").mkString("[", ", ", "]")
 
   /** Language-ID by marker-vocabulary hits (n-gram-profile heuristic).
     * The synthetic corpus' vocabulary is English-like regardless of the
@@ -965,7 +1005,7 @@ object Extensions {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qNeardup, qDedupCluster, qDedupClusterStar, qDedupMinhash, qDedupSimhash, qDedupEmbed,
-    qDedupIncremental, qTokenBudget,
+    qDedupIncremental, qTokenBudget, qCorpusCuration,
     qSimilarityTopk, qSimilaritySql, qAnnIvf, qAnnLsh, qKmeans,
     qTextAnalysis, qTextTopwords, qTextSearch, qTextSearchAll, qTextSearchBatch,
     qLangId, qLangIdNgram, qTextQuality, qTokenCount,

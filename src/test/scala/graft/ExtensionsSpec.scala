@@ -453,6 +453,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(cums(o.repartition(3)) == cums(o.repartition(17)))
   }
 
+  test("corpus curation: dup texts keep the lowest id, budget cuts worst-quality-first") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (7L, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+      (3L, "the quick brown fox jumps over the lazy dog near the old river bank today"), // dup, lower id wins
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // no stopwords: high quality
+      (9L, "the the the the the the the the the the")) // degenerate: low ttr, all stopwords
+      .toDF("doc_id", "text")
+    val markers = Seq("the", "a", "of", "and", "to")
+    val all = graft.operators.CorpusCuration
+      .curate(docs, markers, minQuality = 0.0, tokenBudget = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(all.keySet == Set(3L, 5L, 9L), s"dedup kept ${all.keySet}")
+    assert(!all.contains(7L), "first-seen-wins must keep the LOWEST doc id")
+    assert(all(5L) > all(9L), "stopword-free text must outscore degenerate text")
+    // a budget that fits only the best doc selects exactly it
+    val cut = graft.operators.CorpusCuration
+      .curate(docs, markers, minQuality = 0.0, tokenBudget = 10L)
+      .collect().map(_.getLong(0)).toSet
+    assert(cut == Set(5L), s"10-token budget should keep only the best doc, got $cut")
+  }
+
   test("blockPairJoin meets every unordered pair exactly once") {
     import org.apache.spark.sql.functions._
     // n deliberately NOT a multiple of the block count, ids offset so
