@@ -130,24 +130,30 @@ object ConnectedComponents {
   }
 
   /** Large-star: every node connects its STRICTLY LARGER neighbors to
-    * the min of its closed neighborhood. Output rows keep u > v. */
+    * the min of its closed neighborhood. Output rows keep u > v.
+    * The per-node min rides a window over the same partition-by-p
+    * exchange the rows need anyway — one exchange instead of the
+    * groupBy+join formulation's aggregate-then-join-back two. (Degree
+    * skew routes a node's edges to one task in EITHER formulation; the
+    * window adds no new hot spot.) */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.select(col("u").as("p"), col("v").as("q"))
       .unionByName(e.select(col("v").as("p"), col("u").as("q")))
-    val mins = sym.groupBy("p").agg(least(min(col("q")), col("p")).as("m"))
-    sym.join(mins, "p")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("p")
+    sym.withColumn("m", least(min(col("q")).over(w), col("p")))
       .filter(col("q") > col("p"))
       .select(col("q").as("u"), col("m").as("v"))
       .distinct()
   }
 
   /** Small-star: every node rewires its smaller-or-equal neighborhood
-    * (and itself) to that neighborhood's min. Input/output rows u > v. */
+    * (and itself) to that neighborhood's min. Input/output rows u > v.
+    * Same one-exchange window trick as [[largeStar]]: the center u rows
+    * (n = v) and u's own self-row (n = u) both read the windowed min. */
   private def smallStar(e: DataFrame): DataFrame = {
-    val mins = e.groupBy("u").agg(min(col("v")).as("m"))
-    e.join(mins, "u")
-      .select(col("v").as("n"), col("m"))
-      .unionByName(mins.select(col("u").as("n"), col("m")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("u")
+    e.withColumn("m", min(col("v")).over(w))
+      .select(explode(array(col("v"), col("u"))).as("n"), col("m"))
       .filter(col("n") =!= col("m"))
       .select(col("n").as("u"), col("m").as("v"))
       .distinct()
