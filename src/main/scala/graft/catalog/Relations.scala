@@ -2,7 +2,7 @@ package graft.catalog
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType}
 
 /** Cross-dataset relationship discovery (reference README.md:7,20 — the
   * knowledge-graph catalog "auto-discovers relationships between
@@ -27,14 +27,16 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   */
 object Relations {
 
-  private val IntLike: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+  private val KeyLike: Set[DataType] =
+    Set(ByteType, ShortType, IntegerType, LongType, StringType)
 
-  /** Candidate join-key columns: id-like by name AND integral by type.
+  /** Candidate join-key columns: id-like by name AND a joinable key type
+    * (integral or string — real catalogs join on string ids too).
     * Mirrors the semantic classifier's identifier rule (Profile P3). */
   def idLikeColumns(df: DataFrame): Seq[String] =
     df.schema.fields.toSeq.collect {
       case f if (f.name == "id" || f.name.endsWith("_id") || f.name.endsWith("key")) &&
-        IntLike.contains(f.dataType) => f.name
+        KeyLike.contains(f.dataType) => f.name
     }
 
   /** Column base name with a 1-2 letter table prefix stripped
@@ -45,21 +47,24 @@ object Relations {
   /** Melt the candidate columns of every table to (table, column, value)
     * rows — ONE scan per table: the id columns ride out together as an
     * exploded array of structs, so a 3-FK fact table is not read three
-    * times. Rows are NOT yet distinct (the downstream value-keyed
-    * aggregation dedups for free via collect_set). */
+    * times. Values melt as STRINGS (the common coin across integral and
+    * string keys; long→string is a bijection, and the oracle melts with
+    * CAST(.. AS VARCHAR) identically). Rows are NOT yet distinct (the
+    * downstream value-keyed aggregation dedups for free via
+    * collect_set). */
   private[graft] def melt(tables: Seq[(String, DataFrame)]): DataFrame = {
     val melted = tables.flatMap { case (t, df) =>
       val cols = idLikeColumns(df)
       if (cols.isEmpty) None // no candidates — table contributes nothing
       else Some(
         df.select(explode(array(cols.map(c =>
-          struct(lit(c).as("col"), col(c).cast("long").as("v"))): _*)).as("cv"))
+          struct(lit(c).as("col"), col(c).cast("string").as("v"))): _*)).as("cv"))
           .select(lit(t).as("tbl"), col("cv.col").as("col"), col("cv.v").as("v"))
           .where(col("v").isNotNull))
     }
     require(melted.nonEmpty,
       "relationship discovery found no id-like candidate column (name " +
-        "'id'/'*_id'/'*key' + integral type) in any input table")
+        "'id'/'*_id'/'*key' + integral or string type) in any input table")
     melted.reduce(_ union _)
   }
 

@@ -419,7 +419,7 @@ object Catalog {
   private def relMeltSql: String =
     relTables.flatMap { case (t, cols) =>
       cols.map(c => s"SELECT DISTINCT '$t' AS tbl, '$c' AS col, " +
-        s"CAST($c AS BIGINT) AS v FROM $t WHERE $c IS NOT NULL")
+        s"CAST($c AS VARCHAR) AS v FROM $t WHERE $c IS NOT NULL")
     }.mkString("\n  UNION ALL ")
 
   /** Cross-dataset relationship discovery (reference README.md:7,20 —

@@ -198,6 +198,20 @@ class CatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no id-like candidate column"))
   }
 
+  test("relations: string-typed join keys score containment too") {
+    import spark.implicits._
+    val users = Seq("u1", "u2", "u3", "u4").toDF("user_key")
+    val logins = Seq("u1", "u2", "u2", "u3").toDF("account_key")
+    val fk = graft.catalog.Relations.discover(
+        Seq("users" -> users, "logins" -> logins))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getAs[Double]("containment"))).toSeq
+    // logins.account_key fully contained in users.user_key (3 of 3
+    // distinct); reverse direction is 3 of 4
+    assert(fk.contains(("logins", "account_key", "users", "user_key", 1.0)), fk.toString)
+    assert(fk.contains(("users", "user_key", "logins", "account_key", 0.75)), fk.toString)
+  }
+
   test("bottom_k_distinct: sorted k smallest distinct, dup/null-proof, partition-invariant") {
     import org.apache.spark.sql.functions._
     // input values: 0..9 once (i=100..109), 10..99 twice (i and i+100),
