@@ -422,15 +422,11 @@ object Catalog {
         s"CAST($c AS VARCHAR) AS v FROM $t WHERE $c IS NOT NULL")
     }.mkString("\n  UNION ALL ")
 
-  /** Cross-dataset relationship discovery (reference README.md:7,20 —
-    * the knowledge-graph catalog's declared auto-discovery of dataset
-    * relationships): candidate id columns by name/type affinity, scored
-    * by distinct-value containment, FK verdicts on containment + name
-    * agreement. Rediscovers the lineitem→orders→customer→nation→region
-    * chain from data alone (pinned in CatalogSpec). */
-  val qCatalogRelations = Q(
-    "q_catalog_relations",
-    s"""WITH m AS (
+  /** Shared CTE chain: melt → cardinalities → intersections → scored
+    * pairs with containment `c`. Used by the relations key and the
+    * knowledge-graph key. */
+  private def relScoredCte: String =
+    s"""m AS (
        |  $relMeltSql),
        |card AS (SELECT tbl, col, count(*) AS nd FROM m GROUP BY tbl, col),
        |inter AS (
@@ -442,7 +438,17 @@ object Catalog {
        |  SELECT table_a, col_a, table_b, col_b,
        |         CAST(n_common AS BIGINT) AS n_common,
        |         CAST(n_common AS DOUBLE) / nd AS c
-       |  FROM inter JOIN card ON table_a = card.tbl AND col_a = card.col)
+       |  FROM inter JOIN card ON table_a = card.tbl AND col_a = card.col)""".stripMargin
+
+  /** Cross-dataset relationship discovery (reference README.md:7,20 —
+    * the knowledge-graph catalog's declared auto-discovery of dataset
+    * relationships): candidate id columns by name/type affinity, scored
+    * by distinct-value containment, FK verdicts on containment + name
+    * agreement. Rediscovers the lineitem→orders→customer→nation→region
+    * chain from data alone (pinned in CatalogSpec). */
+  val qCatalogRelations = Q(
+    "q_catalog_relations",
+    s"""WITH $relScoredCte
        |SELECT table_a, col_a, table_b, col_b, n_common,
        |       round(c, 4) AS containment,
        |       CASE WHEN c >= 0.95 AND regexp_replace(col_a, '^[a-z]{1,2}_', '') =
@@ -453,6 +459,52 @@ object Catalog {
        |FROM scored WHERE c >= 0.5
        |ORDER BY table_a, col_a, table_b, col_b""".stripMargin) { (s, d) =>
     Relations.discover(relTables.map { case (t, _) => t -> Tables.load(s, d, t) })
+  }
+
+  /** The metadata knowledge graph the reference README declares
+    * (README.md:7: metadata management as a knowledge graph, including
+    * lineage; README.md:20: auto-discovered dataset relationships) —
+    * both edge families in ONE graph: data-derived FK edges from
+    * [[qCatalogRelations]]'s verdicts, runtime lineage edges from the
+    * drained listener chain. Edge grain: src/dst are `table.column` for
+    * FK edges, table names / action for lineage edges. */
+  val qCatalogGraph = Q(
+    "q_catalog_graph",
+    s"""WITH $relScoredCte,
+       |fk AS (
+       |  SELECT table_a || '.' || col_a AS src, table_b || '.' || col_b AS dst,
+       |         'foreign_key' AS edge_type
+       |  FROM scored
+       |  WHERE c >= 0.95 AND regexp_replace(col_a, '^[a-z]{1,2}_', '') =
+       |                      regexp_replace(col_b, '^[a-z]{1,2}_', '')),
+       |lin AS (SELECT * FROM (VALUES ('nation', 'lineage_chain', 'lineage'),
+       |                              ('lineage_chain', '(collect)', 'lineage'))
+       |          AS t(src, dst, edge_type))
+       |SELECT src, dst, edge_type FROM fk
+       |UNION ALL SELECT src, dst, edge_type FROM lin
+       |ORDER BY edge_type, src, dst""".stripMargin) { (s, d) =>
+    val fk = Relations
+      .discover(relTables.map { case (t, _) => t -> Tables.load(s, d, t) })
+      .filter(col("verdict") === "fk_candidate")
+      .select(
+        concat_ws(".", col("table_a"), col("col_a")).as("src"),
+        concat_ws(".", col("table_b"), col("col_b")).as("dst"),
+        lit("foreign_key").as("edge_type"))
+    val lin = new graft.pipeline.Lineage(s)
+    lin.drain()
+    lin.install()
+    val linEdges = try {
+      val out = "/root/repo/target/roundtrip/lineage_chain"
+      Tables.nation(s, d).write.mode("overwrite").parquet(out)
+      s.read.parquet(out).agg(count(lit(1))).collect()
+      lin.drain()
+      import s.implicits._
+      lin.toDF().collect().toSeq.map { r =>
+        (graft.pipeline.Lineage.tableGrain(r.getAs[String]("input")),
+          graft.pipeline.Lineage.tableGrain(r.getAs[String]("output")), "lineage")
+      }.distinct.toDF("src", "dst", "edge_type")
+    } finally lin.uninstall()
+    fk.unionByName(linEdges).orderBy("edge_type", "src", "dst")
   }
 
   /** Sketch-based twin of [[qCatalogRelations]] for catalogs too wide
@@ -470,5 +522,5 @@ object Catalog {
     qLoadRoundtrip, qParquetScan, qUdafProfile,
     qSinkCsvRoundtrip, qSinkJsonRoundtrip, qSinkPartitioned, qUpsert,
     qSample, qSampleStratified, qSynthSource,
-    qCatalogRelations, qCatalogRelationsSketch)
+    qCatalogRelations, qCatalogRelationsSketch, qCatalogGraph)
 }
