@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.catalog.{Ddl, Profile, Relations}
-import graft.ingest.Ingest
+import graft.ingest.{Ingest, SchemaEvolution}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -172,6 +172,9 @@ object Catalog {
     write("mixed_types.csv", "id,mixed\n1,12\n2,abc\n3,true\n")
     write("array.json", """[{"a":1,"b":"x"},{"a":2,"b":"y"},{"a":3,"b":"z","extra":true}]""")
     write("single_object.json", """{"a":1,"b":"x"}""")
+    // schema-drift pair: v2 widens score (int→double) and adds a column
+    write("evolve_v1.csv", "id,name,score\n1,Ann,7\n2,Bo,9\n3,Cy,5\n")
+    write("evolve_v2.csv", "id,name,score,flag\n4,Di,8.5,true\n5,Ed,6.25,false\n")
   }
 
   /** CSV source scan (S1): DuckDB reads the same fixture file via
@@ -197,6 +200,29 @@ object Catalog {
     s"""SELECT * FROM read_json('$fixtureDir/array.json', format='array') ORDER BY a""") { (s, _) =>
     ensureFixtures()
     Ingest.json(s, s"$fixtureDir/array.json").orderBy("a")
+  }
+
+  /** Schema-drift-tolerant load (the self-healing half of ingest: an
+    * evolving source must not break the pipeline) — two CSV batches
+    * whose schemas drift (v2 widens score int→double and adds a
+    * column) load as ONE frame under the reconciled schema: missing
+    * columns null-fill, numeric types widen (graft.ingest
+    * .SchemaEvolution). The oracle is DuckDB's native evolve-on-read,
+    * `UNION ALL BY NAME`, over the same files. */
+  val qSchemaEvolution = Q(
+    "q_schema_evolution",
+    s"""SELECT id, name, score, flag FROM (
+       |  SELECT * FROM read_csv_auto('$fixtureDir/evolve_v1.csv')
+       |  UNION ALL BY NAME
+       |  SELECT * FROM read_csv_auto('$fixtureDir/evolve_v2.csv'))
+       |ORDER BY id""".stripMargin) { (s, _) =>
+    ensureFixtures()
+    SchemaEvolution.unionEvolved(Seq(
+        Ingest.csv(s, s"$fixtureDir/evolve_v1.csv"),
+        Ingest.csv(s, s"$fixtureDir/evolve_v2.csv")))
+      .withColumn("id", col("id").cast("bigint"))
+      .select("id", "name", "score", "flag")
+      .orderBy("id")
   }
 
   /** Data lineage (P10's listener seam; reference README.md:4-17 declares
@@ -518,7 +544,7 @@ object Catalog {
 
   val all: Seq[Q] = Seq(
     qProfileTypes, qProfileSemantic, qQualityNulls, qQualityOutliers,
-    qQualityCardinality, qDdlSynthesis, qCsvScan, qJsonScan, qLineage,
+    qQualityCardinality, qDdlSynthesis, qCsvScan, qJsonScan, qSchemaEvolution, qLineage,
     qLoadRoundtrip, qParquetScan, qUdafProfile,
     qSinkCsvRoundtrip, qSinkJsonRoundtrip, qSinkPartitioned, qUpsert,
     qSample, qSampleStratified, qSynthSource,

@@ -153,6 +153,26 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("schema evolution: widening ladder and null-fill alignment") {
+    import org.apache.spark.sql.types._
+    import graft.ingest.SchemaEvolution
+    assert(SchemaEvolution.widen(IntegerType, LongType) == LongType)
+    assert(SchemaEvolution.widen(LongType, ShortType) == LongType)
+    assert(SchemaEvolution.widen(LongType, DoubleType) == DoubleType)
+    assert(SchemaEvolution.widen(FloatType, IntegerType) == DoubleType)
+    assert(SchemaEvolution.widen(BooleanType, IntegerType) == StringType)
+    assert(SchemaEvolution.widen(StringType, StringType) == StringType)
+
+    import spark.implicits._
+    val v1 = Seq((1, "a")).toDF("id", "name")
+    val v2 = Seq((2L, 0.5)).toDF("id", "score")
+    val out = SchemaEvolution.unionEvolved(Seq(v1, v2)).orderBy("id")
+    // reconciled: id widens int→long, name/score null-fill across batches
+    assert(out.schema.map(f => f.name -> f.dataType.typeName) ==
+      Seq("id" -> "long", "name" -> "string", "score" -> "double"))
+    assert(out.collect().map(_.toString).toSeq == Seq("[1,a,null]", "[2,null,0.5]"))
+  }
+
   // ------------------------------------ cross-dataset relationship discovery
 
   private def relTables = graft.queries.Catalog.relTables.map {
