@@ -142,6 +142,51 @@ object Catalog {
       .orderBy("col")
   }
 
+  /** Declarative data-quality contracts (P5 generalized to assertable
+    * table expectations — graft.catalog.Expectations): not-null,
+    * uniqueness, range, and referential integrity as violation counts,
+    * every non-join rule fused into one aggregation pass per table.
+    * The range rule is deliberately planted to FAIL (quantities run to
+    * 50), so both statuses appear in the checked output. */
+  val qQualityExpectations = Q(
+    "q_quality_expectations",
+    """SELECT expectation, violations,
+      |       CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
+      |FROM (
+      |  SELECT 'orders.o_orderkey not_null' AS expectation,
+      |         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'orders.o_orderkey unique',
+      |         CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem.l_quantity range[1.0,30.0]',
+      |         CAST(sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 30.0 THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem.l_orderkey ref orders.o_orderkey',
+      |         CAST(count(*) AS BIGINT)
+      |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+      |  UNION ALL
+      |  SELECT 'customer.c_nationkey ref nation.n_nationkey',
+      |         CAST(count(*) AS BIGINT)
+      |  FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  WHERE c.c_nationkey IS NOT NULL AND n.n_nationkey IS NULL)
+      |ORDER BY expectation""".stripMargin) { (s, d) =>
+    import graft.catalog.Expectations._
+    check(Seq(
+      ("orders", Tables.orders(s, d),
+        Seq(NotNull("o_orderkey"), Unique("o_orderkey"))),
+      ("lineitem", Tables.lineitem(s, d),
+        Seq(InRange("l_quantity", 1.0, 30.0),
+          Referential("l_orderkey", "orders", "o_orderkey"))),
+      ("customer", Tables.customer(s, d),
+        Seq(Referential("c_nationkey", "nation", "n_nationkey"))),
+      ("nation", Tables.nation(s, d), Seq())))
+  }
+
   /** DDL synthesis (P6): deterministic string; golden-tested, rows-only
     * here (no DuckDB equivalent of the generator). */
   val qDdlSynthesis = Q.noOracle("q_ddl_synthesis") { (s, d) =>
@@ -544,7 +589,7 @@ object Catalog {
 
   val all: Seq[Q] = Seq(
     qProfileTypes, qProfileSemantic, qQualityNulls, qQualityOutliers,
-    qQualityCardinality, qDdlSynthesis, qCsvScan, qJsonScan, qSchemaEvolution, qLineage,
+    qQualityCardinality, qQualityExpectations, qDdlSynthesis, qCsvScan, qJsonScan, qSchemaEvolution, qLineage,
     qLoadRoundtrip, qParquetScan, qUdafProfile,
     qSinkCsvRoundtrip, qSinkJsonRoundtrip, qSinkPartitioned, qUpsert,
     qSample, qSampleStratified, qSynthSource,

@@ -153,6 +153,25 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("expectations: fused scan rules and referential anti-join count violations") {
+    import spark.implicits._
+    import graft.catalog.Expectations._
+    val parent = Seq(1L, 2L, 3L).toDF("pid")
+    val child = Seq(
+      (Some(1L), 5.0), (Some(1L), 25.0), (Some(9L), -1.0), (None, 2.0))
+      .toDF("fk", "v")
+    val out = check(Seq(
+        ("child", child, Seq(NotNull("fk"), Unique("fk"),
+          InRange("v", 0.0, 10.0), Referential("fk", "parent", "pid"))),
+        ("parent", parent, Seq(Unique("pid")))))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out("child.fk not_null") == (1L, "fail"))
+    assert(out("child.fk unique") == (1L, "fail")) // 1L appears twice among non-nulls
+    assert(out("child.v range[0.0,10.0]") == (2L, "fail")) // 25.0 and -1.0
+    assert(out("child.fk ref parent.pid") == (1L, "fail")) // 9L orphan; null exempt
+    assert(out("parent.pid unique") == (0L, "pass"))
+  }
+
   test("schema evolution: widening ladder and null-fill alignment") {
     import org.apache.spark.sql.types._
     import graft.ingest.SchemaEvolution
