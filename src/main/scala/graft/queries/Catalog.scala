@@ -22,6 +22,11 @@ object Catalog {
     cols.map(c => s"SELECT '$c' AS col, CAST($c AS VARCHAR) AS v FROM events")
       .mkString("\n  UNION ALL ")
 
+  private def meltSqlWhere(cols: Seq[String], pred: String): String =
+    cols.map(c =>
+      s"SELECT '$c' AS col, CAST($c AS VARCHAR) AS v FROM events WHERE $pred")
+      .mkString("\n  UNION ALL ")
+
   val qProfileTypes = Q(
     "q_profile_types",
     s"""WITH m AS (
@@ -139,6 +144,58 @@ object Catalog {
         col("col"), col("nonnull"), col("n_distinct"),
         round(col("n_distinct").cast("double") / col("nonnull"), 4).as("ratio"),
         (col("n_distinct") === col("nonnull")).as("is_unique"))
+      .orderBy("col")
+  }
+
+  /** Per-column profile DRIFT between two batches — the over-time half
+    * of quality monitoring a self-healing pipeline alerts on: null-ratio
+    * delta, distinct-count ratio, and numeric mean shift (via try_cast,
+    * so non-numeric columns report null shift), with a thresholded
+    * drift verdict. Batches here are the deterministic halves of events
+    * (event_id parity) so the check is self-contained and oracle-able. */
+  val qProfileDrift = Q(
+    "q_profile_drift",
+    s"""WITH m0 AS (
+       |  ${meltSqlWhere(eventCols, "event_id % 2 = 0")}),
+       |m1 AS (
+       |  ${meltSqlWhere(eventCols, "event_id % 2 = 1")}),
+       |p0 AS (SELECT col, round(CAST(count(*) - count(v) AS DOUBLE) / count(*), 4) AS nr0,
+       |              count(DISTINCT v) AS nd0,
+       |              avg(TRY_CAST(v AS DOUBLE)) AS mu0
+       |       FROM m0 GROUP BY col),
+       |p1 AS (SELECT col, round(CAST(count(*) - count(v) AS DOUBLE) / count(*), 4) AS nr1,
+       |              count(DISTINCT v) AS nd1,
+       |              avg(TRY_CAST(v AS DOUBLE)) AS mu1
+       |       FROM m1 GROUP BY col)
+       |SELECT p0.col, nr0, nr1, round(nr1 - nr0, 4) AS null_delta,
+       |       nd0, nd1,
+       |       round(mu0, 4) AS mean_a, round(mu1, 4) AS mean_b,
+       |       CASE WHEN mu0 IS NULL OR mu1 IS NULL THEN NULL
+       |            ELSE round(mu1 - mu0, 4) END AS mean_shift,
+       |       (abs(nr1 - nr0) > 0.02
+       |        OR (mu0 IS NOT NULL AND mu1 IS NOT NULL AND mu0 <> 0
+       |            AND abs((mu1 - mu0) / mu0) > 0.1)) AS drifted
+       |FROM p0 JOIN p1 ON p0.col = p1.col
+       |ORDER BY p0.col""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    def prof(half: DataFrame, suffix: String) =
+      Profile.melt(half, eventCols).groupBy("col").agg(
+        round((count(lit(1)) - count(col("v"))).cast("double") / count(lit(1)), 4)
+          .as(s"nr$suffix"),
+        countDistinct(col("v")).as(s"nd$suffix"),
+        avg(expr("TRY_CAST(v AS DOUBLE)")).as(s"mu$suffix"))
+    val p0 = prof(ev.filter(col("event_id") % 2 === 0), "0")
+    val p1 = prof(ev.filter(col("event_id") % 2 === 1), "1")
+    p0.join(p1, "col")
+      .select(col("col"), col("nr0"), col("nr1"),
+        round(col("nr1") - col("nr0"), 4).as("null_delta"),
+        col("nd0"), col("nd1"),
+        round(col("mu0"), 4).as("mean_a"), round(col("mu1"), 4).as("mean_b"),
+        when(col("mu0").isNull || col("mu1").isNull, lit(null).cast("double"))
+          .otherwise(round(col("mu1") - col("mu0"), 4)).as("mean_shift"),
+        (abs(col("nr1") - col("nr0")) > 0.02 ||
+          (col("mu0").isNotNull && col("mu1").isNotNull && col("mu0") =!= 0 &&
+            abs((col("mu1") - col("mu0")) / col("mu0")) > 0.1)).as("drifted"))
       .orderBy("col")
   }
 
@@ -589,7 +646,7 @@ object Catalog {
 
   val all: Seq[Q] = Seq(
     qProfileTypes, qProfileSemantic, qQualityNulls, qQualityOutliers,
-    qQualityCardinality, qQualityExpectations, qDdlSynthesis, qCsvScan, qJsonScan, qSchemaEvolution, qLineage,
+    qQualityCardinality, qQualityExpectations, qProfileDrift, qDdlSynthesis, qCsvScan, qJsonScan, qSchemaEvolution, qLineage,
     qLoadRoundtrip, qParquetScan, qUdafProfile,
     qSinkCsvRoundtrip, qSinkJsonRoundtrip, qSinkPartitioned, qUpsert,
     qSample, qSampleStratified, qSynthSource,
