@@ -611,8 +611,20 @@ object Catalog {
        |SELECT src, dst, edge_type FROM fk
        |UNION ALL SELECT src, dst, edge_type FROM lin
        |ORDER BY edge_type, src, dst""".stripMargin) { (s, d) =>
-    val fk = Relations
-      .discover(relTables.map { case (t, _) => t -> Tables.load(s, d, t) })
+    // FK verdicts require base-name agreement, so only columns whose
+    // base name recurs across tables can produce an edge — prune the
+    // melt to those (catalog-metadata decision, no data touched; the
+    // oracle keeps the full melt, which yields the identical FK set).
+    // On the driver tables this drops events/documents/embeddings from
+    // the scan entirely (their id bases are unique).
+    val base = (c: String) => c.replaceFirst("^[a-z]{1,2}_", "")
+    val recurring = relTables.flatMap { case (t, cols) => cols.map(c => (t, base(c))) }
+      .groupBy(_._2).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val trimmed = relTables.flatMap { case (t, cols) =>
+      val keep = cols.filter(c => recurring(base(c)))
+      if (keep.isEmpty) None else Some(t -> Tables.load(s, d, t).select(keep.map(col): _*))
+    }
+    val fk = Relations.discover(trimmed)
       .filter(col("verdict") === "fk_candidate")
       .select(
         concat_ws(".", col("table_a"), col("col_a")).as("src"),
