@@ -304,6 +304,49 @@ object Catalog {
     Ingest.json(s, s"$fixtureDir/array.json").orderBy("a")
   }
 
+  /** Snapshot TIME TRAVEL over the versioned SnapshotStore: two upsert
+    * batches (event_id-parity halves, last-event-wins per user) merge
+    * with retain = true, then BOTH committed versions read back —
+    * version 1 exactly as first committed, version 2 with batch-2
+    * winners overriding on key and untouched keys persisting. readAt
+    * never heals to a different version (a time-travel read must fail
+    * loudly, not substitute); vacuum() bounds retained history
+    * (SnapshotStoreSpec). */
+  val qSnapshotTimetravel = Q(
+    "q_snapshot_timetravel",
+    """WITH b1 AS (SELECT user_id, max(event_id) AS event_id
+      |            FROM events WHERE event_id % 2 = 0 GROUP BY user_id),
+      |b2 AS (SELECT user_id, max(event_id) AS event_id
+      |       FROM events WHERE event_id % 2 = 1 GROUP BY user_id),
+      |v2 AS (SELECT COALESCE(b2.user_id, b1.user_id) AS user_id,
+      |              COALESCE(b2.event_id, b1.event_id) AS event_id
+      |       FROM b1 FULL JOIN b2 ON b1.user_id = b2.user_id)
+      |SELECT CAST(1 AS BIGINT) AS version, user_id, event_id FROM b1
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT) AS version, user_id, event_id FROM v2
+      |ORDER BY version, user_id""".stripMargin) { (s, d) =>
+    import graft.streaming.SnapshotStore
+    val ev = Tables.events(s, d).select("user_id", "event_id")
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_tt")
+    try {
+      val dir = dirPath.toString
+      SnapshotStore.merge(s, dir, ev.filter(col("event_id") % 2 === 0),
+        Seq("user_id"), numBuckets = 8, orderCol = Some("event_id"), retain = true)
+      SnapshotStore.merge(s, dir, ev.filter(col("event_id") % 2 === 1),
+        Seq("user_id"), numBuckets = 8, orderCol = Some("event_id"), retain = true)
+      val v1 = SnapshotStore.readAt(s, dir, 1L)
+        .select(lit(1L).as("version"), col("user_id"), col("event_id"))
+      val v2 = SnapshotStore.readAt(s, dir, 2L)
+        .select(lit(2L).as("version"), col("user_id"), col("event_id"))
+      // materialize before the scratch snapshot is deleted
+      v1.unionByName(v2).orderBy("version", "user_id").localCheckpoint(true)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** Schema-drift-tolerant load (the self-healing half of ingest: an
     * evolving source must not break the pipeline) — two CSV batches
     * whose schemas drift (v2 widens score int→double and adds a
@@ -658,7 +701,7 @@ object Catalog {
 
   val all: Seq[Q] = Seq(
     qProfileTypes, qProfileSemantic, qQualityNulls, qQualityOutliers,
-    qQualityCardinality, qQualityExpectations, qProfileDrift, qDdlSynthesis, qCsvScan, qJsonScan, qSchemaEvolution, qLineage,
+    qQualityCardinality, qQualityExpectations, qProfileDrift, qDdlSynthesis, qCsvScan, qJsonScan, qSchemaEvolution, qSnapshotTimetravel, qLineage,
     qLoadRoundtrip, qParquetScan, qUdafProfile,
     qSinkCsvRoundtrip, qSinkJsonRoundtrip, qSinkPartitioned, qUpsert,
     qSample, qSampleStratified, qSynthSource,

@@ -50,15 +50,17 @@ object SnapshotStore {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** Highest-version manifest in `dir`, if any snapshot was committed. */
-  def currentManifest(spark: SparkSession, dir: String): Option[Manifest] = {
+  /** Committed manifest versions present in `dir`, ascending. */
+  def listVersions(spark: SparkSession, dir: String): Seq[Long] = {
     val (fs, p) = fsOf(spark, dir)
-    if (!fs.exists(p)) return None
-    val versions = fs.listStatus(p).map(_.getPath.getName)
+    if (!fs.exists(p)) return Nil
+    fs.listStatus(p).map(_.getPath.getName)
       .filter(n => n.startsWith(ManifestPrefix) && !n.endsWith("__tmp"))
       .flatMap(n => scala.util.Try(n.stripPrefix(ManifestPrefix).toLong).toOption)
-    if (versions.isEmpty) return None
-    val v = versions.max
+      .toSeq.sorted
+  }
+
+  private def parseManifest(fs: FileSystem, p: Path, v: Long, dir: String): Manifest = {
     val in = fs.open(new Path(p, s"$ManifestPrefix$v"))
     val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
@@ -77,7 +79,58 @@ object SnapshotStore {
       val Array(b, d) = line.split("\t", 2)
       b.toInt -> d
     }.toMap
-    Some(Manifest(v, nb, buckets))
+    Manifest(v, nb, buckets)
+  }
+
+  /** Highest-version manifest in `dir`, if any snapshot was committed. */
+  def currentManifest(spark: SparkSession, dir: String): Option[Manifest] = {
+    val versions = listVersions(spark, dir)
+    if (versions.isEmpty) None
+    else {
+      val (fs, p) = fsOf(spark, dir)
+      Some(parseManifest(fs, p, versions.max, dir))
+    }
+  }
+
+  /** The manifest of one SPECIFIC committed version — the time-travel
+    * entry point. Throws FileNotFoundException when that version was
+    * never committed or has been [[vacuum]]ed away. */
+  def manifestAt(spark: SparkSession, dir: String, version: Long): Manifest = {
+    val (fs, p) = fsOf(spark, dir)
+    if (!fs.exists(new Path(p, s"$ManifestPrefix$version")))
+      throw new java.io.FileNotFoundException(
+        s"snapshot $dir has no committed version $version " +
+          s"(present: ${listVersions(spark, dir).mkString(", ")}) — " +
+          "either it was never committed or vacuum() removed it; " +
+          "time-travel reads need merges run with retain = true")
+    parseManifest(fs, p, version, dir)
+  }
+
+  /** Time-travel read: the snapshot exactly as committed at `version`.
+    * Requires the intervening merges to have run with retain = true
+    * (the default cleanup deletes replaced bucket dirs); a vacuumed or
+    * unretained version fails loudly rather than healing to newest —
+    * silently substituting a different version is the one thing a
+    * time-travel read must never do. */
+  def readAt(spark: SparkSession, dir: String, version: Long): DataFrame =
+    readVersion(spark, dir, manifestAt(spark, dir, version))
+
+  /** Delete manifests older than the newest `keepLast`, plus every
+    * bucket dir no kept manifest references. The time-travel retention
+    * knob: merges with retain = true accumulate versions, vacuum bounds
+    * them. Never touches the newest manifest. */
+  def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1): Unit = {
+    require(keepLast >= 1, "vacuum must keep at least the newest version")
+    val (fs, p) = fsOf(spark, dir)
+    val versions = listVersions(spark, dir)
+    if (versions.size <= keepLast) return
+    val (drop, keep) = versions.splitAt(versions.size - keepLast)
+    val referenced = keep.map(v => parseManifest(fs, p, v, dir))
+      .flatMap(_.buckets.values).toSet
+    val bucketDirs = fs.listStatus(p).map(_.getPath.getName)
+      .filter(n => n.startsWith("b") && n.contains("_v"))
+    bucketDirs.filterNot(referenced).foreach(d => fs.delete(new Path(p, d), true))
+    drop.foreach(v => fs.delete(new Path(p, s"$ManifestPrefix$v"), false))
   }
 
   /** The current snapshot as a DataFrame (all buckets of the latest
@@ -165,10 +218,14 @@ object SnapshotStore {
     *   since re-bucketing existing keys would orphan rows in untouched dirs
     * @param orderCol  column ranking duplicate keys WITHIN a batch (the
     *   largest value wins, e.g. an event timestamp); remaining columns
-    *   break residual ties so the winner is always deterministic */
+    *   break residual ties so the winner is always deterministic
+    * @param retain    keep replaced bucket dirs and superseded manifests
+    *   so earlier versions stay readable via [[readAt]] (time travel);
+    *   bound the accumulation with [[vacuum]]. Default false = clean up
+    *   immediately (the original space-bounded behavior) */
   def merge(spark: SparkSession, dir: String, batch: DataFrame,
       keys: Seq[String], numBuckets: Int = 16,
-      orderCol: Option[String] = None): Unit = {
+      orderCol: Option[String] = None, retain: Boolean = false): Unit = {
     val (fs, base) = fsOf(spark, dir)
     val committed = currentManifest(spark, dir)
     committed.foreach { m =>
@@ -219,10 +276,11 @@ object SnapshotStore {
     finally out.close()
     if (!fs.rename(tmpManifest, new Path(base, s"$ManifestPrefix$version")))
       throw new java.io.IOException(s"manifest commit failed for version $version")
-    // post-commit cleanup (best-effort): staging scaffold, replaced
-    // bucket dirs, superseded manifests
+    // post-commit cleanup (best-effort): staging scaffold always;
+    // replaced bucket dirs + superseded manifests only when not
+    // retaining history for time-travel reads
     fs.delete(stage, true)
-    current.foreach { m =>
+    if (!retain) current.foreach { m =>
       touched.flatMap(m.buckets.get).foreach(d => fs.delete(new Path(base, d), true))
       fs.delete(new Path(base, s"$ManifestPrefix${m.version}"), false)
     }

@@ -126,4 +126,30 @@ class SnapshotStoreSpec extends AnyFunSuite {
       .orderBy("k").collect().map(_.toString).toSeq
     assert(replayed == first, "replay must converge to identical state")
   }
+
+  test("time travel: retained versions read back exactly; vacuum bounds them") {
+    import spark.implicits._
+    val dir = freshDir("snap_tt").getAbsolutePath
+    def mergeRetained(rows: Seq[(Long, Long, String)]): Unit =
+      SnapshotStore.merge(spark, dir, rows.toDF("k", "ts", "v"), Seq("k"),
+        numBuckets = 4, orderCol = Some("ts"), retain = true)
+    mergeRetained(Seq((1L, 10L, "a"), (2L, 10L, "b")))
+    mergeRetained(Seq((1L, 20L, "a2"), (3L, 10L, "c")))
+    mergeRetained(Seq((2L, 30L, "b3")))
+    assert(SnapshotStore.listVersions(spark, dir) == Seq(1L, 2L, 3L))
+    def at(v: Long): Map[Long, String] =
+      SnapshotStore.readAt(spark, dir, v).collect()
+        .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(at(1L) == Map(1L -> "a", 2L -> "b"))
+    assert(at(2L) == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+    assert(at(3L) == Map(1L -> "a2", 2L -> "b3", 3L -> "c"))
+    // current read = newest version
+    assert(SnapshotStore.read(spark, dir).count() == 3)
+    // vacuum to the newest 2: version 1 gone, 2 and 3 intact
+    SnapshotStore.vacuum(spark, dir, keepLast = 2)
+    assert(SnapshotStore.listVersions(spark, dir) == Seq(2L, 3L))
+    intercept[java.io.FileNotFoundException](SnapshotStore.readAt(spark, dir, 1L))
+    assert(at(2L) == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+    assert(at(3L) == Map(1L -> "a2", 2L -> "b3", 3L -> "c"))
+  }
 }
