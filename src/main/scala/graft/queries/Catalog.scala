@@ -347,6 +347,42 @@ object Catalog {
     }
   }
 
+  /** Change-data-capture between two retained snapshot versions
+    * (SnapshotStore.changes over the [[qSnapshotTimetravel]] setup):
+    * every key whose state differs between version 1 and version 2,
+    * classified insert/update with old/new values — batch-2 users
+    * update when they existed in batch 1, insert otherwise; untouched
+    * keys emit nothing. */
+  val qSnapshotChanges = Q(
+    "q_snapshot_changes",
+    """WITH b1 AS (SELECT user_id, max(event_id) AS event_id
+      |            FROM events WHERE event_id % 2 = 0 GROUP BY user_id),
+      |b2 AS (SELECT user_id, max(event_id) AS event_id
+      |       FROM events WHERE event_id % 2 = 1 GROUP BY user_id)
+      |SELECT b2.user_id AS user_id,
+      |       CASE WHEN b1.user_id IS NULL THEN 'insert' ELSE 'update' END AS change_type,
+      |       b1.event_id AS old_event_id, b2.event_id AS new_event_id
+      |FROM b2 LEFT JOIN b1 ON b2.user_id = b1.user_id
+      |WHERE b1.user_id IS NULL OR b1.event_id <> b2.event_id
+      |ORDER BY b2.user_id""".stripMargin) { (s, d) =>
+    import graft.streaming.SnapshotStore
+    val ev = Tables.events(s, d).select("user_id", "event_id")
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_cdc")
+    try {
+      val dir = dirPath.toString
+      SnapshotStore.merge(s, dir, ev.filter(col("event_id") % 2 === 0),
+        Seq("user_id"), numBuckets = 8, orderCol = Some("event_id"), retain = true)
+      SnapshotStore.merge(s, dir, ev.filter(col("event_id") % 2 === 1),
+        Seq("user_id"), numBuckets = 8, orderCol = Some("event_id"), retain = true)
+      SnapshotStore.changes(s, dir, 1L, 2L, Seq("user_id"))
+        .orderBy("user_id").localCheckpoint(true)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** Schema-drift-tolerant load (the self-healing half of ingest: an
     * evolving source must not break the pipeline) — two CSV batches
     * whose schemas drift (v2 widens score int→double and adds a
@@ -701,7 +737,7 @@ object Catalog {
 
   val all: Seq[Q] = Seq(
     qProfileTypes, qProfileSemantic, qQualityNulls, qQualityOutliers,
-    qQualityCardinality, qQualityExpectations, qProfileDrift, qDdlSynthesis, qCsvScan, qJsonScan, qSchemaEvolution, qSnapshotTimetravel, qLineage,
+    qQualityCardinality, qQualityExpectations, qProfileDrift, qDdlSynthesis, qCsvScan, qJsonScan, qSchemaEvolution, qSnapshotTimetravel, qSnapshotChanges, qLineage,
     qLoadRoundtrip, qParquetScan, qUdafProfile,
     qSinkCsvRoundtrip, qSinkJsonRoundtrip, qSinkPartitioned, qUpsert,
     qSample, qSampleStratified, qSynthSource,

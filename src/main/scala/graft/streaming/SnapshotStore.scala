@@ -115,6 +115,37 @@ object SnapshotStore {
   def readAt(spark: SparkSession, dir: String, version: Long): DataFrame =
     readVersion(spark, dir, manifestAt(spark, dir, version))
 
+  /** Change-data-capture between two retained versions: one row per key
+    * whose state differs, classified insert / update / delete, with the
+    * non-key columns emitted twice under `old_` / `new_` prefixes
+    * (nulls on the absent side). A key present in both versions with
+    * identical non-key values emits nothing. Plan: one full-outer
+    * equi-join on the keys between the two bucket-pruned version reads —
+    * the minimal shape any snapshot diff needs. */
+  def changes(spark: SparkSession, dir: String, fromVersion: Long,
+      toVersion: Long, keys: Seq[String]): DataFrame = {
+    val a = readAt(spark, dir, fromVersion).as("a")
+    val b = readAt(spark, dir, toVersion).as("b")
+    val nonKey = a.columns.filterNot(keys.contains).toSeq
+    val cond = keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
+    val aKey = col(s"a.${keys.head}")
+    val bKey = col(s"b.${keys.head}")
+    // null-safe inequality: a column drifting null→value (or back) is a
+    // change; plain =!= would yield NULL and silently drop the row
+    val changed = nonKey.map(c => !(col(s"a.$c") <=> col(s"b.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    a.join(b, cond, "full_outer")
+      .withColumn("change_type",
+        when(aKey.isNull, "insert").when(bKey.isNull, "delete")
+          .otherwise(when(changed, "update")))
+      .filter(col("change_type").isNotNull)
+      .select(
+        keys.map(k => coalesce(col(s"a.$k"), col(s"b.$k")).as(k)) ++
+          Seq(col("change_type")) ++
+          nonKey.map(c => col(s"a.$c").as(s"old_$c")) ++
+          nonKey.map(c => col(s"b.$c").as(s"new_$c")): _*)
+  }
+
   /** Delete manifests older than the newest `keepLast`, plus every
     * bucket dir no kept manifest references. The time-travel retention
     * knob: merges with retain = true accumulate versions, vacuum bounds

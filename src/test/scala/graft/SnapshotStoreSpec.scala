@@ -152,4 +152,37 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(at(2L) == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
     assert(at(3L) == Map(1L -> "a2", 2L -> "b3", 3L -> "c"))
   }
+
+  // (delete classification is unreachable through merge — it never drops
+  // keys — but the changes() contract covers it for generality)
+  test("changes: insert/update classified, replay is silent, null drift detected") {
+    import spark.implicits._
+    val dir = freshDir("snap_cdc").getAbsolutePath
+    SnapshotStore.merge(spark, dir,
+      Seq((1L, 1L, Option("a")), (2L, 1L, Option("b")), (4L, 1L, Option.empty[String]))
+        .toDF("k", "ts", "v"),
+      Seq("k"), numBuckets = 4, orderCol = Some("ts"), retain = true)
+    SnapshotStore.merge(spark, dir,
+      Seq((1L, 2L, Option("a2")), (2L, 2L, Option("b")), (3L, 2L, Option("c")),
+        (4L, 2L, Option("now-set")))
+        .toDF("k", "ts", "v"),
+      Seq("k"), numBuckets = 4, orderCol = Some("ts"), retain = true)
+    val out = SnapshotStore.changes(spark, dir, 1L, 2L, Seq("k"))
+      .collect().map(r => r.getAs[Long]("k") ->
+        (r.getAs[String]("change_type"), r.getAs[String]("old_v"), r.getAs[String]("new_v")))
+      .toMap
+    assert(out(1L) == ("update", "a", "a2"))
+    assert(out(3L) == ("insert", null, "c"))
+    assert(out(4L) == ("update", null, "now-set"), "null->value drift must register")
+    // k=2: ts advanced but v unchanged... ts IS a non-key column, so it
+    // registers as an update (ts 1 -> 2) — assert the classification
+    assert(out(2L)._1 == "update")
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    // replaying version 2's exact content commits version 3 with no
+    // value drift — the change feed between them must be EMPTY
+    SnapshotStore.merge(spark, dir,
+      SnapshotStore.readAt(spark, dir, 2L), Seq("k"),
+      numBuckets = 4, orderCol = Some("ts"), retain = true)
+    assert(SnapshotStore.changes(spark, dir, 2L, 3L, Seq("k")).count() == 0)
+  }
 }
