@@ -120,6 +120,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(Streams.readSnapshot(spark, target.getAbsolutePath).count() == users)
   }
 
+  test("streaming upsert with CDC side channel: per-version change feed, bounded retention") {
+    import org.apache.spark.sql.functions._
+    def rmrf(p: java.io.File): Unit = {
+      Option(p.listFiles()).foreach(_.foreach(rmrf)); p.delete(); ()
+    }
+    val target = new java.io.File("/root/repo/target/cdc_snapshot")
+    val cdc = new java.io.File("/root/repo/target/cdc_feed")
+    val chk1 = new java.io.File("/root/repo/target/cdc_chk1")
+    val chk2 = new java.io.File("/root/repo/target/cdc_chk2")
+    Seq(target, cdc, chk1, chk2).foreach(rmrf)
+    val evens = Streams.eventsStream(spark, sf)
+      .filter(col("event_id") % 2 === 0).select("user_id", "event_id")
+    val odds = Streams.eventsStream(spark, sf)
+      .filter(col("event_id") % 2 === 1).select("user_id", "event_id")
+    def run(src: org.apache.spark.sql.DataFrame, chk: java.io.File): Unit = {
+      val q = Streams.upsertSinkWithCdc(src, target.getAbsolutePath,
+        cdc.getAbsolutePath, Seq("user_id"), chk.getAbsolutePath,
+        orderCol = Some("event_id"))
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(evens, chk1) // version 1: all inserts
+    run(odds, chk2)  // version 2: updates for users with odd events
+    val feed = spark.read.parquet(cdc.getAbsolutePath)
+    val v1 = feed.filter(col("__version") === 1)
+    val v2 = feed.filter(col("__version") === 2)
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    val evenUsers = Tables.events(spark, sf)
+      .filter(col("event_id") % 2 === 0).select("user_id").distinct().count()
+    assert(v1.count() == evenUsers, "first commit: one insert per even-batch user")
+    assert(v1.filter(col("change_type") =!= "insert").count() == 0)
+    // batch-2 winners always differ (odd ids), so every odd-batch user changes
+    val oddUsers = Tables.events(spark, sf)
+      .filter(col("event_id") % 2 === 1).select("user_id").distinct().count()
+    assert(v2.count() == oddUsers, "second version: one change per odd-batch user")
+    // retention stays bounded at the last two versions
+    assert(graft.streaming.SnapshotStore
+      .listVersions(spark, target.getAbsolutePath).size <= 2)
+    // snapshot itself is complete and current
+    assert(Streams.readSnapshot(spark, target.getAbsolutePath).count() == users)
+  }
+
   test("RocksDB state store produces identical results to the in-memory store") {
     // at production state sizes (billions of keys across session windows)
     // the default HDFS-backed in-memory store OOMs; RocksDB spills state
