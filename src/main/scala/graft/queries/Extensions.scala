@@ -744,6 +744,72 @@ object Extensions {
       requireAll = true)
   }
 
+  /** Hybrid retrieval: the lexical BM25 top-20 (same terms as
+    * q_text_search) fused with the vector-cosine top-20 of one probe
+    * embedding (vec_id 100 — ids are shared across documents/embeddings
+    * in the driver data) by reciprocal-rank fusion
+    * (graft.operators.HybridSearch). The fusion operates on two
+    * already-bounded rank lists, so only the upstream retrievals touch
+    * the corpus; the oracle composes the BM25 and cosine SQL twins with
+    * the same RRF arithmetic. */
+  val qHybridSearch = Q(
+    "q_hybrid_search",
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |           WHERE text IS NOT NULL),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(ws)) AS avgdl FROM d),
+      |tok AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS word FROM d),
+      |tf AS (SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf,
+      |              CAST(any_value(dl) AS DOUBLE) AS dl
+      |       FROM tok WHERE word IN (${searchTerms.map(t => s"'$t'").mkString(", ")})
+      |       GROUP BY 1, 2),
+      |df AS (SELECT word, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |         round(sum( ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+      |                    * (t.tf * (1.2 + 1)) /
+      |                    (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / s.avgdl)) ), 4) AS score
+      |  FROM tf t JOIN df f USING (word) CROSS JOIN stats s
+      |  GROUP BY t.doc_id),
+      |lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+      |               AS BIGINT) AS rnk_lex
+      |        FROM scored ORDER BY rnk_lex LIMIT 20),
+      |q AS (SELECT embedding AS eq FROM embeddings WHERE vec_id = 100),
+      |vpairs AS (SELECT c.vec_id AS cid, CAST(unnest(q.eq) AS DOUBLE) AS x,
+      |                  CAST(unnest(c.embedding) AS DOUBLE) AS y
+      |           FROM q, embeddings c WHERE c.vec_id <> 100),
+      |sims AS (SELECT cid, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cos
+      |         FROM vpairs GROUP BY cid),
+      |vec AS (SELECT cid AS doc_id, CAST(row_number() OVER (ORDER BY round(cos, 4) DESC, cid)
+      |               AS BIGINT) AS rnk_vec
+      |        FROM sims ORDER BY rnk_vec LIMIT 20),
+      |fused AS (
+      |  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.rnk_lex, v.rnk_vec,
+      |         round(COALESCE(1.0 / (60 + l.rnk_lex), 0)
+      |             + COALESCE(1.0 / (60 + v.rnk_vec), 0), 6) AS rrf
+      |  FROM lex l FULL JOIN vec v ON l.doc_id = v.doc_id),
+      |ranked AS (SELECT doc_id, rnk_lex, rnk_vec, rrf,
+      |                  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
+      |           FROM fused)
+      |SELECT doc_id, rnk_lex, rnk_vec, rrf, rnk FROM ranked WHERE rnk <= 10
+      |ORDER BY rnk""".stripMargin) { (s, d) =>
+    VectorExpressions.register(s)
+    val lex = graft.operators.TextSearch
+      .bm25(Tables.documents(s, d), "doc_id", "text", searchTerms, topK = 20)
+      .select(col("doc_id"), col("rnk"))
+    val e = Tables.embeddings(s, d)
+    val probe = e.filter(col("vec_id") === 100)
+      .select(col("embedding").as("eq"))
+    val vec = broadcast(probe).join(e.filter(col("vec_id") =!= 100))
+      .select(col("vec_id").as("doc_id"),
+        round(VectorExpressions.cosineFast(col("eq"), col("embedding")), 4).as("cos"))
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("cos").desc, col("doc_id"))).cast("bigint"))
+      .filter(col("rnk") <= 20)
+      .select("doc_id", "rnk")
+    graft.operators.HybridSearch.rrfFuse(
+      Seq("lex" -> lex, "vec" -> vec), "doc_id", "rnk", k0 = 60, topK = 10)
+  }
+
   /** The query batch the batched-search key scores: query 0 is exactly
     * [[searchTerms]], so the unit test can pin bm25Batch == bm25. */
   private[graft] val searchBatch: Seq[(Long, String)] =
@@ -1007,7 +1073,7 @@ object Extensions {
     qDedupExact, qNeardup, qDedupCluster, qDedupClusterStar, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupIncremental, qTokenBudget, qCorpusCuration,
     qSimilarityTopk, qSimilaritySql, qAnnIvf, qAnnLsh, qKmeans,
-    qTextAnalysis, qTextTopwords, qTextSearch, qTextSearchAll, qTextSearchBatch,
+    qTextAnalysis, qTextTopwords, qTextSearch, qTextSearchAll, qTextSearchBatch, qHybridSearch,
     qLangId, qLangIdNgram, qTextQuality, qTokenCount,
     qDocFingerprint,
     qMultimodalJoin, qMultimodalMeta, qMultimodalFeatures, qMultimodalFrames)

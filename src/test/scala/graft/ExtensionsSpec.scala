@@ -476,6 +476,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(cut == Set(5L), s"10-token budget should keep only the best doc, got $cut")
   }
 
+  test("rrfFuse: both-list hits outrank single-list, missing side scores 0, id tie-break") {
+    import spark.implicits._
+    // doc 10 ranks 1st in both lists; 20 only lexical (rank 2); 30 only
+    // vector (rank 2) — 20 and 30 tie on rrf, id breaks it
+    val lex = Seq((10L, 1L), (20L, 2L)).toDF("id", "rnk")
+    val vec = Seq((10L, 1L), (30L, 2L)).toDF("id", "rnk")
+    val out = graft.operators.HybridSearch
+      .rrfFuse(Seq("lex" -> lex, "vec" -> vec), "id", "rnk", k0 = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("rrf"), r.getAs[Long]("rnk")))
+    assert(out.map(_._1).toSeq == Seq(10L, 20L, 30L))
+    assert(out(0)._2 > out(1)._2, "two-list consensus must outscore one list")
+    assert(out(1)._2 == out(2)._2, "equal single-list ranks tie on rrf")
+    assert(out.map(_._3).toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("blockPairJoin meets every unordered pair exactly once") {
     import org.apache.spark.sql.functions._
     // n deliberately NOT a multiple of the block count, ids offset so
