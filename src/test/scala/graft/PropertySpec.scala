@@ -176,4 +176,26 @@ object PropertySpec extends Properties("graft") {
           .filter(col("final_rs") =!= col("gs")).count() == 0
       }
     }
+
+  property("SchemaEvolution.widen is commutative, idempotent, and never narrows") = {
+    import org.apache.spark.sql.types._
+    val types: Gen[DataType] = Gen.oneOf(ByteType, ShortType, IntegerType,
+      LongType, FloatType, DoubleType, StringType, BooleanType, DateType)
+    val width = Map[DataType, Int](ByteType -> 1, ShortType -> 2,
+      IntegerType -> 4, LongType -> 8)
+    forAll(types, types) { (a, b) =>
+      val w = graft.ingest.SchemaEvolution.widen(a, b)
+      val commutative = w == graft.ingest.SchemaEvolution.widen(b, a)
+      val idempotent = graft.ingest.SchemaEvolution.widen(w, w) == w
+      // an integral input widening to an integral result never narrows
+      val noNarrow = (width.get(a), width.get(w)) match {
+        case (Some(wa), Some(ww)) => ww >= wa
+        case _ => true
+      }
+      // absorbing: re-widening the result with either input is a no-op
+      val absorbing = graft.ingest.SchemaEvolution.widen(w, a) == w &&
+        graft.ingest.SchemaEvolution.widen(w, b) == w
+      commutative && idempotent && noNarrow && absorbing
+    }
+  }
 }
