@@ -138,18 +138,42 @@ object Relations {
     * without ever touching raw values again. Standard KMV estimator
     * (Beyer et al., SIGMOD 2007 shape). Emits the same schema as
     * [[discover]] with containment replaced by the estimate. */
-  def sketchDiscover(tables: Seq[(String, DataFrame)], k: Int = 256,
-      minContainment: Double = 0.5): DataFrame = {
-    // one aggregation pass: the native bottom_k_distinct aggregate
-    // (graft.functions.BottomKDistinctAgg) keeps a k-bounded distinct
-    // heap per (column × map partition), so the only exchange carries
-    // ≤ k hashes per column per partition — no distinct shuffle, no
-    // window sort, never a full distinct-value set in memory
-    val sk = melt(tables)
+  /** Per-column KMV sketches of a table set — (tbl, col, sketch) rows,
+    * the persistable catalog artifact incremental discovery compares
+    * against. One aggregation pass: the native bottom_k_distinct
+    * aggregate (graft.functions.BottomKDistinctAgg) keeps a k-bounded
+    * distinct heap per (column × map partition), so the only exchange
+    * carries ≤ k hashes per column per partition — no distinct shuffle,
+    * no window sort, never a full distinct-value set in memory. */
+  def columnSketches(tables: Seq[(String, DataFrame)], k: Int = 256): DataFrame =
+    melt(tables)
       .select(col("tbl"), col("col"), xxhash64(col("v")).as("h"))
       .groupBy("tbl", "col")
       .agg(call_function("bottom_k_distinct", col("h"), lit(k)).as("sketch"))
 
+  def sketchDiscover(tables: Seq[(String, DataFrame)], k: Int = 256,
+      minContainment: Double = 0.5): DataFrame =
+    scoreSketches(columnSketches(tables, k), k, minContainment)
+
+  /** Incremental discovery: score a NEW dataset's columns against an
+    * already-sketched catalog WITHOUT touching the catalog tables' data
+    * — the production shape when one table arrives into a thousand-table
+    * catalog: O(new table) scan + a sketch-vs-sketch compare, not a
+    * catalog rescan. `catalogSketches` is [[columnSketches]] output
+    * (persist it wherever the catalog lives); emits both directions for
+    * every (new column, catalog column) pair. */
+  def sketchDiscoverAgainst(newTables: Seq[(String, DataFrame)],
+      catalogSketches: DataFrame, k: Int = 256,
+      minContainment: Double = 0.5): DataFrame = {
+    val newSk = columnSketches(newTables, k)
+    scoreSketches(newSk.unionByName(catalogSketches), k, minContainment)
+      .where(col("table_a").isin(newTables.map(_._1): _*) ||
+        col("table_b").isin(newTables.map(_._1): _*))
+  }
+
+  /** KMV containment estimates for every cross-table sketch pair. */
+  private def scoreSketches(sk: DataFrame, k: Int,
+      minContainment: Double): DataFrame = {
     val pairs = sk.as("a").join(broadcast(sk.as("b")), col("a.tbl") =!= col("b.tbl"))
     // unified bottom-k of the union, then membership counting
     val unified = slice(array_sort(array_distinct(

@@ -266,6 +266,24 @@ class CatalogSpec extends AnyFunSuite {
     assert(sketch(17) == (0L to 14L))
   }
 
+  test("relations: incremental discovery against stored sketches == full sketch run") {
+    // sketch the catalog WITHOUT lineitem, then discover lineitem against
+    // the stored sketches — pairs involving lineitem must be identical to
+    // the full sketchDiscover over all tables (sketches are deterministic)
+    val (newcomer, catalog) = relTables.partition(_._1 == "lineitem")
+    val stored = graft.catalog.Relations.columnSketches(catalog)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    val incremental = rows(graft.catalog.Relations
+      .sketchDiscoverAgainst(newcomer, stored))
+    val full = rows(graft.catalog.Relations.sketchDiscover(relTables)
+      .where(org.apache.spark.sql.functions.col("table_a") === "lineitem" ||
+        org.apache.spark.sql.functions.col("table_b") === "lineitem"))
+    assert(incremental == full,
+      s"incremental (${incremental.size}) != full (${full.size})")
+    assert(incremental.nonEmpty, "lineitem FK edges should be rediscovered")
+  }
+
   test("relations: sketch verdicts agree with the exact operator") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map { r =>
