@@ -64,6 +64,39 @@ object Retry {
   }
 }
 
+/** Contract-gated load — the self-healing composition of the quality
+  * expectations with the quarantine path: a batch whose violation total
+  * stays within tolerance loads; one that breaches its contract diverts
+  * whole to the quarantine side with its violation report, and the
+  * pipeline keeps going either way. (Row-level corrupt-record routing is
+  * [[Quarantine]]; this gates on TABLE-level contracts — uniqueness,
+  * ranges, referential integrity — that no single row can decide.) */
+object ContractGate {
+
+  final case class GateResult(passed: Boolean,
+      violations: Seq[(String, Long)], total: Long)
+
+  /** Evaluate `rules` on `batch` (referential rules resolve against
+    * `parents`); within `maxViolations` → `load` runs, beyond it →
+    * `quarantine` runs with the report. Exactly one of the two callbacks
+    * fires; the decision and full report are returned either way. */
+  def gatedLoad(name: String, batch: DataFrame,
+      rules: Seq[graft.catalog.Expectations.Rule],
+      parents: Map[String, DataFrame] = Map.empty,
+      maxViolations: Long = 0)(load: DataFrame => Unit)(
+      quarantine: (DataFrame, Seq[(String, Long)]) => Unit): GateResult = {
+    val report = graft.catalog.Expectations
+      .check(Seq((name, batch, rules)) ++
+        parents.toSeq.map { case (n, df) => (n, df, Seq.empty[graft.catalog.Expectations.Rule]) })
+      .filter(col("expectation").startsWith(s"$name."))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val total = report.map(_._2).sum
+    val passed = total <= maxViolations
+    if (passed) load(batch) else quarantine(batch, report)
+    GateResult(passed, report, total)
+  }
+}
+
 /** Corrupt-record routing for ingestion: the reference logs CSV errors
   * and keeps going (dataProcessingService.ts:14-17); we additionally
   * keep the bad rows addressable. */

@@ -162,6 +162,16 @@ object SnapshotStore {
       .filter(n => n.startsWith("b") && n.contains("_v"))
     bucketDirs.filterNot(referenced).foreach(d => fs.delete(new Path(p, d), true))
     drop.foreach(v => fs.delete(new Path(p, s"$ManifestPrefix$v"), false))
+    // crashed-merge scaffolds: a __stage_v<N> with N ≤ the newest
+    // committed version is dead (its commit either landed — making the
+    // stage leftover — or was superseded); N = newest+1 may be an
+    // in-flight writer, so leave it (single-writer contract)
+    val newest = versions.max
+    fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("__stage_v"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("__stage_v").toLong).toOption
+        .filter(_ <= newest).map(_ => n))
+      .foreach(n => fs.delete(new Path(p, n), true))
   }
 
   /** The current snapshot as a DataFrame (all buckets of the latest

@@ -127,6 +127,27 @@ class PipelineSpec extends AnyFunSuite {
     } finally lin.uninstall()
   }
 
+  test("contract-gated load: clean batch loads, breaching batch quarantines whole") {
+    import spark.implicits._
+    import graft.catalog.Expectations._
+    val parent = Seq(1L, 2L).toDF("pid")
+    var loaded = 0
+    var quarantined: Seq[(String, Long)] = Nil
+    val rules = Seq(NotNull("fk"), Referential("fk", "parent", "pid"))
+    // clean: all FKs resolve
+    val ok = graft.pipeline.ContractGate.gatedLoad("child",
+      Seq((Some(1L), "x"), (Some(2L), "y")).toDF("fk", "v"), rules,
+      parents = Map("parent" -> parent))(_ => loaded += 1)((_, r) => quarantined = r)
+    assert(ok.passed && ok.total == 0 && loaded == 1 && quarantined.isEmpty)
+    // breaching: a null FK and an orphan — batch diverts whole
+    val bad = graft.pipeline.ContractGate.gatedLoad("child",
+      Seq((Some(9L), "x"), (Option.empty[Long], "y")).toDF("fk", "v"), rules,
+      parents = Map("parent" -> parent))(_ => loaded += 1)((_, r) => quarantined = r)
+    assert(!bad.passed && bad.total == 2 && loaded == 1)
+    assert(quarantined.toMap == Map("child.fk not_null" -> 1L,
+      "child.fk ref parent.pid" -> 1L))
+  }
+
   test("end-to-end self-healing ingest: retry + quarantine + monitor") {
     val m = new Monitor(spark)
     val p = "/root/repo/target/fixtures/quarantine.csv"
