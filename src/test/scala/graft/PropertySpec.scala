@@ -177,6 +177,27 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  property("blockPairJoin covers every unordered pair exactly once at any blocking") = {
+    import org.apache.spark.sql.functions._
+    // tiny n per case (each case runs a Spark job); ids offset and block
+    // counts varied so same-block, cross-block, and empty-block
+    // arrangements all occur
+    forAll(Gen.chooseNum(2, 14), Gen.chooseNum(2, 7),
+      Gen.chooseNum(0L, 1000L)) { (n, blocks, offset) =>
+      val e = spark.range(offset, offset + n).toDF("vec_id")
+        .withColumn("embedding", array(col("vec_id").cast("float")))
+      val got = graft.queries.Extensions
+        .blockPairJoin(e, "vec_id", "embedding", blocks)
+        .select("ida", "idb").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val expected = (for {
+        a <- offset until (offset + n); b <- (a + 1) until (offset + n)
+      } yield (a, b)).toSet
+      got.size == expected.size && got.toSet == expected &&
+        got.forall { case (a, b) => a < b }
+    }
+  }
+
   property("SchemaEvolution.widen is commutative, idempotent, and never narrows") = {
     import org.apache.spark.sql.types._
     val types: Gen[DataType] = Gen.oneOf(ByteType, ShortType, IntegerType,
