@@ -94,6 +94,23 @@ object DumpPlans {
       "cardinalities join back as a BroadcastExchange; everything above " +
       "is ~300-row work — at 100 TB only the melt and the one value-keyed " +
       "exchange grow."),
+    "q_corpus_curation" -> ("The full curation pipeline as ONE plan: " +
+      "text-keyed dedup hash agg (first-seen min id; metrics are " +
+      "text-derived so no re-join), quality scoring as codegen " +
+      "expressions in the same stage, threshold filter, then CumSum's " +
+      "two-pass range-partitioned budget cut (runs eagerly in a " +
+      "localCheckpoint, so the dumped plan starts at the checkpointed " +
+      "running totals). What to check: NO Window node anywhere — the " +
+      "only data-sized exchanges are the dedup agg and the range " +
+      "partition; each stage keeps the plan its standalone key " +
+      "(q_dedup_exact / q_text_quality / q_token_budget) argues for."),
+    "q_hybrid_search" -> ("Hybrid retrieval: BM25 and vector-cosine " +
+      "top-20 lists fused by reciprocal rank. What to check: each " +
+      "retrieval side bounds itself (BM25's TakeOrderedAndProject heap; " +
+      "the cosine side's rank filter) BEFORE the fusion join, so the " +
+      "full-outer join and the global rank window above it operate on " +
+      "tens of rows — single-partition BY DESIGN, never corpus-sized; " +
+      "the corpus work stays inside the two upstream retrieval plans."),
     "q_token_budget" -> ("Budget cut on a distributed running total " +
       "(CumSum two-pass scan). The scan's range exchange + pass 1 run " +
       "eagerly inside localCheckpoint, so the dumped plan STARTS at 'Scan " +
