@@ -506,6 +506,30 @@ object Catalog {
         round(sum("o_totalprice"), 2).as("price_sum"))
   }
 
+  /** ORC round-trip (the columnar alternative Spark ships natively
+    * alongside parquet): write through the ORC sink, read back,
+    * aggregate — the oracle computes the same aggregate over the
+    * original table, so the hash-match certifies lossless round-trip
+    * of longs, doubles, strings, and timestamps through the format. */
+  val qSinkOrcRoundtrip = Q(
+    "q_sink_orc_roundtrip",
+    """SELECT count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+      |       round(sum(l_extendedprice), 2) AS price_sum,
+      |       CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_flags,
+      |       CAST(max(l_shipdate) AS VARCHAR) AS max_ship
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    val path = "/root/repo/target/roundtrip/lineitem_orc"
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_extendedprice", "l_returnflag", "l_shipdate")
+      .write.mode("overwrite").orc(path)
+    s.read.orc(path)
+      .agg(count(lit(1)).as("n"),
+        sum("l_orderkey").cast("bigint").as("key_sum"),
+        round(sum("l_extendedprice"), 2).as("price_sum"),
+        countDistinct(col("l_returnflag")).cast("bigint").as("n_flags"),
+        max("l_shipdate").cast("string").as("max_ship"))
+  }
+
   val qSinkJsonRoundtrip = Q(
     "q_sink_json_roundtrip",
     """SELECT count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS key_sum
@@ -739,7 +763,7 @@ object Catalog {
     qProfileTypes, qProfileSemantic, qQualityNulls, qQualityOutliers,
     qQualityCardinality, qQualityExpectations, qProfileDrift, qDdlSynthesis, qCsvScan, qJsonScan, qSchemaEvolution, qSnapshotTimetravel, qSnapshotChanges, qLineage,
     qLoadRoundtrip, qParquetScan, qUdafProfile,
-    qSinkCsvRoundtrip, qSinkJsonRoundtrip, qSinkPartitioned, qUpsert,
+    qSinkCsvRoundtrip, qSinkJsonRoundtrip, qSinkOrcRoundtrip, qSinkPartitioned, qUpsert,
     qSample, qSampleStratified, qSynthSource,
     qCatalogRelations, qCatalogRelationsSketch, qCatalogGraph)
 }
