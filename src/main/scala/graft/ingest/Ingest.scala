@@ -31,8 +31,13 @@ object Ingest {
     val lower = path.toLowerCase
     if (lower.endsWith(".csv")) csv(spark, path)
     else if (lower.endsWith(".json")) json(spark, path)
+    // columnar staging formats dispatch too (S9's tier): self-describing,
+    // no inference or corrupt-record handling needed
+    else if (lower.endsWith(".parquet")) spark.read.parquet(path)
+    else if (lower.endsWith(".orc")) spark.read.orc(path)
     else throw new IllegalArgumentException(
-      s"Unsupported file type: $path. Please upload a CSV or JSON file.")
+      s"Unsupported file type: $path. " +
+        "Please upload a CSV, JSON, Parquet, or ORC file.")
   }
 
   /** CSV source (S1, S4): header + per-column dynamic typing; ragged or

@@ -105,14 +105,14 @@ object ScaleProbe {
       graft.operators.CumSum.runningTotal(
         o.select(col("o_orderkey"), col("o_totalprice").cast("bigint").as("v")),
         "v", "cum", Seq(col("o_orderkey").asc))
-        .agg(max("cum")).head.getLong(0)
+        .agg(max("cum")).head().getLong(0)
     def windowCum(o: DataFrame): Long = {
       val w = org.apache.spark.sql.expressions.Window.orderBy("o_orderkey")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
       o.select(col("o_orderkey"), col("o_totalprice").cast("bigint").as("v"))
         .withColumn("cum", sum("v").over(w))
-        .agg(max("cum")).head.getLong(0)
+        .agg(max("cum")).head().getLong(0)
     }
 
     // warm-up (every timed operator, so no 1x figure pays cold codegen/JIT)

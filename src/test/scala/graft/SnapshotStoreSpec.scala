@@ -153,6 +153,36 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(at(3L) == Map(1L -> "a2", 2L -> "b3", 3L -> "c"))
   }
 
+  test("crashed merge leaves orphans; the next merge recovers and vacuum sweeps them") {
+    import spark.implicits._
+    val dirF = freshDir("snap_crash")
+    val dir = dirF.getAbsolutePath
+    SnapshotStore.merge(spark, dir,
+      Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "ts", "v"),
+      Seq("k"), numBuckets = 2, orderCol = Some("ts"), retain = true)
+    // simulate a merge that died after staging version 2 but before the
+    // manifest rename: a stage scaffold plus an orphan bucket dir
+    new java.io.File(dirF, "__stage_v2/__b=0").mkdirs()
+    new java.io.File(dirF, "b0_v2").mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(dirF, "b0_v2/garbage").toPath, "not parquet")
+    // the crash is invisible to readers (manifest v1 still live)...
+    assert(SnapshotStore.read(spark, dir).count() == 2)
+    // ...and the next merge claims version 2, replacing the orphan dir
+    SnapshotStore.merge(spark, dir,
+      Seq((1L, 2L, "a2")).toDF("k", "ts", "v"),
+      Seq("k"), numBuckets = 2, orderCol = Some("ts"), retain = true)
+    val state = SnapshotStore.read(spark, dir).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(state == Map(1L -> "a2", 2L -> "b"))
+    // vacuum sweeps the dead scaffold along with old versions
+    SnapshotStore.vacuum(spark, dir, keepLast = 1)
+    val leftovers = Option(dirF.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith("__stage"))
+    assert(leftovers.isEmpty, s"stage scaffolds not swept: ${leftovers.mkString(",")}")
+    assert(SnapshotStore.read(spark, dir).count() == 2)
+  }
+
   // (delete classification is unreachable through merge — it never drops
   // keys — but the changes() contract covers it for generality)
   test("changes: insert/update classified, replay is silent, null drift detected") {
