@@ -121,7 +121,10 @@ object SnapshotStore {
     * (nulls on the absent side). A key present in both versions with
     * identical non-key values emits nothing. Plan: one full-outer
     * equi-join on the keys between the two bucket-pruned version reads —
-    * the minimal shape any snapshot diff needs. */
+    * the minimal shape any snapshot diff needs. Assumes a stable
+    * snapshot schema across the two versions (merge never evolves
+    * schemas; evolve upstream via SchemaEvolution.align before
+    * merging). */
   def changes(spark: SparkSession, dir: String, fromVersion: Long,
       toVersion: Long, keys: Seq[String]): DataFrame = {
     val a = readAt(spark, dir, fromVersion).as("a")
