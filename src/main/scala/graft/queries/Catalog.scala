@@ -759,11 +759,29 @@ object Catalog {
     Relations.sketchDiscover(relTables.map { case (t, _) => t -> Tables.load(s, d, t) })
   }
 
+  /** DSv2 aggregate pushdown (SupportsPushDownAggregates): COUNT/MIN/MAX
+    * over the synthetic source's id range answer from range METADATA —
+    * zero rows generated; filters push first so the answers reflect the
+    * narrowed range. Deterministic constants → golden VALUES oracle;
+    * CatalogSpec additionally pins the PushedAggregates plan node and
+    * the group-by fallback path. */
+  val qSynthAggPushdown = Q(
+    "q_synth_agg_pushdown",
+    """SELECT * FROM (VALUES (CAST(1000 AS BIGINT), CAST(9000 AS BIGINT),
+      |                       CAST(9999 AS BIGINT))) AS t(n, min_id, max_id)""".stripMargin) {
+    (s, _) =>
+    s.read.format("graft.sources.SynthSource")
+      .option("rows", "10000").option("partitions", "8").load()
+      .filter(col("doc_id") >= 9000)
+      .agg(count(lit(1)).as("n"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+  }
+
   val all: Seq[Q] = Seq(
     qProfileTypes, qProfileSemantic, qQualityNulls, qQualityOutliers,
     qQualityCardinality, qQualityExpectations, qProfileDrift, qDdlSynthesis, qCsvScan, qJsonScan, qSchemaEvolution, qSnapshotTimetravel, qSnapshotChanges, qLineage,
     qLoadRoundtrip, qParquetScan, qUdafProfile,
     qSinkCsvRoundtrip, qSinkJsonRoundtrip, qSinkOrcRoundtrip, qSinkPartitioned, qUpsert,
-    qSample, qSampleStratified, qSynthSource,
+    qSample, qSampleStratified, qSynthSource, qSynthAggPushdown,
     qCatalogRelations, qCatalogRelationsSketch, qCatalogGraph)
 }

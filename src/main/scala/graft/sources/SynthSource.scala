@@ -90,12 +90,15 @@ class SynthTable(rows: Long, partitions: Int) extends Table with SupportsRead {
 }
 
 class SynthScanBuilder(rows: Long, partitions: Int)
-  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var lo = 0L
   private var hi = rows - 1
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = SynthSource.schema
+  private var aggPushed: Option[
+    org.apache.spark.sql.connector.expressions.aggregate.Aggregation] = None
 
   // doc_id range predicates narrow [lo, hi] before generation; anything
   // else stays a post-scan filter (returned as unhandled)
@@ -125,7 +128,86 @@ class SynthScanBuilder(rows: Long, partitions: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new SynthScan(lo, hi, partitions, required, pushed)
+  // ---- aggregate pushdown: COUNT(*)/MIN(doc_id)/MAX(doc_id) over an id
+  // range are METADATA — answerable from [lo, hi] without generating a
+  // single row (filters push before aggregates, so the range is already
+  // narrowed). Group-bys and other aggregates fall back to a real scan.
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+  import org.apache.spark.sql.connector.expressions.NamedReference
+
+  private def refName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames()(0))
+      case _ => None
+    }
+
+  private def canAnswer(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case c: Count => !c.isDistinct && refName(c.column).contains("doc_id")
+        case m: Min => refName(m.column).contains("doc_id")
+        case m: Max => refName(m.column).contains("doc_id")
+        case _ => false
+      }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = canAnswer(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (canAnswer(agg)) { aggPushed = Some(agg); true } else false
+
+  override def build(): Scan = aggPushed match {
+    case Some(agg) => new SynthAggScan(lo, hi, agg, pushed)
+    case None => new SynthScan(lo, hi, partitions, required, pushed)
+  }
+}
+
+/** Completely-pushed-down aggregate scan: one row computed from the id
+  * range bounds — COUNT = range size, MIN/MAX(doc_id) = the bounds
+  * themselves (null on an empty range) — zero rows generated. */
+class SynthAggScan(lo: Long, hi: Long,
+    agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+    pushed: Array[Filter]) extends Scan with Batch {
+  import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+
+  private val n = math.max(0L, hi - lo + 1)
+
+  override def readSchema(): StructType = StructType(
+    agg.aggregateExpressions.toSeq.zipWithIndex.map {
+      case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (_: Count, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+    })
+
+  override def description(): String =
+    s"SynthAggScan range=[$lo,$hi] " +
+      s"PushedAggregates=[${agg.aggregateExpressions.mkString(", ")}] " +
+      s"PushedFilters=[${pushed.mkString(", ")}]"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SynthRange(0, 0)) // one logical row regardless of range
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val values: Seq[Any] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => n
+      case _: Count => n // doc_id is never null in this source
+      case _: Min => if (n == 0) null else lo
+      case _: Max => if (n == 0) null else hi
+      case other => throw new IllegalStateException(s"unplanned aggregate $other")
+    }
+    new SynthAggReaderFactory(values)
+  }
+}
+
+class SynthAggReaderFactory(values: Seq[Any]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = InternalRow.fromSeq(values)
+      override def close(): Unit = ()
+    }
 }
 
 case class SynthRange(lo: Long, hi: Long) extends InputPartition

@@ -125,6 +125,24 @@ class CatalogSpec extends AnyFunSuite {
     assert(p1 == p8 && p1.size == 5000)
   }
 
+  test("DSv2 synth source: count/min/max push into the source as metadata answers") {
+    import org.apache.spark.sql.functions._
+    def read() = spark.read.format("graft.sources.SynthSource")
+      .option("rows", "10000").option("partitions", "8").load()
+    // filters push first, so the aggregate answers from the NARROWED range
+    val agg = read().filter(col("doc_id") >= 9000)
+      .agg(count(lit(1)).as("n"), min("doc_id").as("lo"), max("doc_id").as("hi"))
+    val row = agg.collect()(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((1000L, 9000L, 9999L)))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"),
+      s"expected the aggregate pushed into the source:\n$plan")
+    // group-bys are NOT claimed — falls back to a real scan, same results
+    val perLang = read().groupBy("lang").agg(count(lit(1)).as("n"))
+    assert(perLang.queryExecution.executedPlan.toString.contains("SynthScan"))
+    assert(perLang.collect().map(_.getLong(1)).sum == 10000L)
+  }
+
   test("ANALYZE TABLE computes row/column stats that feed the CBO") {
     // on a real warehouse these stats drive join reorder + build-side
     // selection (spark.sql.cbo.*); here we assert the ANALYZE surface
