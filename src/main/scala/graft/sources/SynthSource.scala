@@ -91,7 +91,8 @@ class SynthTable(rows: Long, partitions: Int) extends Table with SupportsRead {
 
 class SynthScanBuilder(rows: Long, partitions: Int)
   extends ScanBuilder with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+  with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var lo = 0L
   private var hi = rows - 1
@@ -155,6 +156,31 @@ class SynthScanBuilder(rows: Long, partitions: Int)
 
   override def pushAggregation(agg: Aggregation): Boolean =
     if (canAnswer(agg)) { aggPushed = Some(agg); true } else false
+
+  // ---- limit / top-N pushdown: LIMIT n shrinks the range to its first
+  // n ids, and ORDER BY doc_id LIMIT n range-prunes to the first (asc)
+  // or last (desc) n ids — pure range arithmetic, so the source
+  // GENERATES at most n rows. Declared partially pushed: Spark keeps
+  // its final limit/sort pass (partitions emit ascending ranges, so a
+  // fully-pushed DESC top-N would otherwise trust an order the batch
+  // scan does not guarantee across partitions); the win is pruned
+  // generation, not an elided operator. Only doc_id orderings claimed.
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, lo + limit - 1)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
+
+  import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    val byDocId = orders.length == 1 &&
+      refName(orders(0).expression()).contains("doc_id")
+    if (!byDocId) return false
+    if (orders(0).direction() == SortDirection.ASCENDING)
+      hi = math.min(hi, lo + limit - 1)
+    else lo = math.max(lo, hi - limit + 1)
+    true
+  }
 
   override def build(): Scan = aggPushed match {
     case Some(agg) => new SynthAggScan(lo, hi, agg, pushed)

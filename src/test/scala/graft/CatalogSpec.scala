@@ -143,6 +143,27 @@ class CatalogSpec extends AnyFunSuite {
     assert(perLang.collect().map(_.getLong(1)).sum == 10000L)
   }
 
+  test("DSv2 synth source: limit and doc_id top-N range-prune generation") {
+    import org.apache.spark.sql.functions._
+    def read() = spark.read.format("graft.sources.SynthSource")
+      .option("rows", "100000").option("partitions", "8").load()
+    // LIMIT: the source generates only the first n ids
+    val lim = read().limit(7)
+    assert(lim.count() == 7)
+    assert(lim.queryExecution.executedPlan.toString.contains("range=[0,6]"),
+      s"limit not pushed:\n${lim.queryExecution.executedPlan}")
+    // DESC top-N: range prunes to the LAST n ids; Spark's kept sort
+    // still orders them (partial pushdown), so results are exact
+    val top = read().orderBy(col("doc_id").desc).limit(5)
+    assert(top.collect().map(_.getLong(0)).toSeq ==
+      Seq(99999L, 99998L, 99997L, 99996L, 99995L))
+    assert(top.queryExecution.executedPlan.toString.contains("range=[99995,99999]"),
+      s"top-N not pushed:\n${top.queryExecution.executedPlan}")
+    // non-doc_id ordering is not claimed — full range, correct result
+    val byLang = read().filter(col("doc_id") < 50).orderBy("lang").limit(3)
+    assert(byLang.count() == 3)
+  }
+
   test("ANALYZE TABLE computes row/column stats that feed the CBO") {
     // on a real warehouse these stats drive join reorder + build-side
     // selection (spark.sql.cbo.*); here we assert the ANALYZE surface
