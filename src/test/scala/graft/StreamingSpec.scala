@@ -161,6 +161,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(Streams.readSnapshot(spark, target.getAbsolutePath).count() == users)
   }
 
+  test("the CDC log is streamable: a readStream consumer sees exactly the feed") {
+    import org.apache.spark.sql.functions._
+    // consumes the feed the upsert-CDC test wrote (same target dir)
+    val cdc = new java.io.File("/root/repo/target/cdc_feed")
+    assume(cdc.exists(), "runs after the CDC sink test")
+    val batchRows = spark.read.parquet(cdc.getAbsolutePath)
+    val schema = batchRows.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // incremental consumption
+      .parquet(cdc.getAbsolutePath)
+    assert(stream.isStreaming)
+    Streams.runToMemory(stream, "t_cdc_consume", "append")
+    val streamed = spark.table("t_cdc_consume")
+    assert(streamed.count() == batchRows.count(),
+      "stream consumer must see every CDC row exactly once")
+    assert(streamed.select("change_type").distinct().collect().map(_.getString(0)).toSet
+      == batchRows.select("change_type").distinct().collect().map(_.getString(0)).toSet)
+  }
+
   test("RocksDB state store produces identical results to the in-memory store") {
     // at production state sizes (billions of keys across session windows)
     // the default HDFS-backed in-memory store OOMs; RocksDB spills state
