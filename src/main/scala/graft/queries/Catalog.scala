@@ -618,9 +618,16 @@ object Catalog {
   /** Custom DataSourceV2 read path (graft.sources.SynthSource): filter
     * pushdown narrows the generated id range source-side, column pruning
     * reaches the reader, rows are a pure function of doc_id so ANY
-    * partitioning yields identical output. Engine-generated data → no
-    * DuckDB oracle; unit tests assert pushdown/pruning/determinism. */
-  val qSynthSource = Q.noOracle("q_synth_source") { (s, _) =>
+    * partitioning yields identical output. The generator is a pure
+    * splitmix64 function of doc_id, so the result is a CONSTANT —
+    * golden VALUES oracle (upgraded from rows-only, round 7); unit
+    * tests assert pushdown/pruning/determinism. */
+  val qSynthSource = Q(
+    "q_synth_source",
+    """SELECT * FROM (VALUES ('de', CAST(347 AS BIGINT), CAST(7135 AS BIGINT)),
+      |                      ('en', CAST(303 AS BIGINT), CAST(6184 AS BIGINT)),
+      |                      ('es', CAST(350 AS BIGINT), CAST(7250 AS BIGINT)))
+      |  AS t(lang, n, tokens) ORDER BY lang""".stripMargin) { (s, _) =>
     s.read.format("graft.sources.SynthSource")
       .option("rows", "10000").option("partitions", "8").load()
       .filter(col("doc_id") >= 9000)
