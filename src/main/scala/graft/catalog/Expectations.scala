@@ -31,6 +31,11 @@ object Expectations {
   final case class InRange(column: String, lo: Double, hi: Double) extends Rule {
     def name = s"$column range[$lo,$hi]"
   }
+  /** `column` values drawn from a fixed vocabulary (nulls exempt —
+    * pair with NotNull). The enum-column contract. */
+  final case class AcceptedValues(column: String, values: Seq[String]) extends Rule {
+    def name = s"$column in(${values.mkString(",")})"
+  }
   /** Every `column` value exists in `parentTable.parentColumn`. */
   final case class Referential(column: String, parentTable: String,
       parentColumn: String) extends Rule {
@@ -54,6 +59,9 @@ object Expectations {
               (count(col(c)) - countDistinct(col(c))).cast("bigint")
             case InRange(c, lo, hi) =>
               sum(when(col(c) < lo || col(c) > hi, 1).otherwise(0)).cast("bigint")
+            case AcceptedValues(c, vs) =>
+              sum(when(col(c).isNotNull && !col(c).isin(vs: _*), 1).otherwise(0))
+                .cast("bigint")
             case r => throw new IllegalStateException(r.toString)
           }).as(s"c$i")
         }

@@ -222,6 +222,12 @@ object Catalog {
       |         CAST(sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 30.0 THEN 1 ELSE 0 END) AS BIGINT)
       |  FROM lineitem
       |  UNION ALL
+      |  SELECT 'lineitem.l_returnflag in(A,N,R)',
+      |         CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+      |                        AND l_returnflag NOT IN ('A', 'N', 'R')
+      |                       THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
       |  SELECT 'lineitem.l_orderkey ref orders.o_orderkey',
       |         CAST(count(*) AS BIGINT)
       |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -238,6 +244,7 @@ object Catalog {
         Seq(NotNull("o_orderkey"), Unique("o_orderkey"))),
       ("lineitem", Tables.lineitem(s, d),
         Seq(InRange("l_quantity", 1.0, 30.0),
+          AcceptedValues("l_returnflag", Seq("A", "N", "R")),
           Referential("l_orderkey", "orders", "o_orderkey"))),
       ("customer", Tables.customer(s, d),
         Seq(Referential("c_nationkey", "nation", "n_nationkey"))),

@@ -201,13 +201,15 @@ class CatalogSpec extends AnyFunSuite {
       .toDF("fk", "v")
     val out = check(Seq(
         ("child", child, Seq(NotNull("fk"), Unique("fk"),
-          InRange("v", 0.0, 10.0), Referential("fk", "parent", "pid"))),
+          InRange("v", 0.0, 10.0), AcceptedValues("v", Seq("5.0", "2.0")),
+          Referential("fk", "parent", "pid"))),
         ("parent", parent, Seq(Unique("pid")))))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
     assert(out("child.fk not_null") == (1L, "fail"))
     assert(out("child.fk unique") == (1L, "fail")) // 1L appears twice among non-nulls
     assert(out("child.v range[0.0,10.0]") == (2L, "fail")) // 25.0 and -1.0
     assert(out("child.fk ref parent.pid") == (1L, "fail")) // 9L orphan; null exempt
+    assert(out("child.v in(5.0,2.0)") == (2L, "fail")) // 25.0 and -1.0 off-vocabulary
     assert(out("parent.pid unique") == (0L, "pass"))
   }
 
