@@ -261,6 +261,15 @@ class CatalogSpec extends AnyFunSuite {
     chain.foreach(e => assert(fk.contains(e), s"missing FK edge $e in ${fk.toSeq.sorted}"))
   }
 
+  test("relations: an empty (zero-row) table is tolerated and scores nothing") {
+    import spark.implicits._
+    val empty = Seq.empty[Long].toDF("orphan_id")
+    val out = graft.catalog.Relations
+      .discover(relTables :+ ("empty_table" -> empty))
+      .filter("table_a = 'empty_table' OR table_b = 'empty_table'")
+    assert(out.count() == 0, "zero distinct values can contain nothing")
+  }
+
   test("relations: tables without id-like columns are skipped; none at all fails loudly") {
     import org.apache.spark.sql.functions._
     val noIds = spark.range(5).toDF("amount") // no name affinity

@@ -153,6 +153,31 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(at(3L) == Map(1L -> "a2", 2L -> "b3", 3L -> "c"))
   }
 
+  test("dup-heavy batches with subset-keyed follow-up: one row per key, replay fixpoint") {
+    // derived from a randomized-search counterexample candidate (which a
+    // deterministic rerun cleared — kept as a permanent regression):
+    // batch 1 has 3-way in-batch duplicates on two keys; batch 2 touches
+    // a strict subset of keys with a LOWER orderCol than the standing
+    // winner (updates still win — MERGE semantics, not max-ts)
+    import spark.implicits._
+    val dir = freshDir("snap_dupheavy").getAbsolutePath
+    val b1 = Seq((1L, 6L, "cwzbwcyh"), (0L, 0L, "fnv"), (3L, 3L, "vlwi"),
+      (1L, 0L, "tvwispjs"), (6L, 9L, "ouwl"), (0L, 5L, "evpmx"),
+      (1L, 0L, "xqddict"), (0L, 0L, "a"), (3L, 9L, "tuoceek"))
+    val b2 = Seq((0L, 0L, "c"), (0L, 2L, "njwxcmmf"))
+    def m(b: Seq[(Long, Long, String)]): Unit =
+      SnapshotStore.merge(spark, dir, b.toDF("k", "ts", "v"), Seq("k"),
+        numBuckets = 3, orderCol = Some("ts"))
+    def state(): Seq[String] =
+      SnapshotStore.read(spark, dir).orderBy("k").collect().map(_.toString).toSeq
+    m(b1); m(b2)
+    val after = state()
+    assert(after == Seq("[0,2,njwxcmmf]", "[1,6,cwzbwcyh]",
+      "[3,9,tuoceek]", "[6,9,ouwl]"), after.toString)
+    m(b2)
+    assert(state() == after, "replay must be a fixpoint")
+  }
+
   test("crashed merge leaves orphans; the next merge recovers and vacuum sweeps them") {
     import spark.implicits._
     val dirF = freshDir("snap_crash")
