@@ -251,9 +251,29 @@ object Catalog {
       ("nation", Tables.nation(s, d), Seq())))
   }
 
-  /** DDL synthesis (P6): deterministic string; golden-tested, rows-only
-    * here (no DuckDB equivalent of the generator). */
-  val qDdlSynthesis = Q.noOracle("q_ddl_synthesis") { (s, d) =>
+  /** DDL synthesis (P6): the generator is deterministic over the fixed
+    * driver schemas, so the three statements are HARDCODED literals in a
+    * golden VALUES oracle (upgraded from rows-only, round 7) — if
+    * Ddl.fromSchema's output ever drifts, the hash compare catches it.
+    * The multiline strings embed real newlines; Verify's JSON escaper
+    * and DuckDB's string literals both carry them verbatim. */
+  private val ddlGolden = Seq(
+    "documents" -> ("CREATE TABLE \"documents\" (\n  \"doc_id\" INTEGER,\n" +
+      "  \"text\" TEXT,\n  \"lang\" TEXT,\n  \"source\" TEXT,\n" +
+      "  \"n_chars\" INTEGER\n);"),
+    "events" -> ("CREATE TABLE \"events\" (\n  \"event_id\" INTEGER,\n" +
+      "  \"ts\" TIMESTAMP,\n  \"user_id\" INTEGER,\n  \"event_type\" TEXT,\n" +
+      "  \"value\" REAL,\n  \"props\" TEXT\n);"),
+    "orders" -> ("CREATE TABLE \"orders\" (\n  \"o_orderkey\" INTEGER,\n" +
+      "  \"o_custkey\" INTEGER,\n  \"o_orderstatus\" TEXT,\n" +
+      "  \"o_totalprice\" REAL,\n  \"o_orderdate\" TIMESTAMP,\n" +
+      "  \"o_orderpriority\" TEXT\n);"))
+
+  val qDdlSynthesis = Q(
+    "q_ddl_synthesis",
+    "SELECT * FROM (VALUES " +
+      ddlGolden.map { case (t, ddl) => s"('$t', '$ddl')" }.mkString(",\n") +
+      ") AS t(table_name, ddl) ORDER BY table_name") { (s, d) =>
     import s.implicits._
     Seq(
       ("orders", Ddl.fromSchema("orders", Tables.orders(s, d).schema)),
