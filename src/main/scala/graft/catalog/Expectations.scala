@@ -82,6 +82,20 @@ object Expectations {
       }
       scan.toSeq ++ refs
     }
+    if (perTable.isEmpty) {
+      // an empty contract trivially passes — return the report schema
+      // with zero rows rather than throwing empty.reduce from deep
+      // inside (ContractGate.gatedLoad with no rules = ungated load)
+      require(tables.nonEmpty,
+        "Expectations.check needs at least one table to bind the session")
+      val spark = tables.head._2.sparkSession
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("expectation", StringType),
+          StructField("violations", LongType),
+          StructField("status", StringType))))
+    }
     perTable.reduce(_ unionByName _)
       .select(col("expectation"), col("violations"),
         when(col("violations") === 0, "pass").otherwise("fail").as("status"))

@@ -145,11 +145,16 @@ object Relations {
     * distinct heap per (column × map partition), so the only exchange
     * carries ≤ k hashes per column per partition — no distinct shuffle,
     * no window sort, never a full distinct-value set in memory. */
-  def columnSketches(tables: Seq[(String, DataFrame)], k: Int = 256): DataFrame =
+  def columnSketches(tables: Seq[(String, DataFrame)], k: Int = 256): DataFrame = {
+    // call_function resolves bottom_k_distinct at analysis time — on a
+    // session built without GraftExtensions the sketch path would fail
+    // unresolved, so install it here (no-op when already registered)
+    graft.functions.BottomKAggregate.register(tables.head._2.sparkSession)
     melt(tables)
       .select(col("tbl"), col("col"), xxhash64(col("v")).as("h"))
       .groupBy("tbl", "col")
       .agg(call_function("bottom_k_distinct", col("h"), lit(k)).as("sketch"))
+  }
 
   def sketchDiscover(tables: Seq[(String, DataFrame)], k: Int = 256,
       minContainment: Double = 0.5): DataFrame =

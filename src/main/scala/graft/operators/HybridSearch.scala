@@ -38,9 +38,11 @@ object HybridSearch {
       lists.map { case (n, _) =>
         coalesce(lit(1.0) / (lit(k0) + col(s"rnk_$n")), lit(0.0))
       }.reduce(_ + _), 6)
+    // the fused candidate set is bounded by the union of the input rank
+    // lists (≤ Σ list sizes), so single-partition ranking is intended
     joined.withColumn("rrf", rrf)
-      .withColumn("rnk",
-        row_number().over(Window.orderBy(col("rrf").desc, col(idCol))).cast("bigint"))
+      .withColumn("rnk", graft.functions.BoundedRank.rowNumberBounded(
+        col(idCol), col("rrf").desc, col(idCol)).cast("bigint"))
       .filter(col("rnk") <= topK)
       .orderBy("rnk")
   }

@@ -102,11 +102,77 @@ object TextSearch {
       scoredAll.filter(col("__nterms") === terms.distinct.size)
     else scoredAll).drop("__nterms")
     // rank on the ROUNDED score; limit first (heap top-k), then number
-    // the k survivors — the unpartitioned window sees topK rows only
-    val byScore = Window.orderBy(col("score").desc, col("__id").asc)
+    // the k survivors — the single-partition window sees topK rows only
     scored
       .orderBy(col("score").desc, col("__id").asc).limit(topK)
-      .withColumn("rnk", row_number().over(byScore).cast("bigint"))
+      .withColumn("rnk", graft.functions.BoundedRank.rowNumberBounded(
+        col("__id"), col("score").desc, col("__id").asc).cast("bigint"))
+      .withColumnRenamed("__id", idCol)
+      .orderBy("rnk")
+  }
+
+  /** Phrase search — Postgres `to_tsquery('a <-> b')` adjacency
+    * semantics (pgliteService.ts:36-49 reaches it through the passthrough
+    * dialect): rank documents containing the terms CONTIGUOUSLY in
+    * order, scored by BM25 with the whole phrase as a single synthetic
+    * term (tf = number of phrase occurrences, df = number of documents
+    * with ≥1 occurrence — the standard Lucene PhraseQuery formulation).
+    *
+    * Adjacency without a positional self-join: each phrase-term token at
+    * position p fans out map-side to the candidate ANCHOR positions it
+    * could start from — (p - off) for every offset `off` the word
+    * occupies in the phrase (repeated words fan to several). A phrase
+    * occurrence starting at anchor a contributes all L distinct offsets
+    * to group (doc, a), so `count(DISTINCT off) = L` identifies matches
+    * in ONE hash aggregate with ≤L-sized per-key state. Scale shape:
+    * only phrase-term tokens leave the map side (same pruning as bm25's
+    * IN filter), the aggregate is (doc, anchor)-keyed with bounded
+    * per-key cardinality, and df/stats are broadcast scalars — no
+    * token-level self-join, no corpus-sized window, skew-immune.
+    *
+    * @return (idCol, score, rnk) — rnk 1..topK over round(score, 4)
+    *   with id tie-break, same determinism contract as [[bm25]] */
+  def phrase(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], topK: Int = 20): DataFrame = {
+    require(terms.size >= 2, "phrase: need >= 2 terms (use bm25 for one)")
+    val spark = docs.sparkSession
+    val L = terms.size
+    val ws = TextOps.tokens(col(textCol))
+    val base = docs.filter(col(textCol).isNotNull).select(
+      col(idCol).as("__id"),
+      size(ws).cast("double").as("__dl"),
+      ws.as("__ws"))
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("__n"), avg("__dl").as("__avgdl"))
+    // phrase-sized (word → offset) table; a word at several offsets
+    // yields several rows, so the broadcast join below IS the fan-out
+    val offsets = spark.createDataFrame(terms.zipWithIndex).toDF("word", "off")
+    val cand = base
+      .select(col("__id"), col("__dl"),
+        posexplode(col("__ws")).as(Seq("pos", "word")))
+      .filter(col("word").isInCollection(terms)) // map-side prune
+      .join(broadcast(offsets), "word")
+      .select(col("__id"), col("__dl"),
+        (col("pos") - col("off")).as("anchor"), col("off"))
+      .filter(col("anchor") >= 0)
+    // one aggregate: a (doc, anchor) group holding ALL L offsets is a
+    // phrase occurrence starting at that anchor
+    val ptf = cand.groupBy("__id", "anchor")
+      .agg(countDistinct("off").as("__c"), first("__dl").as("dl"))
+      .filter(col("__c") === L)
+      .groupBy("__id")
+      .agg(count(lit(1)).cast("double").as("tf"), first("dl").as("dl"))
+      .localCheckpoint(true) // feeds both the df count and the scoring
+    val dfreq = ptf.agg(count(lit(1)).cast("double").as("df")) // scalar
+    val idf = log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5))
+    val contrib = idf * (col("tf") * (lit(K1) + 1)) /
+      (col("tf") + lit(K1) * (lit(1.0) - B + lit(B) * col("dl") / col("__avgdl")))
+    ptf.crossJoin(broadcast(dfreq))
+      .crossJoin(broadcast(stats))
+      .select(col("__id"), round(contrib, 4).as("score"))
+      .orderBy(col("score").desc, col("__id").asc).limit(topK)
+      .withColumn("rnk", graft.functions.BoundedRank.rowNumberBounded(
+        col("__id"), col("score").desc, col("__id").asc).cast("bigint"))
       .withColumnRenamed("__id", idCol)
       .orderBy("rnk")
   }

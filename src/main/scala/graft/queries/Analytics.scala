@@ -218,8 +218,8 @@ object Analytics {
       .agg(expr("approx_top_k(o_orderpriority, 3, 100)").as("tk"))
       .select(explode(col("tk")).as("e"))
       .select(col("e.item").as("item"), col("e.count").as("n"))
-      .withColumn("rnk",
-        row_number().over(Window.orderBy(col("n").desc, col("item"))).cast("bigint"))
+      .withColumn("rnk", graft.functions.BoundedRank.rowNumberBounded(
+        col("item"), col("n").desc, col("item")).cast("bigint"))
       .orderBy("rnk")
   }
 

@@ -744,6 +744,47 @@ object Extensions {
       requireAll = true)
   }
 
+  private val phraseTerms = Seq("table", "hash")
+
+  /** Phrase (adjacency) search — the last FTS mode the reference's
+    * Postgres passthrough offers (`to_tsquery('a <-> b')`,
+    * pgliteService.ts:36-49): documents containing "table hash"
+    * CONTIGUOUSLY, BM25-scored with the phrase as one synthetic term
+    * (graft.operators.TextSearch.phrase). The oracle recomputes the
+    * identical anchor-count formulation: zip-unnest positions, fan each
+    * token to the anchors it could start, a (doc, anchor) group holding
+    * all L offsets is one occurrence. */
+  val qTextSearchPhrase = Q(
+    "q_text_search_phrase",
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |           WHERE text IS NOT NULL),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(ws)) AS avgdl FROM d),
+      |tok AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS word,
+      |               unnest(range(len(ws))) AS pos FROM d),
+      |o AS (SELECT * FROM (VALUES ${phraseTerms.zipWithIndex
+               .map { case (w, i) => s"($i, '$w')" }.mkString(", ")}) v(off, w)),
+      |cand AS (SELECT t.doc_id, t.dl, t.pos - o.off AS anchor, o.off
+      |         FROM tok t JOIN o ON t.word = o.w WHERE t.pos - o.off >= 0),
+      |m AS (SELECT doc_id, anchor, count(DISTINCT off) AS c, any_value(dl) AS dl
+      |      FROM cand GROUP BY 1, 2),
+      |ptf AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf,
+      |               CAST(any_value(dl) AS DOUBLE) AS dl
+      |        FROM m WHERE c = ${phraseTerms.size} GROUP BY 1),
+      |f AS (SELECT CAST(count(*) AS DOUBLE) AS df FROM ptf),
+      |scored AS (
+      |  SELECT p.doc_id,
+      |         round( ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+      |                * (p.tf * (1.2 + 1)) /
+      |                (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl)), 4) AS score
+      |  FROM ptf p CROSS JOIN f CROSS JOIN stats s),
+      |top AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 20)
+      |SELECT doc_id, score,
+      |       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+      |FROM top ORDER BY rnk""".stripMargin) { (s, d) =>
+    graft.operators.TextSearch.phrase(
+      Tables.documents(s, d), "doc_id", "text", phraseTerms, topK = 20)
+  }
+
   /** Hybrid retrieval: the lexical BM25 top-20 (same terms as
     * q_text_search) fused with the vector-cosine top-20 of one probe
     * embedding (vec_id 100 — ids are shared across documents/embeddings
@@ -799,12 +840,16 @@ object Extensions {
     val e = Tables.embeddings(s, d)
     val probe = e.filter(col("vec_id") === 100)
       .select(col("embedding").as("eq"))
+    // limit first (TakeOrderedAndProject: per-partition heap + k-row
+    // merge), then number the 20 survivors — the unpartitioned window
+    // sees topK rows only, never the scored corpus (same pattern as
+    // TextSearch.bm25).
     val vec = broadcast(probe).join(e.filter(col("vec_id") =!= 100))
       .select(col("vec_id").as("doc_id"),
         round(VectorExpressions.cosineFast(col("eq"), col("embedding")), 4).as("cos"))
-      .withColumn("rnk", row_number()
-        .over(Window.orderBy(col("cos").desc, col("doc_id"))).cast("bigint"))
-      .filter(col("rnk") <= 20)
+      .orderBy(col("cos").desc, col("doc_id").asc).limit(20)
+      .withColumn("rnk", graft.functions.BoundedRank.rowNumberBounded(
+        col("doc_id"), col("cos").desc, col("doc_id")).cast("bigint"))
       .select("doc_id", "rnk")
     graft.operators.HybridSearch.rrfFuse(
       Seq("lex" -> lex, "vec" -> vec), "doc_id", "rnk", k0 = 60, topK = 10)
@@ -1073,7 +1118,8 @@ object Extensions {
     qDedupExact, qNeardup, qDedupCluster, qDedupClusterStar, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupIncremental, qTokenBudget, qCorpusCuration,
     qSimilarityTopk, qSimilaritySql, qAnnIvf, qAnnLsh, qKmeans,
-    qTextAnalysis, qTextTopwords, qTextSearch, qTextSearchAll, qTextSearchBatch, qHybridSearch,
+    qTextAnalysis, qTextTopwords, qTextSearch, qTextSearchAll, qTextSearchPhrase,
+    qTextSearchBatch, qHybridSearch,
     qLangId, qLangIdNgram, qTextQuality, qTokenCount,
     qDocFingerprint,
     qMultimodalJoin, qMultimodalMeta, qMultimodalFeatures, qMultimodalFrames)

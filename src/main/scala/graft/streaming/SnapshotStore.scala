@@ -161,15 +161,26 @@ object SnapshotStore {
     val (drop, keep) = versions.splitAt(versions.size - keepLast)
     val referenced = keep.map(v => parseManifest(fs, p, v, dir))
       .flatMap(_.buckets.values).toSet
+    // A bucket dir whose _v suffix exceeds the newest COMMITTED version
+    // belongs to an in-flight merge that has already renamed buckets
+    // into place but not yet committed its manifest — sweeping those
+    // would let that writer commit a manifest referencing deleted dirs
+    // (silent snapshot corruption). Mirror the __stage_v rule: only
+    // dirs at or below the newest committed version are fair game.
+    val newest = versions.max
+    def dirVersion(n: String): Option[Long] =
+      n.lastIndexOf("_v") match {
+        case -1 => None
+        case i  => scala.util.Try(n.substring(i + 2).toLong).toOption
+      }
     val bucketDirs = fs.listStatus(p).map(_.getPath.getName)
-      .filter(n => n.startsWith("b") && n.contains("_v"))
+      .filter(n => n.startsWith("b") && dirVersion(n).exists(_ <= newest))
     bucketDirs.filterNot(referenced).foreach(d => fs.delete(new Path(p, d), true))
     drop.foreach(v => fs.delete(new Path(p, s"$ManifestPrefix$v"), false))
     // crashed-merge scaffolds: a __stage_v<N> with N ≤ the newest
     // committed version is dead (its commit either landed — making the
     // stage leftover — or was superseded); N = newest+1 may be an
     // in-flight writer, so leave it (single-writer contract)
-    val newest = versions.max
     fs.listStatus(p).map(_.getPath.getName)
       .filter(_.startsWith("__stage_v"))
       .flatMap(n => scala.util.Try(n.stripPrefix("__stage_v").toLong).toOption

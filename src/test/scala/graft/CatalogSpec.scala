@@ -213,6 +213,33 @@ class CatalogSpec extends AnyFunSuite {
     assert(out("parent.pid unique") == (0L, "pass"))
   }
 
+  test("expectations: an empty contract trivially passes (no empty.reduce)") {
+    import spark.implicits._
+    import graft.catalog.Expectations._
+    val t = Seq((1L, "a")).toDF("k", "v")
+    val out = check(Seq(("t", t, Seq.empty[Rule])))
+    assert(out.columns.toSeq == Seq("expectation", "violations", "status"))
+    assert(out.count() == 0)
+    // and the gate loads (not quarantines) under an empty contract
+    var loaded = 0; var quarantined = 0
+    val res = graft.pipeline.ContractGate.gatedLoad("t", t, Seq.empty)(
+      _ => loaded += 1)((_, _) => quarantined += 1)
+    assert(res.passed && loaded == 1 && quarantined == 0)
+  }
+
+  test("relations: columnSketches self-registers bottom_k_distinct") {
+    import spark.implicits._
+    val reg = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("bottom_k_distinct")
+    assert(reg.dropFunction(id), "precondition: function was registered")
+    try {
+      val t = Seq(1L, 2L, 3L).toDF("x_id")
+      // must not throw unresolved-function: columnSketches re-registers
+      val sk = graft.catalog.Relations.columnSketches(Seq("t" -> t), k = 8)
+      assert(sk.count() == 1)
+    } finally graft.functions.BottomKAggregate.register(spark)
+  }
+
   test("schema evolution: widening ladder and null-fill alignment") {
     import org.apache.spark.sql.types._
     import graft.ingest.SchemaEvolution

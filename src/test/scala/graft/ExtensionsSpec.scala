@@ -57,6 +57,34 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(score.values.forall(_ > 0))
   }
 
+  test("phrase search: adjacency required, occurrences counted, repeated-word phrases") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "big data pipeline runs big data pipeline twice"), // 2 occurrences
+      (2L, "a data pipeline here"),                           // 1 occurrence
+      (3L, "data flows through the pipeline"),                // both terms, NOT adjacent
+      (4L, "pipeline data reversed order"),                   // adjacent, wrong order
+      (5L, "nothing relevant")).toDF("doc_id", "text")
+    val r = graft.operators.TextSearch
+      .phrase(docs, "doc_id", "text", Seq("data", "pipeline"), topK = 10).collect()
+    val ids = r.map(_.getLong(0)).toSeq
+    assert(ids.toSet == Set(1L, 2L), s"only contiguous in-order matches, got $ids")
+    assert(!ids.contains(3L), "non-adjacent decoy must not match")
+    assert(!ids.contains(4L), "reversed-order decoy must not match")
+    val score = r.map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(score(1L) > score(2L), "tf=2 must outrank tf=1 at comparable length")
+    assert(r.map(_.getLong(2)).toSeq == Seq(1L, 2L), "rnk dense 1..k")
+    // repeated word inside the phrase: anchors must not cross-talk
+    val rep = Seq(
+      (1L, "go go go stop"),   // "go go" occurs at anchors 0 and 1
+      (2L, "go stop go"),      // never adjacent
+      (3L, "go go")).toDF("doc_id", "text")
+    val rr = graft.operators.TextSearch
+      .phrase(rep, "doc_id", "text", Seq("go", "go"), topK = 10).collect()
+    val rtf = rr.map(_.getLong(0)).toSeq
+    assert(rtf.toSet == Set(1L, 3L), s"repeated-word phrase matches, got $rtf")
+  }
+
   test("bm25Batch per-query ranking equals the single-query operator") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)

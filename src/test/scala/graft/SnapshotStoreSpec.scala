@@ -240,4 +240,72 @@ class SnapshotStoreSpec extends AnyFunSuite {
       numBuckets = 4, orderCol = Some("ts"), retain = true)
     assert(SnapshotStore.changes(spark, dir, 2L, 3L, Seq("k")).count() == 0)
   }
+
+  test("cdc feed is exactly-once: a commit crashed before its append is caught up") {
+    import spark.implicits._
+    val dir = freshDir("snap_cdc_crash").getAbsolutePath
+    val cdc = freshDir("snap_cdc_crash_log").getAbsolutePath
+    def step(rows: Seq[(Long, Long, String)]): Unit =
+      graft.streaming.Streams.cdcBatch(spark, dir, cdc,
+        rows.toDF("k", "ts", "v"), Seq("k"), numBuckets = 4,
+        orderCol = Some("ts"))
+    step(Seq((1L, 1L, "a"), (2L, 1L, "b"))) // v1 logged (2 inserts)
+    // crash window: the merge COMMITS v2 but the CDC append never runs
+    SnapshotStore.merge(spark, dir,
+      Seq((2L, 2L, "b2"), (3L, 2L, "c")).toDF("k", "ts", "v"),
+      Seq("k"), numBuckets = 4, orderCol = Some("ts"), retain = true)
+    // the retry re-merges identical content (v3) — basing the diff on
+    // the last LOGGED version (v1) must catch v2's lost rows
+    step(Seq((2L, 2L, "b2"), (3L, 2L, "c")))
+    val log = spark.read.parquet(cdc)
+    val caught = log.filter($"__version" > 1L)
+      .collect().map(r => r.getAs[Long]("k") ->
+        (r.getAs[String]("change_type"), r.getAs[String]("new_v"))).toMap
+    assert(caught(2L) == ("update", "b2"), "crashed commit's update must be logged")
+    assert(caught(3L) == ("insert", "c"), "crashed commit's insert must be logged")
+    // and replaying once more appends NOTHING (no duplicates)
+    val before = log.count()
+    step(Seq((2L, 2L, "b2"), (3L, 2L, "c")))
+    assert(spark.read.parquet(cdc).count() == before,
+      "replay after a successful append must not duplicate feed rows")
+    // net feed state: latest row per key reconstructs the snapshot
+    val latest = spark.read.parquet(cdc)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"k")
+          .orderBy($"__version".desc)))
+      .filter($"rn" === 1 && $"change_type" =!= "delete")
+      .select($"k", $"new_v".as("v"))
+    val snap = SnapshotStore.read(spark, dir).select($"k", $"v")
+    assert(latest.exceptAll(snap).isEmpty && snap.exceptAll(latest).isEmpty)
+  }
+
+  test("vacuum never sweeps an in-flight merge's renamed bucket dirs") {
+    import spark.implicits._
+    val dir = freshDir("snap_vacuum_inflight").getAbsolutePath
+    (1 to 3).foreach { i =>
+      SnapshotStore.merge(spark, dir,
+        (1L to 20L).map(k => (k, s"v$i-$k")).toDF("k", "v"),
+        Seq("k"), numBuckets = 4, retain = true)
+    }
+    val newest = SnapshotStore.currentManifest(spark, dir).get.version
+    // simulate a concurrent writer mid-merge at version newest+1: stage
+    // scaffold still present AND one bucket already renamed into place
+    val stage = new java.io.File(s"$dir/__stage_v${newest + 1}")
+    assert(stage.mkdirs())
+    val renamed = new java.io.File(s"$dir/b0_v${newest + 1}")
+    assert(renamed.mkdirs())
+    new java.io.FileOutputStream(new java.io.File(renamed, "part-0.parquet")).close()
+    SnapshotStore.vacuum(spark, dir, keepLast = 1)
+    assert(renamed.exists(),
+      "a bucket dir renamed into place by an in-flight merge must survive vacuum")
+    assert(stage.exists(),
+      "the in-flight stage scaffold must survive vacuum (pre-existing rule)")
+    // while superseded OLD bucket dirs are still swept
+    val keptManifest = SnapshotStore.currentManifest(spark, dir).get
+    val liveDirs = keptManifest.buckets.values.toSet
+    val onDisk = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(n => n.startsWith("b") && n.contains("_v")).toSet
+    assert(onDisk == liveDirs + s"b0_v${newest + 1}",
+      s"only live + in-flight bucket dirs may remain, got $onDisk")
+  }
 }
