@@ -38,7 +38,15 @@ object SnapshotStore {
 
   private val ManifestPrefix = "_MANIFEST."
 
-  final case class Manifest(version: Long, numBuckets: Int, buckets: Map[Int, String])
+  /** @param schema the snapshot's reconciled schema as of this version
+    *   (None on manifests written before schema tracking; readers fall
+    *   back to parquet footer inference). Bucket dirs written at EARLIER
+    *   versions may carry a narrower schema on disk — readers align
+    *   each dir to this schema (null-fill added columns, cast widened
+    *   ones) instead of rewriting history on evolution. */
+  final case class Manifest(version: Long, numBuckets: Int,
+      buckets: Map[Int, String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
 
   /** Key-bucket assignment: stable hash of the key columns. Derivable
     * from any row, so it is never stored in the data files. */
@@ -75,11 +83,16 @@ object SnapshotStore {
         "guessing a bucket count would silently orphan rows on the next " +
         "merge; to migrate a pre-header snapshot, prepend the line " +
         "'#numBuckets=<B>' with the B it was originally written with"))
+    val schema = lines.collectFirst {
+      case l if l.startsWith("#schema=") =>
+        org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("#schema="))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
     val buckets = lines.filterNot(_.startsWith("#")).map { line =>
       val Array(b, d) = line.split("\t", 2)
       b.toInt -> d
     }.toMap
-    Manifest(v, nb, buckets)
+    Manifest(v, nb, buckets, schema)
   }
 
   /** Highest-version manifest in `dir`, if any snapshot was committed. */
@@ -121,15 +134,19 @@ object SnapshotStore {
     * (nulls on the absent side). A key present in both versions with
     * identical non-key values emits nothing. Plan: one full-outer
     * equi-join on the keys between the two bucket-pruned version reads —
-    * the minimal shape any snapshot diff needs. Assumes a stable
-    * snapshot schema across the two versions (merge never evolves
-    * schemas; evolve upstream via SchemaEvolution.align before
-    * merging). */
+    * the minimal shape any snapshot diff needs. Handles an evolved
+    * schema across the boundary: both versions are aligned to the
+    * reconciled union schema first, so a column added (or widened)
+    * between the versions diffs as null→value / old-type→new-type
+    * under the null-safe compare. */
   def changes(spark: SparkSession, dir: String, fromVersion: Long,
       toVersion: Long, keys: Seq[String]): DataFrame = {
-    val a = readAt(spark, dir, fromVersion).as("a")
-    val b = readAt(spark, dir, toVersion).as("b")
-    val nonKey = a.columns.filterNot(keys.contains).toSeq
+    val a0 = readAt(spark, dir, fromVersion)
+    val b0 = readAt(spark, dir, toVersion)
+    val union = graft.ingest.SchemaEvolution.reconcile(Seq(a0.schema, b0.schema))
+    val a = graft.ingest.SchemaEvolution.align(a0, union).as("a")
+    val b = graft.ingest.SchemaEvolution.align(b0, union).as("b")
+    val nonKey = union.fieldNames.filterNot(keys.contains).toSeq
     val cond = keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
     val aKey = col(s"a.${keys.head}")
     val bKey = col(s"b.${keys.head}")
@@ -226,10 +243,29 @@ object SnapshotStore {
     }
 
   /** All buckets of one resolved manifest version, no retry. */
-  private def readVersion(spark: SparkSession, dir: String, m: Manifest): DataFrame = {
-    val dirs = m.buckets.values.toSeq.sorted.map(d => s"$dir/$d")
-    spark.read.parquet(dirs: _*)
-  }
+  private def readVersion(spark: SparkSession, dir: String, m: Manifest): DataFrame =
+    readAligned(spark, m.buckets.values.toSeq.sorted.map(d => s"$dir/$d"), m.schema)
+
+  /** Read bucket dirs under an optional target schema. Fast path: when
+    * every dir's footer schema already equals the target (no evolution
+    * ever, or all buckets rewritten since), ONE multi-dir scan — the
+    * plan every pre-evolution read had. Otherwise each dir is scanned
+    * under its own on-disk schema and aligned (cast + null-fill
+    * projections ride the scan's codegen stage) — evolution never
+    * rewrites committed bucket dirs, readers reconcile instead. The
+    * footer probes are plan-time metadata reads of ≤B dirs; a catalog
+    * with thousands of buckets would group dirs by schema fingerprint
+    * in the manifest instead of probing. */
+  private def readAligned(spark: SparkSession, dirs: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    schema match {
+      case None => spark.read.parquet(dirs: _*)
+      case Some(target) =>
+        val perDir = dirs.map(d => spark.read.parquet(d))
+        if (perDir.forall(_.schema == target)) spark.read.parquet(dirs: _*)
+        else perDir.map(graft.ingest.SchemaEvolution.align(_, target))
+          .reduce(_ unionByName _)
+    }
 
   /** A path-deleted-underneath-the-reader error: schema/file-listing
     * resolution throws AnalysisException PATH_NOT_FOUND, lower layers a
@@ -260,7 +296,7 @@ object SnapshotStore {
       buckets: Seq[Int]): Option[DataFrame] =
     currentManifest(spark, dir).flatMap { m =>
       val dirs = buckets.flatMap(m.buckets.get).sorted.map(d => s"$dir/$d")
-      if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+      if (dirs.isEmpty) None else Some(readAligned(spark, dirs, m.schema))
     }
 
   /** One MERGE of `batch` into the snapshot at `dir`, rewriting only the
@@ -288,15 +324,44 @@ object SnapshotStore {
         s"snapshot $dir was committed with numBuckets=${m.numBuckets}; " +
           s"merge called with $numBuckets — re-bucketing would silently drop rows")
     }
+    require(keys.forall(batch.columns.contains),
+      s"merge batch is missing key column(s) ${keys.filterNot(batch.columns.contains).mkString(", ")}")
+    // ---- schema evolution: reconcile the batch against the snapshot's
+    // committed schema (SchemaEvolution ladder: add → null-fill earlier
+    // rows, numeric drift → widen, irreconcilable → string). The TARGET
+    // schema is committed to this version's manifest; bucket dirs from
+    // earlier versions are NOT rewritten — readers align per dir. Key
+    // columns must not change type: the bucket assignment hashes the
+    // key's physical type, so widening a key would re-hash existing
+    // keys into other buckets and silently lose them on later merges.
+    val currentSchema: Option[org.apache.spark.sql.types.StructType] =
+      committed.map { m =>
+        m.schema.getOrElse( // pre-tracking manifest: infer from footers
+          spark.read.parquet(m.buckets.values.toSeq.sorted
+            .map(d => s"$dir/$d"): _*).schema)
+      }
+    val target = graft.ingest.SchemaEvolution.reconcile(
+      currentSchema.toSeq :+ batch.schema)
+    currentSchema.foreach { cur =>
+      keys.foreach { k =>
+        val was = cur(k).dataType
+        val now = target(k).dataType
+        require(was == now,
+          s"key column $k drifted $was -> $now; key types are pinned " +
+            "(bucket hashes are type-sensitive) — cast the batch key " +
+            "upstream or rebuild the snapshot with the widened key")
+      }
+    }
+    val batchAligned = graft.ingest.SchemaEvolution.align(batch, target)
     // deterministic one-row-per-key within the batch
     val ordCols = (orderCol.toSeq ++
-      batch.columns.filterNot(c => keys.contains(c) || orderCol.contains(c)).sorted)
+      batchAligned.columns.filterNot(c => keys.contains(c) || orderCol.contains(c)).sorted)
       .map(col(_).desc)
     val winners =
-      if (ordCols.isEmpty) batch.dropDuplicates(keys) // key-only schema: rows identical
+      if (ordCols.isEmpty) batchAligned.dropDuplicates(keys) // key-only schema: rows identical
       else {
         val w = Window.partitionBy(keys.map(col): _*).orderBy(ordCols: _*)
-        batch.withColumn("__rn", row_number().over(w))
+        batchAligned.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
       }
     val updates = winners.withColumn("__b", bucketCol(keys, numBuckets))
@@ -307,10 +372,13 @@ object SnapshotStore {
     val version = current.map(_.version + 1).getOrElse(1L)
     val existingDirs = current.toSeq.flatMap(m =>
       touched.flatMap(m.buckets.get)).map(d => s"$dir/$d")
+    // touched dirs may have been written at different versions under
+    // different (pre-evolution) schemas — align each to the target
+    // before the upsert (plan-time casts/null-fills, no extra pass)
     val merged =
       if (existingDirs.isEmpty) updates.drop("__b")
       else graft.operators.Upsert.merge(
-        spark.read.parquet(existingDirs: _*), updates.drop("__b"), keys)
+        readAligned(spark, existingDirs, Some(target)), updates.drop("__b"), keys)
     // stage the touched buckets for this version, then commit via ONE
     // manifest rename — order matters: data first, pointer last
     val stage = new Path(base, s"__stage_v$version")
@@ -326,8 +394,9 @@ object SnapshotStore {
       touched.map(b => b -> s"b${b}_v$version")
     val tmpManifest = new Path(base, s"$ManifestPrefix${version}__tmp")
     val out = fs.create(tmpManifest, true)
-    try out.write((s"#numBuckets=$numBuckets" +: bucketMap.toSeq.sortBy(_._1)
-      .map { case (b, d) => s"$b\t$d" }).mkString("\n").getBytes("UTF-8"))
+    try out.write((Seq(s"#numBuckets=$numBuckets", s"#schema=${target.json}") ++
+      bucketMap.toSeq.sortBy(_._1)
+        .map { case (b, d) => s"$b\t$d" }).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(tmpManifest, new Path(base, s"$ManifestPrefix$version")))
       throw new java.io.IOException(s"manifest commit failed for version $version")

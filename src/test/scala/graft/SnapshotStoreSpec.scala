@@ -241,6 +241,65 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(SnapshotStore.changes(spark, dir, 2L, 3L, Seq("k")).count() == 0)
   }
 
+  test("schema evolution composes with merge: add + widen, changes across the boundary") {
+    import spark.implicits._
+    val dir = freshDir("snap_evolve").getAbsolutePath
+    // v1: (k int-keyed long, v string)
+    SnapshotStore.merge(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      Seq("k"), numBuckets = 4, retain = true)
+    // v2: batch ADDS a column (score int) — earlier rows null-fill
+    SnapshotStore.merge(spark, dir,
+      Seq((2L, "b2", 7), (3L, "c", 9)).toDF("k", "v", "score"),
+      Seq("k"), numBuckets = 4, retain = true)
+    val v2 = SnapshotStore.read(spark, dir)
+    assert(v2.schema("score").dataType.typeName == "integer")
+    assert(v2.orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getString(1), if (r.isNullAt(2)) None else Some(r.getInt(2)))).toSeq ==
+      Seq((1L, "a", None), (2L, "b2", Some(7)), (3L, "c", Some(9))),
+      "untouched v1 rows null-fill the added column")
+    // v3: score arrives as DOUBLE → snapshot widens int→double; only
+    // bucket dirs of touched keys are rewritten, others align on read
+    SnapshotStore.merge(spark, dir,
+      Seq((1L, "a3", 2.5)).toDF("k", "v", "score"),
+      Seq("k"), numBuckets = 4, retain = true)
+    val v3 = SnapshotStore.read(spark, dir)
+    assert(v3.schema("score").dataType.typeName == "double")
+    assert(v3.orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq ==
+      Seq((1L, "a3", Some(2.5)), (2L, "b2", Some(7.0)), (3L, "c", Some(9.0))))
+    // a batch MISSING a known column null-fills it for its own keys only
+    SnapshotStore.merge(spark, dir,
+      Seq((4L, "d")).toDF("k", "v"), Seq("k"), numBuckets = 4, retain = true)
+    val v4 = SnapshotStore.read(spark, dir)
+    assert(v4.filter($"k" === 4L).head.isNullAt(2))
+    assert(v4.filter($"k" === 2L).head.getDouble(2) == 7.0)
+    // changes across the int→double evolution boundary (v2 → v3)
+    val ch = SnapshotStore.changes(spark, dir, 2L, 3L, Seq("k"))
+    assert(ch.schema("old_score").dataType.typeName == "double" &&
+      ch.schema("new_score").dataType.typeName == "double",
+      "diff runs under the reconciled union schema")
+    val byK = ch.collect().map(r => r.getAs[Long]("k") ->
+      (r.getAs[String]("change_type"), r.getAs[Any]("old_score"), r.getAs[Any]("new_score"))).toMap
+    assert(byK(1L) == ("update", null, 2.5))
+    assert(byK.keySet == Set(1L), "untouched keys must not register as changes")
+    // and across the column-ADD boundary (v1 → v2)
+    val ch12 = SnapshotStore.changes(spark, dir, 1L, 2L, Seq("k"))
+    val byK12 = ch12.collect().map(r => r.getAs[Long]("k") ->
+      (r.getAs[String]("change_type"), r.getAs[Any]("new_score"))).toMap
+    assert(byK12(2L)._1 == "update" && byK12(3L) == ("insert", 9.0))
+    assert(!byK12.contains(1L), "null-fill alone is not a change")
+    // key-type drift is refused loudly (bucket hashes are type-sensitive):
+    // a double key would widen the snapshot's long key → existing rows'
+    // bucket assignment no longer matches. (A NARROWER batch key — int
+    // into a long snapshot key — is fine: align casts it before hashing.)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.merge(spark, dir,
+        Seq((5.0, "x")).toDF("k", "v"), Seq("k"), numBuckets = 4, retain = true)
+    }
+    assert(e.getMessage.contains("key column k drifted"))
+  }
+
   test("cdc feed is exactly-once: a commit crashed before its append is caught up") {
     import spark.implicits._
     val dir = freshDir("snap_cdc_crash").getAbsolutePath
