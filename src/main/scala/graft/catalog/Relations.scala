@@ -41,8 +41,11 @@ object Relations {
 
   /** Column base name with a 1-2 letter table prefix stripped
     * (l_orderkey → orderkey) so FK/PK pairs named in TPC-H style score
-    * name-affinity; columns without such a prefix pass through. */
-  private def baseName(c: Column): Column = regexp_replace(c, "^[a-z]{1,2}_", "")
+    * name-affinity; columns without such a prefix pass through. For
+    * composite group names the prefix strips per component
+    * (l_partkey+l_suppkey → partkey+suppkey). */
+  private def baseName(c: Column): Column =
+    regexp_replace(c, "(^|\\+)[a-z]{1,2}_", "$1")
 
   /** Melt the candidate columns of every table to (table, column, value)
     * rows — ONE scan per table: the id columns ride out together as an
@@ -68,19 +71,66 @@ object Relations {
     melted.reduce(_ union _)
   }
 
-  /** Per-value column sets: the one data-sized exchange. collect_set
-    * dedups (tbl, col) per value with ≤ C entries of partial-aggregate
-    * state per group — map-side combine bounds the shuffle to distinct
-    * (value, tbl, col) triples. */
-  private def columnSets(tables: Seq[(String, DataFrame)]): DataFrame =
-    melt(tables).groupBy("v")
-      .agg(collect_set(struct(col("tbl"), col("col"))).as("cs"))
+  /** Melt DECLARED column GROUPS of every table to (table, group, value)
+    * rows — the composite-key analogue of [[melt]], one scan per table.
+    * A group's value is its components cast to string and joined with a
+    * `` separator, so the tuple ("a","b") can never collide with
+    * ("ab") or with a different arity's partial — exactly the
+    * partial-containment false positive that scoring a multi-column FK
+    * as independent single columns produces (each component contained,
+    * the combination not). Rows where ANY component is null are
+    * excluded (SQL composite-FK semantics: a null component exempts the
+    * row from the constraint). Single-column groups degenerate to
+    * [[melt]]'s behavior. Group label = components joined with '+'. */
+  private[graft] def meltGroups(tables: Seq[(String, DataFrame)],
+      groups: Map[String, Seq[Seq[String]]]): DataFrame = {
+    val melted = tables.flatMap { case (t, df) =>
+      val gs = groups.getOrElse(t, Seq.empty).filter(_.nonEmpty)
+      gs.foreach(g => g.foreach(c => require(df.columns.contains(c),
+        s"declared group column $t.$c does not exist")))
+      if (gs.isEmpty) None
+      else Some(
+        df.select(explode(array(gs.map { g =>
+          struct(lit(g.mkString("+")).as("col"),
+            concat_ws("", g.map(c => col(c).cast("string")): _*).as("v"),
+            g.map(c => col(c).isNotNull).reduce(_ && _).as("ok"))
+        }: _*)).as("cv"))
+          .where(col("cv.ok"))
+          .select(lit(t).as("tbl"), col("cv.col").as("col"), col("cv.v").as("v")))
+    }
+    require(melted.nonEmpty, "composite discovery: no declared group " +
+      "for any input table (pass groups = Map(table -> Seq(Seq(col, ...))))")
+    melted.reduce(_ union _)
+  }
 
   /** Score every cross-table candidate column pair; emit pairs with
     * containment ≥ minContainment as
     * (table_a, col_a, table_b, col_b, n_common, containment, verdict).
     * Directed: containment is asymmetric (A→B ≠ B→A). */
-  def discover(tables: Seq[(String, DataFrame)], minContainment: Double = 0.5): DataFrame = {
+  def discover(tables: Seq[(String, DataFrame)], minContainment: Double = 0.5): DataFrame =
+    scoreMelted(melt(tables), minContainment)
+
+  /** Composite-key discovery: score declared multi-column groups as
+    * single candidates (see [[meltGroups]] for the collision-safe value
+    * encoding). Same output schema, counting plan, and scale shape as
+    * [[discover]] — the group struct rides the same single scan per
+    * table and the same one value-keyed exchange; a composite value is
+    * just a longer string key. Declared groups (PK metadata, profiled
+    * uniqueness) are the practical input at catalog scale — enumerating
+    * all column combinations is exponential and name/type affinity
+    * already prunes the single-column case. */
+  def discoverComposite(tables: Seq[(String, DataFrame)],
+      groups: Map[String, Seq[Seq[String]]],
+      minContainment: Double = 0.5): DataFrame =
+    scoreMelted(meltGroups(tables, groups), minContainment)
+
+  private[graft] def scoreMelted(melted: DataFrame, minContainment: Double): DataFrame = {
+    // per-value column sets: the one data-sized exchange. collect_set
+    // dedups (tbl, col) per value with ≤ C entries of partial-aggregate
+    // state per group — map-side combine bounds the shuffle to distinct
+    // (value, tbl, col) triples.
+    val columnSets = melted.groupBy("v")
+      .agg(collect_set(struct(col("tbl"), col("col"))).as("cs"))
     // per value, emit its singleton memberships (tb/cb null — these
     // count cardinalities) AND its cross-table pairs (these count
     // intersections) in ONE exploded pass, so one data-sized aggregation
@@ -99,7 +149,7 @@ object Relations {
             b("tbl").as("tb"), b("col").as("cb"))))))
     // catalog-sized (≤ C + C²/2 rows) — checkpoint so the cardinality
     // lookup and the pair scoring below reread 300 rows, not the data
-    val counts = columnSets(tables)
+    val counts = columnSets
       .select(explode(memberships).as("m"))
       .groupBy(col("m.ta").as("ta"), col("m.ca").as("ca"),
         col("m.tb").as("tb"), col("m.cb").as("cb"))

@@ -63,6 +63,24 @@ object ConnectedComponents {
     labels
   }
 
+  /** Auto-dispatching connected components: try min-label propagation
+    * first (one join per round — the cheapest plan when components are
+    * shallow, which near-dup clusters almost always are), and when the
+    * label budget runs out before convergence — the signature of a deep
+    * component — fall back to [[runStarContraction]] instead of
+    * throwing. The budget bounds the wasted probe: at most `labelBudget`
+    * cheap rounds before the O(log n) path takes over, so shallow
+    * graphs never pay contraction's two-joins-per-round and deep graphs
+    * never pay diameter-many rounds. Same contract as both:
+    * (node, label), label = component min. */
+  def auto(edges: DataFrame, srcCol: String, dstCol: String,
+      labelBudget: Int = 8, maxIter: Int = 25): DataFrame =
+    try run(edges, srcCol, dstCol, labelBudget)
+    catch {
+      case e: IllegalStateException if e.getMessage.contains("did not converge") =>
+        runStarContraction(edges, srcCol, dstCol, maxIter)
+    }
+
   /** Connected components by alternating large-star/small-star
     * contraction (the Kiveris et al. "Connected Components in MapReduce
     * and Beyond" formulation): each round hooks every node's larger

@@ -784,6 +784,46 @@ object Catalog {
     fk.unionByName(linEdges).orderBy("edge_type", "src", "dst")
   }
 
+  /** Composite-key relationship discovery
+    * (Relations.discoverComposite): multi-column groups melt as ONE
+    * collision-safe concatenated value, so a two-column FK scores as a
+    * single candidate instead of per-column partial containments (the
+    * false-positive CatalogSpec pins). The driver tables have no
+    * cross-table composite FK (lineitem's (l_partkey, l_suppkey) would
+    * reference the absent partsupp), so the key scores lineitem's
+    * composite PK (l_orderkey, l_linenumber) against its deterministic
+    * l_linenumber ≤ 2 subset: subset→full is exact containment 1.0
+    * (fk_candidate via the per-component base-name strip), full→subset
+    * the partial fraction. The oracle recomputes both directions from
+    * the same distinct-pair counts. */
+  val qCatalogRelationsComposite = Q(
+    "q_catalog_relations_composite",
+    """WITH a AS (SELECT DISTINCT l_orderkey AS k1, l_linenumber AS k2 FROM lineitem
+      |           WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL),
+      |h AS (SELECT * FROM a WHERE k2 <= 2),
+      |counts AS (SELECT CAST((SELECT count(*) FROM a) AS DOUBLE) AS na,
+      |                  CAST((SELECT count(*) FROM h) AS DOUBLE) AS nh)
+      |SELECT * FROM (
+      |  SELECT 'lineitem' AS table_a, 'l_orderkey+l_linenumber' AS col_a,
+      |         'lineitem_head' AS table_b, 'l_orderkey+l_linenumber' AS col_b,
+      |         CAST(nh AS BIGINT) AS n_common, round(nh / na, 4) AS containment,
+      |         CASE WHEN nh / na >= 0.95 THEN 'fk_candidate' ELSE 'overlap' END AS verdict
+      |  FROM counts
+      |  UNION ALL
+      |  SELECT 'lineitem_head', 'l_orderkey+l_linenumber',
+      |         'lineitem', 'l_orderkey+l_linenumber',
+      |         CAST(nh AS BIGINT), 1.0, 'fk_candidate'
+      |  FROM counts) t
+      |ORDER BY table_a, col_a, table_b, col_b""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_linenumber")
+    val head = li.filter(col("l_linenumber") <= 2)
+    val g = Seq("l_orderkey", "l_linenumber")
+    Relations.discoverComposite(
+      Seq("lineitem" -> li, "lineitem_head" -> head),
+      Map("lineitem" -> Seq(g), "lineitem_head" -> Seq(g)),
+      minContainment = 0.2)
+  }
+
   /** Sketch-based twin of [[qCatalogRelations]] for catalogs too wide
     * for the distinct-value join: bottom-k KMV sketches per column,
     * containment ESTIMATED on the unified bottom-k — approximate by
@@ -817,5 +857,6 @@ object Catalog {
     qLoadRoundtrip, qParquetScan, qUdafProfile,
     qSinkCsvRoundtrip, qSinkJsonRoundtrip, qSinkOrcRoundtrip, qSinkPartitioned, qUpsert,
     qSample, qSampleStratified, qSynthSource, qSynthAggPushdown,
-    qCatalogRelations, qCatalogRelationsSketch, qCatalogGraph)
+    qCatalogRelations, qCatalogRelationsComposite, qCatalogRelationsSketch,
+    qCatalogGraph)
 }

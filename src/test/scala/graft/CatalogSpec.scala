@@ -343,6 +343,62 @@ class CatalogSpec extends AnyFunSuite {
     assert(sketch(17) == (0L to 14L))
   }
 
+  test("relations: composite two-column key scores as one candidate, partials rejected") {
+    import spark.implicits._
+    // parent PK = (part_id, supp_id); child references it compositely.
+    // decoy rows: each component value EXISTS in the parent separately,
+    // but never as a pair — single-column melting would call both
+    // columns fully contained (the false positive), composite must not.
+    val parent = Seq((1L, 10L, "x"), (1L, 20L, "y"), (2L, 10L, "z"))
+      .toDF("part_id", "supp_id", "payload")
+    val child = Seq(
+      (1L, 10L, 5.0), (2L, 10L, 6.0), // genuine composite FK hits
+      (2L, 20L, 7.0))                 // decoy: 2 exists, 20 exists, (2,20) does not
+      .toDF("part_id", "supp_id", "qty")
+    val groups = Map(
+      "parent" -> Seq(Seq("part_id", "supp_id")),
+      "child" -> Seq(Seq("part_id", "supp_id")))
+    val out = graft.catalog.Relations
+      .discoverComposite(Seq("parent" -> parent, "child" -> child), groups,
+        minContainment = 0.0)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(4), r.getDouble(5), r.getString(6))).toMap
+    val childToParent = out(("child", "part_id+supp_id", "parent"))
+    assert(childToParent._1 == 2L, s"only the 2 true pairs intersect, got $childToParent")
+    assert(math.abs(childToParent._2 - 2.0 / 3.0) < 1e-3,
+      "containment = 2 of child's 3 distinct pairs")
+    assert(childToParent._3 == "overlap", "decoy keeps it below fk_candidate")
+    // single-column melting on the same data DOES false-positive — the
+    // exact defect composite scoring removes (pin the contrast)
+    val single = graft.catalog.Relations
+      .discover(Seq("parent" -> parent, "child" -> child), minContainment = 0.0)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)) ->
+        r.getDouble(5)).toMap
+    assert(single(("child", "part_id", "parent", "part_id")) == 1.0 &&
+      single(("child", "supp_id", "parent", "supp_id")) == 1.0,
+      "per-column containment is a false 100% here")
+    // null component rows are exempt from the constraint (SQL FK rule)
+    val childNulls = child.unionByName(
+      Seq((Option.empty[Long], Option(99L), 8.0)).toDF("part_id", "supp_id", "qty"))
+    val withNull = graft.catalog.Relations
+      .discoverComposite(Seq("parent" -> parent, "child" -> childNulls), groups,
+        minContainment = 0.0)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getDouble(5)).toMap
+    assert(math.abs(withNull(("child", "part_id+supp_id", "parent")) - 2.0 / 3.0) < 1e-3,
+      "a null component must not melt into a phantom pair")
+    // and a clean composite FK reaches fk_candidate through the
+    // per-component base-name strip (c_* / p_* prefixes differ)
+    val p2 = Seq((1L, 10L), (2L, 20L)).toDF("p_part_id", "p_supp_id")
+    val c2 = Seq((1L, 10L), (2L, 20L), (1L, 10L)).toDF("c_part_id", "c_supp_id")
+    val clean = graft.catalog.Relations.discoverComposite(
+      Seq("p2" -> p2, "c2" -> c2),
+      Map("p2" -> Seq(Seq("p_part_id", "p_supp_id")),
+        "c2" -> Seq(Seq("c_part_id", "c_supp_id"))), minContainment = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(6)).toMap
+    assert(clean(("c2", "c_part_id+c_supp_id")) == "fk_candidate")
+  }
+
   test("relations: incremental discovery against stored sketches == full sketch run") {
     // sketch the catalog WITHOUT lineitem, then discover lineitem against
     // the stored sketches — pairs involving lineitem must be identical to

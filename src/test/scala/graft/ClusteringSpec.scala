@@ -101,4 +101,31 @@ class ClusteringSpec extends AnyFunSuite {
         .head.getDouble(0)
     assert(inertia(trained) <= inertia(init) + 1e-9)
   }
+
+  test("auto clustering dispatch: deep chain exceeds the label budget, star path recovers") {
+    import spark.implicits._
+    // a planted 60-hop chain: min-label needs ~59 rounds; auto's default
+    // budget (8) cannot converge, so the dispatcher must fall back to
+    // star contraction and STILL return exact component minima
+    val n = 60
+    val chain = (0L until n - 1L).map(i => (i, i + 1)).toDF("a", "b")
+    val probeFails = intercept[IllegalStateException] {
+      graft.operators.ConnectedComponents.run(chain, "a", "b", maxIter = 8).count()
+    }
+    assert(probeFails.getMessage.contains("did not converge"),
+      "precondition: the chain must genuinely exceed min-label's budget")
+    val labels = graft.operators.ConnectedComponents.auto(chain, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == n)
+    assert(labels.values.forall(_ == 0L), "one component, min id 0")
+    // and a shallow graph stays on the min-label path (same answer,
+    // no fallback needed — auto must not change the result either way)
+    val shallow = Seq((10L, 11L), (11L, 12L), (20L, 21L), (30L, 30L)).toDF("a", "b")
+    val viaAuto = graft.operators.ConnectedComponents.auto(shallow, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaRun = graft.operators.ConnectedComponents.run(shallow, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAuto == viaRun)
+    assert(viaAuto(12L) == 10L && viaAuto(21L) == 20L && viaAuto(30L) == 30L)
+  }
 }
