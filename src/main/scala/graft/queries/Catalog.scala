@@ -620,23 +620,63 @@ object Catalog {
       .orderBy("o_orderstatus")
   }
 
-  /** Deterministic corpus sampling (seeded Bernoulli + stratified
-    * per-class): the standard ops for carving training subsets and
-    * rebalancing label distributions. Sampling is engine-specific RNG →
-    * rows-only check; the unit tests assert seed-determinism and
-    * per-stratum fraction tolerance. */
-  val qSample = Q.noOracle("q_sample") { (s, d) =>
+  /** Deterministic corpus sampling (hash-mod selection + stratified
+    * per-class thresholds): the standard ops for carving training
+    * subsets and rebalancing label distributions. Selection is a pure
+    * function of the key — NOT an RNG stream — which is exactly what a
+    * 100 TB pipeline wants anyway (re-runnable, partitioning-invariant,
+    * join-stable samples) and what lets a DuckDB oracle recompute the
+    * identical subset (upgraded from rows-only, round 8).
+    *
+    * The mixer keeps every intermediate below 2^62 (31-bit state ×
+    * 32-bit odd constants), so the arithmetic is exact signed-64 in
+    * both engines with ANSI overflow checks on — portable by
+    * construction. Bound: keys must stay < ~3.4e9 (2^63 / 2654435761);
+    * for wider id spaces use the engine-native seeded `sample()` twin
+    * or hash engine-side where cross-engine parity is not needed. */
+  private def portableHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h1 = pmod(c * lit(2654435761L), lit(2147483648L))
+    val m1 = h1.bitwiseXOR(shiftright(h1, 15))
+    val h2 = pmod(m1 * lit(1597334677L), lit(2147483648L))
+    h2.bitwiseXOR(shiftright(h2, 13))
+  }
+
+  /** The same mixer as lateral-alias SQL (`h4` selects the row). */
+  private def portableHashSql(e: String): String =
+    s"""($e * 2654435761) % 2147483648 AS h1,
+       |       xor(h1, h1 >> 15) AS m1,
+       |       (m1 * 1597334677) % 2147483648 AS h2,
+       |       xor(h2, h2 >> 13) AS h4""".stripMargin
+
+  val qSample = Q(
+    "q_sample",
+    s"""WITH h AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |       ${portableHashSql("o_orderkey")}
+      |  FROM orders)
+      |SELECT o_orderkey, o_totalprice FROM h
+      |WHERE h4 % 100 < 10 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
     Tables.orders(s, d)
-      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .filter(pmod(portableHash(col("o_orderkey")), lit(100L)) < 10)
       .select("o_orderkey", "o_totalprice")
       .orderBy("o_orderkey")
   }
 
-  val qSampleStratified = Q.noOracle("q_sample_stratified") { (s, d) =>
+  val qSampleStratified = Q(
+    "q_sample_stratified",
+    s"""WITH h AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |       ${portableHashSql("o_orderkey")},
+      |       CASE o_orderstatus WHEN 'F' THEN 5 WHEN 'O' THEN 5
+      |            ELSE 100 END AS thr
+      |  FROM orders)
+      |SELECT o_orderstatus, count(*) AS n FROM h
+      |WHERE h4 % 100 < thr GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     // downsample the dominant classes, keep the rare one whole
+    val thr = when(col("o_orderstatus") === "F", 5L)
+      .when(col("o_orderstatus") === "O", 5L).otherwise(100L)
     Tables.orders(s, d)
-      .stat.sampleBy("o_orderstatus",
-        Map("F" -> 0.05, "O" -> 0.05, "P" -> 1.0), seed = 42L)
+      .filter(pmod(portableHash(col("o_orderkey")), lit(100L)) < thr)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"))
       .orderBy("o_orderstatus")

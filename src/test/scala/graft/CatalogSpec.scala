@@ -91,10 +91,10 @@ class CatalogSpec extends AnyFunSuite {
       s"expected the status predicate to prune directories, got:\n$plan")
   }
 
-  test("seeded sampling is deterministic; stratified fractions respected") {
+  test("hash-mod sampling is deterministic; stratified fractions respected") {
     val a = SparkEntry.queries("q_sample")(spark, sf).collect().map(_.toString).toSeq
     val b = SparkEntry.queries("q_sample")(spark, sf).collect().map(_.toString).toSeq
-    assert(a == b, "same seed must give the same sample")
+    assert(a == b, "pure-function selection must replay identically")
     assert(a.nonEmpty)
     val full = Tables.orders(spark, sf).groupBy("o_orderstatus").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
