@@ -105,12 +105,26 @@ object DumpPlans {
       "partition; each stage keeps the plan its standalone key " +
       "(q_dedup_exact / q_text_quality / q_token_budget) argues for."),
     "q_hybrid_search" -> ("Hybrid retrieval: BM25 and vector-cosine " +
-      "top-20 lists fused by reciprocal rank. What to check: each " +
-      "retrieval side bounds itself (BM25's TakeOrderedAndProject heap; " +
-      "the cosine side's rank filter) BEFORE the fusion join, so the " +
-      "full-outer join and the global rank window above it operate on " +
-      "tens of rows — single-partition BY DESIGN, never corpus-sized; " +
-      "the corpus work stays inside the two upstream retrieval plans."),
+      "top-20 lists fused by reciprocal rank. What to check: BOTH " +
+      "retrieval sides bound themselves with TakeOrderedAndProject " +
+      "(per-partition heap + k-row merge) BEFORE any rank window — " +
+      "round 8 re-planned the vector arm from an unpartitioned " +
+      "full-corpus ranking window (the round-7 scale defect) to the " +
+      "same limit-then-rank shape BM25 uses, so every Window node in " +
+      "this plan sees ≤20 rows and carries a constant partition key " +
+      "(BoundedRank: no 'moving all data to a single partition' " +
+      "warning, because no corpus-sized data moves). The fusion " +
+      "full-outer join and final rank operate on tens of rows; the " +
+      "corpus work stays inside the two upstream retrieval plans."),
+    "q_text_search_phrase" -> ("Phrase adjacency search. The posexplode→" +
+      "IN-filter→anchor-fanout→(doc,anchor) aggregate pipeline runs " +
+      "eagerly inside a localCheckpoint (it feeds both the df count and " +
+      "scoring), so the dumped plan starts at 'Scan ExistingRDD' = the " +
+      "per-doc phrase-tf rows. What to check: the df count and corpus " +
+      "stats enter as BroadcastExchange single rows, scoring is codegen " +
+      "arithmetic, and the top-k is TakeOrderedAndProject + a bounded " +
+      "20-row rank — no positional self-join, no corpus-sized window " +
+      "anywhere; only phrase-term tokens ever left the map side."),
     "q_token_budget" -> ("Budget cut on a distributed running total " +
       "(CumSum two-pass scan). The scan's range exchange + pass 1 run " +
       "eagerly inside localCheckpoint, so the dumped plan STARTS at 'Scan " +
