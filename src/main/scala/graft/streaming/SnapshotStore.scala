@@ -43,10 +43,17 @@ object SnapshotStore {
     *   back to parquet footer inference). Bucket dirs written at EARLIER
     *   versions may carry a narrower schema on disk — readers align
     *   each dir to this schema (null-fill added columns, cast widened
-    *   ones) instead of rewriting history on evolution. */
+    *   ones) instead of rewriting history on evolution.
+    * @param schemaSince the version at which `schema` last CHANGED: a
+    *   bucket dir whose `_v` suffix is ≥ schemaSince is KNOWN to carry
+    *   exactly `schema` on disk, so readers take the single multi-dir
+    *   scan fast path without any footer probing; only strictly older
+    *   dirs (pre-evolution survivors) pay a per-dir read + align.
+    *   Defaults to `version` when absent (conservative: probe). */
   final case class Manifest(version: Long, numBuckets: Int,
       buckets: Map[Int, String],
-      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      schemaSince: Option[Long] = None)
 
   /** Key-bucket assignment: stable hash of the key columns. Derivable
     * from any row, so it is never stored in the data files. */
@@ -88,11 +95,15 @@ object SnapshotStore {
         org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("#schema="))
           .asInstanceOf[org.apache.spark.sql.types.StructType]
     }
+    val schemaSince = lines.collectFirst {
+      case l if l.startsWith("#schemaSince=") =>
+        l.stripPrefix("#schemaSince=").toLong
+    }
     val buckets = lines.filterNot(_.startsWith("#")).map { line =>
       val Array(b, d) = line.split("\t", 2)
       b.toInt -> d
     }.toMap
-    Manifest(v, nb, buckets, schema)
+    Manifest(v, nb, buckets, schema, schemaSince)
   }
 
   /** Highest-version manifest in `dir`, if any snapshot was committed. */
@@ -244,27 +255,44 @@ object SnapshotStore {
 
   /** All buckets of one resolved manifest version, no retry. */
   private def readVersion(spark: SparkSession, dir: String, m: Manifest): DataFrame =
-    readAligned(spark, m.buckets.values.toSeq.sorted.map(d => s"$dir/$d"), m.schema)
+    readAligned(spark, m.buckets.values.toSeq.sorted.map(d => s"$dir/$d"),
+      m.schema, m.schemaSince.getOrElse(m.version))
 
-  /** Read bucket dirs under an optional target schema. Fast path: when
-    * every dir's footer schema already equals the target (no evolution
-    * ever, or all buckets rewritten since), ONE multi-dir scan — the
-    * plan every pre-evolution read had. Otherwise each dir is scanned
-    * under its own on-disk schema and aligned (cast + null-fill
-    * projections ride the scan's codegen stage) — evolution never
-    * rewrites committed bucket dirs, readers reconcile instead. The
-    * footer probes are plan-time metadata reads of ≤B dirs; a catalog
-    * with thousands of buckets would group dirs by schema fingerprint
-    * in the manifest instead of probing. */
+  /** The version a bucket dir was written at (parsed from its
+    * `b<N>_v<V>` name); None for foreign names. */
+  private def dirWrittenAt(d: String): Option[Long] = {
+    val name = d.substring(d.lastIndexOf('/') + 1)
+    val i = name.lastIndexOf("_v")
+    if (i < 0) None
+    else scala.util.Try(name.substring(i + 2).toLong).toOption
+  }
+
+  /** Read bucket dirs under an optional target schema. A dir written at
+    * version ≥ `schemaSince` is KNOWN uniform (the manifest pins the
+    * version the schema last changed), so the usual case — no evolution
+    * ever, or every surviving dir rewritten since the last one — is ONE
+    * multi-dir scan with zero footer probes, the exact plan
+    * pre-evolution reads had. Only dirs older than the schema change
+    * (pre-evolution survivors) are scanned under their own on-disk
+    * schema and aligned (cast + null-fill projections riding the scan's
+    * codegen stage) — evolution never rewrites committed bucket dirs,
+    * readers reconcile instead. */
   private def readAligned(spark: SparkSession, dirs: Seq[String],
-      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+      schema: Option[org.apache.spark.sql.types.StructType],
+      schemaSince: Long): DataFrame =
     schema match {
       case None => spark.read.parquet(dirs: _*)
       case Some(target) =>
-        val perDir = dirs.map(d => spark.read.parquet(d))
-        if (perDir.forall(_.schema == target)) spark.read.parquet(dirs: _*)
-        else perDir.map(graft.ingest.SchemaEvolution.align(_, target))
-          .reduce(_ unionByName _)
+        val (uniform, old) =
+          dirs.partition(d => dirWrittenAt(d).exists(_ >= schemaSince))
+        if (old.isEmpty) spark.read.parquet(uniform: _*)
+        else {
+          val aligned = old.map(d =>
+            graft.ingest.SchemaEvolution.align(spark.read.parquet(d), target))
+          (if (uniform.isEmpty) aligned
+           else spark.read.parquet(uniform: _*) +: aligned)
+            .reduce(_ unionByName _)
+        }
     }
 
   /** A path-deleted-underneath-the-reader error: schema/file-listing
@@ -296,7 +324,9 @@ object SnapshotStore {
       buckets: Seq[Int]): Option[DataFrame] =
     currentManifest(spark, dir).flatMap { m =>
       val dirs = buckets.flatMap(m.buckets.get).sorted.map(d => s"$dir/$d")
-      if (dirs.isEmpty) None else Some(readAligned(spark, dirs, m.schema))
+      if (dirs.isEmpty) None
+      else Some(readAligned(spark, dirs, m.schema,
+        m.schemaSince.getOrElse(m.version)))
     }
 
   /** One MERGE of `batch` into the snapshot at `dir`, rewriting only the
@@ -375,10 +405,22 @@ object SnapshotStore {
     // touched dirs may have been written at different versions under
     // different (pre-evolution) schemas — align each to the target
     // before the upsert (plan-time casts/null-fills, no extra pass)
+    // the schema last changed at: this version if the target differs
+    // from the committed schema, the inherited marker otherwise (first
+    // commit: this version). Inherited from a pre-tracking manifest the
+    // marker defaults to that manifest's version — conservative: its
+    // older dirs get probed per-dir once, then rewrites heal the set.
+    val schemaSince: Long =
+      if (currentSchema.exists(_ != target) || committed.isEmpty) version
+      else committed.get.schemaSince.getOrElse(committed.get.version)
+    // when THIS merge evolves the schema, schemaSince = version, which
+    // is newer than every existing dir — all of them align to target;
+    // otherwise uniform dirs take the probe-free fast path
     val merged =
       if (existingDirs.isEmpty) updates.drop("__b")
       else graft.operators.Upsert.merge(
-        readAligned(spark, existingDirs, Some(target)), updates.drop("__b"), keys)
+        readAligned(spark, existingDirs, Some(target), schemaSince),
+        updates.drop("__b"), keys)
     // stage the touched buckets for this version, then commit via ONE
     // manifest rename — order matters: data first, pointer last
     val stage = new Path(base, s"__stage_v$version")
@@ -394,7 +436,8 @@ object SnapshotStore {
       touched.map(b => b -> s"b${b}_v$version")
     val tmpManifest = new Path(base, s"$ManifestPrefix${version}__tmp")
     val out = fs.create(tmpManifest, true)
-    try out.write((Seq(s"#numBuckets=$numBuckets", s"#schema=${target.json}") ++
+    try out.write((Seq(s"#numBuckets=$numBuckets", s"#schema=${target.json}",
+      s"#schemaSince=$schemaSince") ++
       bucketMap.toSeq.sortBy(_._1)
         .map { case (b, d) => s"$b\t$d" }).mkString("\n").getBytes("UTF-8"))
     finally out.close()
