@@ -115,14 +115,22 @@ object ScaleProbe {
         .agg(max("cum")).head().getLong(0)
     }
 
+    // phrase search: map-side anchor fan-out + one (doc,anchor) agg —
+    // should track the corpus linearly with no superlinear term
+    def phraseSearch(docs: DataFrame): Long =
+      graft.operators.TextSearch.phrase(
+        docs, "doc_id", "text", Seq("table", "hash"), topK = 20).count()
+
     // warm-up (every timed operator, so no 1x figure pays cold codegen/JIT)
     q1(li1); smj(li1, ord1); topkWindow(ord1); topkAgg(ord1)
-    scanCum(ord1); windowCum(ord1)
+    scanCum(ord1); windowCum(ord1); phraseSearch(docs1)
 
     val results = Seq(
       ("agg (TPC-H Q1 shape)", timeMin(q1(li1)), timeMin(q1(li10)), 10),
       ("sort-merge join + agg", timeMin(smj(li1, ord1)), timeMin(smj(li10, ord10)), 10),
       ("near-dup inverted index", timeMin(neardup(docs1)), timeMin(neardup(docs4)), 4),
+      ("phrase search (BM25 adjacency)", timeMin(phraseSearch(docs1)),
+        timeMin(phraseSearch(docs4)), 4),
       ("top-k per group: window", timeMin(topkWindow(ord1)), timeMin(topkWindow(ord10)), 10),
       ("top-k per group: heap agg", timeMin(topkAgg(ord1)), timeMin(topkAgg(ord10)), 10),
       ("running total: global window (1 task)", timeMin(windowCum(ord1)),
