@@ -410,6 +410,43 @@ object Catalog {
     }
   }
 
+  /** Snapshot DELETE (SnapshotStore.delete): load per-user latest
+    * events as a snapshot, delete the users whose latest event is a
+    * 'click', read back — one bucket-pruned anti-join rewrite, emptied
+    * buckets leave the manifest, and with retain the removed keys
+    * classify as `delete` in changes() (pinned in SnapshotStoreSpec /
+    * StreamingSpec; here the oracle recomputes the surviving set). */
+  val qSnapshotDelete = Q(
+    "q_snapshot_delete",
+    """WITH latest AS (
+      |  SELECT user_id, max(event_id) AS event_id
+      |  FROM events GROUP BY user_id),
+      |doomed AS (
+      |  SELECT l.user_id FROM latest l JOIN events e ON l.event_id = e.event_id
+      |  WHERE e.event_type = 'click')
+      |SELECT l.user_id, l.event_id FROM latest l
+      |WHERE l.user_id NOT IN (SELECT user_id FROM doomed)
+      |ORDER BY l.user_id""".stripMargin) { (s, d) =>
+    import graft.streaming.SnapshotStore
+    val ev = Tables.events(s, d)
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_del")
+    try {
+      val dir = dirPath.toString
+      SnapshotStore.merge(s, dir, ev.select("user_id", "event_id"),
+        Seq("user_id"), numBuckets = 8, orderCol = Some("event_id"), retain = true)
+      val latest = SnapshotStore.read(s, dir)
+      val doomed = latest.join(ev.select("event_id", "event_type"), "event_id")
+        .filter(col("event_type") === "click").select("user_id")
+      SnapshotStore.delete(s, dir, doomed, Seq("user_id"), retain = true)
+      SnapshotStore.read(s, dir).select("user_id", "event_id")
+        .orderBy("user_id").localCheckpoint(true)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** Schema-drift-tolerant load (the self-healing half of ingest: an
     * evolving source must not break the pipeline) — two CSV batches
     * whose schemas drift (v2 widens score int→double and adds a
@@ -893,7 +930,7 @@ object Catalog {
 
   val all: Seq[Q] = Seq(
     qProfileTypes, qProfileSemantic, qQualityNulls, qQualityOutliers,
-    qQualityCardinality, qQualityExpectations, qProfileDrift, qDdlSynthesis, qCsvScan, qJsonScan, qSchemaEvolution, qSnapshotTimetravel, qSnapshotChanges, qLineage,
+    qQualityCardinality, qQualityExpectations, qProfileDrift, qDdlSynthesis, qCsvScan, qJsonScan, qSchemaEvolution, qSnapshotTimetravel, qSnapshotChanges, qSnapshotDelete, qLineage,
     qLoadRoundtrip, qParquetScan, qUdafProfile,
     qSinkCsvRoundtrip, qSinkJsonRoundtrip, qSinkOrcRoundtrip, qSinkPartitioned, qUpsert,
     qSample, qSampleStratified, qSynthSource, qSynthAggPushdown,

@@ -253,9 +253,17 @@ object SnapshotStore {
         readVersion(spark, dir, newest)
     }
 
-  /** All buckets of one resolved manifest version, no retry. */
+  /** All buckets of one resolved manifest version, no retry. A
+    * manifest with NO buckets (every row deleted) reads as an empty
+    * frame under the manifest schema. */
   private def readVersion(spark: SparkSession, dir: String, m: Manifest): DataFrame =
-    readAligned(spark, m.buckets.values.toSeq.sorted.map(d => s"$dir/$d"),
+    if (m.buckets.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        m.schema.getOrElse(throw new IllegalStateException(
+          s"snapshot $dir version ${m.version} has no buckets and no " +
+            "recorded schema — cannot reconstruct an empty frame")))
+    else readAligned(spark, m.buckets.values.toSeq.sorted.map(d => s"$dir/$d"),
       m.schema, m.schemaSince.getOrElse(m.version))
 
   /** The version a bucket dir was written at (parsed from its
@@ -421,19 +429,73 @@ object SnapshotStore {
       else graft.operators.Upsert.merge(
         readAligned(spark, existingDirs, Some(target), schemaSince),
         updates.drop("__b"), keys)
-    // stage the touched buckets for this version, then commit via ONE
-    // manifest rename — order matters: data first, pointer last
+    commitVersion(spark, dir, current, version, numBuckets, target,
+      schemaSince, touched.toSeq, merged, keys, retain)
+  }
+
+  /** Delete rows by key — the lakehouse DELETE over the bucketed
+    * snapshot, same bounded-rewrite contract as [[merge]]: only the
+    * buckets the doomed keys hash into are read (aligned) and
+    * rewritten via one left-anti join; the new version commits through
+    * the identical stage → rename → manifest protocol. A bucket left
+    * EMPTY by the delete drops out of the manifest (rather than
+    * pointing at a dir the parquet writer never produced). With
+    * retain = true the deleted version stays time-travel-readable and
+    * [[changes]] classifies the removed keys as `delete` rows — which
+    * the CDC feed and the downstream IVM view consume end-to-end
+    * (StreamingSpec). Deleting keys that are not present commits
+    * nothing new for their buckets' content but still writes a version
+    * (idempotent: replaying a delete converges). */
+  def delete(spark: SparkSession, dir: String, doomed: DataFrame,
+      keys: Seq[String], retain: Boolean = false): Unit = {
+    val committed = currentManifest(spark, dir).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"no snapshot manifest in $dir — nothing to delete from"))
+    require(keys.forall(doomed.columns.contains),
+      s"delete frame is missing key column(s) ${keys.filterNot(doomed.columns.contains).mkString(", ")}")
+    val numBuckets = committed.numBuckets
+    val doomedKeys = doomed.select(keys.map(col): _*).distinct()
+      .withColumn("__b", bucketCol(keys, numBuckets))
+      .localCheckpoint(true)
+    val touched = doomedKeys.select("__b").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+      .filter(committed.buckets.contains) // keys in never-written buckets: no-op
+    if (touched.isEmpty) return
+    val schema = committed.schema.getOrElse(
+      spark.read.parquet(committed.buckets.values.toSeq.sorted
+        .map(d => s"$dir/$d"): _*).schema)
+    val since = committed.schemaSince.getOrElse(committed.version)
+    val existingDirs = touched.flatMap(committed.buckets.get).map(d => s"$dir/$d")
+    val remaining = readAligned(spark, existingDirs, committed.schema, since)
+      .join(doomedKeys.drop("__b"), keys, "left_anti")
+    commitVersion(spark, dir, Some(committed), committed.version + 1,
+      numBuckets, schema, since, touched, remaining, keys, retain)
+  }
+
+  /** Shared commit tail of [[merge]]/[[delete]]: stage the touched
+    * buckets' new content for `version`, rename dirs into place, then
+    * make the version visible via ONE manifest rename — data first,
+    * pointer last. A touched bucket with NO staged rows (every row
+    * deleted) leaves the manifest. */
+  private def commitVersion(spark: SparkSession, dir: String,
+      current: Option[Manifest], version: Long, numBuckets: Int,
+      target: org.apache.spark.sql.types.StructType, schemaSince: Long,
+      touched: Seq[Int], data: DataFrame, keys: Seq[String],
+      retain: Boolean): Unit = {
+    val (fs, base) = fsOf(spark, dir)
     val stage = new Path(base, s"__stage_v$version")
-    merged.withColumn("__b", bucketCol(keys, numBuckets))
+    data.withColumn("__b", bucketCol(keys, numBuckets))
       .write.mode("overwrite").partitionBy("__b").parquet(stage.toString)
-    touched.foreach { b =>
+    val (staged, emptied) =
+      touched.partition(b => fs.exists(new Path(stage, s"__b=$b")))
+    staged.foreach { b =>
       val to = new Path(base, s"b${b}_v$version")
       if (fs.exists(to)) fs.delete(to, true) // orphan of a crashed attempt
       if (!fs.rename(new Path(stage, s"__b=$b"), to))
         throw new java.io.IOException(s"failed to stage bucket $b at $to")
     }
-    val bucketMap = current.map(_.buckets).getOrElse(Map.empty) ++
-      touched.map(b => b -> s"b${b}_v$version")
+    val bucketMap = current.map(_.buckets).getOrElse(Map.empty) --
+      emptied ++ staged.map(b => b -> s"b${b}_v$version")
     val tmpManifest = new Path(base, s"$ManifestPrefix${version}__tmp")
     val out = fs.create(tmpManifest, true)
     try out.write((Seq(s"#numBuckets=$numBuckets", s"#schema=${target.json}",

@@ -300,6 +300,57 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("key column k drifted"))
   }
 
+  test("delete: bucket-pruned, emptied buckets leave the manifest, replay idempotent") {
+    import spark.implicits._
+    val dir = freshDir("snap_delete").getAbsolutePath
+    SnapshotStore.merge(spark, dir,
+      (1L to 40L).map(k => (k, s"v$k")).toDF("k", "v"),
+      Seq("k"), numBuckets = 4, retain = true)
+    val before = filesUnder(new java.io.File(dir))
+    // delete three keys from ONE bucket (hash-probed below), retain
+    val doomed = Seq(5L, 9L, 13L).map(Tuple1(_)).toDF("k")
+    SnapshotStore.delete(spark, dir, doomed, Seq("k"), retain = true)
+    val snap = SnapshotStore.read(spark, dir)
+    assert(snap.count() == 37)
+    assert(snap.filter($"k".isin(5L, 9L, 13L)).count() == 0)
+    // untouched bucket dirs survived byte-identical (bounded rewrite)
+    val touchedBuckets = doomed
+      .withColumn("__b", SnapshotStore.bucketCol(Seq("k"), 4))
+      .select("__b").distinct().collect().map(_.getInt(0)).toSet
+    val after = filesUnder(new java.io.File(dir))
+    val untouchedV1 = before.keys.filter(p =>
+      p.startsWith("b") && p.contains("_v1/") &&
+        !touchedBuckets.exists(b => p.startsWith(s"b${b}_v1/")))
+    assert(untouchedV1.nonEmpty)
+    untouchedV1.foreach(p => assert(after.get(p) == before.get(p),
+      s"untouched bucket file $p must survive a delete byte-identical"))
+    // changes across the delete classifies exactly the removed keys
+    val ch = SnapshotStore.changes(spark, dir, 1L, 2L, Seq("k")).collect()
+    assert(ch.map(_.getAs[Long]("k")).toSet == Set(5L, 9L, 13L))
+    assert(ch.forall(_.getAs[String]("change_type") == "delete"))
+    // replaying the delete is a no-op version (idempotent)
+    SnapshotStore.delete(spark, dir, doomed, Seq("k"), retain = true)
+    assert(SnapshotStore.changes(spark, dir, 2L, 3L, Seq("k")).count() == 0)
+    assert(SnapshotStore.read(spark, dir).count() == 37)
+    // delete EVERYTHING: the manifest ends bucket-less, reads are empty
+    SnapshotStore.delete(spark, dir,
+      SnapshotStore.read(spark, dir).select("k"), Seq("k"), retain = true)
+    val empty = SnapshotStore.read(spark, dir)
+    assert(empty.count() == 0)
+    assert(empty.schema.fieldNames.toSeq == Seq("k", "v"),
+      "empty snapshot keeps the manifest schema")
+    assert(SnapshotStore.currentManifest(spark, dir).get.buckets.isEmpty)
+    // and a fresh merge resurrects the table
+    SnapshotStore.merge(spark, dir, Seq((99L, "z")).toDF("k", "v"),
+      Seq("k"), numBuckets = 4, retain = true)
+    assert(SnapshotStore.read(spark, dir).count() == 1)
+    // deleting from a never-committed snapshot fails loudly
+    intercept[java.io.FileNotFoundException] {
+      SnapshotStore.delete(spark, freshDir("snap_delete_none").getAbsolutePath,
+        doomed, Seq("k"))
+    }
+  }
+
   test("cdc feed is exactly-once: a commit crashed before its append is caught up") {
     import spark.implicits._
     val dir = freshDir("snap_cdc_crash").getAbsolutePath

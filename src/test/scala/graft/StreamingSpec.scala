@@ -226,6 +226,14 @@ class StreamingSpec extends AnyFunSuite {
     // and a replay with NOTHING new is a no-op (exactly-once, not at-least-once)
     refresh()
     assert(viewCounts() == Map("new" -> 1L, "done" -> 3L))
+    // a DELETE cycle flows through the same feed: the vanished key's
+    // delete row subtracts from its group in the downstream view
+    Streams.cdcDeleteBatch(spark, src.getAbsolutePath, cdc.getAbsolutePath,
+      Seq(Tuple1(3L)).toDF("id"), Seq("id")) // id 3 was "done"
+    refresh()
+    assert(viewCounts() == snapshotCounts(),
+      s"delete diverged: ${viewCounts()} vs ${snapshotCounts()}")
+    assert(viewCounts() == Map("new" -> 1L, "done" -> 2L))
   }
 
   test("cdcCountDeltas: delete subtracts, group-preserving update nets zero") {
