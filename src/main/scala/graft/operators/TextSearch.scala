@@ -135,8 +135,25 @@ object TextSearch {
   def phrase(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], topK: Int = 20): DataFrame = {
     require(terms.size >= 2, "phrase: need >= 2 terms (use bm25 for one)")
+    phraseAt(docs, idCol, textCol, terms.zipWithIndex, topK)
+  }
+
+  /** Positional phrase with EXPLICIT offsets — the general form behind
+    * [[phrase]] (consecutive offsets) and Postgres's distance operator
+    * (`a <N> b` = offsets (a,0),(b,N), `pgliteService.ts:36-49`
+    * passthrough dialect): a document matches where, for some anchor
+    * position p, every (term, off) pair has `term` at token position
+    * p + off. Same plan as [[phrase]] — the offsets just aren't
+    * consecutive: map-side anchor fan-out, ONE (doc, anchor) aggregate
+    * with ≤|pairs| per-key state, BM25 on the occurrence count. */
+  def phraseAt(docs: DataFrame, idCol: String, textCol: String,
+      termOffsets: Seq[(String, Int)], topK: Int = 20): DataFrame = {
+    require(termOffsets.size >= 2, "phraseAt: need >= 2 (term, offset) pairs")
+    require(termOffsets.map(_._2).distinct.size == termOffsets.size,
+      "phraseAt: offsets must be distinct (one term per position)")
     val spark = docs.sparkSession
-    val L = terms.size
+    val terms = termOffsets.map(_._1)
+    val L = termOffsets.size
     val ws = TextOps.tokens(col(textCol))
     val base = docs.filter(col(textCol).isNotNull).select(
       col(idCol).as("__id"),
@@ -146,7 +163,7 @@ object TextSearch {
       count(lit(1)).cast("double").as("__n"), avg("__dl").as("__avgdl"))
     // phrase-sized (word → offset) table; a word at several offsets
     // yields several rows, so the broadcast join below IS the fan-out
-    val offsets = spark.createDataFrame(terms.zipWithIndex).toDF("word", "off")
+    val offsets = spark.createDataFrame(termOffsets).toDF("word", "off")
     val cand = base
       .select(col("__id"), col("__dl"),
         posexplode(col("__ws")).as(Seq("pos", "word")))

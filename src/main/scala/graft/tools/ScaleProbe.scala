@@ -239,7 +239,7 @@ object ScaleProbe {
       shuffleBytes(aFm("o_custkey"), ord10))
 
     val sb = new StringBuilder
-    sb.append("# SCALING — measured scale-up behavior (round 4)\n\n")
+    sb.append("# SCALING — measured scale-up behavior (head tables re-measured round 8)\n\n")
     sb.append(s"Base = sf0.1 (600k lineitem / 5k documents), amplified by key-shifted\n")
     sb.append(s"copies on local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]. ")
     sb.append("A plan that scales linearly in data volume on fixed\nresources is the ")
@@ -316,8 +316,18 @@ object ScaleProbe {
     sb.append("the strip row is the difference between a full-table scan and\n")
     sb.append("reading a few percent; the price is z-order's slightly weaker\n")
     sb.append("best-case on leading-column-only scans.\n")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/SCALING.md"),
-      sb.toString)
+    // PRESERVE the sections other probes contribute (relations 10x,
+    // deep-graph clustering, snapshot merge): everything from the first
+    // "## Cross-dataset" header on is carried over verbatim — this
+    // writer owns only the head tables above it.
+    val path = java.nio.file.Paths.get("/root/repo/SCALING.md")
+    val carried =
+      if (java.nio.file.Files.exists(path)) {
+        val prev = java.nio.file.Files.readString(path)
+        val i = prev.indexOf("## Cross-dataset relationship discovery")
+        if (i >= 0) "\n" + prev.substring(i) else ""
+      } else ""
+    java.nio.file.Files.writeString(path, sb.toString + carried)
     println(sb.toString)
     spark.stop()
   }

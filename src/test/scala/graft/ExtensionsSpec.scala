@@ -85,6 +85,31 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rtf.toSet == Set(1L, 3L), s"repeated-word phrase matches, got $rtf")
   }
 
+  test("phraseAt: distance-N matching (Postgres '<N>' operator semantics)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha x beta rest"),   // alpha <2> beta (one word between)
+      (2L, "alpha beta"),          // adjacent — NOT distance 2
+      (3L, "alpha x y beta"),      // distance 3 — no
+      (4L, "beta x alpha")).toDF("doc_id", "text")
+    val r = graft.operators.TextSearch
+      .phraseAt(docs, "doc_id", "text", Seq(("alpha", 0), ("beta", 2)), topK = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(r == Seq(1L), s"only exact distance-2 in order matches, got $r")
+    // phrase() is phraseAt with consecutive offsets — identical output
+    val viaPhrase = graft.operators.TextSearch
+      .phrase(docs, "doc_id", "text", Seq("alpha", "beta"), topK = 10)
+      .collect().map(_.getLong(0)).toSeq
+    val viaAt = graft.operators.TextSearch
+      .phraseAt(docs, "doc_id", "text", Seq(("alpha", 0), ("beta", 1)), topK = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaPhrase == viaAt && viaPhrase == Seq(2L))
+    intercept[IllegalArgumentException] {
+      graft.operators.TextSearch.phraseAt(
+        docs, "doc_id", "text", Seq(("a", 0), ("b", 0)))
+    }
+  }
+
   test("bm25Batch per-query ranking equals the single-query operator") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
