@@ -250,6 +250,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(net.getOrElse("b", 0L) == 1L, s"b: +1 update-in (+1-1 self-move), got $net")
   }
 
+  test("cdcSumDeltas maintains sum(value) per group exactly (incl. group moves)") {
+    import spark.implicits._
+    // upstream truth: start {1:(a,10), 2:(a,5)}, then 1 moves to b with
+    // a new value, 2 changes value in place, 3 inserts, then 2 deletes
+    val changes = Seq(
+      ("insert", Option.empty[String], Option.empty[Double], Some("a"), Some(10.0)), // 1
+      ("insert", Option.empty[String], Option.empty[Double], Some("a"), Some(5.0)),  // 2
+      ("update", Some("a"), Some(10.0), Some("b"), Some(7.0)),  // 1: a->b, 10->7
+      ("update", Some("a"), Some(5.0), Some("a"), Some(8.0)),   // 2: in-place 5->8
+      ("insert", Option.empty[String], Option.empty[Double], Some("b"), Some(2.0)),  // 3
+      ("delete", Some("a"), Some(8.0), Option.empty[String], Option.empty[Double])) // 2 gone
+      .toDF("change_type", "old_status", "old_v", "new_status", "new_v")
+    val net = Streams.cdcSumDeltas(changes, "status", "v")
+      .groupBy("status").agg(org.apache.spark.sql.functions.sum("delta").as("s"))
+      .collect().flatMap(r => Option(r.getString(0)).map(_ -> r.getDouble(1))).toMap
+    // final truth: only 1:(b,7) and 3:(b,2) remain → a = 0, b = 9
+    assert(math.abs(net.getOrElse("a", 0.0)) < 1e-9, s"a must net to zero, got $net")
+    assert(math.abs(net("b") - 9.0) < 1e-9, s"b must be 7+2, got $net")
+  }
+
   test("RocksDB state store produces identical results to the in-memory store") {
     // at production state sizes (billions of keys across session windows)
     // the default HDFS-backed in-memory store OOMs; RocksDB spills state
