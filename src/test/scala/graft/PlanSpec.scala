@@ -101,4 +101,24 @@ class PlanSpec extends AnyFunSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("no unpartitioned windows anywhere in the retrieval/rank plans") {
+    // the round-7 scale defect class: an empty window partition spec
+    // means WindowExec funnels its whole input through ONE task. Every
+    // bounded k-row ranking must carry BoundedRank's non-foldable
+    // constant key — checked on the OPTIMIZED plan, so a partition key
+    // Catalyst constant-folds away (e.g. a literal) still fails here.
+    val keys = Seq("q_hybrid_search", "q_text_search", "q_text_search_all",
+      "q_text_search_phrase", "q_text_search_batch", "q_agg_approxtopk",
+      "q_similarity_topk", "q_topk_global")
+    keys.foreach { k =>
+      val bad = SparkEntry.queries(k)(spark, sf)
+        .queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }
+      assert(bad.isEmpty,
+        s"$k has ${bad.size} unpartitioned Window node(s) — single-task rank")
+    }
+  }
 }
