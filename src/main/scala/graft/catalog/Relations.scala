@@ -200,11 +200,33 @@ object Relations {
     // session built without GraftExtensions the sketch path would fail
     // unresolved, so install it here (no-op when already registered)
     graft.functions.BottomKAggregate.register(tables.head._2.sparkSession)
-    melt(tables)
+    sketchMelted(melt(tables), k)
+  }
+
+  /** KMV sketches of DECLARED column groups — the composite-key twin of
+    * [[columnSketches]]: the group's collision-safe concatenated value
+    * (see [[meltGroups]]) hashes like any other, so a composite FK
+    * sketches, persists, and scores through the identical machinery.
+    * Pair with [[sketchDiscoverAgainst]] for incremental discovery of a
+    * new table's composite keys against a stored catalog. */
+  def compositeSketches(tables: Seq[(String, DataFrame)],
+      groups: Map[String, Seq[Seq[String]]], k: Int = 256): DataFrame = {
+    graft.functions.BottomKAggregate.register(tables.head._2.sparkSession)
+    sketchMelted(meltGroups(tables, groups), k)
+  }
+
+  /** Composite-key discovery on sketches only — same output schema as
+    * [[discoverComposite]] with KMV-estimated containment. */
+  def sketchDiscoverComposite(tables: Seq[(String, DataFrame)],
+      groups: Map[String, Seq[Seq[String]]], k: Int = 256,
+      minContainment: Double = 0.5): DataFrame =
+    scoreSketches(compositeSketches(tables, groups, k), k, minContainment)
+
+  private def sketchMelted(melted: DataFrame, k: Int): DataFrame =
+    melted
       .select(col("tbl"), col("col"), xxhash64(col("v")).as("h"))
       .groupBy("tbl", "col")
       .agg(call_function("bottom_k_distinct", col("h"), lit(k)).as("sketch"))
-  }
 
   def sketchDiscover(tables: Seq[(String, DataFrame)], k: Int = 256,
       minContainment: Double = 0.5): DataFrame =

@@ -399,6 +399,29 @@ class CatalogSpec extends AnyFunSuite {
     assert(clean(("c2", "c_part_id+c_supp_id")) == "fk_candidate")
   }
 
+  test("relations: composite sketch verdicts agree with the exact composite operator") {
+    import spark.implicits._
+    val parent = Seq((1L, 10L, "x"), (1L, 20L, "y"), (2L, 10L, "z"))
+      .toDF("part_id", "supp_id", "payload")
+    val child = Seq((1L, 10L, 5.0), (2L, 10L, 6.0), (2L, 20L, 7.0))
+      .toDF("part_id", "supp_id", "qty")
+    val groups = Map(
+      "parent" -> Seq(Seq("part_id", "supp_id")),
+      "child" -> Seq(Seq("part_id", "supp_id")))
+    val tables = Seq("parent" -> parent, "child" -> child)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(2)) ->
+        (r.getLong(4), r.getDouble(5))).toMap
+    val exact = pairs(graft.catalog.Relations
+      .discoverComposite(tables, groups, minContainment = 0.0))
+    val sketch = pairs(graft.catalog.Relations
+      .sketchDiscoverComposite(tables, groups, minContainment = 0.0))
+    // k=256 ≫ 3 distinct pairs per side → KMV degenerates to exact
+    assert(sketch == exact,
+      s"with k larger than the value sets the sketch must be exact:\n$sketch\n$exact")
+    assert(sketch(("child", "parent")) == (2L, 0.6667))
+  }
+
   test("relations: incremental discovery against stored sketches == full sketch run") {
     // sketch the catalog WITHOUT lineitem, then discover lineitem against
     // the stored sketches — pairs involving lineitem must be identical to
