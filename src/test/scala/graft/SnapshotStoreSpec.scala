@@ -389,6 +389,34 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(latest.exceptAll(snap).isEmpty && snap.exceptAll(latest).isEmpty)
   }
 
+  test("cdc log: version-partitioned, listing-based watermark, bounded retention") {
+    import spark.implicits._
+    val dir = freshDir("snap_cdc_ret").getAbsolutePath
+    val cdc = freshDir("snap_cdc_ret_log").getAbsolutePath
+    def step(rows: Seq[(Long, String)]): Unit =
+      graft.streaming.Streams.cdcBatch(spark, dir, cdc,
+        rows.toDF("k", "v"), Seq("k"), numBuckets = 4)
+    step(Seq((1L, "a")))
+    step(Seq((1L, "a2"), (2L, "b")))
+    step(Seq((3L, "c")))
+    assert(graft.streaming.Streams.lastLoggedVersion(spark, cdc) == Some(3L))
+    val dirs = new java.io.File(cdc).listFiles().map(_.getName)
+      .filter(_.startsWith("__version=")).sorted.toSeq
+    assert(dirs == Seq("__version=1", "__version=2", "__version=3"),
+      s"one partition dir per logged version, got $dirs")
+    // retention drops old partitions; the watermark (a listing) survives
+    graft.streaming.Streams.vacuumCdcLog(spark, cdc, keepLast = 1)
+    val kept = new java.io.File(cdc).listFiles().map(_.getName)
+      .filter(_.startsWith("__version=")).toSeq
+    assert(kept == Seq("__version=3"))
+    assert(graft.streaming.Streams.lastLoggedVersion(spark, cdc) == Some(3L))
+    // and the next cycle diffs from the retained watermark, not from scratch
+    step(Seq((4L, "d")))
+    val v4 = spark.read.parquet(cdc).filter($"__version" === 4)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type")))
+    assert(v4.toSeq == Seq((4L, "insert")), s"only the new insert, got ${v4.toSeq}")
+  }
+
   test("vacuum never sweeps an in-flight merge's renamed bucket dirs") {
     import spark.implicits._
     val dir = freshDir("snap_vacuum_inflight").getAbsolutePath
