@@ -892,7 +892,10 @@ object Catalog {
       |         CAST(nh AS BIGINT), 1.0, 'fk_candidate'
       |  FROM counts) t
       |ORDER BY table_a, col_a, table_b, col_b""".stripMargin) { (s, d) =>
+    // both "tables" derive from one lineitem projection — materialize
+    // it once so the two melt branches don't each re-scan the parquet
     val li = Tables.lineitem(s, d).select("l_orderkey", "l_linenumber")
+      .localCheckpoint(true)
     val head = li.filter(col("l_linenumber") <= 2)
     val g = Seq("l_orderkey", "l_linenumber")
     Relations.discoverComposite(
