@@ -785,6 +785,38 @@ object Extensions {
       Tables.documents(s, d), "doc_id", "text", phraseTerms, topK = 20)
   }
 
+  /** Benchmark decontamination (graft.operators.Decontamination) — the
+    * train/eval n-gram-collision check every LLM corpus ships with: a
+    * deterministic "benchmark" slice (doc_id % 97 = 0) is screened
+    * against the whole corpus; documents sharing ≥2 distinct 8-word
+    * shingles with any benchmark doc are flagged with their overlap
+    * count (each benchmark doc flags at least itself — the fixed
+    * point the oracle checks exactly). Eval shingles broadcast; the
+    * corpus never shuffles until the collision-proportional overlap
+    * count. */
+  val qDecontaminate = Q(
+    "q_decontaminate",
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |           WHERE text IS NOT NULL),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 6),
+      |         i -> ${(0 until 8).map(k => s"ws[i+$k]").mkString(" || ' ' || ")})) AS shingles
+      |       FROM d WHERE len(ws) >= 8),
+      |corp AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |bench AS (SELECT doc_id AS bench_id, unnest(shingles) AS s FROM sh
+      |          WHERE doc_id % 97 = 0),
+      |ov AS (SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+      |       FROM corp c JOIN bench b ON c.s = b.s
+      |       GROUP BY 1, 2)
+      |SELECT doc_id, bench_id, n_shared FROM ov WHERE n_shared >= 2
+      |ORDER BY doc_id, bench_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    graft.operators.Decontamination.overlaps(
+      docs, "doc_id", "text", bench, "bench_id", "text", w = 8, minOverlap = 2)
+      .orderBy("doc_id", "bench_id")
+  }
+
   /** Hybrid retrieval: the lexical BM25 top-20 (same terms as
     * q_text_search) fused with the vector-cosine top-20 of one probe
     * embedding (vec_id 100 — ids are shared across documents/embeddings
@@ -1119,7 +1151,7 @@ object Extensions {
     qDedupIncremental, qTokenBudget, qCorpusCuration,
     qSimilarityTopk, qSimilaritySql, qAnnIvf, qAnnLsh, qKmeans,
     qTextAnalysis, qTextTopwords, qTextSearch, qTextSearchAll, qTextSearchPhrase,
-    qTextSearchBatch, qHybridSearch,
+    qTextSearchBatch, qHybridSearch, qDecontaminate,
     qLangId, qLangIdNgram, qTextQuality, qTokenCount,
     qDocFingerprint,
     qMultimodalJoin, qMultimodalMeta, qMultimodalFeatures, qMultimodalFrames)

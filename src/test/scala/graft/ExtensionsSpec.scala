@@ -110,6 +110,30 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("decontamination: planted 8-gram collision flagged, clean() removes it") {
+    import spark.implicits._
+    val gram = "one two three four five six seven eight"
+    val corpus = Seq(
+      (1L, s"prefix words $gram suffix words here"), // contains the bench 8-gram
+      (2L, "totally unrelated content with enough words to shingle fine okay"),
+      (3L, s"one two three four five SIX seven eight nine")) // breaks the gram
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, s"$gram and some trailing tokens"))
+      .toDF("bench_id", "text")
+    val flagged = graft.operators.Decontamination
+      .overlaps(corpus, "doc_id", "text", bench, "bench_id", "text",
+        w = 8, minOverlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(flagged.map(_._1).toSet == Set(1L),
+      s"only the doc containing the exact 8-gram is contaminated, got ${flagged.toSeq}")
+    assert(flagged.head._3 >= 1L)
+    val cleaned = graft.operators.Decontamination
+      .clean(corpus, "doc_id", "text", bench, "bench_id", "text",
+        w = 8, minOverlap = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cleaned == Set(2L, 3L), s"clean() must drop doc 1, got $cleaned")
+  }
+
   test("bm25Batch per-query ranking equals the single-query operator") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
