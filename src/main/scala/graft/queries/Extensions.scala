@@ -655,6 +655,31 @@ object Extensions {
 
   // ----------------------------------------------------------- text analysis
 
+  /** PII redaction (graft.operators.Redaction) — the scrub stage after
+    * the profiler's semantic detection: synthetic PII (an email, a URL,
+    * a phone number built deterministically from doc_id) is appended to
+    * each document and masked by the codegen regexp chain; the oracle
+    * applies the IDENTICAL patterns (Java-regex ∩ RE2 syntax) to the
+    * same concatenation, so the masked text hash-matches exactly. */
+  val qPiiRedact = Q(
+    "q_pii_redact",
+    s"""SELECT doc_id,
+      |  ${graft.operators.Redaction.redactSql(
+             "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+               "'@example.com via https://ex.com/u/' || CAST(doc_id AS VARCHAR) || " +
+               "' or +1 555 000' || CAST(doc_id AS VARCHAR)")} AS redacted
+      |FROM documents WHERE text IS NOT NULL
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pii = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com via https://ex.com/u/"), col("doc_id").cast("string"),
+      lit(" or +1 555 000"), col("doc_id").cast("string"))
+    Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.operators.Redaction.redactCol(pii).as("redacted"))
+      .orderBy("doc_id")
+  }
+
   val qTextAnalysis = Q(
     "q_text_analysis",
     """SELECT lang, count(*) AS n_docs,
@@ -1151,7 +1176,7 @@ object Extensions {
     qDedupIncremental, qTokenBudget, qCorpusCuration,
     qSimilarityTopk, qSimilaritySql, qAnnIvf, qAnnLsh, qKmeans,
     qTextAnalysis, qTextTopwords, qTextSearch, qTextSearchAll, qTextSearchPhrase,
-    qTextSearchBatch, qHybridSearch, qDecontaminate,
+    qTextSearchBatch, qHybridSearch, qDecontaminate, qPiiRedact,
     qLangId, qLangIdNgram, qTextQuality, qTokenCount,
     qDocFingerprint,
     qMultimodalJoin, qMultimodalMeta, qMultimodalFeatures, qMultimodalFrames)

@@ -110,6 +110,32 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("redaction: each PII kind masks, URLs before emails, non-PII untouched") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail me at jane.doe+x@corp.example.org today"),
+      (2L, "see https://ex.com/a?user=b@c.de for info"),
+      (3L, "call +44 20 7946 0958 now"),
+      (4L, "card 4111 1111 1111 1111 on file"),
+      (5L, "nothing sensitive here at all")).toDF("doc_id", "text")
+    val out = graft.operators.Redaction.redact(df, Seq("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "mail me at <EMAIL> today")
+    assert(out(2L) == "see <URL> for info",
+      s"the whole URL (incl. the embedded address) is one token: ${out(2L)}")
+    assert(out(3L) == "call <PHONE> now")
+    assert(out(4L) == "card <NUMBER> on file")
+    assert(out(5L) == "nothing sensitive here at all")
+    // kind filter: only emails masked when asked
+    val onlyEmail = graft.operators.Redaction
+      .redact(df, Seq("text"), kinds = Seq("email"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(onlyEmail(1L).contains("<EMAIL>") && onlyEmail(3L).contains("+44"))
+    intercept[IllegalArgumentException] {
+      graft.operators.Redaction.redactCol(col("text"), Seq("nope"))
+    }
+  }
+
   test("decontamination: planted 8-gram collision flagged, clean() removes it") {
     import spark.implicits._
     val gram = "one two three four five six seven eight"
