@@ -15,6 +15,9 @@ import org.apache.spark.sql.functions._
   *   documents → exact dedup (min-id keeper per text)
   *             → near-dup clustering (shingle pairs → connected
   *               components → keep each cluster's canonical doc)
+  *             → benchmark decontamination (drop docs sharing 8-gram
+  *               shingles with the held-out eval slice)
+  *             → PII redaction (mask emails/URLs/phones map-side)
   *             → quality gate (token count / type-token ratio)
   *             → per-language token budget (windowed running sum —
   *               partitioned by lang, so the sequential fill is
@@ -59,15 +62,31 @@ object CurationDemo {
     val nearKeep = record("neardup_dedup",
       exactKeep.join(dropIds, Seq("doc_id"), "left_anti"))
 
-    // 3. quality gate: enough tokens, enough lexical diversity
+    // 3. benchmark decontamination: the held-out eval slice (here a
+    //    deterministic doc_id stripe standing in for a real benchmark)
+    //    must not leak into training — drop any doc sharing an 8-gram
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val decontaminated = record("decontaminate",
+      graft.operators.Decontamination.clean(
+        nearKeep, "doc_id", "text", bench, "bench_id", "text",
+        w = 8, minOverlap = 2))
+
+    // 4. PII redaction: mask emails/URLs/phones map-side (the synthetic
+    //    corpus has none — the stage is plumbing-in-place, zero-cost
+    //    when nothing matches)
+    val redacted = record("pii_redact",
+      graft.operators.Redaction.redact(decontaminated, Seq("text")))
+
+    // 5. quality gate: enough tokens, enough lexical diversity
     val toks = split(col("text"), " ")
     val quality = record("quality_gate",
-      nearKeep
+      redacted
         .withColumn("n_tokens", size(toks).cast("long"))
         .withColumn("ttr", size(array_distinct(toks)).cast("double") / size(toks))
         .filter(col("n_tokens") >= 10 && col("ttr") >= 0.3))
 
-    // 4. per-language token budget: running sum in doc_id order WITHIN
+    // 6. per-language token budget: running sum in doc_id order WITHIN
     //    each language partition — the global-sort bottleneck stays off
     //    the plan; each language fills independently
     val w = Window.partitionBy("lang").orderBy("doc_id")
@@ -76,7 +95,7 @@ object CurationDemo {
       quality.withColumn("cum_tokens", sum("n_tokens").over(w))
         .filter(col("cum_tokens") <= tokenBudgetPerLang))
 
-    // 5. partitioned sink: lang directories for pruned downstream reads
+    // 7. partitioned sink: lang directories for pruned downstream reads
     budgeted.select("doc_id", "text", "lang", "n_tokens")
       .write.mode("overwrite").partitionBy("lang").parquet(outDir)
     stages += StageCount("sink", spark.read.parquet(outDir).count())

@@ -236,6 +236,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(viewCounts() == Map("new" -> 1L, "done" -> 2L))
   }
 
+  test("cdc sink absorbs schema drift mid-stream: added column flows into the feed") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def rmrf(p: java.io.File): Unit = {
+      Option(p.listFiles()).foreach(_.foreach(rmrf)); p.delete(); ()
+    }
+    val src = new java.io.File("/root/repo/target/drift_src")
+    val cdc = new java.io.File("/root/repo/target/drift_cdc")
+    Seq(src, cdc).foreach(rmrf)
+    // batch 1: (k, v); batch 2 ADDS score — the sink must merge without
+    // manual alignment and the change feed must carry the union schema
+    graft.streaming.Streams.cdcBatch(spark, src.getAbsolutePath,
+      cdc.getAbsolutePath, Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      Seq("k"), numBuckets = 4)
+    graft.streaming.Streams.cdcBatch(spark, src.getAbsolutePath,
+      cdc.getAbsolutePath, Seq((2L, "b2", 9), (3L, "c", 5)).toDF("k", "v", "score"),
+      Seq("k"), numBuckets = 4)
+    val snap = graft.streaming.SnapshotStore.read(spark, src.getAbsolutePath)
+    assert(snap.columns.toSeq == Seq("k", "v", "score"))
+    assert(snap.filter($"k" === 1L).head.isNullAt(2), "old row null-fills")
+    // a PLAIN multi-dir read would infer v1's schema and drop the
+    // evolved columns — the log reader aligns per version partition
+    val feed = graft.streaming.Streams.readCdcLog(spark, cdc.getAbsolutePath)
+    assert(feed.columns.toSet.contains("new_score"),
+      s"the v2 feed must carry the evolved column, got ${feed.columns.toSeq}")
+    val v2 = feed.filter($"__version" === 2)
+      .collect().map(r => r.getAs[Long]("k") ->
+        (r.getAs[String]("change_type"), r.getAs[Any]("new_score"))).toMap
+    assert(v2(2L) == ("update", 9) && v2(3L) == ("insert", 5))
+    assert(!v2.contains(1L), "null-fill alone must not register as a change")
+    // v1 rows (written pre-drift) read back under the union feed schema
+    assert(feed.filter($"__version" === 1).count() == 2)
+  }
+
   test("cdcCountDeltas: delete subtracts, group-preserving update nets zero") {
     import spark.implicits._
     val changes = Seq(
