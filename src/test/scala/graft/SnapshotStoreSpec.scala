@@ -389,6 +389,36 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(latest.exceptAll(snap).isEmpty && snap.exceptAll(latest).isEmpty)
   }
 
+  test("vacuum after delete: history bounded, emptied buckets never resurrect") {
+    import spark.implicits._
+    val dir = freshDir("snap_del_vac").getAbsolutePath
+    SnapshotStore.merge(spark, dir,
+      (1L to 20L).map(k => (k, s"v$k")).toDF("k", "v"),
+      Seq("k"), numBuckets = 4, retain = true)
+    SnapshotStore.delete(spark, dir,
+      (1L to 20L).map(Tuple1(_)).toDF("k"), Seq("k"), retain = true) // v2: empty
+    SnapshotStore.merge(spark, dir, Seq((5L, "back")).toDF("k", "v"),
+      Seq("k"), numBuckets = 4, retain = true) // v3: one key returns
+    // time travel still sees all three states pre-vacuum
+    assert(SnapshotStore.readAt(spark, dir, 1L).count() == 20)
+    assert(SnapshotStore.readAt(spark, dir, 2L).count() == 0)
+    assert(SnapshotStore.readAt(spark, dir, 3L).count() == 1)
+    SnapshotStore.vacuum(spark, dir, keepLast = 1)
+    // only v3 remains readable; its single bucket is the only dir left
+    intercept[java.io.FileNotFoundException] {
+      SnapshotStore.readAt(spark, dir, 1L)
+    }
+    val snap = SnapshotStore.read(spark, dir)
+    assert(snap.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((5L, "back")))
+    val b5 = Seq(5L).toDF("k")
+      .select(SnapshotStore.bucketCol(Seq("k"), 4)).head.getInt(0)
+    val dirs = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(n => n.startsWith("b") && n.contains("_v")).toSeq
+    assert(dirs == Seq(s"b${b5}_v3"),
+      s"only v3's single live bucket dir may survive, got $dirs")
+  }
+
   test("cdc log: version-partitioned, listing-based watermark, bounded retention") {
     import spark.implicits._
     val dir = freshDir("snap_cdc_ret").getAbsolutePath
