@@ -699,6 +699,32 @@ object Catalog {
       .orderBy("o_orderkey")
   }
 
+  /** Deterministic train/val/test split — the 80/10/10 partition every
+    * training corpus ships with, as a pure function of the key (same
+    * portable mixer as q_sample): re-runnable, partitioning-invariant,
+    * and a document can never migrate between splits across runs —
+    * exactly the property RNG-based splitting lacks. Oracle recomputes
+    * the identical assignment and per-split aggregates. */
+  val qSplitTrainEval = Q(
+    "q_split_train_eval",
+    s"""WITH h AS (
+      |  SELECT doc_id, n_chars,
+      |       ${portableHashSql("doc_id")},
+      |       CASE WHEN h4 % 100 < 80 THEN 'train'
+      |            WHEN h4 % 100 < 90 THEN 'val' ELSE 'test' END AS split
+      |  FROM documents)
+      |SELECT split, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM h GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val bucket = pmod(portableHash(col("doc_id")), lit(100L))
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"), sum("n_chars").cast("bigint").as("chars"))
+      .orderBy("split")
+  }
+
   val qSampleStratified = Q(
     "q_sample_stratified",
     s"""WITH h AS (
@@ -936,7 +962,7 @@ object Catalog {
     qQualityCardinality, qQualityExpectations, qProfileDrift, qDdlSynthesis, qCsvScan, qJsonScan, qSchemaEvolution, qSnapshotTimetravel, qSnapshotChanges, qSnapshotDelete, qLineage,
     qLoadRoundtrip, qParquetScan, qUdafProfile,
     qSinkCsvRoundtrip, qSinkJsonRoundtrip, qSinkOrcRoundtrip, qSinkPartitioned, qUpsert,
-    qSample, qSampleStratified, qSynthSource, qSynthAggPushdown,
+    qSample, qSampleStratified, qSplitTrainEval, qSynthSource, qSynthAggPushdown,
     qCatalogRelations, qCatalogRelationsComposite, qCatalogRelationsSketch,
     qCatalogGraph)
 }
