@@ -671,12 +671,8 @@ object Catalog {
     * construction. Bound: keys must stay < ~3.4e9 (2^63 / 2654435761);
     * for wider id spaces use the engine-native seeded `sample()` twin
     * or hash engine-side where cross-engine parity is not needed. */
-  private def portableHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val h1 = pmod(c * lit(2654435761L), lit(2147483648L))
-    val m1 = h1.bitwiseXOR(shiftright(h1, 15))
-    val h2 = pmod(m1 * lit(1597334677L), lit(2147483648L))
-    h2.bitwiseXOR(shiftright(h2, 13))
-  }
+  private def portableHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.PortableHash.column(c)
 
   /** The same mixer as lateral-alias SQL (`h4` selects the row). */
   private def portableHashSql(e: String): String =
@@ -723,6 +719,36 @@ object Catalog {
       .groupBy("split")
       .agg(count(lit(1)).as("n"), sum("n_chars").cast("bigint").as("chars"))
       .orderBy("split")
+  }
+
+  /** Data-mixture weighting (graft.operators.MixtureWeighting) — the
+    * pretraining "data mix" step: rebalance sources to target shares
+    * (here src0:src1:src2 = 5:3:2, every other source dropped) by
+    * keeping the largest feasible total and downsampling abundant
+    * sources deterministically. The oracle solves the identical
+    * largest-N program in SQL (min over c/w), derives the same
+    * per-mille thresholds with the same IEEE expression order, applies
+    * the same mixer, and counts the kept rows per source. */
+  val qMixtureSample = Q(
+    "q_mixture_sample",
+    s"""WITH t AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3),
+      |                                  ('src2', 0.2)) v(source, w)),
+      |c AS (SELECT source, CAST(count(*) AS DOUBLE) AS c FROM documents GROUP BY 1),
+      |n AS (SELECT min(c.c / t.w) AS n FROM t JOIN c USING (source)),
+      |thr AS (SELECT t.source,
+      |               CAST(floor(least(1.0, t.w * n.n / c.c) * 1000) AS BIGINT) AS thr
+      |        FROM t JOIN c USING (source) CROSS JOIN n),
+      |mix AS (SELECT d.source, thr.thr,
+      |       ${portableHashSql("d.doc_id")}
+      |       FROM documents d JOIN thr ON d.source = thr.source)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+      |FROM mix WHERE h4 % 1000 < thr GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    graft.operators.MixtureWeighting.sample(
+        Tables.documents(s, d), "source", "doc_id",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy("source")
   }
 
   val qSampleStratified = Q(
@@ -962,7 +988,8 @@ object Catalog {
     qQualityCardinality, qQualityExpectations, qProfileDrift, qDdlSynthesis, qCsvScan, qJsonScan, qSchemaEvolution, qSnapshotTimetravel, qSnapshotChanges, qSnapshotDelete, qLineage,
     qLoadRoundtrip, qParquetScan, qUdafProfile,
     qSinkCsvRoundtrip, qSinkJsonRoundtrip, qSinkOrcRoundtrip, qSinkPartitioned, qUpsert,
-    qSample, qSampleStratified, qSplitTrainEval, qSynthSource, qSynthAggPushdown,
+    qSample, qSampleStratified, qSplitTrainEval, qMixtureSample,
+    qSynthSource, qSynthAggPushdown,
     qCatalogRelations, qCatalogRelationsComposite, qCatalogRelationsSketch,
     qCatalogGraph)
 }

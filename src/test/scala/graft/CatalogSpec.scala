@@ -91,6 +91,27 @@ class CatalogSpec extends AnyFunSuite {
       s"expected the status predicate to prune directories, got:\n$plan")
   }
 
+  test("mixture weighting: binding source keeps all, shares respect targets") {
+    import graft.operators.MixtureWeighting.solveThresholds
+    // src0 is binding (0.5 share from only 25 rows): N = 50, so src0
+    // keeps 100%, src1 keeps 0.3*50/25 = 60%, src2 keeps 40%
+    val thr = solveThresholds(
+      Map("src0" -> 25L, "src1" -> 25L, "src2" -> 25L, "ignored" -> 99L),
+      Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+    assert(thr == Map("src0" -> 1000L, "src1" -> 600L, "src2" -> 400L))
+    assert(!thr.contains("ignored"), "untargeted sources drop entirely")
+    // unnormalized weights normalize; abundant source downsamples
+    val thr2 = solveThresholds(Map("a" -> 1000L, "b" -> 10L),
+      Map("a" -> 1.0, "b" -> 1.0)) // equal shares, b binds: N = 20
+    assert(thr2 == Map("a" -> 10L, "b" -> 1000L))
+    intercept[IllegalArgumentException] {
+      solveThresholds(Map("a" -> 5L), Map("a" -> 1.0, "missing" -> 1.0))
+    }
+    intercept[IllegalArgumentException] {
+      solveThresholds(Map("a" -> 5L), Map("a" -> -0.1))
+    }
+  }
+
   test("hash-mod sampling is deterministic; stratified fractions respected") {
     val a = SparkEntry.queries("q_sample")(spark, sf).collect().map(_.toString).toSeq
     val b = SparkEntry.queries("q_sample")(spark, sf).collect().map(_.toString).toSeq
