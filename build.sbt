@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The harness parses the ONE compact JSON line Bench prints by reading
+// sbt's stdout. The default LoggedOutput strategy prefixes every forked
+// line with "[info] ", which breaks that parse (BENCH_r08.json
+// parsed:null). StdoutOutput passes the child's stdout through bare.
+// Project-level (not run-scoped) so both `run` and `runMain` pick it up.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BottomKDistinctAgg, CosineSimilarityExpr, DotProductExpr, TopKPairsAgg, WordSetJaccardExpr}
+import graft.functions.{BottomKDistinctAgg, CosineSimilarityExpr, DotProductExpr, PortableHashExpr, TopKPairsAgg, WordSetJaccardExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -37,6 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKPairsAgg].getName, "top_k_pairs"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TopKPairsAgg(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((
+      FunctionIdentifier("portable_hash"),
+      new ExpressionInfo(classOf[PortableHashExpr].getName, "portable_hash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PortableHashExpr(exprs(0))))
     e.injectFunction((
       FunctionIdentifier("bottom_k_distinct"),
       new ExpressionInfo(classOf[BottomKDistinctAgg].getName, "bottom_k_distinct"),

@@ -26,8 +26,16 @@ object Redaction {
     // optional separators; kept conservative to avoid eating plain ids
     "phone" -> ("\\+[0-9][0-9 ()-]{7,14}[0-9]" -> "<PHONE>"),
     // 13-19 digit runs with optional group separators (card-number
-    // shape); anchored on digit boundaries via the pattern itself
-    "card" -> ("[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{1,7}" -> "<NUMBER>"))
+    // shape). RE2 parity rules out lookarounds, so the digit boundary
+    // is a CAPTURED enclosing group: (^|[^0-9]) … ([^0-9]|$), restored
+    // via $1/$3 in the replacement — a 20+-digit run or a plain long id
+    // embedded in more digits no longer gets its first 13-19 digits
+    // eaten mid-token. Known residual: two card numbers separated by a
+    // SINGLE non-digit char redact only the first (the boundary char is
+    // consumed by the match; fixing that needs lookbehind, which RE2
+    // lacks).
+    "card" -> ("(^|[^0-9])([0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{1,7})([^0-9]|$)"
+      -> "$1<NUMBER>$3"))
 
   /** The redaction expression for one text column. */
   def redactCol(c: Column, kinds: Seq[String] = Patterns.map(_._1)): Column = {
@@ -46,12 +54,15 @@ object Redaction {
 
   /** The same chain as ANSI SQL over a column expression — the oracle
     * twin (the patterns are Java-regex ∩ RE2, so both engines match
-    * identically). */
+    * identically). Replacement group refs differ by engine: Java
+    * (Spark) spells them `$1`, RE2 (DuckDB) `\1` — translated here so
+    * [[Patterns]] stays single-sourced in Java syntax. */
   def redactSql(expr: String, kinds: Seq[String] = Patterns.map(_._1)): String =
     Patterns.filter(p => kinds.contains(p._1)).foldLeft(expr) {
       case (acc, (_, (re, tok))) =>
         // standard SQL single-quoted strings pass backslashes through
         // verbatim — only quotes need escaping
-        s"regexp_replace($acc, '${re.replace("'", "''")}', '$tok', 'g')"
+        val sqlTok = tok.replaceAll("\\$(\\d)", "\\\\$1")
+        s"regexp_replace($acc, '${re.replace("'", "''")}', '$sqlTok', 'g')"
     }
 }

@@ -665,21 +665,34 @@ object Catalog {
     * join-stable samples) and what lets a DuckDB oracle recompute the
     * identical subset (upgraded from rows-only, round 8).
     *
-    * The mixer keeps every intermediate below 2^62 (31-bit state ×
+    * The mixer keeps every intermediate below 2^63 (31-bit state ×
     * 32-bit odd constants), so the arithmetic is exact signed-64 in
     * both engines with ANSI overflow checks on — portable by
-    * construction. Bound: keys must stay < ~3.4e9 (2^63 / 2654435761);
-    * for wider id spaces use the engine-native seeded `sample()` twin
-    * or hash engine-side where cross-engine parity is not needed. */
+    * construction. Wide ids are folded structurally: the key splits
+    * into 31-bit chunks (lo / mid / top bit) absorbed sponge-style
+    * through the same mix31 round, so the FULL non-negative int64 id
+    * space is exact in both engines — no caller-side pre-hashing
+    * contract to forget at > 2^31 rows (PropertySpec pins ids beyond
+    * 2^31 against this oracle chain). */
   private def portableHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.PortableHash.column(c)
 
-  /** The same mixer as lateral-alias SQL (`h4` selects the row). */
+  /** The same fold+mixer as lateral-alias SQL (`h4` selects the row):
+    * three absorb rounds, one per key chunk, mirroring
+    * [[graft.functions.PortableHash.column]] term by term. */
   private def portableHashSql(e: String): String =
-    s"""($e * 2654435761) % 2147483648 AS h1,
-       |       xor(h1, h1 >> 15) AS m1,
-       |       (m1 * 1597334677) % 2147483648 AS h2,
-       |       xor(h2, h2 >> 13) AS h4""".stripMargin
+    s"""(($e) % 2147483648) * 2654435761 % 2147483648 AS a1,
+       |       xor(a1, a1 >> 15) AS a2,
+       |       (a2 * 1597334677) % 2147483648 AS a3,
+       |       xor(a3, a3 >> 13) AS f1,
+       |       xor(f1, (($e) >> 31) % 2147483648) * 2654435761 % 2147483648 AS b1,
+       |       xor(b1, b1 >> 15) AS b2,
+       |       (b2 * 1597334677) % 2147483648 AS b3,
+       |       xor(b3, b3 >> 13) AS f2,
+       |       xor(f2, ($e) >> 62) * 2654435761 % 2147483648 AS c1,
+       |       xor(c1, c1 >> 15) AS c2,
+       |       (c2 * 1597334677) % 2147483648 AS c3,
+       |       xor(c3, c3 >> 13) AS h4""".stripMargin
 
   val qSample = Q(
     "q_sample",

@@ -443,9 +443,16 @@ object SnapshotStore {
     * retain = true the deleted version stays time-travel-readable and
     * [[changes]] classifies the removed keys as `delete` rows — which
     * the CDC feed and the downstream IVM view consume end-to-end
-    * (StreamingSpec). Deleting keys that are not present commits
-    * nothing new for their buckets' content but still writes a version
-    * (idempotent: replaying a delete converges). */
+    * (StreamingSpec). Absent keys: a doomed key that hashes into a
+    * COMMITTED bucket rewrites that bucket (content-identical) and the
+    * delete commits a new version; a delete whose keys ALL hash into
+    * never-written buckets touches nothing and is a pure no-op — no
+    * version is committed. Either way replaying the delete converges
+    * (idempotent on state; version count differs only by the no-op
+    * case committing zero versions instead of one). The doomed frame's
+    * key columns are cast to the committed key types before bucketing
+    * (bucket hashes are type-sensitive); a non-null key value the cast
+    * cannot represent is refused loudly. */
   def delete(spark: SparkSession, dir: String, doomed: DataFrame,
       keys: Seq[String], retain: Boolean = false): Unit = {
     val committed = currentManifest(spark, dir).getOrElse(
@@ -454,16 +461,48 @@ object SnapshotStore {
     require(keys.forall(doomed.columns.contains),
       s"delete frame is missing key column(s) ${keys.filterNot(doomed.columns.contains).mkString(", ")}")
     val numBuckets = committed.numBuckets
-    val doomedKeys = doomed.select(keys.map(col): _*).distinct()
+    val schema = committed.schema.getOrElse(
+      spark.read.parquet(committed.buckets.values.toSeq.sorted
+        .map(d => s"$dir/$d"): _*).schema)
+    // Pin the doomed frame's key types to the committed schema BEFORE
+    // bucketing — xxhash64 hashes per physical type (the same reason
+    // merge() refuses key-type drift), so an IntegerType doomed key
+    // against a LongType snapshot would compute wrong bucket ids: the
+    // wrong dirs get rewritten and the real rows silently survive. A
+    // lossless widening cast is accepted; a key the cast cannot
+    // represent (overflow/unparseable → null) cannot match any stored
+    // row under these key types, so refusing it loudly beats hashing
+    // a null into bucket 0.
+    val doomedPinned = doomed.select(keys.map { k =>
+      val want = schema(k).dataType
+      if (doomed.schema(k).dataType == want) col(k)
+      else col(k).cast(want).as(k)
+    }: _*)
+    val lossy = keys.filter(k => doomed.schema(k).dataType != schema(k).dataType)
+    if (lossy.nonEmpty) {
+      // originally-null keys are exempt: null never equi-joins, so they
+      // were no-ops before the cast too — only a value the cast LOSES is
+      // a silent wrong-bucket hazard. try_cast, not cast: under ANSI
+      // mode (Spark 4 default) a plain cast would throw here instead of
+      // letting the require explain the contract.
+      val bad = doomed.filter(lossy.map(k =>
+        col(k).isNotNull &&
+          expr(s"try_cast(`$k` AS ${schema(k).dataType.sql})").isNull)
+        .reduce(_ || _))
+        .limit(1).count()
+      require(bad == 0,
+        s"delete key column(s) ${lossy.mkString(", ")} contain values not " +
+          s"representable under the snapshot's committed key types — cast " +
+          "upstream (the bucket hash is type-sensitive; a null-ed key " +
+          "would target the wrong bucket and silently miss its row)")
+    }
+    val doomedKeys = doomedPinned.distinct()
       .withColumn("__b", bucketCol(keys, numBuckets))
       .localCheckpoint(true)
     val touched = doomedKeys.select("__b").distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
       .filter(committed.buckets.contains) // keys in never-written buckets: no-op
     if (touched.isEmpty) return
-    val schema = committed.schema.getOrElse(
-      spark.read.parquet(committed.buckets.values.toSeq.sorted
-        .map(d => s"$dir/$d"): _*).schema)
     val since = committed.schemaSince.getOrElse(committed.version)
     val existingDirs = touched.flatMap(committed.buckets.get).map(d => s"$dir/$d")
     val remaining = readAligned(spark, existingDirs, committed.schema, since)

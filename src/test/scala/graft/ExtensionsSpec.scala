@@ -126,6 +126,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out(3L) == "call <PHONE> now")
     assert(out(4L) == "card <NUMBER> on file")
     assert(out(5L) == "nothing sensitive here at all")
+    // boundary anchoring: a 20+-digit run is NOT a card shape — the old
+    // unanchored pattern ate its first 19 digits mid-token. A letter is
+    // a legitimate boundary, so a letter-prefixed 16-digit run DOES
+    // redact (card shape with a clean non-digit edge), and the boundary
+    // chars themselves are restored by the capture groups.
+    val longRun = Seq((6L, "serial 123456789012345678901 ok"),
+      (7L, "v1234567890123456"),
+      (8L, "(4111111111111111)")).toDF("doc_id", "text")
+    val lr = graft.operators.Redaction.redact(longRun, Seq("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lr(6L) == "serial 123456789012345678901 ok",
+      s"21-digit run must survive intact: ${lr(6L)}")
+    assert(lr(7L) == "v<NUMBER>", lr(7L))
+    assert(lr(8L) == "(<NUMBER>)", lr(8L))
     // kind filter: only emails masked when asked
     val onlyEmail = graft.operators.Redaction
       .redact(df, Seq("text"), kinds = Seq("email"))

@@ -225,6 +225,47 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  // scalar exact-int64 model of PortableHash — the same arithmetic any
+  // ANSI engine with BIGINT math (the DuckDB oracle included) computes
+  // from the mirrored SQL chain; every intermediate provably < 2^63
+  private def mix31Model(x: Long): Long = {
+    val h1 = Math.floorMod(x * 2654435761L, 2147483648L)
+    val m1 = h1 ^ (h1 >> 15)
+    val h2 = Math.floorMod(m1 * 1597334677L, 2147483648L)
+    h2 ^ (h2 >> 13)
+  }
+  private def portableHashModel(k: Long): Long = {
+    val lo = Math.floorMod(k, 2147483648L)
+    val mid = Math.floorMod(k >> 31, 2147483648L)
+    val top = k >> 62
+    mix31Model(mix31Model(mix31Model(lo) ^ mid) ^ top)
+  }
+
+  property("PortableHash == exact-int64 scalar model over the FULL id space") =
+    forAll(Gen.oneOf(
+      Gen.chooseNum(0L, 4000L),                  // small ids (testdata scale)
+      Gen.chooseNum(0L, Long.MaxValue))) { id => // 100 TB-scale ids > 2^31
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val got = Seq(id).toDF("k")
+        .select(graft.functions.PortableHash.column(col("k")).as("h"))
+        .head.getLong(0)
+      got == portableHashModel(id)
+    }
+
+  property("PortableHash selection is partitioning-invariant incl. ids > 2^31") =
+    forAll(Gen.chooseNum(1, 8)) { parts =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val ids = (0 until 40).map(i => 3000000000L + i * 123456789123L) ++
+        Seq(0L, Long.MaxValue, Long.MaxValue - 7, (1L << 31) - 1, 1L << 31)
+      val model = ids.filter(portableHashModel(_) % 100 < 10).toSet
+      val got = ids.toDF("k").repartition(parts)
+        .filter(pmod(graft.functions.PortableHash.column(col("k")), lit(100L)) < 10)
+        .collect().map(_.getLong(0)).toSet
+      got == model
+    }
+
   property("SchemaEvolution.widen is commutative, idempotent, and never narrows") = {
     import org.apache.spark.sql.types._
     val types: Gen[DataType] = Gen.oneOf(ByteType, ShortType, IntegerType,

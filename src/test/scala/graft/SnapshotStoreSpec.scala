@@ -351,6 +351,38 @@ class SnapshotStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("delete pins doomed key types to the committed schema before bucketing") {
+    import spark.implicits._
+    val dir = freshDir("snap_delete_keytype").getAbsolutePath
+    SnapshotStore.merge(spark, dir,
+      (1L to 40L).map(k => (k, s"v$k")).toDF("k", "v"),
+      Seq("k"), numBuckets = 4, retain = true)
+    // IntegerType doomed keys against a LongType snapshot: xxhash64 is
+    // type-sensitive (4-byte vs 8-byte input), so an unpinned frame
+    // would bucket-route to the WRONG dirs and the rows would survive
+    SnapshotStore.delete(spark, dir,
+      Seq(5, 9, 13).toDF("k"), Seq("k"), retain = true)
+    val snap = SnapshotStore.read(spark, dir)
+    assert(snap.count() == 37,
+      "int-keyed delete against a long-keyed snapshot must actually delete")
+    assert(snap.filter($"k".isin(5L, 9L, 13L)).count() == 0)
+    // a castable string key also routes correctly
+    SnapshotStore.delete(spark, dir, Seq("7").toDF("k"), Seq("k"), retain = true)
+    assert(SnapshotStore.read(spark, dir).filter($"k" === 7L).count() == 0)
+    // a non-null key value the cast LOSES is refused loudly (hashing a
+    // null would silently target bucket pmod(hash(null)) and miss)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.delete(spark, dir, Seq("notakey").toDF("k"), Seq("k"))
+    }
+    assert(e.getMessage.contains("not representable"))
+    // an originally-null key is exempt (null never equi-joins): no-op,
+    // no refusal — frame also carries one real castable key to verify
+    // the batch still applies
+    SnapshotStore.delete(spark, dir,
+      Seq(Some("11"), None).toDF("k"), Seq("k"), retain = true)
+    assert(SnapshotStore.read(spark, dir).filter($"k" === 11L).count() == 0)
+  }
+
   test("cdc feed is exactly-once: a commit crashed before its append is caught up") {
     import spark.implicits._
     val dir = freshDir("snap_cdc_crash").getAbsolutePath
