@@ -53,6 +53,55 @@ object KMeans {
   def distanceToAssigned(vec: Column, model: Model): Column =
     lit(1.0) - best(vec, model).getField("cos")
 
+  /** Persist a trained model — the serving-shape artifact: fit ONCE
+    * offline, assign/probe many times without re-running Lloyd rounds.
+    * The model is k·dim floats (a few KB), so this is a driver-side
+    * text write: one line per centroid, comma-separated `Float.toString`
+    * values (shortest-round-trip repr, so load returns BIT-IDENTICAL
+    * centroids and every downstream assignment matches the fitting
+    * session exactly). Committed atomically (tmp + rename) so a reader
+    * never observes a half-written model. */
+  def save(spark: org.apache.spark.sql.SparkSession, model: Model,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+    val out = fs.create(tmp, true)
+    try out.write(model.centroids
+      .map(_.map(_.toString).mkString(",")).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"KMeans model commit failed at $path")
+  }
+
+  /** Load a [[save]]d model. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    Model(content.split("\n").toSeq.filter(_.nonEmpty)
+      .map(_.split(",").toSeq.map(_.toFloat)))
+  }
+
+  /** The serving entry: load the model at `path` if one was committed,
+    * otherwise fit on `df` and save — so the FIRST run of a serving job
+    * pays training once and every later run is assign/probe only. */
+  def loadOrFit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      maxIter: Int, path: String): Model = {
+    val spark = df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) load(spark, path)
+    else {
+      val m = fit(df, idCol, vecCol, k, maxIter)
+      save(spark, m, path)
+      m
+    }
+  }
+
   /** Train on `df(vecCol)` (array<float>). Init = the k vectors with the
     * lowest `idCol` (deterministic, corpus-order-independent). Runs up to
     * `maxIter` update rounds, stopping early when no vector changes

@@ -447,6 +447,42 @@ object Catalog {
     }
   }
 
+  /** Snapshot predicate UPDATE (SnapshotStore.update) — the DML verb
+    * completing the triad after MERGE-upsert and DELETE: load per-user
+    * latest events, then `UPDATE SET event_id = -event_id WHERE
+    * user_id % 3 = 0`, read back. Find-touched is a read-only scan;
+    * only buckets holding matching rows are rewritten (untouched dirs
+    * byte-identical, pinned in SnapshotStoreSpec together with replay
+    * idempotence and update-classified CDC rows); the oracle recomputes
+    * the post-UPDATE state with a real SQL UPDATE shape. */
+  val qSnapshotUpdate = Q(
+    "q_snapshot_update",
+    """WITH latest AS (
+      |  SELECT user_id, max(event_id) AS event_id
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id,
+      |       CASE WHEN user_id % 3 = 0 THEN -event_id ELSE event_id END AS event_id
+      |FROM latest
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    import graft.streaming.SnapshotStore
+    val ev = Tables.events(s, d)
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_upd")
+    try {
+      val dir = dirPath.toString
+      SnapshotStore.merge(s, dir, ev.select("user_id", "event_id"),
+        Seq("user_id"), numBuckets = 8, orderCol = Some("event_id"), retain = true)
+      SnapshotStore.update(s, dir, Seq("user_id"),
+        Map("event_id" -> -col("event_id")),
+        col("user_id") % 3 === 0, retain = true)
+      SnapshotStore.read(s, dir).select("user_id", "event_id")
+        .orderBy("user_id").localCheckpoint(true)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** Schema-drift-tolerant load (the self-healing half of ingest: an
     * evolving source must not break the pipeline) — two CSV batches
     * whose schemas drift (v2 widens score int→double and adds a
@@ -978,6 +1014,29 @@ object Catalog {
     Relations.sketchDiscover(relTables.map { case (t, _) => t -> Tables.load(s, d, t) })
   }
 
+  /** Incremental discovery (Relations.sketchDiscoverAgainst) — the
+    * production arrival path the sketch family exists for: ONE new
+    * table lands in an already-sketched catalog and is scored against
+    * the PERSISTED sketches without rescanning any catalog table. Here
+    * lineitem (the biggest driver table) plays the newcomer against the
+    * other nine tables' stored sketches; cost = one scan of the new
+    * table + a (C·k)-sized sketch-vs-sketch broadcast compare, O(new
+    * table) at any catalog width. KMV-estimated containment →
+    * rows-only; CatalogSpec pins incremental == the full sketch run
+    * restricted to newcomer pairs, and the sketch family is gated
+    * against the exact operator's verdicts. */
+  val qCatalogRelationsIncremental =
+    Q.noOracle("q_catalog_relations_incremental") { (s, d) =>
+      val (newcomer, catalog) = relTables.partition(_._1 == "lineitem")
+      // the persisted-catalog artifact: C×k hashes, checkpointed so the
+      // arriving table's scoring job provably never re-reads catalog data
+      val stored = Relations.columnSketches(
+        catalog.map { case (t, _) => t -> Tables.load(s, d, t) })
+        .localCheckpoint(true)
+      Relations.sketchDiscoverAgainst(
+        newcomer.map { case (t, _) => t -> Tables.load(s, d, t) }, stored)
+    }
+
   /** DSv2 aggregate pushdown (SupportsPushDownAggregates): COUNT/MIN/MAX
     * over the synthetic source's id range answer from range METADATA —
     * zero rows generated; filters push first so the answers reflect the
@@ -998,11 +1057,11 @@ object Catalog {
 
   val all: Seq[Q] = Seq(
     qProfileTypes, qProfileSemantic, qQualityNulls, qQualityOutliers,
-    qQualityCardinality, qQualityExpectations, qProfileDrift, qDdlSynthesis, qCsvScan, qJsonScan, qSchemaEvolution, qSnapshotTimetravel, qSnapshotChanges, qSnapshotDelete, qLineage,
+    qQualityCardinality, qQualityExpectations, qProfileDrift, qDdlSynthesis, qCsvScan, qJsonScan, qSchemaEvolution, qSnapshotTimetravel, qSnapshotChanges, qSnapshotDelete, qSnapshotUpdate, qLineage,
     qLoadRoundtrip, qParquetScan, qUdafProfile,
     qSinkCsvRoundtrip, qSinkJsonRoundtrip, qSinkOrcRoundtrip, qSinkPartitioned, qUpsert,
     qSample, qSampleStratified, qSplitTrainEval, qMixtureSample,
     qSynthSource, qSynthAggPushdown,
     qCatalogRelations, qCatalogRelationsComposite, qCatalogRelationsSketch,
-    qCatalogGraph)
+    qCatalogRelationsIncremental, qCatalogGraph)
 }

@@ -540,6 +540,15 @@ object Extensions {
     // materialize it once instead of re-decoding the parquet per branch
     val e = Tables.embeddings(s, d).localCheckpoint(true)
     val model = graft.operators.KMeans.fit(e, "vec_id", "embedding", k = 8, maxIter = 3)
+    ivfSearch(e, model)
+  }
+
+  /** The IVF probe/rerank stage shared by the fit-per-run key and the
+    * persisted-model serving key — given a model, every per-row step is
+    * map-side against the model-sized centroid literal; the only
+    * corpus-sized shuffle is the probe×cell candidate join. */
+  private def ivfSearch(e: DataFrame,
+      model: graft.operators.KMeans.Model): DataFrame = {
     val cand = e.select(col("vec_id").as("cid"), col("embedding").as("ec"))
       .withColumn("cell", graft.operators.KMeans.assignment(col("ec"), model))
     // nprobe=2 nearest cells, computed as a sort over k model entries
@@ -563,6 +572,26 @@ object Extensions {
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= 3)
       .orderBy("qid", "rnk")
+  }
+
+  /** IVF ANN in SERVING shape (round-8 verdict gap #3): the model is fit
+    * ONCE, committed via KMeans.save (atomic tmp+rename, k·dim floats),
+    * and every later run loads it and goes straight to
+    * assign/probe/rerank — no Lloyd rounds in the query path, which is
+    * how an ANN index runs in production (train offline, serve many).
+    * Model files are keyed by scale-factor dir so cross-SF runs never
+    * share centroids. Same search stage as [[qAnnIvf]], so at a fixed
+    * model the results are identical (ClusteringSpec pins the save/load
+    * round-trip bit-exact and serve == fit-path results). Rows-only like
+    * the rest of the ANN family. */
+  val qAnnIvfServe = Q.noOracle("q_ann_ivf_serve") { (s, d) =>
+    VectorExpressions.register(s)
+    val e = Tables.embeddings(s, d).localCheckpoint(true)
+    val path = "/root/repo/target/ann_models/ivf_k8_" +
+      new java.io.File(d).getName + ".model"
+    val model = graft.operators.KMeans.loadOrFit(
+      e, "vec_id", "embedding", k = 8, maxIter = 3, path)
+    ivfSearch(e, model)
   }
 
   /** K-means training surfaced as a query: cluster cardinalities and
@@ -1174,7 +1203,7 @@ object Extensions {
   val all: Seq[Q] = Seq(
     qDedupExact, qNeardup, qDedupCluster, qDedupClusterStar, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupIncremental, qTokenBudget, qCorpusCuration,
-    qSimilarityTopk, qSimilaritySql, qAnnIvf, qAnnLsh, qKmeans,
+    qSimilarityTopk, qSimilaritySql, qAnnIvf, qAnnIvfServe, qAnnLsh, qKmeans,
     qTextAnalysis, qTextTopwords, qTextSearch, qTextSearchAll, qTextSearchPhrase,
     qTextSearchBatch, qHybridSearch, qDecontaminate, qPiiRedact,
     qLangId, qLangIdNgram, qTextQuality, qTokenCount,

@@ -511,6 +511,67 @@ object SnapshotStore {
       numBuckets, schema, since, touched, remaining, keys, retain)
   }
 
+  /** Predicate UPDATE — `UPDATE t SET col = expr, ... WHERE pred` over
+    * the bucketed snapshot, completing the DML triad (merge-upsert /
+    * delete / update). Bounded-rewrite contract: one read-only pass
+    * over the current snapshot finds which buckets hold matching rows
+    * (a predicate can touch anything, so the FIND must scan — exactly
+    * like Delta/Iceberg's find-touched-files step), then ONLY those
+    * buckets are read again and rewritten with the SET expressions
+    * applied under `when(pred, ...)`; untouched buckets survive
+    * byte-identical. Commits through the same stage → rename →
+    * manifest protocol, so with retain = true the changed rows
+    * classify as `update` in [[changes]] (old/new images) and flow
+    * down the CDC feed like any merge-produced update.
+    *
+    * Key columns cannot be SET (re-keying re-buckets a row — that is a
+    * delete+insert, and silently moving it would orphan the old key's
+    * bucket residency); refused loudly. SET expressions are cast to the
+    * committed column types, so an evolved snapshot updates under its
+    * reconciled schema. A predicate matching nothing is a pure no-op —
+    * no version commits (same contract as an all-absent-key delete).
+    * Replaying an update converges: the second run's rewrite is
+    * content-identical (idempotent on state). */
+  def update(spark: SparkSession, dir: String, keys: Seq[String],
+      set: Map[String, Column], predicate: Column,
+      retain: Boolean = false): Unit = {
+    val committed = currentManifest(spark, dir).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"no snapshot manifest in $dir — nothing to update"))
+    val schema = committed.schema.getOrElse(
+      spark.read.parquet(committed.buckets.values.toSeq.sorted
+        .map(d => s"$dir/$d"): _*).schema)
+    require(set.nonEmpty, "update: empty SET clause")
+    val unknown = set.keySet.filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty,
+      s"update: SET references column(s) ${unknown.mkString(", ")} not in " +
+        s"the snapshot schema (${schema.fieldNames.mkString(", ")})")
+    val keyed = set.keySet.intersect(keys.toSet)
+    require(keyed.isEmpty,
+      s"update: SET touches key column(s) ${keyed.mkString(", ")} — " +
+        "re-keying re-buckets the row; model it as delete + insert")
+    val since = committed.schemaSince.getOrElse(committed.version)
+    val numBuckets = committed.numBuckets
+    // find-touched pass: read-only scan, emits only the matching rows'
+    // bucket ids (≤ B distinct values through the aggregate)
+    val touched = readFrom(spark, dir, committed)
+      .filter(predicate)
+      .select(bucketCol(keys, numBuckets).as("__b"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+      .filter(committed.buckets.contains)
+    if (touched.isEmpty) return // nothing matches: pure no-op, no version
+    val existingDirs = touched.flatMap(committed.buckets.get).map(d => s"$dir/$d")
+    // ONE projection for every SET column: SQL UPDATE evaluates all SET
+    // expressions against the OLD row — a sequential withColumn chain
+    // would let `SET a = b, b = a` read the already-updated a
+    val rewritten = readAligned(spark, existingDirs, committed.schema, since)
+      .withColumns(set.map { case (c, expr) =>
+        c -> when(predicate, expr.cast(schema(c).dataType)).otherwise(col(c))
+      })
+    commitVersion(spark, dir, Some(committed), committed.version + 1,
+      numBuckets, schema, since, touched, rewritten, keys, retain)
+  }
+
   /** Shared commit tail of [[merge]]/[[delete]]: stage the touched
     * buckets' new content for `version`, rename dirs into place, then
     * make the version visible via ONE manifest rename — data first,

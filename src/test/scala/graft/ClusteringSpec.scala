@@ -102,6 +102,37 @@ class ClusteringSpec extends AnyFunSuite {
     assert(inertia(trained) <= inertia(init) + 1e-9)
   }
 
+  test("model save/load round-trips bit-exact; loadOrFit serves without refitting") {
+    val dir = new java.io.File("target/test_ann_models")
+    dir.mkdirs()
+    val path = new java.io.File(dir, "m1.model").getAbsolutePath
+    new java.io.File(path).delete()
+    val model = KMeans.fit(separated, "id", "vec", k = 3, maxIter = 10)
+    KMeans.save(spark, model, path)
+    val loaded = KMeans.load(spark, path)
+    assert(loaded == model,
+      "Float.toString shortest-round-trip repr must reload bit-identical centroids")
+    // loadOrFit with a committed model must NOT refit: hand it a frame
+    // that would train a DIFFERENT model — the stored one must win
+    val shifted = separated.withColumn("vec",
+      transform(col("vec"), x => x * lit(0.0f) + lit(1.0f)))
+    val served = KMeans.loadOrFit(shifted, "id", "vec", k = 3, maxIter = 10, path)
+    assert(served == model, "a committed model must be served, not refit")
+    // and with no file present it fits and commits
+    val path2 = new java.io.File(dir, "m2.model").getAbsolutePath
+    new java.io.File(path2).delete()
+    val fitted = KMeans.loadOrFit(separated, "id", "vec", k = 3, maxIter = 10, path2)
+    assert(fitted == model)
+    assert(KMeans.load(spark, path2) == model, "first serve run commits the model")
+    // serving-shape results equal the fit-path results at a fixed model:
+    // assignments from the loaded model match the fitting session's
+    val viaFit = separated.withColumn("c", KMeans.assignment(col("vec"), model))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val viaServe = separated.withColumn("c", KMeans.assignment(col("vec"), loaded))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(viaServe == viaFit)
+  }
+
   test("auto clustering dispatch: deep chain exceeds the label budget, star path recovers") {
     import spark.implicits._
     // a planted 60-hop chain: min-label needs ~59 rounds; auto's default

@@ -239,6 +239,23 @@ class ExtensionsSpec extends AnyFunSuite {
     ivf.foreach { case (q, c) => assert(c <= exact(q) + 1e-9) }
   }
 
+  test("q_ann_ivf_serve equals q_ann_ivf (same model, no refit in the query path)") {
+    // clear any stale committed model so serve's first run fits the SAME
+    // model q_ann_ivf fits (deterministic trainer, same data/k/iters) —
+    // then the persisted-model path must return identical rankings
+    val modelFile = new java.io.File(
+      "/root/repo/target/ann_models/ivf_k8_" + new java.io.File(sf).getName + ".model")
+    modelFile.delete()
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val fitPath = rows("q_ann_ivf")
+    val servedFirst = rows("q_ann_ivf_serve") // fits + commits the model
+    assert(modelFile.exists(), "first serve run must commit the model file")
+    val servedAgain = rows("q_ann_ivf_serve") // pure load + search
+    assert(servedFirst == fitPath, "serve (fit+commit) must equal the fit-per-run key")
+    assert(servedAgain == fitPath, "serve (load) must equal the fit-per-run key")
+  }
+
   test("ANN recall@3 vs exact brute force stays above the per-index gate") {
     // quantitative regression gate: a parameter change (fewer probes,
     // coarser buckets, fewer planes) that silently destroys recall must

@@ -102,6 +102,38 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AND-mode text search == OR-mode plan plus exactly one __nterms filter") {
+    // round-8 bench flagged q_text_search_all at 2.7x its OR twin once;
+    // re-measurement showed identical cost (noise), and this pin makes
+    // the claim structural: the conjunctive mode may add ONE Filter over
+    // the term-presence count — any other shape drift (an extra
+    // exchange, a window, a second aggregate pass) fails here
+    def shape(name: String) = {
+      val nodes = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan.collect { case n => n }
+      (nodes, nodes.groupBy(_.getClass.getSimpleName)
+        .map { case (k, v) => k -> v.size })
+    }
+    val (_, orShape) = shape("q_text_search")
+    val (andNodes, andShape) = shape("q_text_search_all")
+    val diff = (andShape.keySet ++ orShape.keySet).flatMap { k =>
+      val d = andShape.getOrElse(k, 0) - orShape.getOrElse(k, 0)
+      if (d != 0) Some(k -> d) else None
+    }.toMap
+    // the __nterms drop after the gate survives as one narrow Project in
+    // AND mode (OR mode prunes the count inside the Aggregate) — benign,
+    // no exchange; anything else is shape drift
+    assert(Set(Map("Filter" -> 1), Map("Filter" -> 1, "Project" -> 1))(diff),
+      s"AND-mode plan shape must differ from OR-mode by one Filter " +
+        s"(plus at most the __nterms-pruning Project): $diff")
+    val ntermFilters = andNodes.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.references.exists(_.name.contains("__nterms")) => f
+    }
+    assert(ntermFilters.size == 1,
+      s"the extra Filter must be the __nterms conjunctive gate, found ${ntermFilters.size}")
+  }
+
   test("no unpartitioned windows anywhere in the retrieval/rank plans") {
     // the round-7 scale defect class: an empty window partition spec
     // means WindowExec funnels its whole input through ONE task. Every

@@ -351,6 +351,99 @@ class SnapshotStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("update: predicate rewrite is bucket-pruned, replay-idempotent, CDC-classified") {
+    import spark.implicits._
+    val dir = freshDir("snap_update").getAbsolutePath
+    SnapshotStore.merge(spark, dir,
+      (1L to 40L).map(k => (k, k * 10, "x")).toDF("k", "v", "tag"),
+      Seq("k"), numBuckets = 4, retain = true)
+    val before = filesUnder(new java.io.File(dir))
+    // update three keys' values; all three hash into a subset of buckets
+    val hit = Seq(5L, 9L, 13L)
+    SnapshotStore.update(spark, dir, Seq("k"),
+      Map("v" -> (col("v") + 1000)), $"k".isin(hit: _*), retain = true)
+    val snap = SnapshotStore.read(spark, dir)
+    assert(snap.filter($"k".isin(hit: _*)).select("v").collect()
+      .map(_.getLong(0)).sorted.toSeq == hit.map(_ * 10 + 1000).sorted,
+      "matching rows take the SET value")
+    assert(snap.filter(!$"k".isin(hit: _*) && $"v" =!= $"k" * 10).count() == 0,
+      "non-matching rows keep their values")
+    assert(snap.count() == 40, "update never changes cardinality")
+    // bounded rewrite: bucket dirs not holding a hit survive byte-identical
+    val touchedBuckets = hit.toDF("k")
+      .withColumn("__b", SnapshotStore.bucketCol(Seq("k"), 4))
+      .select("__b").distinct().collect().map(_.getInt(0)).toSet
+    val after = filesUnder(new java.io.File(dir))
+    val untouchedV1 = before.keys.filter(p =>
+      p.startsWith("b") && p.contains("_v1/") &&
+        !touchedBuckets.exists(b => p.startsWith(s"b${b}_v1/")))
+    assert(untouchedV1.nonEmpty)
+    untouchedV1.foreach(p => assert(after.get(p) == before.get(p),
+      s"untouched bucket file $p must survive an update byte-identical"))
+    // CDC: exactly the hit keys classify as update with old/new images
+    val ch = SnapshotStore.changes(spark, dir, 1L, 2L, Seq("k")).collect()
+    assert(ch.map(_.getAs[Long]("k")).toSet == hit.toSet)
+    assert(ch.forall(_.getAs[String]("change_type") == "update"))
+    assert(ch.forall(r => r.getAs[Long]("new_v") == r.getAs[Long]("old_v") + 1000))
+    // replaying the update: +1000 again on the already-updated rows is a
+    // REAL second update (not idempotent arithmetic) — idempotence means
+    // re-running the SAME state transition: an absolute SET converges
+    SnapshotStore.update(spark, dir, Seq("k"),
+      Map("v" -> lit(7777L)), $"k" === 5L, retain = true)
+    SnapshotStore.update(spark, dir, Seq("k"),
+      Map("v" -> lit(7777L)), $"k" === 5L, retain = true)
+    assert(SnapshotStore.read(spark, dir).filter($"k" === 5L)
+      .head.getAs[Long]("v") == 7777L)
+    assert(SnapshotStore.changes(spark, dir, 3L, 4L, Seq("k")).count() == 0,
+      "replayed absolute update diffs empty (converged)")
+    // no-match predicate: pure no-op, no version committed
+    val vBefore = SnapshotStore.listVersions(spark, dir).max
+    SnapshotStore.update(spark, dir, Seq("k"),
+      Map("v" -> lit(0L)), $"k" === 999L, retain = true)
+    assert(SnapshotStore.listVersions(spark, dir).max == vBefore)
+    // refusals: SET on a key column; SET on an unknown column
+    val eKey = intercept[IllegalArgumentException] {
+      SnapshotStore.update(spark, dir, Seq("k"), Map("k" -> lit(1L)), lit(true))
+    }
+    assert(eKey.getMessage.contains("key column"))
+    val eCol = intercept[IllegalArgumentException] {
+      SnapshotStore.update(spark, dir, Seq("k"), Map("nope" -> lit(1L)), lit(true))
+    }
+    assert(eCol.getMessage.contains("not in"))
+    // multi-column SET evaluates every RHS against the OLD row (SQL
+    // semantics): swapping v and tag-length must not read updated v
+    SnapshotStore.update(spark, dir, Seq("k"),
+      Map("v" -> (col("v") * 2),
+        "tag" -> concat(col("tag"), (col("v") / 10).cast("long").cast("string"))),
+      $"k" === 7L, retain = true)
+    val r7 = SnapshotStore.read(spark, dir).filter($"k" === 7L).head
+    assert(r7.getAs[Long]("v") == 140L)
+    assert(r7.getAs[String]("tag") == "x7", // built from OLD v=70, not 140
+      s"SET must see the old row: ${r7.getAs[String]("tag")}")
+  }
+
+  test("update across an evolved schema classifies correctly in changes()") {
+    import spark.implicits._
+    val dir = freshDir("snap_update_evolve").getAbsolutePath
+    SnapshotStore.merge(spark, dir, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"),
+      Seq("k"), numBuckets = 2, retain = true)
+    // v2 evolves the schema: adds column w (older rows null-fill)
+    SnapshotStore.merge(spark, dir, Seq((3L, 30L, "c")).toDF("k", "v", "w"),
+      Seq("k"), numBuckets = 2, retain = true)
+    // update a PRE-evolution row, setting the post-evolution column
+    SnapshotStore.update(spark, dir, Seq("k"),
+      Map("w" -> lit("healed")), $"k" === 1L, retain = true)
+    val snap = SnapshotStore.read(spark, dir).collect()
+      .map(r => r.getAs[Long]("k") -> Option(r.getAs[String]("w"))).toMap
+    assert(snap(1L).contains("healed") && snap(2L).isEmpty && snap(3L).contains("c"))
+    val ch = SnapshotStore.changes(spark, dir, 2L, 3L, Seq("k")).collect()
+    assert(ch.map(_.getAs[Long]("k")).toSeq == Seq(1L))
+    assert(ch.head.getAs[String]("change_type") == "update")
+    assert(ch.head.getAs[String]("old_w") == null &&
+      ch.head.getAs[String]("new_w") == "healed",
+      "null -> value on an evolved column is an update, not a dropped row")
+  }
+
   test("delete pins doomed key types to the committed schema before bucketing") {
     import spark.implicits._
     val dir = freshDir("snap_delete_keytype").getAbsolutePath
