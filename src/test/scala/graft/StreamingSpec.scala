@@ -161,6 +161,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(Streams.readSnapshot(spark, target.getAbsolutePath).count() == users)
   }
 
+  test("CDC publish is stage-then-rename: scaffolds invisible + swept; update feeds the log") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def rmrf(p: java.io.File): Unit = {
+      Option(p.listFiles()).foreach(_.foreach(rmrf)); p.delete(); ()
+    }
+    val src = new java.io.File("/root/repo/target/cdcp_src")
+    val cdc = new java.io.File("/root/repo/target/cdcp_cdc")
+    Seq(src, cdc).foreach(rmrf)
+    Streams.cdcBatch(spark, src.getAbsolutePath, cdc.getAbsolutePath,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"), numBuckets = 4)
+    // plant crashed-publish scaffolds: one DEAD (version ≤ last logged —
+    // its publish either landed or was retried) and one possibly
+    // IN-FLIGHT (version beyond the log head)
+    val dead = new java.io.File(cdc, "__stage_v1")
+    val inflight = new java.io.File(cdc, "__stage_v99")
+    Seq(dead, inflight).foreach { d =>
+      d.mkdirs()
+      java.nio.file.Files.writeString(d.toPath.resolve("junk.parquet"), "x")
+    }
+    // leading-underscore scaffolds are invisible to every reader: the
+    // batch read sees only committed version partitions, and the
+    // exactly-once diff base ignores them
+    assert(spark.read.parquet(cdc.getAbsolutePath).count() == 2)
+    assert(Streams.lastLoggedVersion(spark, cdc.getAbsolutePath) == Some(1L))
+    // a predicate UPDATE cycle publishes version 2 atomically with
+    // update-classified rows carrying old/new images
+    Streams.cdcUpdateBatch(spark, src.getAbsolutePath, cdc.getAbsolutePath,
+      Seq("k"), Map("v" -> lit("z")), col("k") === 1L)
+    val v2 = spark.read.parquet(cdc.getAbsolutePath)
+      .filter(col("__version") === 2).collect()
+    assert(v2.length == 1)
+    assert(v2.head.getAs[String]("change_type") == "update")
+    assert(v2.head.getAs[String]("old_v") == "a" &&
+      v2.head.getAs[String]("new_v") == "z")
+    // vacuum sweeps the dead scaffold but leaves the possibly-in-flight one
+    Streams.vacuumCdcLog(spark, cdc.getAbsolutePath, keepLast = 100)
+    assert(!dead.exists(), "dead stage scaffold (v ≤ log head) must sweep")
+    assert(inflight.exists(), "a stage beyond the log head may be in-flight — untouched")
+    // IVM deltas from the update net −old +new
+    val deltas = Streams.cdcCountDeltas(
+      spark.read.parquet(cdc.getAbsolutePath).filter(col("__version") === 2), "v")
+      .groupBy("v").agg(sum("delta").as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(deltas == Map("a" -> -1L, "z" -> 1L))
+  }
+
   test("the CDC log is streamable: a readStream consumer sees exactly the feed") {
     import org.apache.spark.sql.functions._
     // consumes the feed the upsert-CDC test wrote (same target dir)
