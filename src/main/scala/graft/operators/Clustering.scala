@@ -88,14 +88,27 @@ object KMeans {
 
   /** The serving entry: load the model at `path` if one was committed,
     * otherwise fit on `df` and save — so the FIRST run of a serving job
-    * pays training once and every later run is assign/probe only. */
+    * pays training once and every later run is assign/probe only. A
+    * loaded model is validated against the data's embedding dimension:
+    * the fused cosine kernel evaluates over min(|a|, |b|) elements, so
+    * a stale model from a different corpus would otherwise degrade
+    * SILENTLY (truncated dot products) instead of failing loudly. */
   def loadOrFit(df: DataFrame, idCol: String, vecCol: String, k: Int,
       maxIter: Int, path: String): Model = {
     val spark = df.sparkSession
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) load(spark, path)
-    else {
+    if (fs.exists(p)) {
+      val m = load(spark, path)
+      val dim = df.select(size(col(vecCol))).head.getInt(0)
+      require(m.centroids.forall(_.size == dim),
+        s"persisted model at $path has dim ${m.centroids.map(_.size).distinct.mkString("/")} " +
+          s"but the corpus embeds at dim $dim — stale model; delete it or " +
+          "point serving at the corpus it was trained on")
+      require(m.k == k,
+        s"persisted model at $path has k=${m.k}, serving requested k=$k")
+      m
+    } else {
       val m = fit(df, idCol, vecCol, k, maxIter)
       save(spark, m, path)
       m
