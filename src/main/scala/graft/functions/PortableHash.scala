@@ -60,7 +60,26 @@ object PortableHash {
     mix31(mix31(mix31(lo) ^ mid) ^ top)
   }
 
-  def column(c: Column): Column = call_function("portable_hash", c)
+  /** Idempotent session registration — the same self-install hazard
+    * guard Relations.columnSketches applies for bottom_k_distinct: a
+    * session built WITHOUT GraftExtensions must not fail analysis with
+    * an unresolved portable_hash. No-op when the name already resolves
+    * (re-registering would WARN per call). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("portable_hash")))
+      reg.createOrReplaceTempFunction(
+        "portable_hash", exprs => PortableHashExpr(exprs(0)), "built-in")
+  }
+
+  def column(c: Column): Column = {
+    // call_function resolves lazily at analysis; install into the active
+    // session here so plain SparkSession.builder sessions keep working
+    // (the pre-round-9 built-in Column tree needed no registration)
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach(register)
+    call_function("portable_hash", c)
+  }
 
   /** The mixer folded to [0, 1000) — per-mille selection buckets. */
   def permille(c: Column): Column = pmod(column(c), lit(1000L))

@@ -56,61 +56,82 @@ object KMeans {
   /** Persist a trained model — the serving-shape artifact: fit ONCE
     * offline, assign/probe many times without re-running Lloyd rounds.
     * The model is k·dim floats (a few KB), so this is a driver-side
-    * text write: one line per centroid, comma-separated `Float.toString`
-    * values (shortest-round-trip repr, so load returns BIT-IDENTICAL
-    * centroids and every downstream assignment matches the fitting
-    * session exactly). Committed atomically (tmp + rename) so a reader
-    * never observes a half-written model. */
+    * text write: optional `#`-prefixed header lines (the corpus
+    * fingerprint [[loadOrFit]] staleness-checks against), then one line
+    * per centroid, comma-separated `Float.toString` values
+    * (shortest-round-trip repr, so load returns BIT-IDENTICAL centroids
+    * and every downstream assignment matches the fitting session
+    * exactly). Committed via a UNIQUE tmp file + rename, so two racing
+    * savers can never interleave on a shared scratch name and commit a
+    * truncated file; the delete-then-rename swap (Hadoop rename refuses
+    * an existing destination) leaves a brief absent window — the model
+    * path is single-writer, same contract as the SnapshotStore. */
   def save(spark: org.apache.spark.sql.SparkSession, model: Model,
-      path: String): Unit = {
+      path: String, fingerprint: Option[String] = None): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+    val tmp = new org.apache.hadoop.fs.Path(
+      path + "__tmp_" + java.util.UUID.randomUUID().toString)
     val out = fs.create(tmp, true)
-    try out.write(model.centroids
-      .map(_.map(_.toString).mkString(",")).mkString("\n").getBytes("UTF-8"))
+    try out.write((fingerprint.map(f => s"#fp=$f").toSeq ++
+      model.centroids.map(_.map(_.toString).mkString(",")))
+      .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (fs.exists(p)) fs.delete(p, false)
     if (!fs.rename(tmp, p))
       throw new java.io.IOException(s"KMeans model commit failed at $path")
   }
 
-  /** Load a [[save]]d model. */
-  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+  /** Load a [[save]]d model (ignoring header lines). */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model =
+    loadWithFingerprint(spark, path)._1
+
+  /** [[load]] plus the stored corpus fingerprint, if one was saved. */
+  def loadWithFingerprint(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Model, Option[String]) = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
     val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    Model(content.split("\n").toSeq.filter(_.nonEmpty)
-      .map(_.split(",").toSeq.map(_.toFloat)))
+    val lines = content.split("\n").toSeq.filter(_.nonEmpty)
+    val fp = lines.collectFirst { case l if l.startsWith("#fp=") => l.stripPrefix("#fp=") }
+    (Model(lines.filterNot(_.startsWith("#"))
+      .map(_.split(",").toSeq.map(_.toFloat))), fp)
   }
 
-  /** The serving entry: load the model at `path` if one was committed,
-    * otherwise fit on `df` and save — so the FIRST run of a serving job
-    * pays training once and every later run is assign/probe only. A
-    * loaded model is validated against the data's embedding dimension:
-    * the fused cosine kernel evaluates over min(|a|, |b|) elements, so
-    * a stale model from a different corpus would otherwise degrade
-    * SILENTLY (truncated dot products) instead of failing loudly. */
+  /** Order-insensitive corpus fingerprint: row count + XOR of per-row
+    * xxhash64(id, vector) — one narrow scan, catches id AND embedding
+    * changes, partition-order invariant (XOR commutes), overflow-free. */
+  def corpusFingerprint(df: DataFrame, idCol: String, vecCol: String): String = {
+    val r = df.agg(count(lit(1)).as("n"),
+      expr(s"bit_xor(xxhash64(`$idCol`, `$vecCol`))").as("x")).head
+    s"${r.getLong(0)}:${r.getLong(1)}:k"
+  }
+
+  /** The serving entry: serve the model at `path` when it matches the
+    * corpus, otherwise (re)fit and commit — so the FIRST serving run
+    * pays training once, later runs are assign/probe only, and a STALE
+    * model (regenerated corpus, different corpus under the same path,
+    * changed k) is detected by the stored fingerprint and SELF-HEALS by
+    * refitting instead of silently serving dead centroids (the fused
+    * cosine kernel evaluates over min(|a|,|b|) elements, so even a
+    * dim-mismatched model would otherwise degrade without an error). */
   def loadOrFit(df: DataFrame, idCol: String, vecCol: String, k: Int,
       maxIter: Int, path: String): Model = {
     val spark = df.sparkSession
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      val m = load(spark, path)
-      val dim = df.select(size(col(vecCol))).head.getInt(0)
-      require(m.centroids.forall(_.size == dim),
-        s"persisted model at $path has dim ${m.centroids.map(_.size).distinct.mkString("/")} " +
-          s"but the corpus embeds at dim $dim — stale model; delete it or " +
-          "point serving at the corpus it was trained on")
-      require(m.k == k,
-        s"persisted model at $path has k=${m.k}, serving requested k=$k")
-      m
-    } else {
+    val fp = corpusFingerprint(df, idCol, vecCol) + k.toString
+    val stored: Option[Model] =
+      if (!fs.exists(p)) None
+      else loadWithFingerprint(spark, path) match {
+        case (m, Some(storedFp)) if storedFp == fp && m.k == k => Some(m)
+        case _ => None // no/mismatched fingerprint: stale — refit below
+      }
+    stored.getOrElse {
       val m = fit(df, idCol, vecCol, k, maxIter)
-      save(spark, m, path)
+      save(spark, m, path, Some(fp))
       m
     }
   }

@@ -482,19 +482,26 @@ object SnapshotStore {
     if (lossy.nonEmpty) {
       // originally-null keys are exempt: null never equi-joins, so they
       // were no-ops before the cast too — only a value the cast LOSES is
-      // a silent wrong-bucket hazard. try_cast, not cast: under ANSI
-      // mode (Spark 4 default) a plain cast would throw here instead of
-      // letting the require explain the contract.
-      val bad = doomed.filter(lossy.map(k =>
-        col(k).isNotNull &&
-          expr(s"try_cast(`$k` AS ${schema(k).dataType.sql})").isNull)
-        .reduce(_ || _))
+      // a silent hazard. Two loss modes, both refused: (a) the cast
+      // nulls (overflow/unparseable — try_cast, because under ANSI mode
+      // a plain cast would throw here instead of letting the require
+      // explain the contract); (b) the cast TRUNCATES (double 5.5 →
+      // bigint 5 is non-null but names a row the caller never asked to
+      // delete) — caught by round-tripping back to the original type
+      // and demanding null-safe equality with the input value.
+      val bad = doomed.filter(lossy.map { k =>
+        val committed = schema(k).dataType.sql
+        val original = doomed.schema(k).dataType.sql
+        val cast = expr(s"try_cast(`$k` AS $committed)")
+        val roundTrip = expr(s"try_cast(try_cast(`$k` AS $committed) AS $original)")
+        col(k).isNotNull && (cast.isNull || !(roundTrip <=> col(k)))
+      }.reduce(_ || _))
         .limit(1).count()
       require(bad == 0,
         s"delete key column(s) ${lossy.mkString(", ")} contain values not " +
           s"representable under the snapshot's committed key types — cast " +
-          "upstream (the bucket hash is type-sensitive; a null-ed key " +
-          "would target the wrong bucket and silently miss its row)")
+          "upstream (the bucket hash is type-sensitive; a lossy key would " +
+          "target the wrong bucket or silently delete a DIFFERENT row)")
     }
     val doomedKeys = doomedPinned.distinct()
       .withColumn("__b", bucketCol(keys, numBuckets))
@@ -554,8 +561,23 @@ object SnapshotStore {
     val numBuckets = committed.numBuckets
     // find-touched pass: read-only scan, emits only the matching rows'
     // bucket ids (≤ B distinct values through the aggregate)
-    val touched = readFrom(spark, dir, committed)
-      .filter(predicate)
+    val findTouched = readFrom(spark, dir, committed).filter(predicate)
+    // the predicate evaluates TWICE (find-touched, then the rewrite's
+    // when(pred, ...)), so a nondeterministic one would update an
+    // inconsistent row set — matched rows in buckets deemed untouched
+    // keep old values while fresh matches in touched buckets change.
+    // Refuse loudly, same policy as Delta/Iceberg DML. (Column.expr is
+    // private in Spark 4; the analyzed Filter carries the flag.)
+    val nonDet = findTouched.queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if !f.condition.deterministic => f
+    }
+    require(nonDet.isEmpty,
+      "update predicate must be deterministic — it is evaluated once to " +
+        "find touched buckets and again in the rewrite; a nondeterministic " +
+        "predicate (rand(), current_timestamp over a race, ...) would " +
+        "silently update an inconsistent row set")
+    val touched = findTouched
       .select(bucketCol(keys, numBuckets).as("__b"))
       .distinct().collect().map(_.getInt(0)).sorted.toSeq
       .filter(committed.buckets.contains)

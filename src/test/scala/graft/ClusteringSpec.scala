@@ -112,18 +112,30 @@ class ClusteringSpec extends AnyFunSuite {
     val loaded = KMeans.load(spark, path)
     assert(loaded == model,
       "Float.toString shortest-round-trip repr must reload bit-identical centroids")
-    // loadOrFit with a committed model must NOT refit: hand it a frame
-    // that would train a DIFFERENT model — the stored one must win
-    val shifted = separated.withColumn("vec",
-      transform(col("vec"), x => x * lit(0.0f) + lit(1.0f)))
-    val served = KMeans.loadOrFit(shifted, "id", "vec", k = 3, maxIter = 10, path)
-    assert(served == model, "a committed model must be served, not refit")
-    // and with no file present it fits and commits
+    // first serving run with no file: fits and commits (with fingerprint)
     val path2 = new java.io.File(dir, "m2.model").getAbsolutePath
     new java.io.File(path2).delete()
     val fitted = KMeans.loadOrFit(separated, "id", "vec", k = 3, maxIter = 10, path2)
     assert(fitted == model)
     assert(KMeans.load(spark, path2) == model, "first serve run commits the model")
+    // matching corpus: serves the stored model WITHOUT refitting —
+    // observed by the file staying byte-identical (no re-commit)
+    val before = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path2))
+    assert(KMeans.loadOrFit(separated, "id", "vec", k = 3, maxIter = 10, path2) == model)
+    val after = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path2))
+    assert(java.util.Arrays.equals(before, after),
+      "a fingerprint-matched model must be served, not re-committed")
+    // CHANGED corpus under the same path: the stored fingerprint
+    // mismatches, loadOrFit self-heals by refitting — serving dead
+    // centroids silently is the failure mode this prevents
+    val shifted = separated.withColumn("vec",
+      transform(col("vec"), x => x * lit(0.0f) + lit(1.0f)))
+    val healed = KMeans.loadOrFit(shifted, "id", "vec", k = 3, maxIter = 10, path2)
+    assert(healed != model, "stale model must be refit for the new corpus")
+    assert(KMeans.load(spark, path2) == healed, "the refit model is committed")
+    // changed k is staleness too
+    val k4 = KMeans.loadOrFit(separated, "id", "vec", k = 4, maxIter = 10, path2)
+    assert(k4.k == 4)
     // serving-shape results equal the fit-path results at a fixed model:
     // assignments from the loaded model match the fitting session's
     val viaFit = separated.withColumn("c", KMeans.assignment(col("vec"), model))

@@ -410,6 +410,13 @@ class SnapshotStoreSpec extends AnyFunSuite {
       SnapshotStore.update(spark, dir, Seq("k"), Map("nope" -> lit(1L)), lit(true))
     }
     assert(eCol.getMessage.contains("not in"))
+    // nondeterministic predicate: evaluated twice (find-touched +
+    // rewrite), so it must be refused, not silently double-sampled
+    val eNonDet = intercept[IllegalArgumentException] {
+      SnapshotStore.update(spark, dir, Seq("k"),
+        Map("v" -> lit(0L)), rand() < 0.5)
+    }
+    assert(eNonDet.getMessage.contains("deterministic"))
     // multi-column SET evaluates every RHS against the OLD row (SQL
     // semantics): swapping v and tag-length must not read updated v
     SnapshotStore.update(spark, dir, Seq("k"),
@@ -474,6 +481,17 @@ class SnapshotStoreSpec extends AnyFunSuite {
     SnapshotStore.delete(spark, dir,
       Seq(Some("11"), None).toDF("k"), Seq("k"), retain = true)
     assert(SnapshotStore.read(spark, dir).filter($"k" === 11L).count() == 0)
+    // a FRACTIONAL doomed key is refused, not truncated: try_cast(5.5 AS
+    // BIGINT) = 5 is non-null, so a null-only guard would silently
+    // delete row 5 — a key the caller never named; the round-trip
+    // fidelity check catches it
+    val eTrunc = intercept[IllegalArgumentException] {
+      SnapshotStore.delete(spark, dir, Seq(5.5).toDF("k"), Seq("k"))
+    }
+    assert(eTrunc.getMessage.contains("not representable"))
+    // while an exactly-representable double key round-trips and deletes
+    SnapshotStore.delete(spark, dir, Seq(6.0).toDF("k"), Seq("k"), retain = true)
+    assert(SnapshotStore.read(spark, dir).filter($"k" === 6L).count() == 0)
   }
 
   test("cdc feed is exactly-once: a commit crashed before its append is caught up") {
