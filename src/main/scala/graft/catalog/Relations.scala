@@ -249,8 +249,14 @@ object Relations {
   }
 
   /** KMV containment estimates for every cross-table sketch pair. */
-  private def scoreSketches(sk: DataFrame, k: Int,
+  private def scoreSketches(sk0: DataFrame, k: Int,
       minContainment: Double): DataFrame = {
+    // materialize the sketch set before the self-join: both join sides
+    // reference it, and without a checkpoint each side re-runs the FULL
+    // sketch pipeline — corpus scans included (PLANS.md showed lineitem
+    // scanned twice in the incremental key). The set is C×k hashes —
+    // a few KB at any corpus size.
+    val sk = sk0.localCheckpoint(true)
     val pairs = sk.as("a").join(broadcast(sk.as("b")), col("a.tbl") =!= col("b.tbl"))
     // unified bottom-k of the union, then membership counting
     val unified = slice(array_sort(array_distinct(

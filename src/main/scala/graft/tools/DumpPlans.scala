@@ -125,6 +125,22 @@ object DumpPlans {
       "arithmetic, and the top-k is TakeOrderedAndProject + a bounded " +
       "20-row rank — no positional self-join, no corpus-sized window " +
       "anywhere; only phrase-term tokens ever left the map side."),
+    "q_ann_ivf_serve" -> ("IVF ANN in serving shape: the k-means model is " +
+      "LOADED (KMeans.save/load, corpus-fingerprint staleness check), so the " +
+      "plan contains ONLY assign/probe/rerank — centroids appear as literal " +
+      "arrays inside codegen'd vec_cosine calls, the nprobe cell ranking is " +
+      "an array_sort over k struct entries (no window, no cross join), and " +
+      "the single corpus-sized shuffle is the probe×cell candidate join. " +
+      "What to check: no aggregate stages from Lloyd iterations anywhere."),
+    "q_catalog_relations_incremental" -> ("One-table-arrives incremental " +
+      "discovery: the catalog's KMV sketches are a checkpointed C×k-row " +
+      "LogicalRDD (computed once, persisted in production), the newcomer's " +
+      "sketch joins them and the UNION is checkpointed before the pair " +
+      "self-join (without that, both join sides re-ran the full sketch " +
+      "pipeline — the corpus scan included; caught in this dump, round 9). " +
+      "What to check: ZERO parquet scans in this plan (the newcomer scan " +
+      "ran once into the checkpoint); scoring is Scan ExistingRDD + " +
+      "broadcast self-join only."),
     "q_token_budget" -> ("Budget cut on a distributed running total " +
       "(CumSum two-pass scan). The scan's range exchange + pass 1 run " +
       "eagerly inside localCheckpoint, so the dumped plan STARTS at 'Scan " +
