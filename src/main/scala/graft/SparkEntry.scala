@@ -15,7 +15,8 @@ object SparkEntry {
       graft.queries.TimeWindows.all ++
       graft.queries.Catalog.all ++
       graft.queries.Analytics.all ++
-      graft.queries.Extensions.all
+      graft.queries.Extensions.all ++
+      graft.queries.Training.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H-Q1-shaped aggregate over lineitem (SURVEY §7 step 0). */

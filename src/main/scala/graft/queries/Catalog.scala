@@ -483,6 +483,56 @@ object Catalog {
     }
   }
 
+  /** Snapshot OPTIMIZE (SnapshotStore.compact): two retained merges
+    * leave every bucket with one file per shuffle partition per
+    * version; compaction rewrites multi-file buckets to exactly one
+    * file and commits a content-IDENTICAL version — so the oracle is
+    * simply the final merged state (per-user latest event), and the
+    * stronger invariants (one file per bucket, empty changes() across
+    * the compaction, retained history intact, immediate re-compact is
+    * a no-op) are pinned in SnapshotStoreSpec. */
+  val qSnapshotCompact = Q(
+    "q_snapshot_compact",
+    // upsert semantics, not global max: the second (odd) batch REPLACES
+    // each key it touches, so a user with any odd event keeps its max
+    // odd event_id; only odd-less users keep their max even one
+    """SELECT user_id,
+      |  coalesce(max(event_id) FILTER (event_id % 2 = 1),
+      |           max(event_id)) AS event_id
+      |FROM events GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    import graft.streaming.SnapshotStore
+    val ev = Tables.events(s, d).select("user_id", "event_id")
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_opt")
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val coalesceWas = s.conf.get(coalesceKey, "true")
+    try {
+      val dir = dirPath.toString
+      // fragment deliberately: without AQE coalescing each merge's
+      // shuffle keeps its full partition fan-out, so every bucket dir
+      // lands several files — the state compact() exists to heal (at
+      // sf0.01 AQE would coalesce the tiny shuffles to one partition
+      // and the fixture would have nothing to compact)
+      s.conf.set(coalesceKey, "false")
+      SnapshotStore.merge(s, dir, ev.filter(col("event_id") % 2 === 0),
+        Seq("user_id"), numBuckets = 8, orderCol = Some("event_id"), retain = true)
+      SnapshotStore.merge(s, dir, ev.filter(col("event_id") % 2 === 1),
+        Seq("user_id"), numBuckets = 8, orderCol = Some("event_id"), retain = true)
+      s.conf.set(coalesceKey, coalesceWas)
+      val compacted = SnapshotStore.compact(s, dir, Seq("user_id"), retain = true)
+      require(compacted.nonEmpty, "expected multi-file buckets to compact")
+      // no dedup on read-back: if compaction duplicated or dropped a
+      // row the oracle's row count/hash catches it
+      SnapshotStore.read(s, dir).select("user_id", "event_id")
+        .orderBy("user_id").localCheckpoint(true)
+    } finally {
+      s.conf.set(coalesceKey, coalesceWas)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** Schema-drift-tolerant load (the self-healing half of ingest: an
     * evolving source must not break the pipeline) — two CSV batches
     * whose schemas drift (v2 widens score int→double and adds a
@@ -1057,7 +1107,7 @@ object Catalog {
 
   val all: Seq[Q] = Seq(
     qProfileTypes, qProfileSemantic, qQualityNulls, qQualityOutliers,
-    qQualityCardinality, qQualityExpectations, qProfileDrift, qDdlSynthesis, qCsvScan, qJsonScan, qSchemaEvolution, qSnapshotTimetravel, qSnapshotChanges, qSnapshotDelete, qSnapshotUpdate, qLineage,
+    qQualityCardinality, qQualityExpectations, qProfileDrift, qDdlSynthesis, qCsvScan, qJsonScan, qSchemaEvolution, qSnapshotTimetravel, qSnapshotChanges, qSnapshotDelete, qSnapshotUpdate, qSnapshotCompact, qLineage,
     qLoadRoundtrip, qParquetScan, qUdafProfile,
     qSinkCsvRoundtrip, qSinkJsonRoundtrip, qSinkOrcRoundtrip, qSinkPartitioned, qUpsert,
     qSample, qSampleStratified, qSplitTrainEval, qMixtureSample,

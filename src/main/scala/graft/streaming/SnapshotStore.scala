@@ -594,6 +594,59 @@ object SnapshotStore {
       numBuckets, schema, since, touched, rewritten, keys, retain)
   }
 
+  /** Small-file compaction — the lakehouse OPTIMIZE verb: every
+    * incremental merge/delete/update writes its touched buckets with as
+    * many files as the shuffle had partitions, so a long-lived snapshot
+    * accumulates small files and scan cost grows with VERSION COUNT
+    * rather than data size. Compaction rewrites each bucket whose file
+    * count exceeds `maxFilesPerBucket` into a single file, committing a
+    * content-identical new version through the same stage → rename →
+    * manifest protocol — so [[changes]] across a compaction is EMPTY,
+    * retained history stays time-travel-readable, and a crashed
+    * compaction is invisible (manifest never renamed).
+    *
+    * Find-touched is a driver-side listing of ≤ numBuckets directories
+    * (manifest-sized, never data-sized); the rewrite reads ONLY the
+    * touched buckets and pre-partitions one-partition-per-bucket so the
+    * staged write emits exactly one file each. Buckets written under a
+    * pre-evolution schema come out healed to the committed schema
+    * (readAligned casts per dir), eliminating future per-dir alignment
+    * probes for those buckets. Re-running immediately is a pure no-op:
+    * every bucket already has one file, nothing commits.
+    *
+    * Reference surface: the reference keeps whole tables as single
+    * PGlite images (pgliteService.ts) so it never needs OPTIMIZE; at
+    * the 100 TB stance the maintenance verb is mandatory (same role as
+    * Delta OPTIMIZE / Iceberg rewrite_data_files).
+    *
+    * @return the bucket ids that were compacted (empty = no-op). */
+  def compact(spark: SparkSession, dir: String, keys: Seq[String],
+      maxFilesPerBucket: Int = 1, retain: Boolean = false): Seq[Int] = {
+    require(maxFilesPerBucket >= 1,
+      s"maxFilesPerBucket must be >= 1, got $maxFilesPerBucket")
+    val committed = currentManifest(spark, dir).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"no snapshot manifest in $dir — nothing to compact"))
+    val (fs, base) = fsOf(spark, dir)
+    val touched = committed.buckets.toSeq.sortBy(_._1).collect {
+      case (b, d) if fs.listStatus(new Path(base, d)).count(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet")) > maxFilesPerBucket => b
+    }
+    if (touched.isEmpty) return Seq.empty
+    val schema = committed.schema.getOrElse( // pre-tracking manifest
+      spark.read.parquet(committed.buckets.values.toSeq.sorted
+        .map(d => s"$dir/$d"): _*).schema)
+    val since = committed.schemaSince.getOrElse(committed.version)
+    val existingDirs = touched.flatMap(committed.buckets.get).map(d => s"$dir/$d")
+    // one shuffle partition per touched bucket: after commitVersion's
+    // partitionBy("__b") split, each bucket dir holds exactly one file
+    val onePerBucket = readAligned(spark, existingDirs, committed.schema, since)
+      .repartition(touched.length, bucketCol(keys, committed.numBuckets))
+    commitVersion(spark, dir, Some(committed), committed.version + 1,
+      committed.numBuckets, schema, since, touched, onePerBucket, keys, retain)
+    touched
+  }
+
   /** Shared commit tail of [[merge]]/[[delete]]: stage the touched
     * buckets' new content for `version`, rename dirs into place, then
     * make the version visible via ONE manifest rename — data first,

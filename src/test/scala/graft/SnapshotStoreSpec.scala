@@ -619,4 +619,42 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(onDisk == liveDirs + s"b0_v${newest + 1}",
       s"only live + in-flight bucket dirs may remain, got $onDisk")
   }
+
+  test("compact: one file per bucket, content identical, empty CDC, no-op replay") {
+    import spark.implicits._
+    val dirF = freshDir("snap_compact")
+    val dir = dirF.getAbsolutePath
+    // two merges with a multi-partition shuffle => several files/bucket
+    val b1 = (1L to 300L).map(k => (k, s"v$k")).toDF("k", "v").repartition(4)
+    val b2 = (151L to 450L).map(k => (k, s"w$k")).toDF("k", "v").repartition(4)
+    SnapshotStore.merge(spark, dir, b1, Seq("k"), numBuckets = 8, retain = true)
+    SnapshotStore.merge(spark, dir, b2, Seq("k"), numBuckets = 8, retain = true)
+    val pre = SnapshotStore.currentManifest(spark, dir).get
+    val preContent = SnapshotStore.read(spark, dir).orderBy("k").collect()
+    def parquetFiles(d: String): Int =
+      Option(new java.io.File(dirF, d).listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(pre.buckets.values.exists(parquetFiles(_) > 1),
+      "fixture should produce multi-file buckets")
+    val compacted = SnapshotStore.compact(spark, dir, Seq("k"), retain = true)
+    assert(compacted.nonEmpty)
+    val post = SnapshotStore.currentManifest(spark, dir).get
+    assert(post.version == pre.version + 1)
+    // every live bucket now holds exactly one parquet file
+    post.buckets.values.foreach(d => assert(parquetFiles(d) == 1, s"$d not compacted"))
+    // content identical row-for-row, and CDC across the compaction is empty
+    assert(SnapshotStore.read(spark, dir).orderBy("k").collect()
+      .sameElements(preContent))
+    assert(SnapshotStore.changes(spark, dir, pre.version, post.version, Seq("k")).isEmpty)
+    // retained history still time-travels
+    assert(SnapshotStore.readAt(spark, dir, pre.version).count() == preContent.length)
+    // immediate re-compact: pure no-op, no new version
+    assert(SnapshotStore.compact(spark, dir, Seq("k"), retain = true).isEmpty)
+    assert(SnapshotStore.currentManifest(spark, dir).get.version == post.version)
+    // a later single-key merge re-fragments only its bucket; compact heals it
+    SnapshotStore.merge(spark, dir, Seq((7L, "x")).toDF("k", "v").repartition(3),
+      Seq("k"), numBuckets = 8, retain = true)
+    val again = SnapshotStore.compact(spark, dir, Seq("k"), retain = true)
+    assert(again.size <= 1, s"only the re-fragmented bucket may compact, got $again")
+  }
 }
