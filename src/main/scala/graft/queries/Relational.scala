@@ -170,6 +170,29 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Skew-broken fact-×-dim join: same rows as a plain inner join (the
+    * oracle IS the unsalted join) but the hot supplier keys fan out
+    * over 8 salted reducers — the manual rewrite for when one key
+    * dominates the fact side and the dim side is too big or too
+    * reused to broadcast. Salt = deterministic row-identity hash, so
+    * results are reproducible across runs and partitionings. */
+  val qJoinSkewSalted = Q(
+    "q_join_skew_salted",
+    """SELECT s.s_nationkey, count(*) AS n_items,
+      |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+      |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |GROUP BY s.s_nationkey
+      |ORDER BY s.s_nationkey""".stripMargin) { (s, d) =>
+    graft.operators.SkewJoin
+      .saltedInner(li(s, d), Tables.supplier(s, d),
+        "l_suppkey", "s_suppkey", salts = 8,
+        factSalt = xxhash64(col("l_orderkey"), col("l_linenumber")))
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy("s_nationkey")
+  }
+
   val qJoinSemi = Q(
     "q_join_semi",
     """SELECT c_custkey, c_name FROM customer c
@@ -547,7 +570,7 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     qProject, qFilterPred, qCaseExpr, qCast, qLateral,
-    qJoinInner, qJoinOuter, qJoinBroadcast, qJoinSortmerge, qJoinSemi,
+    qJoinInner, qJoinOuter, qJoinBroadcast, qJoinSortmerge, qJoinSkewSalted, qJoinSemi,
     qJoinAnti, qJoinRange, qJoinCross, qJoinAsof,
     qAggGroup, qAggGlobal, qAggDistinct, qAggApproxDistinct,
     qAggGroupingsets, qAggRollup, qAggCube, qAggCollect,

@@ -112,5 +112,74 @@ object Training {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(qDocChunks, qTextRepetition, qLmScore, qPackSequences)
+  /** TF-IDF top-3 terms per document: one (doc,term) aggregate feeds
+    * tf, df AND the doc count; scores round to 4 BEFORE the per-doc
+    * rank so the selection boundary is engine-portable. */
+  val qTfidf = Q(
+    "q_tfidf",
+    """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY ALL),
+      |d AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+      |s AS (SELECT doc_id, term, tf,
+      |        round(tf * ln(n_docs * 1.0 / df), 4) AS tfidf
+      |      FROM tf JOIN d USING (term) CROSS JOIN n),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY tfidf DESC, term) AS rank FROM s)
+      |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+      |  CAST(tf AS BIGINT) AS tf, tfidf
+      |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+    graft.operators.TfIdf
+      .topTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Vocabulary coverage curve (tokenizer-budget planning): top-50
+    * words with the cumulative fraction of all token occurrences they
+    * claim. Top-V via TakeOrderedAndProject; rank+cumsum only over the
+    * 50 survivors (constant-partition window). */
+  val qVocabCoverage = Q(
+    "q_vocab_coverage",
+    """WITH t AS (SELECT unnest(string_split(text,' ')) AS word FROM documents),
+      |c AS (SELECT word, count(*) AS cnt FROM t GROUP BY word),
+      |n AS (SELECT sum(cnt) AS total FROM c),
+      |r AS (SELECT word, cnt,
+      |        row_number() OVER (ORDER BY cnt DESC, word) AS rank,
+      |        sum(cnt) OVER (ORDER BY cnt DESC, word
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM c)
+      |SELECT CAST(rank AS BIGINT) AS rank, word, CAST(cnt AS BIGINT) AS cnt,
+      |  round(cum * 1.0 / total, 4) AS coverage
+      |FROM r CROSS JOIN n WHERE rank <= 50 ORDER BY rank""".stripMargin) { (s, d) =>
+    graft.operators.TfIdf
+      .coverage(Tables.documents(s, d), "text", v = 50)
+      .orderBy("rank")
+  }
+
+  /** Interpolated bigram LM scoring (λ=0.75 bigram, 0.25 unigram
+    * backoff) — the next rung above q_lm_score's unigram filter. */
+  val qLmBigram = Q(
+    "q_lm_bigram",
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |g AS (SELECT doc_id,
+      |        unnest(list_transform(generate_series(1, len(ws)-1), i -> ws[i])) AS prev,
+      |        unnest(list_transform(generate_series(1, len(ws)-1), i -> ws[i+1])) AS nxt
+      |      FROM w WHERE len(ws) >= 2),
+      |bc AS (SELECT prev, nxt, count(*) AS cb FROM g GROUP BY ALL),
+      |pc AS (SELECT prev, sum(cb) AS cp FROM bc GROUP BY prev),
+      |t AS (SELECT unnest(string_split(text,' ')) AS word FROM documents),
+      |uc AS (SELECT word, count(*) AS cu FROM t GROUP BY word),
+      |n AS (SELECT sum(cu) AS tot FROM uc)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  round(avg(ln(0.75 * cb / cp + 0.25 * cu / tot)), 4) AS avg_logprob
+      |FROM g JOIN bc USING (prev, nxt) JOIN pc USING (prev)
+      |  JOIN uc ON uc.word = g.nxt CROSS JOIN n
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.operators.LanguageModel
+      .bigramLogprob(Tables.documents(s, d), "doc_id", "text", lambda = 0.75)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(qDocChunks, qTextRepetition, qLmScore, qPackSequences,
+    qTfidf, qVocabCoverage, qLmBigram)
 }

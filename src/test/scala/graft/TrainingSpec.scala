@@ -95,6 +95,45 @@ class TrainingSpec extends AnyFunSuite {
     }
   }
 
+  test("tfidf: scores and ranks on a two-document fixture") {
+    val out = operators.TfIdf.topTerms(
+      docs(1L -> "a a b", 2L -> "b c"), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank").collect()
+    // n_docs=2; df: a=1 b=2 c=1; idf: a=ln2, b=0, c=ln2
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank"),
+      r.getAs[String]("term"), r.getAs[Long]("tf"), r.getAs[Double]("tfidf"))).toSeq ==
+      Seq((1L, 1L, "a", 2L, round4(2 * math.log(2))), (1L, 2L, "b", 1L, 0.0),
+          (2L, 1L, "c", 1L, round4(math.log(2))), (2L, 2L, "b", 1L, 0.0)))
+  }
+
+  test("vocab coverage: cumulative fractions with count-then-word ordering") {
+    val out = operators.TfIdf.coverage(
+      docs(1L -> "a a b", 2L -> "b c"), "text", v = 50)
+      .orderBy("rank").collect()
+    // counts a:2 b:2 c:1, total 5; ties break on word
+    assert(out.map(r => (r.getAs[Long]("rank"), r.getAs[String]("word"),
+      r.getAs[Long]("cnt"), r.getAs[Double]("coverage"))).toSeq ==
+      Seq((1L, "a", 2L, 0.4), (2L, "b", 2L, 0.8), (3L, "c", 1L, 1.0)))
+  }
+
+  test("bigram LM: interpolated probabilities on a hand-computed fixture") {
+    val out = LanguageModel.bigramLogprob(
+      docs(1L -> "a b", 2L -> "a b a", 3L -> "z"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // corpus: unigrams a:3 b:2 z:1 T=6; bigrams (a,b):2 (b,a):1; cp a:2 b:1
+    val pAB = 0.75 * 2.0 / 2 + 0.25 * 2.0 / 6
+    val pBA = 0.75 * 1.0 / 1 + 0.25 * 3.0 / 6
+    assert(out.length == 2, "single-token doc must drop out")
+    assert(out(0).getAs[Long]("n_bigrams") == 1L)
+    assert(out(0).getAs[Double]("avg_logprob") == round4(math.log(pAB)))
+    assert(out(1).getAs[Long]("n_bigrams") == 2L)
+    assert(out(1).getAs[Double]("avg_logprob") ==
+      round4((math.log(pAB) + math.log(pBA)) / 2))
+  }
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("chunking key re-concatenates to the original corpus (stride = window)") {
     // non-overlapping chunking partitions the token stream exactly
     val src = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
