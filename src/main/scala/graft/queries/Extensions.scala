@@ -642,6 +642,35 @@ object Extensions {
       .orderBy("qid", "rnk")
   }
 
+  /** Int8-quantized brute-force top-k (operators/Quantization.scala):
+    * the corpus is stored as (scale, array<tinyint>) — 4× smaller than
+    * float32 — and the search ranks by cosine over the quantized codes
+    * directly (cosine is scale-invariant, so no dequantization in the
+    * loop; the tinyint→float cast folds into the scan projection and
+    * feeds the same fused cosine expression as the exact path).
+    * Approximate by construction (per-element error ≤ scale/2) →
+    * rows-only; ExtensionsSpec gates recall@5 against the exact
+    * q_similarity_topk and QuantizationSpec pins the round-trip error
+    * bound. */
+  val qAnnQuantized = Q.noOracle("q_ann_quantized") { (s, d) =>
+    import graft.operators.Quantization
+    VectorExpressions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), Quantization.int8(col("embedding")).as("qe"))
+    val corpus = e.select(col("vec_id").as("cid"),
+      Quantization.codesAsFloat(col("qe")).as("ec"))
+    val probes = e.filter(col("vec_id") % 100 === 0)
+      .orderBy("vec_id").limit(ProbeBatchSize)
+      .select(col("vec_id").as("qid"), Quantization.codesAsFloat(col("qe")).as("eq"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    broadcast(probes).join(corpus, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(VectorExpressions.cosineFast(col("eq"), col("ec")), 4).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 5)
+      .orderBy("qid", "rnk")
+  }
+
   /** The native vec_cosine expression reached through plain SQL — proves
     * the SparkSessionExtensions registration (graft.GraftExtensions)
     * end-to-end on the S8 passthrough surface. */
@@ -1203,7 +1232,7 @@ object Extensions {
   val all: Seq[Q] = Seq(
     qDedupExact, qNeardup, qDedupCluster, qDedupClusterStar, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupIncremental, qTokenBudget, qCorpusCuration,
-    qSimilarityTopk, qSimilaritySql, qAnnIvf, qAnnIvfServe, qAnnLsh, qKmeans,
+    qSimilarityTopk, qSimilaritySql, qAnnIvf, qAnnIvfServe, qAnnLsh, qAnnQuantized, qKmeans,
     qTextAnalysis, qTextTopwords, qTextSearch, qTextSearchAll, qTextSearchPhrase,
     qTextSearchBatch, qHybridSearch, qDecontaminate, qPiiRedact,
     qLangId, qLangIdNgram, qTextQuality, qTokenCount,

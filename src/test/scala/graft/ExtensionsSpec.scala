@@ -268,7 +268,10 @@ class ExtensionsSpec extends AnyFunSuite {
     // gates are measured floors minus safety margin (IVF nprobe=2/8 cells,
     // LSH 6 planes on this corpus) — a probe missing from the ANN output
     // counts as zero recall for that probe, not as excluded
-    for ((name, gate) <- Seq("q_ann_ivf" -> 0.5, "q_ann_lsh" -> 0.3)) {
+    // int8 quantization distorts cosine by <=~1/127 per vector — its
+    // recall floor is near-exact, far above the cell/bucket indexes
+    for ((name, gate) <- Seq("q_ann_ivf" -> 0.5, "q_ann_lsh" -> 0.3,
+        "q_ann_quantized" -> 0.9)) {
       val ann = top3(name)
       val recalls = exact.map { case (q, ex) =>
         ann.getOrElse(q, Set.empty).count(ex.contains).toDouble / ex.size }
