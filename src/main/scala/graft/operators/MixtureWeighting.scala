@@ -49,6 +49,37 @@ object MixtureWeighting {
     val counts = df.groupBy(sourceCol).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val thr = solveThresholds(counts, targets)
+    applyThresholds(df, sourceCol, keyCol, thr)
+  }
+
+  /** Temperature-flattened mixture (the multilingual-pretraining
+    * rebalance, e.g. mC4/XLM-R): sampling weight ∝ c_s^α with α ∈
+    * [0, 1] — α=1 keeps natural proportions, α=0 equalizes sources.
+    * Substituting w_s = c_s^α into the largest-feasible-total solve
+    * collapses to a closed form with the normalizer cancelled:
+    *
+    *   keep_s = min(1, (c_min / c_s)^(1−α))
+    *
+    * so the smallest source keeps everything and abundant sources
+    * downsample toward it. The per-mille floor adds a 1e-9 epsilon
+    * because the oracle recomputes pow() in another engine's libm —
+    * a last-ulp difference must not straddle the floor boundary. */
+  def temperatureSample(df: DataFrame, sourceCol: String, keyCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1], got $alpha")
+    val counts = df.groupBy(sourceCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperature mixture over an empty corpus")
+    val cmin = counts.values.min.toDouble
+    val thr = counts.map { case (s, c) =>
+      s -> math.floor(
+        math.min(1.0, math.pow(cmin / c.toDouble, 1 - alpha)) * 1000 + 1e-9).toLong
+    }
+    applyThresholds(df, sourceCol, keyCol, thr)
+  }
+
+  private def applyThresholds(df: DataFrame, sourceCol: String,
+      keyCol: String, thr: Map[String, Long]): DataFrame = {
     val thrCol = thr.toSeq.sortBy(_._1).foldLeft(lit(-1L)) {
       case (acc, (s, t)) => when(col(sourceCol) === s, lit(t)).otherwise(acc)
     }

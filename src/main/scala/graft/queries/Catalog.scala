@@ -850,6 +850,32 @@ object Catalog {
       .orderBy("source")
   }
 
+  /** Temperature-flattened mixture at α=0.5 (the mC4/XLM-R rebalance):
+    * keep_s = min(1, sqrt(c_min/c_s)) per source — closed form, the
+    * weight normalizer cancels, so the oracle recomputes the identical
+    * thresholds from counts alone (1e-9 epsilon under the per-mille
+    * floor guards cross-libm pow drift). */
+  val qMixtureTemperature = Q(
+    "q_mixture_temperature",
+    s"""WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS c
+      |           FROM documents GROUP BY 1),
+      |m AS (SELECT min(c) AS cmin FROM c),
+      |thr AS (SELECT source,
+      |          CAST(floor(least(1.0, pow(m.cmin / c.c, 0.5)) * 1000
+      |               + 0.000000001) AS BIGINT) AS thr
+      |        FROM c CROSS JOIN m),
+      |mix AS (SELECT d.source, thr.thr,
+      |       ${portableHashSql("d.doc_id")}
+      |       FROM documents d JOIN thr ON d.source = thr.source)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+      |FROM mix WHERE h4 % 1000 < thr GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    graft.operators.MixtureWeighting.temperatureSample(
+        Tables.documents(s, d), "source", "doc_id", alpha = 0.5)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy("source")
+  }
+
   val qSampleStratified = Q(
     "q_sample_stratified",
     s"""WITH h AS (
@@ -1110,7 +1136,7 @@ object Catalog {
     qQualityCardinality, qQualityExpectations, qProfileDrift, qDdlSynthesis, qCsvScan, qJsonScan, qSchemaEvolution, qSnapshotTimetravel, qSnapshotChanges, qSnapshotDelete, qSnapshotUpdate, qSnapshotCompact, qLineage,
     qLoadRoundtrip, qParquetScan, qUdafProfile,
     qSinkCsvRoundtrip, qSinkJsonRoundtrip, qSinkOrcRoundtrip, qSinkPartitioned, qUpsert,
-    qSample, qSampleStratified, qSplitTrainEval, qMixtureSample,
+    qSample, qSampleStratified, qSplitTrainEval, qMixtureSample, qMixtureTemperature,
     qSynthSource, qSynthAggPushdown,
     qCatalogRelations, qCatalogRelationsComposite, qCatalogRelationsSketch,
     qCatalogRelationsIncremental, qCatalogGraph)

@@ -149,7 +149,34 @@ object DumpPlans {
       "exchange except the presentation ORDER BY at the very top; pass 2 " +
       "is the narrow MapPartitions/DeserializeToObject stage directly on " +
       "the ExistingRDD (prefix offsets ship in the task closure, not via " +
-      "a shuffle)."))
+      "a shuffle)."),
+    "q_doc_chunks" -> ("Sliding-window chunking. What to check: ZERO " +
+      "exchanges below the presentation ORDER BY — the window/stride " +
+      "arithmetic (sequence → posexplode → slice) is entirely map-side " +
+      "over the document scan, so chunking a 100 TB corpus is a pure " +
+      "scan-transform-write pass."),
+    "q_text_repetition" -> ("Gopher repetition signals. One union of " +
+      "1/2/3-gram explodes feeds TWO keyed exchanges: a (doc, n, gram) " +
+      "hash agg with partial aggregation, then a (doc)-keyed conditional " +
+      "rollup. What to check: partial_count below the first exchange and " +
+      "state per key bounded by document length — no window, no driver " +
+      "data."),
+    "q_tfidf" -> ("TF-IDF top-terms. What to check: ONE corpus-side " +
+      "(doc,term) aggregate feeding tf, df AND the doc count (no second " +
+      "scan of the corpus); the per-doc rank window carries " +
+      "WindowGroupLimit (Partial) below its exchange so only ~k rows per " +
+      "doc per map partition shuffle."),
+    "q_join_skew_salted" -> ("Salted skew join. What to check: the join " +
+      "key is (suppkey, __salt) — the dim side grows 8x via " +
+      "explode(sequence) while the fact side computes its salt map-side " +
+      "from a row-identity hash; no CartesianProduct, no " +
+      "BroadcastNestedLoopJoin, and the hot key's rows spread over 8 " +
+      "reducers instead of one."),
+    "q_ann_quantized" -> ("Int8-quantized brute-force search. What to " +
+      "check: the quantize struct (scale, tinyint codes) and the " +
+      "tinyint→float cast both fold into the scan-side Project; the " +
+      "ranking loop is the same fused vec_cosine codegen expression as " +
+      "the exact path, over arrays 4x smaller on disk."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

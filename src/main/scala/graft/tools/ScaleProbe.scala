@@ -121,9 +121,21 @@ object ScaleProbe {
       graft.operators.TextSearch.phrase(
         docs, "doc_id", "text", Seq("table", "hash"), topK = 20).count()
 
+    // training-data prep family (round 9): chunking is map-side only,
+    // repetition is one n-gram union through two keyed exchanges, tfidf
+    // is one (doc,term) agg + vocab join + partitioned rank — all three
+    // should track the corpus linearly
+    def chunks(docs: DataFrame): Long =
+      graft.operators.Chunking.chunk(docs, "doc_id", "text", 32, 24).count()
+    def repetition(docs: DataFrame): Long =
+      graft.operators.Repetition.signals(docs, "doc_id", "text").count()
+    def tfidfTop(docs: DataFrame): Long =
+      graft.operators.TfIdf.topTerms(docs, "doc_id", "text", 3).count()
+
     // warm-up (every timed operator, so no 1x figure pays cold codegen/JIT)
     q1(li1); smj(li1, ord1); topkWindow(ord1); topkAgg(ord1)
     scanCum(ord1); windowCum(ord1); phraseSearch(docs1)
+    chunks(docs1); repetition(docs1); tfidfTop(docs1)
 
     val results = Seq(
       ("agg (TPC-H Q1 shape)", timeMin(q1(li1)), timeMin(q1(li10)), 10),
@@ -131,6 +143,10 @@ object ScaleProbe {
       ("near-dup inverted index", timeMin(neardup(docs1)), timeMin(neardup(docs4)), 4),
       ("phrase search (BM25 adjacency)", timeMin(phraseSearch(docs1)),
         timeMin(phraseSearch(docs4)), 4),
+      ("doc chunking (map-side)", timeMin(chunks(docs1)), timeMin(chunks(docs4)), 4),
+      ("repetition signals (1/2/3-gram)", timeMin(repetition(docs1)),
+        timeMin(repetition(docs4)), 4),
+      ("tf-idf top-terms", timeMin(tfidfTop(docs1)), timeMin(tfidfTop(docs4)), 4),
       ("top-k per group: window", timeMin(topkWindow(ord1)), timeMin(topkWindow(ord10)), 10),
       ("top-k per group: heap agg", timeMin(topkAgg(ord1)), timeMin(topkAgg(ord10)), 10),
       ("running total: global window (1 task)", timeMin(windowCum(ord1)),
@@ -239,7 +255,7 @@ object ScaleProbe {
       shuffleBytes(aFm("o_custkey"), ord10))
 
     val sb = new StringBuilder
-    sb.append("# SCALING — measured scale-up behavior (head tables re-measured round 8)\n\n")
+    sb.append("# SCALING — measured scale-up behavior (head tables re-measured round 9)\n\n")
     sb.append(s"Base = sf0.1 (600k lineitem / 5k documents), amplified by key-shifted\n")
     sb.append(s"copies on local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]. ")
     sb.append("A plan that scales linearly in data volume on fixed\nresources is the ")

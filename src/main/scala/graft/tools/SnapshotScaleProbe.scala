@@ -72,6 +72,33 @@ object SnapshotScaleProbe {
     val tUpdFull = time(SnapshotStore.update(spark, dir, Seq("k"),
       Map("v" -> (col("v") + 1)), lit(true)))
 
+    // ---- compaction: scan cost follows FILE COUNT, compact heals it ----
+    // fragment deliberately: a wide-shuffle full rewrite with AQE
+    // coalescing off leaves ~64 files in every bucket — the state a
+    // long-lived snapshot reaches after many wide merges
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val shufKey = "spark.sql.shuffle.partitions"
+    val (cWas, sWas) = (spark.conf.get(coalesceKey, "true"), spark.conf.get(shufKey))
+    spark.conf.set(coalesceKey, "false"); spark.conf.set(shufKey, "64")
+    SnapshotStore.merge(spark, dir,
+      SnapshotStore.read(spark, dir).withColumn("v", col("v") + 1),
+      Seq("k"), numBuckets)
+    spark.conf.set(coalesceKey, cWas); spark.conf.set(shufKey, sWas)
+    def liveFiles(): Int = {
+      val m = SnapshotStore.currentManifest(spark, dir).get
+      m.buckets.values.map(d =>
+        Option(new java.io.File(s"$dir/$d").listFiles()).getOrElse(Array.empty)
+          .count(f => f.isFile && f.getName.endsWith(".parquet"))).sum
+    }
+    def scanAll(): Double =
+      time(SnapshotStore.read(spark, dir).agg(sum("v")).head())
+    val filesFrag = liveFiles()
+    scanAll() // warm page cache/codegen so frag-vs-compact compares IO shape
+    val tScanFrag = math.min(scanAll(), scanAll())
+    val tCompact = time(SnapshotStore.compact(spark, dir, Seq("k")))
+    val filesCompact = liveFiles()
+    val tScanCompact = math.min(scanAll(), scanAll())
+
     val section = new StringBuilder
     section.append("\n## Snapshot merge: cost follows touched buckets, not snapshot size\n\n")
     section.append(f"Base snapshot $snapshotRows%,d keys in $numBuckets buckets; each probe\n")
@@ -95,6 +122,14 @@ object SnapshotScaleProbe {
     section.append(f"| matches in one bucket | 1 | $tUpdOne%.2f |\n")
     section.append(f"| matches spread | $numBuckets | $tUpdSpread%.2f |\n")
     section.append(f"| matches everything | $numBuckets | $tUpdFull%.2f |\n")
+    section.append("\nCompaction (round 9): a wide-shuffle rewrite (64 shuffle\n")
+    section.append("partitions, AQE coalescing off) fragments every bucket; scan cost\n")
+    section.append("follows file count — open/footer overhead per file — and compact()\n")
+    section.append("rewrites each multi-file bucket to one file, after which an\n")
+    section.append("immediate re-compact is a no-op:\n\n")
+    section.append("| state | parquet files | full-scan sec |\n|---|---|---|\n")
+    section.append(f"| fragmented | $filesFrag | $tScanFrag%.2f |\n")
+    section.append(f"| compacted (compact took $tCompact%.2f s) | $filesCompact | $tScanCompact%.2f |\n")
 
     val path = java.nio.file.Paths.get("/root/repo/SCALING.md")
     val cur = java.nio.file.Files.readString(path)

@@ -112,6 +112,31 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature mixture: alpha=1 keeps all, alpha=0 equalizes, alpha=0.5 flattens") {
+    import spark.implicits._
+    import graft.operators.MixtureWeighting.temperatureSample
+    // 900 'web' rows vs 100 'ref' rows — key ids disjoint, deterministic
+    val df = ((1L to 900L).map(k => (k, "web")) ++
+      (1001L to 1100L).map(k => (k, "ref"))).toDF("id", "source")
+    def kept(alpha: Double): Map[String, Long] =
+      temperatureSample(df, "source", "id", alpha)
+        .groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val natural = kept(1.0)
+    assert(natural == Map("web" -> 900L, "ref" -> 100L),
+      "alpha=1 must keep natural proportions untouched")
+    // alpha=0: web keeps floor(min(1, 100/900)*1000)=111 permille ≈ 100 rows
+    val equal = kept(0.0)
+    assert(equal("ref") == 100L, "smallest source always keeps everything")
+    assert(math.abs(equal("web") - 100L) < 40,
+      s"alpha=0 should equalize toward the smallest source, got $equal")
+    // alpha=0.5 sits between: sqrt(100/900)=1/3 of web
+    val half = kept(0.5)
+    assert(half("web") > equal("web") && half("web") < natural("web"),
+      s"alpha=0.5 must interpolate, got $half")
+    intercept[IllegalArgumentException] { kept(1.5) }
+  }
+
   test("hash-mod sampling is deterministic; stratified fractions respected") {
     val a = SparkEntry.queries("q_sample")(spark, sf).collect().map(_.toString).toSeq
     val b = SparkEntry.queries("q_sample")(spark, sf).collect().map(_.toString).toSeq
