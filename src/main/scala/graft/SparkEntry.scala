@@ -16,7 +16,8 @@ object SparkEntry {
       graft.queries.Catalog.all ++
       graft.queries.Analytics.all ++
       graft.queries.Extensions.all ++
-      graft.queries.Training.all
+      graft.queries.Training.all ++
+      graft.queries.Gates.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H-Q1-shaped aggregate over lineitem (SURVEY §7 step 0). */

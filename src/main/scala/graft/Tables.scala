@@ -26,16 +26,28 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark cannot represent
-    * (max micros); with `spark.sql.legacy.parquet.nanosAsLong=true` it
-    * arrives as INT64 nanos and is truncated here to a naive
-    * TIMESTAMP_NTZ at microsecond precision (SURVEY §7 risk 2 — queries
-    * additionally date_trunc before emitting ts-derived values). */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events").withColumn(
-      "ts",
-      org.apache.spark.sql.functions.expr(
-        "CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+  /** `events.ts` arrives in one of two physical shapes depending on the
+    * driver's generator vintage: parquet TIMESTAMP(MICROS) — read
+    * directly as TIMESTAMP_NTZ under `inferTimestampNTZ` — or the older
+    * TIMESTAMP(NANOS), which Spark cannot represent (max micros) and
+    * which `spark.sql.legacy.parquet.nanosAsLong=true` surfaces as
+    * INT64 nanos, truncated here to naive microseconds (SURVEY §7
+    * risk 2 — queries additionally date_trunc before emitting
+    * ts-derived values). Dispatch on the LOADED dtype so both vintages
+    * produce the identical TIMESTAMP_NTZ column. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        df
+      case _ =>
+        df.withColumn("ts", df("ts").cast(
+          org.apache.spark.sql.types.TimestampNTZType))
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

@@ -1,0 +1,128 @@
+package graft.catalog
+
+/** Deterministic ETL-transform generation (SURVEY §2.2 P8): emit the
+  * cleaning SQL a profiled table needs — the rule-engine replacement for
+  * the reference's declared-but-stubbed LLM transform generator
+  * (`geminiService.ts:150-159` returns "not yet implemented"; README.md
+  * line 11 still advertises the capability). Input is the same
+  * [[ColumnProfile]] rows every other catalog consumer reads; output is
+  * one SELECT statement executable on the S8 passthrough surface — so
+  * profile → generate → execute closes the reference's
+  * catalog-then-clean loop end to end, deterministically.
+  *
+  * Rules (each keyed to a profile signal, every rule pure):
+  *  - RENAME: column names normalize to snake_case (`"Order Key"` →
+  *    `order_key`) — camel humps split, punctuation/whitespace collapse
+  *    to `_`.
+  *  - CAST: a string-typed column whose regex profile proved every
+  *    non-null value parses as one menu type (P2) casts to the
+  *    corresponding engine type (INTEGER→BIGINT, REAL→DOUBLE,
+  *    BOOLEAN/DATE/TIMESTAMP as themselves). The profile's all-parse
+  *    guarantee is what makes a plain CAST safe here.
+  *  - NULL-FIX: an id-shaped column (`id`, `*_id`, `*key`) containing
+  *    nulls filters them out — a row without identity cannot be keyed,
+  *    merged, or deduplicated downstream. Non-key columns keep their
+  *    nulls (flagged by P5, not silently rewritten).
+  *  - DEDUP: an id-shaped column that is NEARLY unique (≥ 80% of
+  *    non-null values distinct, but short of 100%) signals re-ingested
+  *    duplicate rows, and the transform emits SELECT DISTINCT. The
+  *    near-uniqueness floor keeps genuine foreign keys (low cardinality
+  *    by nature) from triggering a spurious table-level dedup.
+  *
+  * The generated text is deliberately boring SQL-92 plus backtick
+  * quoting (the Spark dialect of the S8 executor); CatalogSpec pins the
+  * generated string golden and the `q_etl_transform` key hash-matches
+  * the transformed ROWS against a DuckDB twin of the same rules.
+  */
+object TransformGen {
+
+  /** One audit row per applied rule — the reviewable "what will this
+    * transform do" record (kind ∈ rename/cast/null_filter/dedup). */
+  final case class Step(kind: String, column: String, detail: String)
+
+  /** `"Order Key"` → `order_key`, `"CustKey"` → `cust_key`: split camel
+    * humps, map any non-alphanumeric run to one `_`, lowercase. */
+  def snakeCase(name: String): String =
+    name.replaceAll("([a-z0-9])([A-Z])", "$1_$2")
+      .replaceAll("[^A-Za-z0-9]+", "_")
+      .replaceAll("^_+|_+$", "")
+      .toLowerCase
+
+  /** The 7-type profile menu → executable cast targets. TEXT and BLOB
+    * return None: no cast (BLOB columns are excluded from profiling). */
+  def castTarget(inferred: String): Option[String] = inferred match {
+    case "INTEGER" => Some("BIGINT")
+    case "REAL" => Some("DOUBLE")
+    case "BOOLEAN" => Some("BOOLEAN")
+    case "DATE" => Some("DATE")
+    case "TIMESTAMP" => Some("TIMESTAMP")
+    case _ => None
+  }
+
+  private def idShaped(snake: String): Boolean =
+    snake == "id" || snake.endsWith("_id") || snake.endsWith("key")
+
+  /** Near-uniqueness floor for the dedup signal (see object doc). */
+  val DedupFloor = 0.8
+
+  /** The applied-rule audit for `profile` (stable: profile order). */
+  def steps(profile: Seq[ColumnProfile]): Seq[Step] = {
+    val perColumn = profile.flatMap { p =>
+      val snake = snakeCase(p.columnName)
+      val rename =
+        if (snake != p.columnName)
+          Seq(Step("rename", p.columnName, s"`${p.columnName}` -> $snake"))
+        else Nil
+      val cast =
+        if (p.originalType == "string")
+          castTarget(p.inferredSqlType).map(t =>
+            Step("cast", p.columnName, s"CAST AS $t")).toSeq
+        else Nil
+      val nullFix =
+        if (idShaped(snake) && p.nullCount > 0)
+          Seq(Step("null_filter", p.columnName,
+            s"drop ${p.nullCount} row(s) with null key"))
+        else Nil
+      rename ++ cast ++ nullFix
+    }
+    perColumn ++ dedupWitness(profile).map { p =>
+      Step("dedup", p.columnName,
+        s"near-unique key has ${p.rowCount - p.nullCount - p.distinctCount} " +
+          "duplicate value(s): SELECT DISTINCT")
+    }.toSeq
+  }
+
+  /** The column whose near-unique-but-duplicated values justify DISTINCT
+    * (first such in profile order), if any. */
+  private def dedupWitness(profile: Seq[ColumnProfile]): Option[ColumnProfile] =
+    profile.find { p =>
+      val nonNull = p.rowCount - p.nullCount
+      idShaped(snakeCase(p.columnName)) && nonNull > 0 &&
+        p.distinctCount < nonNull && p.distinctCount >= DedupFloor * nonNull
+    }
+
+  /** The cleaning SELECT for `table` under `profile` — columns in
+    * profile order, Spark-dialect identifiers. */
+  def transformSql(table: String, profile: Seq[ColumnProfile]): String = {
+    val items = profile.map { p =>
+      val snake = snakeCase(p.columnName)
+      val quoted = s"`${p.columnName}`"
+      val castExpr =
+        if (p.originalType == "string") castTarget(p.inferredSqlType)
+        else None
+      castExpr match {
+        case Some(t) => s"CAST($quoted AS $t) AS $snake"
+        case None if snake != p.columnName => s"$quoted AS $snake"
+        case None => quoted
+      }
+    }
+    val preds = profile.collect {
+      case p if idShaped(snakeCase(p.columnName)) && p.nullCount > 0 =>
+        s"`${p.columnName}` IS NOT NULL"
+    }
+    val head = if (dedupWitness(profile).isDefined) "SELECT DISTINCT" else "SELECT"
+    s"$head\n  " + items.mkString(",\n  ") +
+      s"\nFROM `$table`" +
+      (if (preds.isEmpty) "" else "\nWHERE " + preds.mkString(" AND "))
+  }
+}

@@ -283,6 +283,116 @@ object Catalog {
       .orderBy("table_name")
   }
 
+  // ------------------------------------------------------- ETL transform (P8)
+
+  /** The deterministic messy-table fixture the P8 keys clean: orders
+    * stringified (every column arrives as text, the CSV-ingest reality),
+    * column names un-normalized, a slice of rows duplicated (keys ≡ 1
+    * mod 91 ⊂ keys ≡ 1 mod 13, so ~1/8 of the subset repeats — above
+    * TransformGen's near-unique dedup floor, below full uniqueness), and
+    * one synthetic row with a NULL key. Prices stringify through
+    * DECIMAL(12,2) so both engines print the identical 2-decimal text;
+    * dates truncate to DATE before stringifying (timestamp text differs
+    * by engine). */
+  private[graft] def messyOrders(s: SparkSession, d: String): DataFrame = {
+    def shape(df: DataFrame) = df.select(
+      col("o_orderkey").cast("string").as("Order Key"),
+      col("o_custkey").cast("string").as("CustKey"),
+      col("o_orderstatus").as("Status"),
+      col("o_totalprice").cast("decimal(12,2)").cast("string").as("Total Price"),
+      col("o_orderdate").cast("date").cast("string").as("Order Date"),
+      when(col("o_totalprice") > 100000, "true").otherwise("false").as("Is Big"))
+    val o = Tables.orders(s, d)
+    shape(o.filter(col("o_orderkey") % 13 === 1))
+      .union(shape(o.filter(col("o_orderkey") % 91 === 1)))
+      .union(s.sql(
+        "SELECT CAST(NULL AS STRING) AS `Order Key`, '999999' AS `CustKey`, " +
+          "'X' AS `Status`, '0.00' AS `Total Price`, " +
+          "'2020-01-01' AS `Order Date`, 'false' AS `Is Big`"))
+  }
+
+  /** The DuckDB twin of [[messyOrders]] as a CTE body. */
+  private val messySql =
+    """SELECT CAST(o_orderkey AS VARCHAR) AS "Order Key",
+      |         CAST(o_custkey AS VARCHAR) AS "CustKey",
+      |         o_orderstatus AS "Status",
+      |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS "Total Price",
+      |         CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS "Order Date",
+      |         CASE WHEN o_totalprice > 100000 THEN 'true' ELSE 'false' END AS "Is Big"
+      |  FROM orders WHERE o_orderkey % 13 = 1
+      |  UNION ALL
+      |  SELECT CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+      |         o_orderstatus,
+      |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+      |         CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+      |         CASE WHEN o_totalprice > 100000 THEN 'true' ELSE 'false' END
+      |  FROM orders WHERE o_orderkey % 91 = 1
+      |  UNION ALL
+      |  SELECT NULL, '999999', 'X', '0.00', '2020-01-01', 'false'""".stripMargin
+
+  /** The transform [[graft.catalog.TransformGen]] must emit for the
+    * fixture — pinned as a literal so the oracle below cannot drift with
+    * the generator (CatalogSpec asserts generator output == this). */
+  private[graft] val etlTransformGolden =
+    """SELECT DISTINCT
+      |  CAST(`CustKey` AS BIGINT) AS cust_key,
+      |  CAST(`Is Big` AS BOOLEAN) AS is_big,
+      |  CAST(`Order Date` AS DATE) AS order_date,
+      |  CAST(`Order Key` AS BIGINT) AS order_key,
+      |  `Status` AS status,
+      |  CAST(`Total Price` AS DOUBLE) AS total_price
+      |FROM `messy_orders`
+      |WHERE `Order Key` IS NOT NULL""".stripMargin
+
+  /** ETL-transform generation EXECUTED (P8 round-trip): profile the
+    * messy fixture, generate the cleaning SQL from the profile alone,
+    * run it on the S8 passthrough — the oracle applies the identical
+    * rules (dedup, null-key filter, casts, renames) in DuckDB, so a
+    * generator that emits a different transform hash-mismatches here
+    * even if it parses. */
+  val qEtlTransform = Q(
+    "q_etl_transform",
+    s"""WITH messy AS (
+       |  $messySql)
+       |, cleaned AS (SELECT DISTINCT
+       |  CAST("CustKey" AS BIGINT) AS cust_key,
+       |  CAST("Is Big" AS BOOLEAN) AS is_big,
+       |  CAST("Order Date" AS DATE) AS order_date,
+       |  CAST("Order Key" AS BIGINT) AS order_key,
+       |  "Status" AS status,
+       |  CAST("Total Price" AS DOUBLE) AS total_price
+       |FROM messy
+       |WHERE "Order Key" IS NOT NULL)
+       |SELECT cust_key, is_big, CAST(order_date AS VARCHAR) AS order_date,
+       |       order_key, status, total_price
+       |FROM cleaned
+       |ORDER BY order_key""".stripMargin) { (s, d) =>
+    val messy = messyOrders(s, d)
+    messy.createOrReplaceTempView("messy_orders")
+    val generated = graft.catalog.TransformGen.transformSql(
+      "messy_orders", Profile.of(messy))
+    // the registry's determinism contract: DATE values hash portably as
+    // their ISO string (pandas reads Spark DATE as object, DuckDB DATE
+    // as datetime64 — same values, different physical dtype)
+    s.sql(generated)
+      .withColumn("order_date", col("order_date").cast("string"))
+      .orderBy("order_key")
+  }
+
+  /** The generated transform TEXT as a golden (same pattern as
+    * q_ddl_synthesis): driver-visible proof the rule engine emitted
+    * exactly the pinned SQL, independent of whether an equivalent
+    * transform would produce the same rows. */
+  val qEtlTransformSql = Q(
+    "q_etl_transform_sql",
+    "SELECT 'messy_orders' AS table_name, '" +
+      etlTransformGolden.replace("'", "''") + "' AS transform_sql") { (s, d) =>
+    import s.implicits._
+    val generated = graft.catalog.TransformGen.transformSql(
+      "messy_orders", Profile.of(messyOrders(s, d)))
+    Seq(("messy_orders", generated)).toDF("table_name", "transform_sql")
+  }
+
   // ------------------------------------------------------------ sources / sinks
 
   private val fixtureDir = "/root/repo/target/fixtures"
@@ -1133,7 +1243,8 @@ object Catalog {
 
   val all: Seq[Q] = Seq(
     qProfileTypes, qProfileSemantic, qQualityNulls, qQualityOutliers,
-    qQualityCardinality, qQualityExpectations, qProfileDrift, qDdlSynthesis, qCsvScan, qJsonScan, qSchemaEvolution, qSnapshotTimetravel, qSnapshotChanges, qSnapshotDelete, qSnapshotUpdate, qSnapshotCompact, qLineage,
+    qQualityCardinality, qQualityExpectations, qProfileDrift, qDdlSynthesis,
+    qEtlTransform, qEtlTransformSql, qCsvScan, qJsonScan, qSchemaEvolution, qSnapshotTimetravel, qSnapshotChanges, qSnapshotDelete, qSnapshotUpdate, qSnapshotCompact, qLineage,
     qLoadRoundtrip, qParquetScan, qUdafProfile,
     qSinkCsvRoundtrip, qSinkJsonRoundtrip, qSinkOrcRoundtrip, qSinkPartitioned, qUpsert,
     qSample, qSampleStratified, qSplitTrainEval, qMixtureSample, qMixtureTemperature,

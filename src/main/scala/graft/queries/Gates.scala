@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-visible verdicts for the rows-only query family (round-9
+  * verdict item #6). The approximate/engine-specific keys (`q_ann_*`,
+  * `q_dedup_minhash`, `q_lang_id_ngram`, `q_agg_approx_*`,
+  * `q_agg_countmin`) cannot hash-match a portable oracle — their OUTPUT
+  * is hash-specific — but their quality CONTRACTS (recall vs an exact
+  * twin, error bounds, classification totality) are checkable. Each
+  * gate key here runs the approximate operator AND its exact twin, and
+  * emits one constant row `(gate, passed)`; its oracle is the constant
+  * `passed = true` row, so the driver's hash compare turns a broken
+  * recall/error bound into a visible correctness FAILURE instead of a
+  * spec-only signal.
+  *
+  * Scale note: every driver-side collect below is a top-k list
+  * (probe-batch × k rows), a pair list (planted near-dups), or a
+  * grouped aggregate (≤ groups rows) — never corpus-sized. The
+  * corpus-sized comparisons (`q_lang_id_ngram` totality) stay
+  * distributed and collect only violation COUNTS.
+  */
+object Gates {
+
+  private def verdict(s: SparkSession, gate: String, passed: Boolean): DataFrame = {
+    import s.implicits._
+    Seq((gate, passed)).toDF("gate", "passed")
+  }
+
+  private def oracleFor(gate: String): String =
+    s"SELECT '$gate' AS gate, true AS passed"
+
+  /** Mean recall@k of `ann` against `exact`; both are ranked
+    * (qid, cid, …, rnk) frames. A probe the index lost entirely counts
+    * as zero recall, not as excluded. */
+  private def recallAtK(ann: DataFrame, exact: DataFrame, k: Int): Double = {
+    def top(df: DataFrame): Map[Long, Set[Long]] =
+      df.filter(col("rnk") <= k).select(df.columns(0), df.columns(1)).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ex = top(exact)
+    val an = top(ann)
+    val recalls = ex.map { case (q, e) =>
+      an.getOrElse(q, Set.empty[Long]).count(e.contains).toDouble / e.size }
+    if (recalls.isEmpty) 0.0 else recalls.sum / recalls.size
+  }
+
+  private def annGate(name: String, annKey: Q, floor: Double): Q =
+    Q(name, oracleFor(name)) { (s, d) =>
+      val r = recallAtK(annKey.run(s, d), Extensions.qSimilarityTopk.run(s, d), 3)
+      verdict(s, name, r >= floor)
+    }
+
+  /** Int8 brute force ranks nearly identically to float32 (floor 0.9 —
+    * quantization distorts cosine by ≲1/127 per vector). */
+  val qGateAnnQuantized = annGate("q_gate_ann_quantized", Extensions.qAnnQuantized, 0.9)
+
+  /** The composition claim, stated relatively so it holds at every
+    * scale factor: the int8 layer must not cost recall on top of the
+    * cell pruning — quantized-IVF recall@3 vs exact ≥ float-IVF
+    * recall@3 − 0.05 (the ABSOLUTE cell-pruning floor varies with
+    * corpus geometry per SF — measured 0.667 at sf0.001, 0.467 at
+    * sf0.01, IDENTICAL for both variants — so an absolute gate here
+    * would pin the corpus, not the operator). */
+  val qGateAnnIvfQuantized = Q(
+    "q_gate_ann_ivf_quantized", oracleFor("q_gate_ann_ivf_quantized")) { (s, d) =>
+    val exact = Extensions.qSimilarityTopk.run(s, d)
+    val rFloat = recallAtK(Extensions.qAnnIvf.run(s, d), exact, 3)
+    val rQuant = recallAtK(Extensions.qAnnIvfQuantized.run(s, d), exact, 3)
+    verdict(s, "q_gate_ann_ivf_quantized", rQuant >= rFloat - 0.05)
+  }
+
+  /** MinHash-LSH bands recover ≥ 80% of the exact near-dup pairs. */
+  val qGateDedupMinhash = Q(
+    "q_gate_dedup_minhash", oracleFor("q_gate_dedup_minhash")) { (s, d) =>
+    def pairSet(df: DataFrame): Set[(Long, Long)] =
+      df.select(df.columns(0), df.columns(1)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Extensions.qNeardup.run(s, d))
+    val lsh = pairSet(Extensions.qDedupMinhash.run(s, d))
+    val recall =
+      if (exact.isEmpty) 1.0 else exact.count(lsh.contains).toDouble / exact.size
+    verdict(s, "q_gate_dedup_minhash", exact.nonEmpty && recall >= 0.8)
+  }
+
+  /** Trigram lang-ID totality: every document classified exactly once,
+    * label ∈ corpus labels ∪ 'und', score within the profile bound —
+    * checked distributed (violation counts only reach the driver). */
+  val qGateLangIdNgram = Q(
+    "q_gate_lang_id_ngram", oracleFor("q_gate_lang_id_ngram")) { (s, d) =>
+    val out = Extensions.qLangIdNgram.run(s, d)
+    val docs = Tables.documents(s, d)
+    val labels = docs.select("lang").distinct()
+      .collect().map(_.getString(0)).toSeq :+ "und"
+    val agg = out.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("doc_id")).as("n_ids"),
+      sum(when(!col("predicted").isin(labels: _*) ||
+        col("score") < 0 || col("score") > 100, 1L).otherwise(0L)).as("bad"))
+      .head()
+    val nDocs = docs.count()
+    verdict(s, "q_gate_lang_id_ngram",
+      agg.getLong(0) == nDocs && agg.getLong(1) == nDocs && agg.getLong(2) == 0L)
+  }
+
+  /** HLL(0.02) group counts stay within ±5% of exact (2.5σ of the
+    * requested rsd) — the key itself carries both columns. */
+  val qGateApproxDistinct = Q(
+    "q_gate_approx_distinct", oracleFor("q_gate_approx_distinct")) { (s, d) =>
+    val out = Relational.qAggApproxDistinct.run(s, d)
+    val bad = out.filter(
+      abs(col("approx_parts") - col("exact_parts")) >
+        col("exact_parts") * 0.05).count()
+    verdict(s, "q_gate_approx_distinct", bad == 0L && out.count() > 0)
+  }
+
+  /** approx_percentile(accuracy=1000) lands inside a generous exact
+    * quantile bracket per group: ap50 ∈ [p40, p60], ap90 ∈ [p85, p95]
+    * (rank error ≤ n/1000 ≪ the bracket width). */
+  val qGateApproxPercentile = Q(
+    "q_gate_approx_percentile", oracleFor("q_gate_approx_percentile")) { (s, d) =>
+    val approx = Analytics.qAggApproxPercentile.run(s, d)
+    val bracket = Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("percentile(o_totalprice, 0.4)").as("p40"),
+        expr("percentile(o_totalprice, 0.6)").as("p60"),
+        expr("percentile(o_totalprice, 0.85)").as("p85"),
+        expr("percentile(o_totalprice, 0.95)").as("p95"))
+    val bad = approx.join(bracket, "o_orderstatus")
+      .filter(col("ap50") < col("p40") || col("ap50") > col("p60") ||
+        col("ap90") < col("p85") || col("ap90") > col("p95"))
+      .count()
+    verdict(s, "q_gate_approx_percentile", bad == 0L && approx.count() > 0)
+  }
+
+  /** Count-min never undercounts (the structural CMS guarantee) and,
+    * at eps=0.001 on this key set, never overshoots by more than
+    * 2·eps·N (seeded sketch ⇒ deterministic, so what holds here holds
+    * on every run). */
+  val qGateCountmin = Q(
+    "q_gate_countmin", oracleFor("q_gate_countmin")) { (s, d) =>
+    val est = Analytics.qAggCountmin.run(s, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val orders = Tables.orders(s, d)
+    val n = orders.count()
+    val exact = orders.filter(col("o_custkey").between(1, 10))
+      .groupBy("o_custkey").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val slack = (2 * 0.001 * n).toLong
+    val ok = est.nonEmpty && est.forall { case (k, e) =>
+      val t = exact.getOrElse(k, 0L)
+      e >= t && e <= t + slack
+    }
+    verdict(s, "q_gate_countmin", ok)
+  }
+
+  val all: Seq[Q] = Seq(
+    qGateAnnQuantized, qGateAnnIvfQuantized, qGateDedupMinhash,
+    qGateLangIdNgram, qGateApproxDistinct, qGateApproxPercentile,
+    qGateCountmin)
+}

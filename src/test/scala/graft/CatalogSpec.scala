@@ -507,4 +507,46 @@ class CatalogSpec extends AnyFunSuite {
           s"sketch fabricated FK edge $p (exact says ${exact.get(p)})")
     }
   }
+
+  test("transform generation golden (P8): the fixture profile emits the pinned SQL") {
+    // The q_etl_transform oracle hard-codes the DuckDB twin of this
+    // exact transform — if the rule engine drifts (different rename,
+    // missed cast, dedup flapping), this pin localizes the failure to
+    // the generator instead of surfacing as a correctness hash mismatch.
+    val messy = graft.queries.Catalog.messyOrders(spark, sf)
+    val generated = graft.catalog.TransformGen.transformSql(
+      "messy_orders", graft.catalog.Profile.of(messy))
+    assert(generated == graft.queries.Catalog.etlTransformGolden,
+      s"generated transform drifted:\n$generated")
+  }
+
+  test("transform generation rules fire only on their profile signals (P8)") {
+    import graft.catalog.{ColumnProfile, TransformGen}
+    def prof(name: String, orig: String, inferred: String, n: Long,
+        nulls: Long, distinct: Long) =
+      ColumnProfile(name, orig, inferred, "", "", Nil, n, nulls, distinct)
+    // clean typed table: no casts, no filter, no distinct — identity
+    val clean = Seq(
+      prof("id", "bigint", "INTEGER", 100, 0, 100),
+      prof("name", "string", "TEXT", 100, 5, 90))
+    assert(TransformGen.transformSql("t", clean) ==
+      "SELECT\n  `id`,\n  `name`\nFROM `t`")
+    assert(TransformGen.steps(clean).isEmpty)
+    // near-unique duplicated key → DISTINCT; a genuine FK (low
+    // cardinality) must NOT trigger it
+    val dupKey = Seq(prof("user_id", "bigint", "INTEGER", 100, 0, 90))
+    assert(TransformGen.transformSql("t", dupKey).startsWith("SELECT DISTINCT"))
+    val fk = Seq(prof("user_id", "bigint", "INTEGER", 100, 0, 10))
+    assert(!TransformGen.transformSql("t", fk).contains("DISTINCT"))
+    // null key → filter; null non-key → untouched
+    val nullKey = Seq(prof("order_id", "bigint", "INTEGER", 100, 3, 97))
+    assert(TransformGen.transformSql("t", nullKey)
+      .endsWith("WHERE `order_id` IS NOT NULL"))
+    val nullText = Seq(prof("bio", "string", "TEXT", 100, 3, 97))
+    assert(!TransformGen.transformSql("t", nullText).contains("WHERE"))
+    // snake_case: camel humps + punctuation
+    assert(TransformGen.snakeCase("CustKey") == "cust_key")
+    assert(TransformGen.snakeCase("Order  Key!") == "order_key")
+    assert(TransformGen.snakeCase("already_snake") == "already_snake")
+  }
 }

@@ -171,4 +171,29 @@ class ClusteringSpec extends AnyFunSuite {
     assert(viaAuto == viaRun)
     assert(viaAuto(12L) == 10L && viaAuto(21L) == 20L && viaAuto(30L) == 30L)
   }
+
+  test("int8 codes preserve IVF cell assignment (quantized index == float index)") {
+    // q_ann_ivf_quantized assigns cells FROM the codes so the float
+    // corpus is never needed at index-build time; that is sound only
+    // while argmax-cosine survives the per-vector quantization epsilon.
+    // Gate: on the real test corpus, >= 99% of vectors land in the same
+    // cell from codes as from floats (borderline vectors MAY flip — a
+    // flipped assignment is still a valid inverted-file, it just moves
+    // one vector to its second-nearest cell).
+    graft.functions.VectorExpressions.register(spark)
+    val e = Tables.embeddings(spark, sf)
+    val model = KMeans.fit(e, "vec_id", "embedding", k = 8, maxIter = 3)
+    val codes = graft.operators.Quantization.codesAsFloat(
+      graft.operators.Quantization.int8(col("embedding")))
+    val agg = e.select(
+        KMeans.assignment(col("embedding"), model).as("a"),
+        KMeans.assignment(codes, model).as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("same"))
+      .head()
+    val (n, same) = (agg.getLong(0), agg.getLong(1))
+    info(s"cell agreement: $same/$n")
+    assert(n > 0 && same.toDouble / n >= 0.99,
+      s"quantized cell assignment drifted: $same/$n agree")
+  }
 }

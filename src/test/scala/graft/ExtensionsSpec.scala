@@ -270,8 +270,10 @@ class ExtensionsSpec extends AnyFunSuite {
     // counts as zero recall for that probe, not as excluded
     // int8 quantization distorts cosine by <=~1/127 per vector — its
     // recall floor is near-exact, far above the cell/bucket indexes
+    // the composed quantized IVF inherits the IVF cell-pruning floor
+    // (nprobe=2 of 8 cells); the int8 layer costs ~nothing on top
     for ((name, gate) <- Seq("q_ann_ivf" -> 0.5, "q_ann_lsh" -> 0.3,
-        "q_ann_quantized" -> 0.9)) {
+        "q_ann_quantized" -> 0.9, "q_ann_ivf_quantized" -> 0.5)) {
       val ann = top3(name)
       val recalls = exact.map { case (q, ex) =>
         ann.getOrElse(q, Set.empty).count(ex.contains).toDouble / ex.size }

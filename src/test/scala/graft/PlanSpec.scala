@@ -37,6 +37,13 @@ class PlanSpec extends AnyFunSuite {
   // whole-stage-codegen spans print as "*(n)" stage markers
   private val codegenSpan = """\*\(\d+\)""".r
 
+  // AQE's toString prints the final AND the initial plan, so a node can
+  // appear twice; dedupe by content after stripping the tree art
+  // (expression ids keep genuinely distinct nodes distinct)
+  private def distinctNodes(p: String, marker: String): Set[String] =
+    p.linesIterator.filter(_.contains(marker))
+      .map(_.dropWhile(ch => !ch.isLetter)).toSet
+
   test("flagship aggregate does partial (map-side) aggregation in codegen") {
     val p = plan("q_agg_group")
     assert("partial_sum".r.findAllIn(p).nonEmpty, "expected map-side partial agg")
@@ -152,5 +159,48 @@ class PlanSpec extends AnyFunSuite {
       assert(bad.isEmpty,
         s"$k has ${bad.size} unpartitioned Window node(s) — single-task rank")
     }
+  }
+
+  test("batched BM25 pays the corpus pipeline ONCE for the whole batch") {
+    // round-9 bench flagged q_text_search_batch at 5.9x its round-8
+    // number on unchanged code; this pin makes the cheap shape
+    // structural so any future drift to per-query corpus re-scans fails
+    // loudly instead of surfacing as a bench outlier. The operator's
+    // contract (TextSearch.bm25Batch): ONE tokenize→(doc,term) hash
+    // aggregate over the corpus, checkpointed, then batch-sized
+    // broadcast joins fan the rows out per query — so the FINAL plan may
+    // scan the documents parquet exactly once (the corpus-stats scalar)
+    // no matter how many queries the batch carries; the (doc,term) rows
+    // enter as the checkpointed RDD, never a re-scan.
+    val p = plan("q_text_search_batch")
+    val docScans = distinctNodes(p, "FileScan parquet")
+      .count(_.contains("documents"))
+    assert(docScans == 1,
+      s"expected exactly one documents scan in the batch plan (stats); " +
+        s"found $docScans — a per-query corpus re-scan crept in:\n" +
+        p.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
+    // the per-query ranking is ONE window, partitioned by query id (the
+    // unpartitioned-window sweep above already proves the spec is
+    // non-empty; this pins that batching added no second window pass)
+    assert(distinctNodes(p, "Window [").size == 1,
+      "expected exactly one per-query ranking Window")
+  }
+
+  test("hybrid-search arms are both TakeOrderedAndProject-bounded before fusion") {
+    // same round-9 outlier family (q_hybrid_search 5.2x): rrfFuse's cost
+    // model assumes its inputs are ALREADY bounded top-k lists — the
+    // lexical arm's limit(20) and the vector arm's limit(20) must each
+    // fuse to TakeOrderedAndProject (per-partition heap + k-row merge),
+    // so the full-outer fusion join and the final rank touch O(k) rows,
+    // never a corpus-sized sort. Two arms → exactly two TOAP nodes.
+    val p = plan("q_hybrid_search")
+    val toap = distinctNodes(p, "TakeOrderedAndProject").size
+    assert(toap == 2,
+      s"expected both retrieval arms to bound via TakeOrderedAndProject, " +
+        s"found $toap:\n" +
+        p.linesIterator.filter(_.contains("TakeOrdered")).mkString("\n"))
+    // (the fusion's full-outer join itself plans as a sort-merge join —
+    // Spark cannot broadcast a full outer — but its inputs are the two
+    // TOAP-bounded 20-row lists, so the exchange moves O(k) rows)
   }
 }
