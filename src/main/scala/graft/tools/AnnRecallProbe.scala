@@ -32,6 +32,45 @@ object AnnRecallProbe {
         graft.operators.KMeans.assignment(codes, model).as("b"))
       .agg(count(lit(1)), sum(when(col("a") === col("b"), 1L).otherwise(0L))).head
     println(s"AGREEMENT cells ${agg.getLong(1)}/${agg.getLong(0)}")
+
+    // ---- storage + search cost of the int8 index at 10x vectors ----
+    // the quantization claim that matters at 100 TB: the SERVING index
+    // (cell + codes) is ~4x smaller on disk than the float cells, so
+    // the probe-side scan reads a quarter of the bytes for the same
+    // candidate set
+    val out = "/root/repo/target/quantscale"
+    val e10 = (0 until 10).map(i =>
+        e.select((col("vec_id") + i * 1000000L).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+    e10.select(col("vec_id").as("cid"), col("embedding").as("ec"))
+      .withColumn("cell", graft.operators.KMeans.assignment(col("ec"), model))
+      .write.mode("overwrite").parquet(s"$out/cells_f32")
+    e10.select(col("vec_id").as("cid"),
+        graft.operators.Quantization.int8(col("embedding")).as("qe"))
+      .withColumn("cell", graft.operators.KMeans.assignment(
+        graft.operators.Quantization.codesAsFloat(col("qe")), model))
+      .write.mode("overwrite").parquet(s"$out/cells_i8")
+    def bytes(p: String): Long =
+      Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
+    val bF = bytes(s"$out/cells_f32"); val bI = bytes(s"$out/cells_i8")
+    println(f"SIZE 10x cells: float32 ${bF / 1e6}%.1f MB, int8 ${bI / 1e6}%.1f MB (${bF.toDouble / bI}%.1fx shrink)")
+    // same probe/rerank stage over each stored index (cells 0+1 probed)
+    def search(cand: org.apache.spark.sql.DataFrame): Long = {
+      val probe = e.filter(col("vec_id") === 100)
+        .select(col("embedding").as("eq"))
+      broadcast(probe).join(cand.filter(col("cell") < 2))
+        .select(col("cid"),
+          graft.functions.VectorExpressions.cosineFast(col("eq"), col("ec")).as("cos"))
+        .orderBy(col("cos").desc).limit(3).count()
+    }
+    def timeMin(body: => Unit): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9 }.min
+    val tF = timeMin { search(spark.read.parquet(s"$out/cells_f32")) }
+    val tI = timeMin { search(spark.read.parquet(s"$out/cells_i8")
+      .select(col("cid"),
+        graft.operators.Quantization.codesAsFloat(col("qe")).as("ec"), col("cell"))) }
+    println(f"SEARCH 10x probe: float32 $tF%.2f s, int8 $tI%.2f s")
     spark.stop()
   }
 }

@@ -161,9 +161,11 @@ object SnapshotScaleProbe {
     section.append(f"| compacted (compact took $tCompact%.2f s) | $filesCompact | $tScanCompact%.2f |\n")
     section.append("\nCompaction after a DML SEQUENCE (round 10): the full triad —\n")
     section.append("4 predicate UPDATEs, 3 key DELETEs, 1 merge — under the same wide\n")
-    section.append(f"shuffle, every version retained (head version $dmlVersions%d); the live\n")
-    section.append("snapshot accumulates each step's multi-file bucket rewrites, and\n")
-    section.append("one compact() heals the whole history's fragmentation:\n\n")
+    section.append(f"shuffle, every version retained (head version $dmlVersions%d). Measured\n")
+    section.append("finding: DML fragmentation does NOT accumulate across versions —\n")
+    section.append("each step REPLACES its touched bucket dirs wholesale, so the live\n")
+    section.append("file count stays at the LAST rewrite's width, and compact() earns\n")
+    section.append("its keep after wide merges rather than after DML sequences:\n\n")
     section.append("| state | parquet files | full-scan sec |\n|---|---|---|\n")
     section.append(f"| after 8-step DML sequence | $filesDml | $tScanDml%.2f |\n")
     section.append(f"| compacted (compact took $tCompactDml%.2f s) | $filesDmlCompact | $tScanDmlCompact%.2f |\n")
