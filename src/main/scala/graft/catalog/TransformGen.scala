@@ -125,4 +125,31 @@ object TransformGen {
       s"\nFROM `$table`" +
       (if (preds.isEmpty) "" else "\nWHERE " + preds.mkString(" AND "))
   }
+
+  /** The rows [[transformSql]]'s null-key filter REJECTS, kept
+    * addressable instead of silently vanishing — the self-healing
+    * contract the parse-error [[graft.pipeline.Quarantine]] already
+    * gives ingestion, extended to the transform stage: clean rows flow
+    * on, rejected rows land in a reviewable side output with the reason
+    * column. None when the transform filters nothing (then quarantine
+    * is empty by construction and a caller need not run it). VALUES
+    * pass through untransformed (no casts, no dedup — a quarantined row
+    * is evidence); names normalize to the same snake_case as the clean
+    * side, because raw names can carry characters the columnar sinks
+    * refuse (a space in a parquet field name) and the quarantine output
+    * must be sinkable anywhere the clean output is. */
+  def quarantineSql(table: String, profile: Seq[ColumnProfile]): Option[String] = {
+    val nullKeyed = profile.collect {
+      case p if idShaped(snakeCase(p.columnName)) && p.nullCount > 0 =>
+        p.columnName
+    }
+    if (nullKeyed.isEmpty) None
+    else Some(
+      "SELECT\n  " + profile.map(p =>
+        if (snakeCase(p.columnName) == p.columnName) s"`${p.columnName}`"
+        else s"`${p.columnName}` AS ${snakeCase(p.columnName)}").mkString(",\n  ") +
+        s",\n  'null key: ${nullKeyed.mkString(", ")}' AS reason" +
+        s"\nFROM `$table`" +
+        "\nWHERE " + nullKeyed.map(c => s"`$c` IS NULL").mkString(" OR "))
+  }
 }

@@ -379,6 +379,31 @@ object Catalog {
       .orderBy("order_key")
   }
 
+  /** The transform's QUARANTINE side (self-healing contract): the rows
+    * the generated null-key filter rejects, emitted untransformed with
+    * a reason column — parse-error quarantine (S4/Quarantine) extended
+    * to the transform stage, so cleaning never silently drops data.
+    * The oracle selects the same rejected rows from the DuckDB twin of
+    * the fixture. */
+  val qEtlQuarantine = Q(
+    "q_etl_quarantine",
+    s"""WITH messy AS (
+       |  $messySql)
+       |SELECT "CustKey" AS cust_key, "Is Big" AS is_big,
+       |       "Order Date" AS order_date, "Order Key" AS order_key,
+       |       "Status" AS status, "Total Price" AS total_price,
+       |       'null key: Order Key' AS reason
+       |FROM messy
+       |WHERE "Order Key" IS NULL
+       |ORDER BY cust_key""".stripMargin) { (s, d) =>
+    val messy = messyOrders(s, d)
+    messy.createOrReplaceTempView("messy_orders")
+    val quarantine = graft.catalog.TransformGen.quarantineSql(
+      "messy_orders", Profile.of(messy))
+      .getOrElse(sys.error("fixture must trigger the null-key filter"))
+    s.sql(quarantine).orderBy("cust_key")
+  }
+
   /** The generated transform TEXT as a golden (same pattern as
     * q_ddl_synthesis): driver-visible proof the rule engine emitted
     * exactly the pinned SQL, independent of whether an equivalent
@@ -1244,7 +1269,7 @@ object Catalog {
   val all: Seq[Q] = Seq(
     qProfileTypes, qProfileSemantic, qQualityNulls, qQualityOutliers,
     qQualityCardinality, qQualityExpectations, qProfileDrift, qDdlSynthesis,
-    qEtlTransform, qEtlTransformSql, qCsvScan, qJsonScan, qSchemaEvolution, qSnapshotTimetravel, qSnapshotChanges, qSnapshotDelete, qSnapshotUpdate, qSnapshotCompact, qLineage,
+    qEtlTransform, qEtlTransformSql, qEtlQuarantine, qCsvScan, qJsonScan, qSchemaEvolution, qSnapshotTimetravel, qSnapshotChanges, qSnapshotDelete, qSnapshotUpdate, qSnapshotCompact, qLineage,
     qLoadRoundtrip, qParquetScan, qUdafProfile,
     qSinkCsvRoundtrip, qSinkJsonRoundtrip, qSinkOrcRoundtrip, qSinkPartitioned, qUpsert,
     qSample, qSampleStratified, qSplitTrainEval, qMixtureSample, qMixtureTemperature,

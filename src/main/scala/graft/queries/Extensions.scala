@@ -707,6 +707,29 @@ object Extensions {
     ivfSearch(e, model, Some(codes))
   }
 
+  /** The quantized IVF in SERVING shape (operators/QuantizedIvf): the
+    * persisted artifact pair — centroid model + int8 codes parquet, 4×
+    * smaller than the float corpus — is built ONCE per corpus version
+    * (atomic data-first/pointer-last commit, fingerprint staleness on
+    * both halves) and every later run loads it and goes straight to
+    * probe/rerank: no Lloyd rounds, no re-quantization, and the float
+    * corpus is read only for the probe batch. Results identical to the
+    * fit-per-run composed key at a fixed model (QuantizedIvfSpec pins
+    * serve == build and the crash/staleness protocol). Rows-only like
+    * the rest of the ANN family. */
+  val qAnnIvfQuantizedServe = Q.noOracle("q_ann_ivf_quantized_serve") { (s, d) =>
+    import graft.operators.{QuantizedIvf, Quantization}
+    VectorExpressions.register(s)
+    val e = Tables.embeddings(s, d).localCheckpoint(true)
+    val base = "/root/repo/target/ann_models/ivfq_k8_" +
+      new java.io.File(d).getName
+    val (model, codes) = QuantizedIvf.loadOrBuild(
+      e, "vec_id", "embedding", k = 8, maxIter = 3, base)
+    val cand = codes.select(col("vec_id").as("cid"),
+      Quantization.codesAsFloat(col("qe")).as("ec"), col("cell"))
+    ivfSearch(e, model, Some(cand))
+  }
+
   /** The native vec_cosine expression reached through plain SQL — proves
     * the SparkSessionExtensions registration (graft.GraftExtensions)
     * end-to-end on the S8 passthrough surface. */
@@ -1269,7 +1292,7 @@ object Extensions {
     qDedupExact, qNeardup, qDedupCluster, qDedupClusterStar, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupIncremental, qTokenBudget, qCorpusCuration,
     qSimilarityTopk, qSimilaritySql, qAnnIvf, qAnnIvfServe, qAnnLsh, qAnnQuantized,
-    qAnnIvfQuantized, qKmeans,
+    qAnnIvfQuantized, qAnnIvfQuantizedServe, qKmeans,
     qTextAnalysis, qTextTopwords, qTextSearch, qTextSearchAll, qTextSearchPhrase,
     qTextSearchBatch, qHybridSearch, qDecontaminate, qPiiRedact,
     qLangId, qLangIdNgram, qTextQuality, qTokenCount,

@@ -548,5 +548,10 @@ class CatalogSpec extends AnyFunSuite {
     assert(TransformGen.snakeCase("CustKey") == "cust_key")
     assert(TransformGen.snakeCase("Order  Key!") == "order_key")
     assert(TransformGen.snakeCase("already_snake") == "already_snake")
+    // quarantine: exists iff the transform filters, selects the inverse
+    assert(TransformGen.quarantineSql("t", clean).isEmpty)
+    val quarantine = TransformGen.quarantineSql("t", nullKey)
+    assert(quarantine.exists(_.endsWith("WHERE `order_id` IS NULL")))
+    assert(quarantine.exists(_.contains("'null key: order_id' AS reason")))
   }
 }
