@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+
+/** Incremental NEAR-duplicate detection — the history-aware half of the
+  * dedup family: each arriving batch is checked against everything ever
+  * indexed WITHOUT touching the historical corpus text, via a persisted
+  * MinHash-LSH band index. Completes the production ingest loop that
+  * [[IncrementalDedup]] opens for exact dedup: exact first-seen-wins on
+  * the text fingerprint, then near-dup candidates against the
+  * accumulated index, so a re-crawl paraphrase is caught the day it
+  * arrives, not at the next full-corpus near-dup job.
+  *
+  * Index layout: parquet hash-partitioned by `__bkt` =
+  * pmod(xxhash64(band_idx, band_hash), parts) — each row carries
+  * (doc_id, band_idx, band_hash, mh0..mh{k-1}). The signature rides ON
+  * the band row (k longs × bands/doc) so a lookup is ONE
+  * partition-pruned join: no second corpus-sized signature table, no
+  * read of historical text. A batch touching t of `parts` partitions
+  * reads t/parts of the index — batch-bounded, like the exact path's
+  * bucket pruning.
+  *
+  * Deliberately NOT a transactional store (contrast SnapshotStore): the
+  * index is a CANDIDATE GENERATOR over derived state — rebuildable from
+  * the corpus snapshot at any time — and its appends are idempotent in
+  * effect: a crash-replayed batch re-appends duplicate band rows, which
+  * produce duplicate candidate rows, which collapse in the `distinct()`
+  * before confirmation. At-least-once appends + dedup-on-read is the
+  * cheapest protocol that stays correct for this role; correctness
+  * proper lives in the similarity confirmation (signature-estimated
+  * Jaccard here; callers wanting exact confirmation join the candidate
+  * pairs to text they own, exactly as q_dedup_minhash does).
+  *
+  * Batch-INTERNAL near-dups are out of scope by design (the in-batch
+  * job — q_dedup_minhash / q_neardup — owns those); this operator
+  * answers "is this new document a near-copy of anything in history".
+  */
+object IncrementalNearDup {
+
+  /** (doc_id, band_idx, band_hash, mh0..mh{k-1}) for a batch — the rows
+    * both sides of the lookup join carry, and the rows the index
+    * stores. */
+  def bandRows(batch: DataFrame, idCol: String, textCol: String,
+      k: Int, rowsPerBand: Int, shingleWidth: Int = 3): DataFrame = {
+    val ex = TextOps.shingleRows(batch, idCol, textCol, shingleWidth)
+    val sig = TextOps.minhashSignature(ex, idCol, "shingle", k)
+    TextOps.lshBands(sig, idCol, k, rowsPerBand).join(sig, idCol)
+  }
+
+  /** Check `batch` against the index at `indexDir`, then add the batch
+    * to the index. Returns confirmed (new_id, old_id, est_jaccard)
+    * pairs — history-side ids under `old_id`; est_jaccard is the
+    * signature agreement fraction, threshold-filtered.
+    *
+    * @param parts partition count for the FIRST ingest; later ingests
+    *   must pass the same value (the partition function is the pruning
+    *   key — a mismatch would look up the wrong slices). */
+  def ingest(spark: SparkSession, indexDir: String, batch: DataFrame,
+      idCol: String, textCol: String, k: Int = 16, rowsPerBand: Int = 4,
+      parts: Int = 32, threshold: Double = 0.5): DataFrame = {
+    val rows = bandRows(batch, idCol, textCol, k, rowsPerBand)
+      .withColumn("__bkt",
+        pmod(xxhash64(col("band_idx"), col("band_hash")), lit(parts)).cast("int"))
+      .localCheckpoint(true) // feeds the lookup join AND the append
+    val touched = rows.select("__bkt").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val estJ = round((0 until k)
+      .map(i => when(col(s"n.mh$i") === col(s"o.mh$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / k.toDouble, 4)
+    val out =
+      if (!fs.exists(p)) { // no history yet: zero pairs, fixed schema
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("new_id", LongType), StructField("old_id", LongType),
+            StructField("est_jaccard", DoubleType))))
+      } else {
+        // partition-pruned lookup: only the batch's __bkt slices are read
+        val stored = spark.read.parquet(indexDir)
+          .filter(col("__bkt").isin(touched: _*))
+        rows.as("n").join(stored.as("o"),
+            col("n.band_idx") === col("o.band_idx") &&
+              col("n.band_hash") === col("o.band_hash") &&
+              col("n.doc_id") =!= col("o.doc_id"))
+          .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"),
+            estJ.as("est_jaccard"))
+          .distinct() // re-banded pairs + replayed index rows collapse here
+          .filter(col("est_jaccard") >= threshold)
+      }
+    val confirmed = out.localCheckpoint(true) // pin results BEFORE the index grows
+    rows.write.partitionBy("__bkt").mode("append").parquet(indexDir)
+    confirmed
+  }
+}

@@ -254,6 +254,32 @@ object Extensions {
     * a partition-count-sized offset broadcast), NOT a global-ORDER
     * window, which Spark would execute on a single task. Oracle: the
     * single-task window form in DuckDB — identical integer arithmetic. */
+  val qNeardupIncremental = Q.noOracle("q_neardup_incremental") { (s, d) =>
+    // Incremental NEAR-dup (operators/IncrementalNearDup): 90% of the
+    // corpus is indexed as MinHash-LSH band rows (signature carried on
+    // the row); the remaining 10% arrives as a batch and is checked by
+    // one partition-pruned band join, confirming on the
+    // signature-agreement estimate — historical TEXT is never read.
+    // Index rebuilt fresh per run (determinism); hash-specific →
+    // rows-only, recall spec-gated in ExtensionsSpec against the exact
+    // cross-split near-dup pairs.
+    import graft.operators.IncrementalNearDup
+    val dir = new java.io.File(
+      "/root/repo/target/neardup_index/" + new java.io.File(d).getName)
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(dir)
+    val docs = Tables.documents(s, d)
+    val history = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    IncrementalNearDup.ingest(s, dir.getPath, history,
+      "doc_id", "text", threshold = 0.5) // builds the index; no pairs yet
+    IncrementalNearDup.ingest(s, dir.getPath, batch,
+      "doc_id", "text", threshold = 0.5)
+      .orderBy("new_id", "old_id")
+  }
+
   val qTokenBudget = Q(
     "q_token_budget",
     """WITH scored AS (
@@ -1290,7 +1316,7 @@ object Extensions {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qNeardup, qDedupCluster, qDedupClusterStar, qDedupMinhash, qDedupSimhash, qDedupEmbed,
-    qDedupIncremental, qTokenBudget, qCorpusCuration,
+    qDedupIncremental, qNeardupIncremental, qTokenBudget, qCorpusCuration,
     qSimilarityTopk, qSimilaritySql, qAnnIvf, qAnnIvfServe, qAnnLsh, qAnnQuantized,
     qAnnIvfQuantized, qAnnIvfQuantizedServe, qKmeans,
     qTextAnalysis, qTextTopwords, qTextSearch, qTextSearchAll, qTextSearchPhrase,

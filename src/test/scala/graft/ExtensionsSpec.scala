@@ -20,6 +20,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"LSH recall $recall over ${exact.size} exact pairs")
   }
 
+  test("incremental near-dup recovers >=80% of exact pairs crossing the batch split") {
+    // the history-aware path: exact pairs with EXACTLY ONE endpoint in
+    // the mod-10 batch are what an arriving batch must catch against
+    // the persisted band index (batch-internal pairs are the in-batch
+    // job's domain, both-history pairs were catchable at THEIR arrival)
+    def inBatch(id: Long) = id % 10 == 0
+    val exactCross = pairs("q_neardup").filter {
+      case (a, b) => inBatch(a) != inBatch(b)
+    }
+    assert(exactCross.nonEmpty, "expected planted pairs across the split")
+    val found = SparkEntry.queries("q_neardup_incremental")(spark, sf)
+      .collect().map(r => {
+        val (n, o) = (r.getLong(0), r.getLong(1))
+        (math.min(n, o), math.max(n, o))
+      }).toSet
+    val recall = exactCross.count(found.contains).toDouble / exactCross.size
+    info(f"incremental recall $recall%.2f over ${exactCross.size} cross pairs")
+    assert(recall >= 0.8,
+      s"incremental near-dup recall $recall over ${exactCross.size} pairs")
+  }
+
   test("exact dedup keeps every distinct text once") {
     val docs = Tables.documents(spark, sf)
     val deduped = SparkEntry.queries("q_dedup_exact")(spark, sf)
