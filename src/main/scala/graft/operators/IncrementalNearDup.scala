@@ -69,30 +69,42 @@ object IncrementalNearDup {
       .collect().map(_.getInt(0)).toSeq
     val p = new org.apache.hadoop.fs.Path(indexDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val estJ = round((0 until k)
-      .map(i => when(col(s"n.mh$i") === col(s"o.mh$i"), 1).otherwise(0))
-      .reduce(_ + _).cast("double") / k.toDouble, 4)
+    // "history exists" = at least one committed partition dir — a
+    // pre-created empty directory (or one holding only stray files)
+    // is NO history, not a schema-inference crash
+    val hasIndex = fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("__bkt="))
     val out =
-      if (!fs.exists(p)) { // no history yet: zero pairs, fixed schema
+      if (!hasIndex) { // no history yet: zero pairs, fixed schema
         import org.apache.spark.sql.types._
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("new_id", LongType), StructField("old_id", LongType),
             StructField("est_jaccard", DoubleType))))
-      } else {
-        // partition-pruned lookup: only the batch's __bkt slices are read
-        val stored = spark.read.parquet(indexDir)
-          .filter(col("__bkt").isin(touched: _*))
-        rows.as("n").join(stored.as("o"),
-            col("n.band_idx") === col("o.band_idx") &&
-              col("n.band_hash") === col("o.band_hash") &&
-              col("n.doc_id") =!= col("o.doc_id"))
-          .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"),
-            estJ.as("est_jaccard"))
-          .distinct() // re-banded pairs + replayed index rows collapse here
-          .filter(col("est_jaccard") >= threshold)
-      }
+      } else lookup(spark, indexDir, rows, touched, k, threshold)
     val confirmed = out.localCheckpoint(true) // pin results BEFORE the index grows
     rows.write.partitionBy("__bkt").mode("append").parquet(indexDir)
     confirmed
+  }
+
+  /** The lookup join itself, un-checkpointed — the stored-index scan
+    * must carry `__bkt` PartitionFilters (only the batch's hash slices
+    * read) and the candidate join is one (band_idx, band_hash) equi-join;
+    * LayoutSpec pins both on this frame's plan. */
+  private[graft] def lookup(spark: SparkSession, indexDir: String,
+      batchBandRows: DataFrame, touched: Seq[Int], k: Int,
+      threshold: Double): DataFrame = {
+    val estJ = round((0 until k)
+      .map(i => when(col(s"n.mh$i") === col(s"o.mh$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / k.toDouble, 4)
+    val stored = spark.read.parquet(indexDir)
+      .filter(col("__bkt").isin(touched: _*))
+    batchBandRows.as("n").join(stored.as("o"),
+        col("n.band_idx") === col("o.band_idx") &&
+          col("n.band_hash") === col("o.band_hash") &&
+          col("n.doc_id") =!= col("o.doc_id"))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"),
+        estJ.as("est_jaccard"))
+      .distinct() // re-banded pairs + replayed index rows collapse here
+      .filter(col("est_jaccard") >= threshold)
   }
 }

@@ -176,7 +176,23 @@ object DumpPlans {
       "check: the quantize struct (scale, tinyint codes) and the " +
       "tinyint→float cast both fold into the scan-side Project; the " +
       "ranking loop is the same fused vec_cosine codegen expression as " +
-      "the exact path, over arrays 4x smaller on disk."))
+      "the exact path, over arrays 4x smaller on disk."),
+    "q_ann_ivf_quantized_serve" -> ("Quantized IVF in serving shape: the " +
+      "persisted (model, int8 codes) pair loads fingerprint-checked; the " +
+      "plan reads the CODES parquet (4x smaller than the float corpus), " +
+      "probes nprobe=2 cells via the broadcast model literal, and reranks " +
+      "through the fused cosine. What to check: no Lloyd stages, no " +
+      "quantize expressions (build-time work is gone), float corpus " +
+      "touched only for the probe batch."),
+    "q_etl_transform" -> ("Profile-driven cleaning transform (P8). The " +
+      "generated SELECT runs through the SQL passthrough: DISTINCT plans " +
+      "as one hash aggregate over the casted projection, the null-key " +
+      "filter sits under it, casts are scan-side codegen. What to check: " +
+      "one exchange total (the dedup aggregate) — a cleaning pass costs " +
+      "one shuffle regardless of rule count. (q_neardup_incremental's " +
+      "lookup-join pruning is pinned in LayoutSpec instead — the key's " +
+      "returned frame is checkpoint-pinned, so its plan is an RDD scan " +
+      "by design.)"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -111,4 +111,54 @@ class LayoutSpec extends AnyFunSuite {
     assert(zScanXY <= linScanXY * 4,
       s"z-order box scan $zScanXY vs linear $linScanXY — locality lost")
   }
+
+  test("incremental near-dup lookup prunes the band index to the batch's partitions") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.IncrementalNearDup
+    val dir = java.nio.file.Files.createTempDirectory("banddix").toFile
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    try {
+      val docs = Tables.documents(spark, sf)
+      val history = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = docs.filter(col("doc_id") % 10 === 0).limit(5)
+      IncrementalNearDup.ingest(spark, dir.getPath, history, "doc_id", "text")
+      val rows = IncrementalNearDup.bandRows(batch, "doc_id", "text", 16, 4)
+        .withColumn("__bkt",
+          pmod(xxhash64(col("band_idx"), col("band_hash")), lit(32)).cast("int"))
+        .localCheckpoint(true)
+      val touched = rows.select("__bkt").distinct().collect().map(_.getInt(0)).toSeq
+      assert(touched.size < 32, "a 5-doc batch must not touch every index slice")
+      val look = IncrementalNearDup.lookup(spark, dir.getPath, rows, touched, 16, 0.5)
+      look.collect()
+      // AQE nests the final plan inside the adaptive wrapper and its
+      // query stages — unwrap recursively to reach the parquet scan
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def allNodes(p: SparkPlan): Seq[SparkPlan] =
+        p.collect { case n => n }.flatMap {
+          case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+          case q: QueryStageExec => allNodes(q.plan)
+          case n => Seq(n)
+        }
+      val scans = allNodes(look.queryExecution.executedPlan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, "expected the stored-index parquet scan")
+      scans.foreach { s =>
+        assert(s.partitionFilters.exists(_.references.exists(_.name == "__bkt")),
+          "the index scan must prune on the __bkt partition column:\n" + s)
+        assert(s.relation.partitionSchema.fieldNames.contains("__bkt"))
+      }
+      // and the pruning is effective: files read < files on disk
+      val filesOnDisk = Option(dir.listFiles()).getOrElse(Array.empty)
+        .count(_.getName.startsWith("__bkt="))
+      val partsRead = scans.map(_.selectedPartitions.partitionCount).sum
+      assert(partsRead <= touched.size,
+        s"read $partsRead index slices for a batch touching ${touched.size}")
+      assert(partsRead < filesOnDisk,
+        s"read $partsRead of $filesOnDisk slices — pruning ineffective")
+    } finally rmrf(dir)
+  }
 }
