@@ -508,6 +508,38 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("P8 fixture preconditions hold on this testdata vintage") {
+    // The q_etl_transform golden depends on DATA properties of the
+    // driver-regenerated orders table; testdata vintages change between
+    // rounds (events.ts did in round 10), so pin the signals the rules
+    // key off — with margin — and fail HERE, not as a driver hash
+    // mismatch, if a future vintage moves them.
+    import org.apache.spark.sql.functions._
+    val messy = graft.queries.Catalog.messyOrders(spark, sf)
+    val agg = messy.agg(
+      count(lit(1)).cast("double").as("n"),
+      countDistinct(col("Order Key")).cast("double").as("dKey"),
+      sum(col("Order Key").isNull.cast("int")).as("nullKeys"),
+      countDistinct(col("CustKey")).cast("double").as("dCust"),
+      // every price must stringify with exactly 2 decimals (the
+      // engine-portable DECIMAL(12,2) path), every date as ISO
+      sum(when(col("Total Price").rlike("^[0-9]+\\.[0-9]{2}$"), 0).otherwise(1)).as("badPrice"),
+      sum(when(col("Order Date").rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"), 0)
+        .otherwise(1)).as("badDate")).head()
+    val (n, dKey, nullKeys) = (agg.getDouble(0), agg.getDouble(1), agg.getLong(2))
+    val keyRatio = dKey / (n - nullKeys)
+    assert(keyRatio >= 0.82 && keyRatio <= 0.95,
+      s"order_key dup ratio $keyRatio drifted out of the dedup-rule band " +
+        "[0.8, 1.0) with margin — regenerate the q_etl_transform golden")
+    val custRatio = agg.getDouble(3) / (n - nullKeys)
+    assert(custRatio <= 0.75,
+      s"cust_key uniqueness $custRatio approaches the 0.8 dedup floor — " +
+        "the FK would start triggering DISTINCT")
+    assert(nullKeys == 1L, "exactly the one injected null-key row")
+    assert(agg.getLong(4) == 0L, "a price failed 2-decimal stringification")
+    assert(agg.getLong(5) == 0L, "a date failed ISO stringification")
+  }
+
   test("transform generation golden (P8): the fixture profile emits the pinned SQL") {
     // The q_etl_transform oracle hard-codes the DuckDB twin of this
     // exact transform — if the rule engine drifts (different rename,
