@@ -180,6 +180,104 @@ object Training {
       .orderBy("doc_id")
   }
 
+  /** Exact substring-span dedup (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" signal, reshaped for
+    * Spark): every 8-token window of every document, flagged when the
+    * IDENTICAL window appears in at least one OTHER document — catches
+    * shared boilerplate/quotation SPANS that whole-document Jaccard
+    * (q_neardup) deliberately ignores. Per doc: window count, duplicated
+    * window count, duplicated fraction (the filter signal).
+    *
+    * Scale shape: one explode (corpus token count × 1 row per window
+    * start), one span-keyed exchange for the distinct-doc count, one
+    * span-keyed join back. No suffix array, no sort — the hashed-span
+    * exchange IS the suffix-array replacement at cluster scale. The
+    * join key here is the span STRING for oracle parity; at 100 TB the
+    * drop-in optimization is xxhash64(span) keys (the q_neardup
+    * pattern) plus the df-cap broadcast anti-join for Zipf-head spans. */
+  val qDedupSubstring = Q(
+    "q_dedup_substring",
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |p AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS pos
+      |      FROM w WHERE len(ws) >= 8),
+      |spans AS (SELECT doc_id, pos,
+      |            array_to_string(list_slice(ws, pos, pos + 7), ' ') AS span
+      |          FROM p),
+      |dup AS (SELECT span FROM spans GROUP BY span
+      |        HAVING count(DISTINCT doc_id) >= 2)
+      |SELECT s.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_spans,
+      |  CAST(sum(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+      |  round(CAST(sum(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / count(*), 4) AS dup_frac
+      |FROM spans s LEFT JOIN dup d USING (span)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val ws = graft.functions.TextOps.tokens(col("text"))
+    val spans = Tables.documents(s, d)
+      .select(col("doc_id"), ws.as("__ws"))
+      .filter(size(col("__ws")) >= 8)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("__ws")) - 7)).as("pos"), col("__ws"))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", slice(col("__ws"), col("pos"), lit(8))).as("span"))
+    val dup = spans.groupBy("span")
+      .agg(countDistinct("doc_id").as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("span"), lit(1).as("__dup"))
+    spans.join(dup, Seq("span"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_spans"),
+        sum(coalesce(col("__dup"), lit(0))).cast("bigint").as("n_dup_spans"),
+        round(sum(coalesce(col("__dup"), lit(0))).cast("double")
+          / count(lit(1)), 4).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Distributed quantile binning — curriculum/difficulty bucketing
+    * without the single-task trap: exact quartile boundaries of the
+    * type-token ratio are computed once (a 3-double aggregate), then
+    * every document bins MAP-SIDE against the broadcast boundaries.
+    * The naive formulation, `ntile(4) OVER (ORDER BY score)`, is an
+    * unpartitioned window — one task sorts the corpus; this shape
+    * scales as scan + broadcast + 4-row aggregate at any size. Both
+    * engines interpolate quantiles identically (q_agg_percentile pins
+    * that), and binning compares 4-decimal-rounded values on both
+    * sides so a 1e-16 interpolation difference cannot flip a boundary
+    * tie. */
+  val qQualityBins = Q(
+    "q_quality_bins",
+    """WITH t AS (SELECT doc_id,
+      |  round(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+      |        / len(string_split(text,' ')), 4) AS ttr FROM documents),
+      |b AS (SELECT round(quantile_cont(ttr, 0.25), 4) AS b1,
+      |             round(quantile_cont(ttr, 0.50), 4) AS b2,
+      |             round(quantile_cont(ttr, 0.75), 4) AS b3 FROM t)
+      |SELECT CAST(1 + CAST(ttr > b1 AS INT) + CAST(ttr > b2 AS INT)
+      |            + CAST(ttr > b3 AS INT) AS BIGINT) AS bin,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       round(min(ttr), 4) AS min_ttr,
+      |       round(max(ttr), 4) AS max_ttr
+      |FROM t, b GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val ws = graft.functions.TextOps.tokens(col("text"))
+    val t = Tables.documents(s, d).select(col("doc_id"),
+      round(size(array_distinct(ws)).cast("double") / size(ws), 4).as("ttr"))
+    val b = t.agg(
+      round(expr("percentile(ttr, 0.25)"), 4).as("b1"),
+      round(expr("percentile(ttr, 0.50)"), 4).as("b2"),
+      round(expr("percentile(ttr, 0.75)"), 4).as("b3"))
+    t.crossJoin(broadcast(b))
+      .select(col("ttr"),
+        (lit(1) + (col("ttr") > col("b1")).cast("int")
+          + (col("ttr") > col("b2")).cast("int")
+          + (col("ttr") > col("b3")).cast("int")).cast("bigint").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        round(min("ttr"), 4).as("min_ttr"),
+        round(max("ttr"), 4).as("max_ttr"))
+      .orderBy("bin")
+  }
+
   val all: Seq[Q] = Seq(qDocChunks, qTextRepetition, qLmScore, qPackSequences,
-    qTfidf, qVocabCoverage, qLmBigram)
+    qTfidf, qVocabCoverage, qLmBigram, qDedupSubstring, qQualityBins)
 }
