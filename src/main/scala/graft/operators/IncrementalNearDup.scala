@@ -25,11 +25,14 @@ import graft.functions.TextOps
   *
   * Deliberately NOT a transactional store (contrast SnapshotStore): the
   * index is a CANDIDATE GENERATOR over derived state — rebuildable from
-  * the corpus snapshot at any time — and its appends are idempotent in
-  * effect: a crash-replayed batch re-appends duplicate band rows, which
-  * produce duplicate candidate rows, which collapse in the `distinct()`
-  * before confirmation. At-least-once appends + dedup-on-read is the
-  * cheapest protocol that stays correct for this role; correctness
+  * the corpus snapshot at any time — and its appends are replay-stable
+  * in effect: a crash-replayed batch re-appends duplicate band rows
+  * (duplicate candidate rows collapse in the `distinct()` before
+  * confirmation), and candidates whose history side is a member of the
+  * CURRENT batch are anti-joined away, so the replay returns the same
+  * history-pair set as the first attempt even though that attempt
+  * already indexed the batch. At-least-once appends + dedup-on-read is
+  * the cheapest protocol that stays correct for this role; correctness
   * proper lives in the similarity confirmation (signature-estimated
   * Jaccard here; callers wanting exact confirmation join the candidate
   * pairs to text they own, exactly as q_dedup_minhash does).
@@ -55,18 +58,18 @@ object IncrementalNearDup {
     * pairs — history-side ids under `old_id`; est_jaccard is the
     * signature agreement fraction, threshold-filtered.
     *
-    * @param parts partition count for the FIRST ingest; later ingests
-    *   must pass the same value (the partition function is the pruning
-    *   key — a mismatch would look up the wrong slices). */
+    * Replay-stable: candidates whose history side belongs to THIS batch
+    * are excluded, so a crash-replayed ingest (whose first attempt
+    * already appended the batch's band rows) returns the identical
+    * history-pair set instead of leaking batch-internal pairs.
+    *
+    * @param parts partition count for the FIRST ingest only; later
+    *   ingests read it from the index's `_parts` marker (the partition
+    *   function is the pruning key — an unchecked mismatch would look
+    *   up the wrong slices and silently drop near-dups). */
   def ingest(spark: SparkSession, indexDir: String, batch: DataFrame,
       idCol: String, textCol: String, k: Int = 16, rowsPerBand: Int = 4,
       parts: Int = 32, threshold: Double = 0.5): DataFrame = {
-    val rows = bandRows(batch, idCol, textCol, k, rowsPerBand)
-      .withColumn("__bkt",
-        pmod(xxhash64(col("band_idx"), col("band_hash")), lit(parts)).cast("int"))
-      .localCheckpoint(true) // feeds the lookup join AND the append
-    val touched = rows.select("__bkt").distinct()
-      .collect().map(_.getInt(0)).toSeq
     val p = new org.apache.hadoop.fs.Path(indexDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // "history exists" = at least one committed partition dir — a
@@ -74,15 +77,43 @@ object IncrementalNearDup {
     // is NO history, not a schema-inference crash
     val hasIndex = fs.exists(p) &&
       fs.listStatus(p).exists(_.getPath.getName.startsWith("__bkt="))
+    // stored-wins partitioning (the IncrementalDedup manifest pattern):
+    // the marker written at first ingest is authoritative; the caller's
+    // parameter only seeds a brand-new index
+    val partsPath = new org.apache.hadoop.fs.Path(p, "_parts")
+    val effParts =
+      if (hasIndex && fs.exists(partsPath)) {
+        val in = fs.open(partsPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      } else parts
+    val rows = bandRows(batch, idCol, textCol, k, rowsPerBand)
+      .withColumn("__bkt",
+        pmod(xxhash64(col("band_idx"), col("band_hash")), lit(effParts)).cast("int"))
+      .localCheckpoint(true) // feeds the lookup join AND the append
+    val touched = rows.select("__bkt").distinct()
+      .collect().map(_.getInt(0)).toSeq
     val out =
       if (!hasIndex) { // no history yet: zero pairs, fixed schema
         import org.apache.spark.sql.types._
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("new_id", LongType), StructField("old_id", LongType),
             StructField("est_jaccard", DoubleType))))
-      } else lookup(spark, indexDir, rows, touched, k, threshold)
+      } else {
+        // replay stability: a previous attempt may have indexed THIS
+        // batch already — drop candidates whose history side is a
+        // batch member (batch-internal pairs are out of scope)
+        val batchIds = batch.select(col(idCol).as("old_id")).distinct()
+        lookup(spark, indexDir, rows, touched, k, threshold)
+          .join(broadcast(batchIds), Seq("old_id"), "left_anti")
+          .select("new_id", "old_id", "est_jaccard")
+      }
     val confirmed = out.localCheckpoint(true) // pin results BEFORE the index grows
     rows.write.partitionBy("__bkt").mode("append").parquet(indexDir)
+    if (!fs.exists(partsPath)) {
+      val o = fs.create(partsPath, true)
+      try o.write(effParts.toString.getBytes("UTF-8")) finally o.close()
+    }
     confirmed
   }
 

@@ -12,15 +12,19 @@ import org.apache.spark.sql.functions._
   * probe/rerank — no Lloyd rounds, no re-quantization, no float corpus
   * read anywhere in the serving path.
   *
-  * Staleness + atomicity contract (same stance as KMeans.loadOrFit and
-  * the SnapshotStore): both artifacts carry the corpus fingerprint
-  * (row-count + order-insensitive xxhash of (id, vector), k appended);
-  * the codes dir commits data-first/pointer-last — parquet written to a
-  * unique tmp dir, fingerprint marker written INTO the tmp dir last,
-  * then one directory rename publishes both. A crash mid-build leaves
-  * only tmp garbage; a regenerated corpus, changed k, or a model/codes
-  * pair from different builds is detected by fingerprint mismatch and
-  * self-heals by rebuilding.
+  * Staleness contract (same stance as KMeans.loadOrFit): both artifacts
+  * carry the corpus fingerprint (row-count + order-insensitive xxhash
+  * of (id, vector), k appended); a regenerated corpus, changed k, a
+  * torn/unreadable marker, or a model/codes pair from different builds
+  * is detected by fingerprint mismatch and self-heals by rebuilding.
+  * Commit protocol: the codes dir is staged data-first/pointer-last
+  * (parquet to a unique tmp dir, fingerprint marker written INTO the
+  * tmp dir last, then a directory rename) — a crash mid-BUILD leaves
+  * only tmp garbage. Like KMeans.save, REPLACING an existing pair is a
+  * delete-then-rename swap (Hadoop rename refuses an existing
+  * destination), which leaves a brief absent window between delete and
+  * rename; the path is single-writer by contract, and a reader racing
+  * that window fails fast and self-heals on its next loadOrBuild.
   */
 object QuantizedIvf {
 

@@ -34,8 +34,10 @@ object Gates {
 
   /** Mean recall@k of `ann` against `exact`; both are ranked
     * (qid, cid, …, rnk) frames. A probe the index lost entirely counts
-    * as zero recall, not as excluded. */
-  private def recallAtK(ann: DataFrame, exact: DataFrame, k: Int): Double = {
+    * as zero recall, not as excluded. Shared with AnnRecallProbe so the
+    * SCALING.md recall numbers and the gate verdicts are definitionally
+    * the same computation. */
+  private[graft] def recallAtK(ann: DataFrame, exact: DataFrame, k: Int): Double = {
     def top(df: DataFrame): Map[Long, Set[Long]] =
       df.filter(col("rnk") <= k).select(df.columns(0), df.columns(1)).collect()
         .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap

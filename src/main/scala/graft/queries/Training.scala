@@ -212,8 +212,16 @@ object Training {
       |        / count(*), 4) AS dup_frac
       |FROM spans s LEFT JOIN dup d USING (span)
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    substringSpanStats(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
+  /** The q_dedup_substring pipeline as a reusable stage — also driven
+    * by TrainingScaleProbe, so the SCALING.md row measures exactly this
+    * shape (no drift between the key and its measurement). */
+  private[graft] def substringSpanStats(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val ws = graft.functions.TextOps.tokens(col("text"))
-    val spans = Tables.documents(s, d)
+    val spans = docs
       .select(col("doc_id"), ws.as("__ws"))
       .filter(size(col("__ws")) >= 8)
       .select(col("doc_id"),
@@ -231,7 +239,6 @@ object Training {
         sum(coalesce(col("__dup"), lit(0))).cast("bigint").as("n_dup_spans"),
         round(sum(coalesce(col("__dup"), lit(0))).cast("double")
           / count(lit(1)), 4).as("dup_frac"))
-      .orderBy("doc_id")
   }
 
   /** Distributed quantile binning — curriculum/difficulty bucketing

@@ -11,16 +11,14 @@ object AnnRecallProbe {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = graft.GraftSession.builder("local[16]", "16").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def top3(name: String): Map[Long, Set[Long]] =
-      graft.SparkEntry.queries(name)(spark, d).filter(col("rnk") <= 3)
-        .collect().groupBy(_.getLong(0))
-        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    val exact = top3("q_similarity_topk")
+    // recall via the SAME computation the q_gate_* keys enforce
+    val exact = graft.SparkEntry.queries("q_similarity_topk")(spark, d)
+    val nProbes = exact.filter(col("rnk") <= 3).select(exact.columns(0))
+      .distinct().count()
     for (n <- Seq("q_ann_ivf", "q_ann_ivf_quantized", "q_ann_quantized", "q_ann_lsh")) {
-      val ann = top3(n)
-      val rs = exact.map { case (q, e) =>
-        ann.getOrElse(q, Set.empty[Long]).count(e.contains).toDouble / e.size }
-      println(f"RECALL $n recall@3 = ${rs.sum / rs.size}%.3f over ${exact.size} probes")
+      val r = graft.queries.Gates.recallAtK(
+        graft.SparkEntry.queries(n)(spark, d), exact, 3)
+      println(f"RECALL $n recall@3 = $r%.3f over $nProbes probes")
     }
     graft.functions.VectorExpressions.register(spark)
     val e = graft.Tables.embeddings(spark, d)

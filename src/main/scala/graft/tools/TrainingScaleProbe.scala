@@ -89,26 +89,15 @@ object TrainingScaleProbe {
     val p4 = timeMin { pack(docs4same) }
     println(f"PACK 1x: $p1%.2f s; 4x: $p4%.2f s (${p4 / p1}%.1fx)")
 
-    // substring-span dedup: the span-keyed exchange (q_dedup_substring's
-    // shape — explode + groupBy span + join back). Key-shifted copies
+    // substring-span dedup: the span-keyed exchange, driving the SAME
+    // pipeline as q_dedup_substring (Training.substringSpanStats) so
+    // the measurement cannot drift from the key. Key-shifted copies
     // keep doc texts identical, so every span's distinct-doc count
     // multiplies by 4 — the exchange carries 4x rows over the SAME
     // distinct-span key space (the worst case for a hot reducer is a
     // single span, which this operator never joins quadratically).
-    def substr(d: DataFrame): Long = {
-      val ws = graft.functions.TextOps.tokens(col("text"))
-      val spans = d.select(col("doc_id"), ws.as("__ws"))
-        .filter(size(col("__ws")) >= 8)
-        .select(col("doc_id"),
-          explode(sequence(lit(1), size(col("__ws")) - 7)).as("pos"), col("__ws"))
-        .select(col("doc_id"), col("pos"),
-          concat_ws(" ", slice(col("__ws"), col("pos"), lit(8))).as("span"))
-      val dup = spans.groupBy("span")
-        .agg(countDistinct("doc_id").as("__nd")).filter(col("__nd") >= 2)
-        .select(col("span"), lit(1).as("__dup"))
-      spans.join(dup, Seq("span"), "left").groupBy("doc_id")
-        .agg(count(lit(1)), sum(coalesce(col("__dup"), lit(0)))).count()
-    }
+    def substr(d: DataFrame): Long =
+      graft.queries.Training.substringSpanStats(d).count()
     val s1 = timeMin { substr(docs1) }
     val s4 = timeMin { substr(docs4same) }
     println(f"SUBSTR 1x: $s1%.2f s; 4x: $s4%.2f s (${s4 / s1}%.1fx)")

@@ -41,6 +41,39 @@ class ExtensionsSpec extends AnyFunSuite {
       s"incremental near-dup recall $recall over ${exactCross.size} pairs")
   }
 
+  test("incremental near-dup ingest is replay-stable and pins its partitioning") {
+    import graft.operators.IncrementalNearDup
+    val dir = java.nio.file.Files.createTempDirectory("inddx").toFile
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    try {
+      val docs = Tables.documents(spark, sf)
+      val history = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      IncrementalNearDup.ingest(spark, dir.getPath, history,
+        "doc_id", "text", parts = 8)
+      def pairSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val first = pairSet(IncrementalNearDup.ingest(
+        spark, dir.getPath, batch, "doc_id", "text", parts = 8))
+      // crash-replay: the batch's band rows are already in the index —
+      // the result must be the SAME history pairs, with no
+      // batch-internal pairs leaking in
+      val replay = pairSet(IncrementalNearDup.ingest(
+        spark, dir.getPath, batch, "doc_id", "text", parts = 8))
+      assert(replay == first, "replayed ingest changed the result set")
+      // stored-wins partitioning: a later caller passing the WRONG
+      // parts still reads the marker's 8 — same pairs, no silent misses
+      val wrongParts = pairSet(IncrementalNearDup.ingest(
+        spark, dir.getPath, batch, "doc_id", "text", parts = 64))
+      assert(wrongParts == first,
+        "a mismatched parts parameter changed lookup results — the " +
+          "_parts marker must be authoritative")
+      assert(new java.io.File(dir, "_parts").exists())
+    } finally rmrf(dir)
+  }
+
   test("exact dedup keeps every distinct text once") {
     val docs = Tables.documents(spark, sf)
     val deduped = SparkEntry.queries("q_dedup_exact")(spark, sf)
