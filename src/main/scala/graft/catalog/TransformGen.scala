@@ -62,13 +62,33 @@ object TransformGen {
   private def idShaped(snake: String): Boolean =
     snake == "id" || snake.endsWith("_id") || snake.endsWith("key")
 
+  /** Collision-free output alias per source column, in profile order.
+    * snakeCase is not injective (`Order Key` and `OrderKey` both map to
+    * order_key); emitting the duplicate alias twice would make the
+    * generated SELECT ambiguous or invalid downstream, so later
+    * claimants of a taken alias get a `_2`, `_3`, … suffix (probing past
+    * suffixed names that are themselves taken). First claimant keeps
+    * the clean name — stable under appending columns to the profile. */
+  def aliases(profile: Seq[ColumnProfile]): Map[String, String] = {
+    val taken = scala.collection.mutable.Set[String]()
+    profile.map { p =>
+      val base = snakeCase(p.columnName)
+      val alias =
+        if (!taken(base)) base
+        else Iterator.from(2).map(i => s"${base}_$i").find(!taken(_)).get
+      taken += alias
+      p.columnName -> alias
+    }.toMap
+  }
+
   /** Near-uniqueness floor for the dedup signal (see object doc). */
   val DedupFloor = 0.8
 
   /** The applied-rule audit for `profile` (stable: profile order). */
   def steps(profile: Seq[ColumnProfile]): Seq[Step] = {
+    val alias = aliases(profile)
     val perColumn = profile.flatMap { p =>
-      val snake = snakeCase(p.columnName)
+      val snake = alias(p.columnName)
       val rename =
         if (snake != p.columnName)
           Seq(Step("rename", p.columnName, s"`${p.columnName}` -> $snake"))
@@ -104,8 +124,9 @@ object TransformGen {
   /** The cleaning SELECT for `table` under `profile` — columns in
     * profile order, Spark-dialect identifiers. */
   def transformSql(table: String, profile: Seq[ColumnProfile]): String = {
+    val alias = aliases(profile)
     val items = profile.map { p =>
-      val snake = snakeCase(p.columnName)
+      val snake = alias(p.columnName)
       val quoted = s"`${p.columnName}`"
       val castExpr =
         if (p.originalType == "string") castTarget(p.inferredSqlType)
@@ -143,11 +164,12 @@ object TransformGen {
       case p if idShaped(snakeCase(p.columnName)) && p.nullCount > 0 =>
         p.columnName
     }
+    val alias = aliases(profile)
     if (nullKeyed.isEmpty) None
     else Some(
       "SELECT\n  " + profile.map(p =>
-        if (snakeCase(p.columnName) == p.columnName) s"`${p.columnName}`"
-        else s"`${p.columnName}` AS ${snakeCase(p.columnName)}").mkString(",\n  ") +
+        if (alias(p.columnName) == p.columnName) s"`${p.columnName}`"
+        else s"`${p.columnName}` AS ${alias(p.columnName)}").mkString(",\n  ") +
         s",\n  'null key: ${nullKeyed.mkString(", ")}' AS reason" +
         s"\nFROM `$table`" +
         "\nWHERE " + nullKeyed.map(c => s"`$c` IS NULL").mkString(" OR "))

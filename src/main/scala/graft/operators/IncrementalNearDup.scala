@@ -66,7 +66,10 @@ object IncrementalNearDup {
     * @param parts partition count for the FIRST ingest only; later
     *   ingests read it from the index's `_parts` marker (the partition
     *   function is the pruning key — an unchecked mismatch would look
-    *   up the wrong slices and silently drop near-dups). */
+    *   up the wrong slices and silently drop near-dups). Likewise k and
+    *   rowsPerBand are pinned at first ingest: a different k fails
+    *   analysis on missing mh columns, but a different rowsPerBand
+    *   would silently hash different bands — stored params win. */
   def ingest(spark: SparkSession, indexDir: String, batch: DataFrame,
       idCol: String, textCol: String, k: Int = 16, rowsPerBand: Int = 4,
       parts: Int = 32, threshold: Double = 0.5): DataFrame = {
@@ -77,17 +80,42 @@ object IncrementalNearDup {
     // is NO history, not a schema-inference crash
     val hasIndex = fs.exists(p) &&
       fs.listStatus(p).exists(_.getPath.getName.startsWith("__bkt="))
-    // stored-wins partitioning (the IncrementalDedup manifest pattern):
-    // the marker written at first ingest is authoritative; the caller's
-    // parameter only seeds a brand-new index
+    // stored-wins params (the IncrementalDedup manifest pattern): the
+    // marker written at first ingest is authoritative; the caller's
+    // parameters only seed a brand-new index. The marker is written
+    // BEFORE the first data append — so "partitions exist but marker
+    // absent" can only mean a torn index, and is rejected rather than
+    // silently re-keyed with the caller's (possibly different) params.
     val partsPath = new org.apache.hadoop.fs.Path(p, "_parts")
-    val effParts =
-      if (hasIndex && fs.exists(partsPath)) {
+    val (effParts, effK, effRpb) =
+      if (fs.exists(partsPath)) {
         val in = fs.open(partsPath)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-        finally in.close()
-      } else parts
-    val rows = bandRows(batch, idCol, textCol, k, rowsPerBand)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        // marker format: "parts" (legacy, pre-round-11) or
+        // "parts,k,rowsPerBand"
+        txt.split(',') match {
+          case Array(pp)          => (pp.trim.toInt, k, rowsPerBand)
+          case Array(pp, kk, rb)  => (pp.trim.toInt, kk.trim.toInt, rb.trim.toInt)
+          case _ => sys.error(s"corrupt _parts marker at $indexDir: '$txt'")
+        }
+      } else if (hasIndex) {
+        // data without a marker: a crash tore the (marker, append)
+        // ordering of a PRE-round-11 writer, or the marker was deleted.
+        // Trusting the caller's params here could mix moduli/band
+        // widths in one index — fail loudly; the index is rebuildable.
+        sys.error(s"near-dup index at $indexDir has data partitions but no " +
+          "_parts marker — index is torn; rebuild it from the corpus snapshot")
+      } else {
+        // brand-new index: publish params BEFORE any data lands, so a
+        // crash mid-append can never leave unmarked partitions
+        val o = fs.create(partsPath, true)
+        try o.write(s"$parts,$k,$rowsPerBand".getBytes("UTF-8"))
+        finally o.close()
+        (parts, k, rowsPerBand)
+      }
+    val rows = bandRows(batch, idCol, textCol, effK, effRpb)
       .withColumn("__bkt",
         pmod(xxhash64(col("band_idx"), col("band_hash")), lit(effParts)).cast("int"))
       .localCheckpoint(true) // feeds the lookup join AND the append
@@ -104,16 +132,12 @@ object IncrementalNearDup {
         // batch already — drop candidates whose history side is a
         // batch member (batch-internal pairs are out of scope)
         val batchIds = batch.select(col(idCol).as("old_id")).distinct()
-        lookup(spark, indexDir, rows, touched, k, threshold)
+        lookup(spark, indexDir, rows, touched, effK, threshold)
           .join(broadcast(batchIds), Seq("old_id"), "left_anti")
           .select("new_id", "old_id", "est_jaccard")
       }
     val confirmed = out.localCheckpoint(true) // pin results BEFORE the index grows
     rows.write.partitionBy("__bkt").mode("append").parquet(indexDir)
-    if (!fs.exists(partsPath)) {
-      val o = fs.create(partsPath, true)
-      try o.write(effParts.toString.getBytes("UTF-8")) finally o.close()
-    }
     confirmed
   }
 

@@ -98,7 +98,10 @@ object Gates {
     val agg = out.agg(
       count(lit(1)).as("n"),
       countDistinct(col("doc_id")).as("n_ids"),
-      sum(when(!col("predicted").isin(labels: _*) ||
+      // NULL-safe: a NULL predicted label makes !isin(...) evaluate to
+      // NULL and fall through to otherwise(0) — count it explicitly
+      sum(when(col("predicted").isNull || col("score").isNull ||
+        !col("predicted").isin(labels: _*) ||
         col("score") < 0 || col("score") > 100, 1L).otherwise(0L)).as("bad"))
       .head()
     val nDocs = docs.count()

@@ -586,4 +586,28 @@ class CatalogSpec extends AnyFunSuite {
     assert(quarantine.exists(_.endsWith("WHERE `order_id` IS NULL")))
     assert(quarantine.exists(_.contains("'null key: order_id' AS reason")))
   }
+
+  test("transform generation disambiguates colliding snake_case aliases (P8)") {
+    import graft.catalog.{ColumnProfile, TransformGen}
+    def prof(name: String) =
+      ColumnProfile(name, "string", "TEXT", "", "", Nil, 100, 0, 100)
+    // snakeCase is not injective: both map to order_key — the generated
+    // SELECT must not emit the same alias twice
+    val colliding = Seq(prof("Order Key"), prof("OrderKey"), prof("order_key_2"))
+    val a = TransformGen.aliases(colliding)
+    assert(a("Order Key") == "order_key")
+    assert(a("OrderKey") != "order_key", "second claimant must be suffixed")
+    assert(a.values.toSet.size == 3, s"aliases not distinct: $a")
+    val sql = TransformGen.transformSql("t", colliding)
+    assert(sql.contains("`Order Key` AS order_key"))
+    // the emitted SELECT items carry pairwise-distinct output names
+    val outNames = sql.linesIterator.toSeq.tail.takeWhile(!_.startsWith("FROM"))
+      .map(_.trim.stripSuffix(","))
+      .map(item => item.split(" AS ").last.replaceAll("`", ""))
+    assert(outNames.size == 3 && outNames.toSet.size == 3,
+      s"duplicate output name in:\n$sql")
+    // steps() reports the suffixed rename, not the colliding one
+    val renames = TransformGen.steps(colliding).filter(_.kind == "rename")
+    assert(renames.map(_.detail).exists(_.contains(s"-> ${a("OrderKey")}")))
+  }
 }

@@ -71,6 +71,37 @@ class ExtensionsSpec extends AnyFunSuite {
         "a mismatched parts parameter changed lookup results — the " +
           "_parts marker must be authoritative")
       assert(new java.io.File(dir, "_parts").exists())
+      // param pinning: a later caller passing a different rowsPerBand
+      // must adopt the stored banding (a mismatch would hash different
+      // bands against the stored rows → zero/garbage candidates)
+      val wrongBanding = pairSet(IncrementalNearDup.ingest(
+        spark, dir.getPath, batch, "doc_id", "text",
+        rowsPerBand = 2, parts = 64))
+      assert(wrongBanding == first,
+        "a mismatched rowsPerBand changed lookup results — banding " +
+          "params must be pinned in the marker")
+    } finally rmrf(dir)
+  }
+
+  test("incremental near-dup rejects a torn index (data partitions, no marker)") {
+    import graft.operators.IncrementalNearDup
+    val dir = java.nio.file.Files.createTempDirectory("inddx-torn").toFile
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    try {
+      val docs = Tables.documents(spark, sf).limit(20)
+      IncrementalNearDup.ingest(spark, dir.getPath, docs, "doc_id", "text",
+        parts = 4)
+      // simulate the torn state a pre-marker-first writer could leave:
+      // band partitions present, marker gone
+      assert(new java.io.File(dir, "_parts").delete())
+      val e = intercept[RuntimeException] {
+        IncrementalNearDup.ingest(spark, dir.getPath, docs, "doc_id", "text",
+          parts = 8)
+      }
+      assert(e.getMessage.contains("torn"),
+        s"expected a torn-index rejection, got: ${e.getMessage}")
     } finally rmrf(dir)
   }
 
