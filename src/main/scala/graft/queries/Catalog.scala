@@ -640,20 +640,26 @@ object Catalog {
     val ev = Tables.events(s, d).select("user_id", "event_id")
     val dirPath = java.nio.file.Files.createTempDirectory("graft_opt")
     val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
-    val coalesceWas = s.conf.get(coalesceKey, "true")
+    val shufKey = "spark.sql.shuffle.partitions"
+    val (coalesceWas, shufWas) = (s.conf.get(coalesceKey, "true"), s.conf.get(shufKey))
     try {
       val dir = dirPath.toString
       // fragment deliberately: without AQE coalescing each merge's
       // shuffle keeps its full partition fan-out, so every bucket dir
       // lands several files — the state compact() exists to heal (at
       // sf0.01 AQE would coalesce the tiny shuffles to one partition
-      // and the fixture would have nothing to compact)
-      s.conf.set(coalesceKey, "false")
+      // and the fixture would have nothing to compact). Fan-out is
+      // PINNED at 6 (not the session's 32): 6 files per bucket already
+      // exercises the heal while writing ~5x fewer tiny files — at the
+      // bench's sf0.1 the 32-wide fixture was pure create/fsync churn
+      // that made this key the most host-I/O-noise-sensitive in the
+      // suite (round-10 driver capture: 51 s vs 2.6 s quiet).
+      s.conf.set(coalesceKey, "false"); s.conf.set(shufKey, "6")
       SnapshotStore.merge(s, dir, ev.filter(col("event_id") % 2 === 0),
         Seq("user_id"), numBuckets = 8, orderCol = Some("event_id"), retain = true)
       SnapshotStore.merge(s, dir, ev.filter(col("event_id") % 2 === 1),
         Seq("user_id"), numBuckets = 8, orderCol = Some("event_id"), retain = true)
-      s.conf.set(coalesceKey, coalesceWas)
+      s.conf.set(coalesceKey, coalesceWas); s.conf.set(shufKey, shufWas)
       val compacted = SnapshotStore.compact(s, dir, Seq("user_id"), retain = true)
       require(compacted.nonEmpty, "expected multi-file buckets to compact")
       // no dedup on read-back: if compaction duplicated or dropped a
@@ -661,7 +667,7 @@ object Catalog {
       SnapshotStore.read(s, dir).select("user_id", "event_id")
         .orderBy("user_id").localCheckpoint(true)
     } finally {
-      s.conf.set(coalesceKey, coalesceWas)
+      s.conf.set(coalesceKey, coalesceWas); s.conf.set(shufKey, shufWas)
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
         .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
@@ -806,6 +812,10 @@ object Catalog {
     val path = "/root/repo/target/roundtrip/lineitem_orc"
     Tables.lineitem(s, d)
       .select("l_orderkey", "l_extendedprice", "l_returnflag", "l_shipdate")
+      // bound the output file count (4-column slice doesn't warrant the
+      // session's full shuffle width of tiny files; coalesce avoids a
+      // shuffle and keeps the round-trip I/O-noise-resistant)
+      .coalesce(4)
       .write.mode("overwrite").orc(path)
     s.read.orc(path)
       .agg(count(lit(1)).as("n"),
@@ -870,6 +880,13 @@ object Catalog {
     val path = "/root/repo/target/roundtrip/orders_part"
     Tables.orders(s, d)
       .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      // repartition on the partition column first — the standard
+      // small-files discipline for partitioned sinks: one task per
+      // status value writes one file per dir, instead of every input
+      // task writing a sliver into every status dir (3 files vs ~96;
+      // at 100 TB the sliver layout is the classic partitioned-sink
+      // small-files bomb)
+      .repartition(col("o_orderstatus"))
       .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
     s.read.parquet(path)
       .filter(col("o_orderstatus") === "F")

@@ -599,51 +599,100 @@ object SnapshotStore {
     * many files as the shuffle had partitions, so a long-lived snapshot
     * accumulates small files and scan cost grows with VERSION COUNT
     * rather than data size. Compaction rewrites each bucket whose file
-    * count exceeds `maxFilesPerBucket` into a single file, committing a
-    * content-identical new version through the same stage → rename →
-    * manifest protocol — so [[changes]] across a compaction is EMPTY,
-    * retained history stays time-travel-readable, and a crashed
-    * compaction is invisible (manifest never renamed).
+    * count exceeds what its byte size warrants into
+    * `ceil(bucketBytes / targetFileBytes)` files (one, in the common
+    * small-bucket case), committing a content-identical new version
+    * through the same stage → rename → manifest protocol — so
+    * [[changes]] across a compaction is EMPTY, retained history stays
+    * time-travel-readable, and a crashed compaction is invisible
+    * (manifest never renamed).
+    *
+    * SIZE-TARGETED, not one-file-per-bucket: a skewed bucket holding
+    * multiple GB must not become a single write task (straggler) nor a
+    * single multi-GB parquet file (unsplittable scan burden later).
+    * Each touched bucket b gets `want(b) = max(1,
+    * ceil(bytes(b) / targetFileBytes))` output files, produced by
+    * salting the rewrite shuffle with `xxhash64(keys) % want(b)` —
+    * Σ want(b) write tasks run in parallel, and hash-even key salting
+    * bounds each staged file near the target size. Hash collisions in
+    * the repartition can only MERGE salt groups (fewer, larger files),
+    * never fragment them, so re-running immediately is still a pure
+    * no-op: every compacted bucket has ≤ want(b) files, nothing
+    * commits.
     *
     * Find-touched is a driver-side listing of ≤ numBuckets directories
     * (manifest-sized, never data-sized); the rewrite reads ONLY the
-    * touched buckets and pre-partitions one-partition-per-bucket so the
-    * staged write emits exactly one file each. Buckets written under a
-    * pre-evolution schema come out healed to the committed schema
-    * (readAligned casts per dir), eliminating future per-dir alignment
-    * probes for those buckets. Re-running immediately is a pure no-op:
-    * every bucket already has one file, nothing commits.
+    * touched buckets. Buckets written under a pre-evolution schema come
+    * out healed to the committed schema (readAligned casts per dir),
+    * eliminating future per-dir alignment probes for those buckets.
     *
     * Reference surface: the reference keeps whole tables as single
     * PGlite images (pgliteService.ts) so it never needs OPTIMIZE; at
     * the 100 TB stance the maintenance verb is mandatory (same role as
     * Delta OPTIMIZE / Iceberg rewrite_data_files).
     *
+    * @param targetFileBytes desired on-disk bytes per compacted file
+    *   (default 512 MB — parquet sweet spot between scan parallelism
+    *   and per-file overhead at cluster scale).
     * @return the bucket ids that were compacted (empty = no-op). */
   def compact(spark: SparkSession, dir: String, keys: Seq[String],
-      maxFilesPerBucket: Int = 1, retain: Boolean = false): Seq[Int] = {
+      maxFilesPerBucket: Int = 1, retain: Boolean = false,
+      targetFileBytes: Long = 512L * 1024 * 1024): Seq[Int] = {
     require(maxFilesPerBucket >= 1,
       s"maxFilesPerBucket must be >= 1, got $maxFilesPerBucket")
+    require(targetFileBytes >= 1,
+      s"targetFileBytes must be >= 1, got $targetFileBytes")
     val committed = currentManifest(spark, dir).getOrElse(
       throw new java.io.FileNotFoundException(
         s"no snapshot manifest in $dir — nothing to compact"))
     val (fs, base) = fsOf(spark, dir)
-    val touched = committed.buckets.toSeq.sortBy(_._1).collect {
-      case (b, d) if fs.listStatus(new Path(base, d)).count(st =>
-        st.isFile && st.getPath.getName.endsWith(".parquet")) > maxFilesPerBucket => b
+    // per-bucket (file count, byte size) from one manifest-sized listing
+    val stats: Map[Int, (Int, Long)] = committed.buckets.map { case (b, d) =>
+      val files = fs.listStatus(new Path(base, d)).filter(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
+      b -> (files.length, files.map(_.getLen).sum)
     }
+    def want(b: Int): Int =
+      math.max(1, math.ceil(stats(b)._2.toDouble / targetFileBytes).toInt)
+    // a bucket needs compaction when its file count exceeds BOTH the
+    // caller's floor and what its size warrants — so a bucket already
+    // at its size-targeted layout (including one just compacted) is
+    // left alone and compact() converges
+    val touched = committed.buckets.keys.toSeq.sorted
+      .filter(b => stats(b)._1 > math.max(maxFilesPerBucket, want(b)))
     if (touched.isEmpty) return Seq.empty
     val schema = committed.schema.getOrElse( // pre-tracking manifest
       spark.read.parquet(committed.buckets.values.toSeq.sorted
         .map(d => s"$dir/$d"): _*).schema)
     val since = committed.schemaSince.getOrElse(committed.version)
     val existingDirs = touched.flatMap(committed.buckets.get).map(d => s"$dir/$d")
-    // one shuffle partition per touched bucket: after commitVersion's
-    // partitionBy("__b") split, each bucket dir holds exactly one file
-    val onePerBucket = readAligned(spark, existingDirs, committed.schema, since)
-      .repartition(touched.length, bucketCol(keys, committed.numBuckets))
+    val splits = touched.map(b => b -> want(b)).toMap
+    val totalSplits = splits.values.sum
+    val bucket = bucketCol(keys, committed.numBuckets)
+    // salt = INDEPENDENT key hash mod this bucket's wanted file count:
+    // the staged write (partitionBy __b) emits one file per shuffle
+    // partition that holds the bucket's rows — Σ want(b) partitions,
+    // keyed (bucket, salt), give each touched bucket ≈ want(b)
+    // near-target-size files. The salt hash carries an extra literal so
+    // it is NOT the bucket hash: `xxhash64(keys) % want` would be
+    // constant within a bucket whenever want divides numBuckets (the
+    // bucket id already pins hash mod numBuckets), collapsing every
+    // split back to one file.
+    val wantCol = element_at(
+      typedLit(splits.map { case (b, n) => b -> n }), bucket)
+    // 4x partition oversampling: with only Σ want(b) partitions, the
+    // hash of two same-bucket salt groups collides often enough to
+    // merge them into one double-size file; spreading the same groups
+    // over 4x partitions makes collisions rare. File count per bucket
+    // cannot exceed want(b) regardless — there are only want(b)
+    // distinct salt values — so convergence is unaffected, and empty
+    // partitions write nothing.
+    val salted = readAligned(spark, existingDirs, committed.schema, since)
+      .repartition(totalSplits * 4, bucket,
+        pmod(xxhash64(keys.map(col) :+ lit("graft-compact-salt"): _*),
+          wantCol.cast("long")))
     commitVersion(spark, dir, Some(committed), committed.version + 1,
-      committed.numBuckets, schema, since, touched, onePerBucket, keys, retain)
+      committed.numBuckets, schema, since, touched, salted, keys, retain)
     touched
   }
 

@@ -657,4 +657,58 @@ class SnapshotStoreSpec extends AnyFunSuite {
     val again = SnapshotStore.compact(spark, dir, Seq("k"), retain = true)
     assert(again.size <= 1, s"only the re-fragmented bucket may compact, got $again")
   }
+
+  test("compact: an oversized bucket splits to N target-size files, not one straggler file") {
+    import spark.implicits._
+    val dirF = freshDir("snap_compact_sized")
+    val dir = dirF.getAbsolutePath
+    // ONE bucket (numBuckets = 1) carrying all rows, fragmented over two
+    // merges — the planted-skew shape where one-file-per-bucket would
+    // produce a single write task and one oversized file
+    val pad = "x" * 200
+    val b1 = (1L to 2000L).map(k => (k, s"$pad-$k")).toDF("k", "v").repartition(4)
+    val b2 = (1001L to 3000L).map(k => (k, s"$pad-w$k")).toDF("k", "v").repartition(4)
+    // keep the merges' shuffle fan-out (no AQE coalescing) so the one
+    // bucket genuinely fragments — same fixture trick as q_snapshot_compact
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val coalesceWas = spark.conf.get(coalesceKey, "true")
+    try {
+      spark.conf.set(coalesceKey, "false")
+      SnapshotStore.merge(spark, dir, b1, Seq("k"), numBuckets = 1, retain = true)
+      SnapshotStore.merge(spark, dir, b2, Seq("k"), numBuckets = 1, retain = true)
+    } finally spark.conf.set(coalesceKey, coalesceWas)
+    val pre = SnapshotStore.currentManifest(spark, dir).get
+    val preContent = SnapshotStore.read(spark, dir).orderBy("k").collect()
+    def files(d: String): Array[java.io.File] =
+      Option(new java.io.File(dirF, d).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val preFiles = pre.buckets.values.toSeq.flatMap(files)
+    val bucketBytes = preFiles.map(_.length).sum
+    // target a quarter of the bucket => want 4-5 output files; the
+    // fixture must be MORE fragmented than that for compact to fire
+    val target = bucketBytes / 4
+    assert(preFiles.length > math.ceil(bucketBytes.toDouble / target).toInt,
+      s"fixture bucket has only ${preFiles.length} files — not fragmented " +
+        "beyond the size-targeted want")
+    val compacted = SnapshotStore.compact(spark, dir, Seq("k"),
+      retain = true, targetFileBytes = target)
+    assert(compacted == Seq(0))
+    val post = SnapshotStore.currentManifest(spark, dir).get
+    val outFiles = post.buckets.values.toSeq.flatMap(files)
+    val wanted = math.ceil(bucketBytes.toDouble / target).toInt
+    assert(outFiles.length >= 2 && outFiles.length <= wanted,
+      s"expected 2..$wanted files, got ${outFiles.length}")
+    // hash-even salting: no output file dominates (straggler check) —
+    // each holds less than half the bucket
+    val maxFile = outFiles.map(_.length).max
+    assert(maxFile < bucketBytes * 0.6,
+      s"one file holds $maxFile of $bucketBytes bytes — salting failed")
+    // content identical, CDC empty, and re-compact at the SAME target
+    // is a no-op (file count <= want suppresses re-touching)
+    assert(SnapshotStore.read(spark, dir).orderBy("k").collect()
+      .sameElements(preContent))
+    assert(SnapshotStore.changes(spark, dir, pre.version, post.version, Seq("k")).isEmpty)
+    assert(SnapshotStore.compact(spark, dir, Seq("k"),
+      retain = true, targetFileBytes = target).isEmpty)
+  }
 }
