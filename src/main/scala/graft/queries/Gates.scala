@@ -161,8 +161,159 @@ object Gates {
     verdict(s, "q_gate_countmin", ok)
   }
 
+  // ---- round-11 gates: the 9 previously spec-only contracts, made
+  // driver-visible (round-10 verdict item #2). Floors mirror the
+  // ExtensionsSpec / CatalogSpec / ClusteringSpec contracts verbatim.
+
+  /** Float IVF recall@3 vs exact ≥ 0.4. The ABSOLUTE cell-pruning
+    * recall varies with corpus geometry per SF (measured 0.667 at
+    * sf0.001 but 0.467 at sf0.01 — same variation already documented on
+    * [[qGateAnnIvfQuantized]], which is why THAT gate is relative);
+    * 0.4 is the floor that a broken index (wrong cell assignment, probe
+    * ranking inverted) cannot clear while every measured healthy run
+    * does. ExtensionsSpec keeps its tighter 0.5 at sf0.001. */
+  val qGateAnnIvf = annGate("q_gate_ann_ivf", Extensions.qAnnIvf, 0.4)
+
+  /** Multi-table LSH recall@3 ≥ 0.3 (single-table measures ~0.07; the
+    * 4×4 table union is what makes the index usable). */
+  val qGateAnnLsh = annGate("q_gate_ann_lsh", Extensions.qAnnLsh, 0.3)
+
+  /** Serving == fitting, float IVF: the persisted-model path must
+    * return EXACTLY the fit-per-run key's rows (deterministic trainer +
+    * fingerprint staleness ⇒ same model either way; ClusteringSpec pins
+    * the save/load round-trip bit-exact — this gate pins the end-to-end
+    * query equality where the driver can see it). */
+  private def rowsOf(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  val qGateAnnIvfServe = Q(
+    "q_gate_ann_ivf_serve", oracleFor("q_gate_ann_ivf_serve")) { (s, d) =>
+    val fit = rowsOf(Extensions.qAnnIvf.run(s, d))
+    val served = rowsOf(Extensions.qAnnIvfServe.run(s, d))
+    verdict(s, "q_gate_ann_ivf_serve", fit.nonEmpty && served == fit)
+  }
+
+  /** Serving == building, quantized IVF: the persisted artifact pair
+    * (model + int8 codes) must reproduce the fit-per-run composed key. */
+  val qGateAnnIvfQuantizedServe = Q(
+    "q_gate_ann_ivf_quantized_serve",
+    oracleFor("q_gate_ann_ivf_quantized_serve")) { (s, d) =>
+    val built = rowsOf(Extensions.qAnnIvfQuantized.run(s, d))
+    val served = rowsOf(Extensions.qAnnIvfQuantizedServe.run(s, d))
+    verdict(s, "q_gate_ann_ivf_quantized_serve",
+      built.nonEmpty && served == built)
+  }
+
+  /** SimHash(32-bit, hamming ≤ 2) recovers a usable fraction of the
+    * exact near-dup pairs — floor 0.2 (measured 0.32 at sf0.01; the
+    * hamming bound is deliberately tight, trading recall for its
+    * perfect measured precision), and never reports a self-pair or an
+    * unordered duplicate. */
+  val qGateDedupSimhash = Q(
+    "q_gate_dedup_simhash", oracleFor("q_gate_dedup_simhash")) { (s, d) =>
+    def pairSet(df: DataFrame): Set[(Long, Long)] =
+      df.select(df.columns(0), df.columns(1)).collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1)))).toSet
+    val exact = pairSet(Extensions.qNeardup.run(s, d))
+    val sim = Extensions.qDedupSimhash.run(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val wellFormed = sim.forall { case (a, b) => a < b } &&
+      sim.distinct.length == sim.length
+    val simSet = sim.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val recall =
+      if (exact.isEmpty) 0.0 else exact.count(simSet.contains).toDouble / exact.size
+    verdict(s, "q_gate_dedup_simhash",
+      exact.nonEmpty && wellFormed && recall >= 0.2)
+  }
+
+  /** K-means trainer determinism and report totality: the same corpus
+    * fit under a different partitioning yields the IDENTICAL model
+    * (ClusteringSpec's invariant — partition-order-dependent reduction
+    * would poison every IVF key downstream), and the q_kmeans report
+    * accounts for every corpus row with clusters in [0, k). */
+  val qGateKmeans = Q(
+    "q_gate_kmeans", oracleFor("q_gate_kmeans")) { (s, d) =>
+    graft.functions.VectorExpressions.register(s)
+    val e = Tables.embeddings(s, d).localCheckpoint(true)
+    val a = graft.operators.KMeans.fit(e, "vec_id", "embedding", k = 8, maxIter = 5)
+    val b = graft.operators.KMeans.fit(e.repartition(7), "vec_id", "embedding",
+      k = 8, maxIter = 5)
+    val report = Extensions.qKmeans.run(s, d).collect()
+    val total = report.map(_.getLong(1)).sum
+    val clustersOk = report.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 8) &&
+      report.forall(_.getDouble(2) >= 0.0)
+    verdict(s, "q_gate_kmeans",
+      a == b && total == e.count() && clustersOk)
+  }
+
+  /** Sketch relations vs the exact operator (CatalogSpec's agreement
+    * contract, driver-visible): every fully-contained exact FK edge
+    * survives sketching, and the sketch promotes no edge the exact scan
+    * scores below 0.9 containment. */
+  val qGateCatalogRelationsSketch = Q(
+    "q_gate_catalog_relations_sketch",
+    oracleFor("q_gate_catalog_relations_sketch")) { (s, d) =>
+    def pairs(df: DataFrame): Map[(String, String, String, String), (Double, String)] =
+      df.collect().map { r =>
+        (r.getString(0), r.getString(1), r.getString(2), r.getString(3)) ->
+          (r.getAs[Double]("containment"), r.getAs[String]("verdict"))
+      }.toMap
+    val loaded = Catalog.relTables.map { case (t, _) => t -> Tables.load(s, d, t) }
+    val exact = pairs(graft.catalog.Relations.discover(loaded))
+    val sketch = pairs(Catalog.qCatalogRelationsSketch.run(s, d))
+    val fkKept = exact.forall { case (p, (cont, v)) =>
+      v != "fk_candidate" || cont < 1.0 ||
+        sketch.get(p).exists(_._2 == "fk_candidate")
+    }
+    val noneFabricated = sketch.forall { case (p, (_, v)) =>
+      v != "fk_candidate" || exact.get(p).exists(_._1 >= 0.9)
+    }
+    verdict(s, "q_gate_catalog_relations_sketch",
+      exact.nonEmpty && sketch.nonEmpty && fkKept && noneFabricated)
+  }
+
+  /** Incremental discovery against stored sketches == the full sketch
+    * run restricted to newcomer pairs (sketches are deterministic, so
+    * equality is exact — the CatalogSpec pin, driver-visible). */
+  val qGateCatalogRelationsIncremental = Q(
+    "q_gate_catalog_relations_incremental",
+    oracleFor("q_gate_catalog_relations_incremental")) { (s, d) =>
+    val loaded = Catalog.relTables.map { case (t, _) => t -> Tables.load(s, d, t) }
+    val incremental = rowsOf(Catalog.qCatalogRelationsIncremental.run(s, d))
+    val full = rowsOf(graft.catalog.Relations.sketchDiscover(loaded)
+      .where(col("table_a") === "lineitem" || col("table_b") === "lineitem"))
+    verdict(s, "q_gate_catalog_relations_incremental",
+      incremental.nonEmpty && incremental == full)
+  }
+
+  /** Incremental near-dup recall: ≥ 0.8 of the exact near-dup pairs
+    * crossing the history/batch split are recovered from the persisted
+    * band index (the ExtensionsSpec contract — batch-internal pairs are
+    * the in-batch job's domain). */
+  val qGateNeardupIncremental = Q(
+    "q_gate_neardup_incremental",
+    oracleFor("q_gate_neardup_incremental")) { (s, d) =>
+    def inBatch(id: Long) = id % 10 == 0
+    val exactCross = Extensions.qNeardup.run(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => inBatch(a) != inBatch(b) }.toSet
+    val found = Extensions.qNeardupIncremental.run(s, d).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    val recall =
+      if (exactCross.isEmpty) 0.0
+      else exactCross.count(found.contains).toDouble / exactCross.size
+    verdict(s, "q_gate_neardup_incremental",
+      exactCross.nonEmpty && recall >= 0.8)
+  }
+
   val all: Seq[Q] = Seq(
     qGateAnnQuantized, qGateAnnIvfQuantized, qGateDedupMinhash,
     qGateLangIdNgram, qGateApproxDistinct, qGateApproxPercentile,
-    qGateCountmin)
+    qGateCountmin,
+    qGateAnnIvf, qGateAnnLsh, qGateAnnIvfServe, qGateAnnIvfQuantizedServe,
+    qGateDedupSimhash, qGateKmeans, qGateCatalogRelationsSketch,
+    qGateCatalogRelationsIncremental, qGateNeardupIncremental)
 }
