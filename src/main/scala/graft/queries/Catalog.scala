@@ -674,6 +674,77 @@ object Catalog {
     }
   }
 
+  /** Streaming CDC pipeline END-TO-END, batch-replayed (round-10
+    * verdict item #5; the protocol is otherwise StreamingSpec-only):
+    * three upsert micro-batches, a key DELETE, and a predicate UPDATE
+    * drive the exactly-once merge→CDC-log cycle ([[graft.streaming
+    * .Streams.cdcBatch]] and its delete/update twins — the identical
+    * foreachBatch body the streaming sink runs), then the maintained
+    * view is computed PURELY from the published change feed: count and
+    * sum deltas per event_type, never rescanning the snapshot — the
+    * IVM contract. The oracle recomputes the same final aggregate
+    * relationally: per user, the winner of the LAST batch containing
+    * that user (upsert replaces on key), minus deleted users, with the
+    * update applied. Sum deltas ride DECIMAL(18,2) — the values are
+    * 2-dp, so ±old/±new accumulation is EXACT and engine-portable
+    * (double deltas would drift in the last bits across engines). */
+  val qCdcView = Q(
+    "q_cdc_view",
+    """WITH e AS (SELECT user_id, event_id, event_type, value,
+      |                  event_id % 3 AS b FROM events),
+      |lastb AS (SELECT user_id, max(b) AS lb FROM e GROUP BY user_id),
+      |w AS (SELECT e.user_id,
+      |             arg_max(e.event_type, e.event_id) AS event_type,
+      |             arg_max(e.value, e.event_id) AS value
+      |      FROM e JOIN lastb ON e.user_id = lastb.user_id AND e.b = lastb.lb
+      |      GROUP BY e.user_id),
+      |fin AS (SELECT user_id, event_type,
+      |               CASE WHEN user_id % 5 = 0 THEN value + 100 ELSE value END AS value
+      |        FROM w WHERE user_id % 7 <> 0)
+      |SELECT event_type, count(*) AS n,
+      |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_val
+      |FROM fin GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    import graft.streaming.{SnapshotStore, Streams}
+    val ev = Tables.events(s, d).select("user_id", "event_id", "event_type", "value")
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_cdcview")
+    try {
+      val snap = dirPath.resolve("snap").toString
+      val log = dirPath.resolve("cdc").toString
+      (0 to 2).foreach { i =>
+        Streams.cdcBatch(s, snap, log, ev.filter(col("event_id") % 3 === i),
+          Seq("user_id"), numBuckets = 8, orderCol = Some("event_id"))
+      }
+      Streams.cdcDeleteBatch(s, snap, log,
+        SnapshotStore.read(s, snap).filter(col("user_id") % 7 === 0)
+          .select("user_id"), Seq("user_id"))
+      Streams.cdcUpdateBatch(s, snap, log, Seq("user_id"),
+        Map("value" -> (col("value") + 100)), col("user_id") % 5 === 0)
+      // the view: change feed only — no snapshot rescan
+      val changes = Streams.readCdcLog(s, log)
+      val counts = Streams.cdcCountDeltas(changes, "event_type")
+        .groupBy("event_type").agg(sum("delta").as("n"))
+      def dec(c: org.apache.spark.sql.Column) =
+        coalesce(c.cast("decimal(18,2)"), lit(0).cast("decimal(18,2)"))
+      val sums = changes.filter(col("change_type").isin("insert", "update"))
+        .select(col("new_event_type").as("event_type"),
+          dec(col("new_value")).as("delta"))
+        .unionByName(changes.filter(col("change_type").isin("delete", "update"))
+          .select(col("old_event_type").as("event_type"),
+            (-dec(col("old_value"))).as("delta")))
+        .groupBy("event_type").agg(sum("delta").as("sv"))
+      counts.join(sums, Seq("event_type"))
+        .filter(col("n") =!= 0)
+        .select(col("event_type"), col("n"),
+          round(col("sv").cast("double"), 2).as("sum_val"))
+        .orderBy("event_type")
+        .localCheckpoint(true) // materialize before the scratch dirs go
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** Schema-drift-tolerant load (the self-healing half of ingest: an
     * evolving source must not break the pipeline) — two CSV batches
     * whose schemas drift (v2 widens score int→double and adds a
@@ -1286,7 +1357,7 @@ object Catalog {
   val all: Seq[Q] = Seq(
     qProfileTypes, qProfileSemantic, qQualityNulls, qQualityOutliers,
     qQualityCardinality, qQualityExpectations, qProfileDrift, qDdlSynthesis,
-    qEtlTransform, qEtlTransformSql, qEtlQuarantine, qCsvScan, qJsonScan, qSchemaEvolution, qSnapshotTimetravel, qSnapshotChanges, qSnapshotDelete, qSnapshotUpdate, qSnapshotCompact, qLineage,
+    qEtlTransform, qEtlTransformSql, qEtlQuarantine, qCsvScan, qJsonScan, qSchemaEvolution, qSnapshotTimetravel, qSnapshotChanges, qSnapshotDelete, qSnapshotUpdate, qSnapshotCompact, qCdcView, qLineage,
     qLoadRoundtrip, qParquetScan, qUdafProfile,
     qSinkCsvRoundtrip, qSinkJsonRoundtrip, qSinkOrcRoundtrip, qSinkPartitioned, qUpsert,
     qSample, qSampleStratified, qSplitTrainEval, qMixtureSample, qMixtureTemperature,
