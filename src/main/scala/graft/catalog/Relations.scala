@@ -55,15 +55,24 @@ object Relations {
     * CAST(.. AS VARCHAR) identically). Rows are NOT yet distinct (the
     * downstream value-keyed aggregation dedups for free via
     * collect_set). */
+  /** Columns per melt batch: the explode array must stay under
+    * spark.sql.codegen.maxFields (default 100) or the projection falls
+    * out of whole-stage codegen and the melt goes interpreted — the
+    * round-11 width probe measured the cliff as 2x per-column cost at
+    * 128 columns. Batches scan the parquet once each but COLUMN-PRUNED
+    * to their own slice, so total scanned bytes stay one-table-wide. */
+  private val MeltBatch = 48
+
   private[graft] def melt(tables: Seq[(String, DataFrame)]): DataFrame = {
     val melted = tables.flatMap { case (t, df) =>
       val cols = idLikeColumns(df)
-      if (cols.isEmpty) None // no candidates — table contributes nothing
-      else Some(
-        df.select(explode(array(cols.map(c =>
+      // codegen-safe width: wide catalogs melt in column batches
+      cols.grouped(MeltBatch).map { group =>
+        df.select(explode(array(group.map(c =>
           struct(lit(c).as("col"), col(c).cast("string").as("v"))): _*)).as("cv"))
           .select(lit(t).as("tbl"), col("cv.col").as("col"), col("cv.v").as("v"))
-          .where(col("v").isNotNull))
+          .where(col("v").isNotNull)
+      }
     }
     require(melted.nonEmpty,
       "relationship discovery found no id-like candidate column (name " +

@@ -896,6 +896,38 @@ object Catalog {
         max("l_shipdate").cast("string").as("max_ship"))
   }
 
+  /** Avro round-trip (the row-oriented staging format next to the
+    * columnar ORC/parquet sinks; STORE.md:2-3's staging tier): write
+    * through graft.sources.AvroIO (avro-mapred container files — the
+    * spark-avro connector is not on this classpath, so the IO rides the
+    * Hadoop mapreduce formats with a one-map Row↔GenericRecord bridge),
+    * read back under the declared schema, aggregate. Same oracle shape
+    * as S14/ORC: the hash-match certifies lossless round-trip of longs,
+    * doubles, strings, and dates through the format, including the
+    * date logical type. */
+  val qSinkAvroRoundtrip = Q(
+    "q_sink_avro_roundtrip",
+    """SELECT count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+      |       round(sum(l_extendedprice), 2) AS price_sum,
+      |       CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_flags,
+      |       CAST(max(l_shipdate) AS VARCHAR) AS max_ship
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    val path = "/root/repo/target/roundtrip/lineitem_avro"
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) fs.delete(hp, true) // hadoop output dirs must not pre-exist
+    val slice = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_extendedprice", "l_returnflag", "l_shipdate")
+      .coalesce(4)
+    graft.sources.AvroIO.write(slice, path)
+    graft.sources.AvroIO.read(s, path, slice.schema)
+      .agg(count(lit(1)).as("n"),
+        sum("l_orderkey").cast("bigint").as("key_sum"),
+        round(sum("l_extendedprice"), 2).as("price_sum"),
+        countDistinct(col("l_returnflag")).cast("bigint").as("n_flags"),
+        max("l_shipdate").cast("string").as("max_ship"))
+  }
+
   val qSinkJsonRoundtrip = Q(
     "q_sink_json_roundtrip",
     """SELECT count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS key_sum
@@ -1359,7 +1391,7 @@ object Catalog {
     qQualityCardinality, qQualityExpectations, qProfileDrift, qDdlSynthesis,
     qEtlTransform, qEtlTransformSql, qEtlQuarantine, qCsvScan, qJsonScan, qSchemaEvolution, qSnapshotTimetravel, qSnapshotChanges, qSnapshotDelete, qSnapshotUpdate, qSnapshotCompact, qCdcView, qLineage,
     qLoadRoundtrip, qParquetScan, qUdafProfile,
-    qSinkCsvRoundtrip, qSinkJsonRoundtrip, qSinkOrcRoundtrip, qSinkPartitioned, qUpsert,
+    qSinkCsvRoundtrip, qSinkJsonRoundtrip, qSinkOrcRoundtrip, qSinkAvroRoundtrip, qSinkPartitioned, qUpsert,
     qSample, qSampleStratified, qSplitTrainEval, qMixtureSample, qMixtureTemperature,
     qSynthSource, qSynthAggPushdown,
     qCatalogRelations, qCatalogRelationsComposite, qCatalogRelationsSketch,
