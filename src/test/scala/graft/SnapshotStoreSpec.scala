@@ -669,14 +669,24 @@ class SnapshotStoreSpec extends AnyFunSuite {
     val b1 = (1L to 2000L).map(k => (k, s"$pad-$k")).toDF("k", "v").repartition(4)
     val b2 = (1001L to 3000L).map(k => (k, s"$pad-w$k")).toDF("k", "v").repartition(4)
     // keep the merges' shuffle fan-out (no AQE coalescing) so the one
-    // bucket genuinely fragments — same fixture trick as q_snapshot_compact
+    // bucket genuinely fragments — same fixture trick as q_snapshot_compact.
+    // The bucket's file count is capped by the upsert shuffle's
+    // partition count (the test session runs at 4), so raise it for the
+    // fixture merges: 16 tasks leave ~16 files in the single bucket,
+    // safely past the size-targeted want of ~5.
     val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
     val coalesceWas = spark.conf.get(coalesceKey, "true")
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val shuffleWas = spark.conf.get(shuffleKey)
     try {
       spark.conf.set(coalesceKey, "false")
+      spark.conf.set(shuffleKey, "16")
       SnapshotStore.merge(spark, dir, b1, Seq("k"), numBuckets = 1, retain = true)
       SnapshotStore.merge(spark, dir, b2, Seq("k"), numBuckets = 1, retain = true)
-    } finally spark.conf.set(coalesceKey, coalesceWas)
+    } finally {
+      spark.conf.set(coalesceKey, coalesceWas)
+      spark.conf.set(shuffleKey, shuffleWas)
+    }
     val pre = SnapshotStore.currentManifest(spark, dir).get
     val preContent = SnapshotStore.read(spark, dir).orderBy("k").collect()
     def files(d: String): Array[java.io.File] =
