@@ -4,6 +4,7 @@ import graft.{Q, Tables}
 import graft.catalog.{Ddl, Profile, Relations}
 import graft.ingest.{Ingest, SchemaEvolution}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Profiling / catalog / source-sink query keys (SURVEY.md §2.1-2.2).
@@ -687,11 +688,16 @@ object Catalog {
     * that user (upsert replaces on key), minus deleted users, with the
     * update applied. Sum deltas ride DECIMAL(18,2) — the values are
     * 2-dp, so ±old/±new accumulation is EXACT and engine-portable
-    * (double deltas would drift in the last bits across engines). */
+    * (double deltas would drift in the last bits across engines).
+    * The pipeline runs on a user_id % 4 slice: five sequential DML
+    * batches pay parquet-write cost per row, and the slice exercises
+    * every protocol step (3 merges, delete, update, log replay) at a
+    * quarter of the I/O — the write-key insulation rule. */
   val qCdcView = Q(
     "q_cdc_view",
     """WITH e AS (SELECT user_id, event_id, event_type, value,
-      |                  event_id % 3 AS b FROM events),
+      |                  event_id % 3 AS b FROM events
+      |           WHERE user_id % 4 = 1),
       |lastb AS (SELECT user_id, max(b) AS lb FROM e GROUP BY user_id),
       |w AS (SELECT e.user_id,
       |             arg_max(e.event_type, e.event_id) AS event_type,
@@ -706,6 +712,7 @@ object Catalog {
       |FROM fin GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
     import graft.streaming.{SnapshotStore, Streams}
     val ev = Tables.events(s, d).select("user_id", "event_id", "event_type", "value")
+      .filter(col("user_id") % 4 === 1)
     val dirPath = java.nio.file.Files.createTempDirectory("graft_cdcview")
     try {
       val snap = dirPath.resolve("snap").toString
@@ -1151,6 +1158,40 @@ object Catalog {
       .orderBy("o_orderstatus")
   }
 
+  /** Fixed-n-per-stratum deterministic sampling — the balanced-subset
+    * op fraction-based stratified sampling can't express (an eval set
+    * wants exactly n docs per language, however skewed the corpus):
+    * per stratum, keep the n rows with the SMALLEST portable hash of
+    * the id — a uniform-without-replacement draw that every engine and
+    * every partitioning reproduces bit-identically.
+    *
+    * Scale shape: hash scoring is map-side codegen; the per-stratum
+    * rank is a row_number window whose filter Catalyst bounds with
+    * WindowGroupLimit (Partial) BELOW the exchange — each map
+    * partition ships at most n rows per stratum, so the shuffle
+    * carries O(strata·n·partitions), never the corpus. Oracle: the
+    * identical hash chain + row_number in DuckDB. */
+  val qSampleFixedN = Q(
+    "q_sample_fixed_n",
+    s"""WITH h AS (
+      |  SELECT lang, doc_id,
+      |       ${portableHashSql("doc_id")}
+      |  FROM documents),
+      |r AS (SELECT lang, doc_id,
+      |             row_number() OVER (PARTITION BY lang
+      |                                ORDER BY h4, doc_id) AS rnk
+      |      FROM h)
+      |SELECT lang, doc_id, CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 20 ORDER BY lang, rnk""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("lang")
+      .orderBy(portableHash(col("doc_id")).asc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .select("lang", "doc_id")
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 20)
+      .orderBy("lang", "rnk")
+  }
+
   /** Custom DataSourceV2 read path (graft.sources.SynthSource): filter
     * pushdown narrows the generated id range source-side, column pruning
     * reaches the reader, rows are a pure function of doc_id so ANY
@@ -1392,7 +1433,7 @@ object Catalog {
     qEtlTransform, qEtlTransformSql, qEtlQuarantine, qCsvScan, qJsonScan, qSchemaEvolution, qSnapshotTimetravel, qSnapshotChanges, qSnapshotDelete, qSnapshotUpdate, qSnapshotCompact, qCdcView, qLineage,
     qLoadRoundtrip, qParquetScan, qUdafProfile,
     qSinkCsvRoundtrip, qSinkJsonRoundtrip, qSinkOrcRoundtrip, qSinkAvroRoundtrip, qSinkPartitioned, qUpsert,
-    qSample, qSampleStratified, qSplitTrainEval, qMixtureSample, qMixtureTemperature,
+    qSample, qSampleStratified, qSampleFixedN, qSplitTrainEval, qMixtureSample, qMixtureTemperature,
     qSynthSource, qSynthAggPushdown,
     qCatalogRelations, qCatalogRelationsComposite, qCatalogRelationsSketch,
     qCatalogRelationsIncremental, qCatalogGraph)

@@ -80,6 +80,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_topk_pergroup").contains("WindowGroupLimit"))
   }
 
+  test("fixed-n stratified sample bounds the shuffle with WindowGroupLimit") {
+    // the rnk <= 20 filter over the per-stratum hash ranking must
+    // group-limit below the exchange: each map partition ships at most
+    // n rows per stratum, never the corpus — the key's 100 TB claim
+    val p = plan("q_sample_fixed_n")
+    assert(p.contains("WindowGroupLimit"), p.linesIterator.take(15).mkString("\n"))
+  }
+
   test("selective dim filter injects a runtime bloom filter into the fact scan") {
     // the production thresholds (10 GB application side) are meant for
     // real clusters; lower them so the optimizer's InjectRuntimeFilter
