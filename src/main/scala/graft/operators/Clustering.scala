@@ -48,6 +48,17 @@ object KMeans {
   def assignment(vec: Column, model: Model): Column =
     (-best(vec, model).getField("neg")).cast("int")
 
+  /** All k cells ranked nearest-first for `vec` — an array_sort over k
+    * `struct(negcos, cell)` model entries, map-side per row (no window,
+    * no join). The shared kernel behind IVF probe selection and top-m
+    * multi-assignment (`slice(rankedCells(...), 1, m)`). */
+  def rankedCells(vec: Column, model: Model): Column =
+    array_sort(array(model.centroids.zipWithIndex.map {
+      case (c, i) =>
+        struct((lit(-1.0) * VectorExpressions.cosineFast(vec, typedlit(c)))
+          .as("negcos"), lit(i).as("cell"))
+    }: _*))
+
   /** Cosine distance (1 - cos) to the assigned centroid — the inertia
     * contribution (see [[best]]). */
   def distanceToAssigned(vec: Column, model: Model): Column =

@@ -594,6 +594,35 @@ object Extensions {
       .orderBy("ida", "idb")
   }
 
+  /** Incremental embedding dedup (operators/IncrementalEmbedDedup):
+    * the original corpus is indexed under a frozen IVF-cell model (fit
+    * on that founding batch, committed before any data); the planted
+    * near-copies then arrive as a batch and are checked by one
+    * cell-pruned join + exact-cosine confirmation — historical rows
+    * outside the batch's cells are never read. Index rebuilt fresh per
+    * run (determinism); learned-cell bucketing is model-specific →
+    * rows-only, the pairs==planted contract is oracle-visible in
+    * q_gate_dedup_embed_incremental. */
+  val qDedupEmbedIncremental = Q.noOracle("q_dedup_embed_incremental") { (s, d) =>
+    VectorExpressions.register(s)
+    import graft.operators.IncrementalEmbedDedup
+    val dir = new java.io.File(
+      "/root/repo/target/embed_dedup_index/" + new java.io.File(d).getName)
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(dir)
+    val base = Tables.embeddings(s, d)
+    val history = base.select("vec_id", "embedding")
+    val batch = plantedNearDupCorpus(base).filter(col("vec_id") >= 10000000L)
+    IncrementalEmbedDedup.ingest(s, dir.getPath, history,
+      "vec_id", "embedding", k = 8, assignCells = EmbedDedupAssignCells,
+      threshold = EmbedNearDupThreshold) // founds the index; no pairs yet
+    IncrementalEmbedDedup.ingest(s, dir.getPath, batch,
+      "vec_id", "embedding", threshold = EmbedNearDupThreshold)
+      .orderBy("new_id", "old_id")
+  }
+
   /** The exact ground truth the ANN dedup gate measures recall against:
     * the full block-pair scan over the SAME planted corpus at the same
     * threshold (cheap at gate scale — the planted corpus is ≤ a few
@@ -705,16 +734,12 @@ object Extensions {
       .withColumn("cell", graft.operators.KMeans.assignment(col("ec"), model))
 
   /** All k cells ranked nearest-first for the vector in `vec` (default:
-    * the probe column `eq`) — an array_sort over k model entries,
-    * map-side per row. */
+    * the probe column `eq`) — delegates to the shared
+    * [[graft.operators.KMeans.rankedCells]] kernel. */
   private def cellsRankedCol(model: graft.operators.KMeans.Model,
       vec: org.apache.spark.sql.Column = col("eq")):
       org.apache.spark.sql.Column =
-    array_sort(array(model.centroids.zipWithIndex.map {
-      case (c, i) =>
-        struct((lit(-1.0) * VectorExpressions.cosineFast(vec, typedlit(c)))
-          .as("negcos"), lit(i).as("cell"))
-    }: _*))
+    graft.operators.KMeans.rankedCells(vec, model)
 
   /** The shared probe×cell candidate join + exact rerank: the ONLY
     * corpus-sized shuffle in any IVF variant. */
@@ -1491,7 +1516,7 @@ object Extensions {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qNeardup, qDedupCluster, qDedupClusterStar, qDedupMinhash, qDedupSimhash, qDedupEmbed,
-    qDedupEmbedAnn,
+    qDedupEmbedAnn, qDedupEmbedIncremental,
     qDedupIncremental, qNeardupIncremental, qTokenBudget, qCorpusCuration,
     qSimilarityTopk, qSimilaritySql, qAnnIvf, qAnnIvfServe, qAnnIvfAdaptive, qAnnLsh, qAnnQuantized,
     qAnnIvfQuantized, qAnnIvfQuantizedServe, qKmeans,

@@ -307,6 +307,26 @@ object Gates {
       exact.nonEmpty && ann.subsetOf(exact) && recall >= 0.95)
   }
 
+  /** Incremental embedding dedup against the persisted cell index must
+    * recover the planted (original, copy) pairs: every planted pair
+    * crosses the history/batch split by construction (copies arrive as
+    * the batch), so the exact pair set over the planted corpus IS the
+    * incremental ground truth. Subset (exact cosine confirms, so extra
+    * pairs are bugs) + recall ≥ 0.95. */
+  val qGateDedupEmbedIncremental = Q(
+    "q_gate_dedup_embed_incremental",
+    oracleFor("q_gate_dedup_embed_incremental")) { (s, d) =>
+    val incr = Extensions.qDedupEmbedIncremental.run(s, d).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    val exact = Extensions.exactEmbedNearDupPairs(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall =
+      if (exact.isEmpty) 0.0 else exact.count(incr.contains).toDouble / exact.size
+    verdict(s, "q_gate_dedup_embed_incremental",
+      exact.nonEmpty && incr.subsetOf(exact) && recall >= 0.95)
+  }
+
   /** K-means trainer determinism and report totality: the same corpus
     * fit under a different partitioning yields the IDENTICAL model
     * (ClusteringSpec's invariant — partition-order-dependent reduction
@@ -395,6 +415,7 @@ object Gates {
     qGateCountmin,
     qGateAnnIvf, qGateAnnLsh, qGateAnnIvfServe, qGateAnnIvfQuantizedServe,
     qGateAnnIvfAdaptive,
-    qGateDedupSimhash, qGateDedupEmbedAnn, qGateKmeans, qGateCatalogRelationsSketch,
+    qGateDedupSimhash, qGateDedupEmbedAnn, qGateDedupEmbedIncremental,
+    qGateKmeans, qGateCatalogRelationsSketch,
     qGateCatalogRelationsIncremental, qGateNeardupIncremental)
 }

@@ -755,6 +755,46 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got.count { case (a, b) => a < 6 && b > 6 } == 0, "cross-bucket pair leaked")
   }
 
+  test("incremental embed dedup: replay-stable, stored-wins params, torn-index rejection") {
+    import graft.operators.IncrementalEmbedDedup
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("embdedup").toFile
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    try {
+      graft.functions.VectorExpressions.register(spark)
+      val base = Tables.embeddings(spark, sf)
+      val batch = graft.queries.Extensions.plantedNearDupCorpus(base)
+        .filter(col("vec_id") >= 10000000L)
+      def pairSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // founding ingest: model committed, zero pairs
+      assert(IncrementalEmbedDedup.ingest(spark, dir.getPath,
+        base.select("vec_id", "embedding"), "vec_id", "embedding",
+        k = 8, assignCells = 2).isEmpty)
+      assert(new java.io.File(dir, "_model").exists(),
+        "model must be committed at the founding ingest")
+      val first = pairSet(IncrementalEmbedDedup.ingest(
+        spark, dir.getPath, batch, "vec_id", "embedding"))
+      assert(first.nonEmpty, "planted copies must match their originals")
+      // crash-replay: the batch's cell rows are already in the index —
+      // the same ingest must return the same history pairs, not leak
+      // batch-internal ones; a DIFFERENT caller k must be ignored
+      // (stored model wins)
+      val replay = pairSet(IncrementalEmbedDedup.ingest(
+        spark, dir.getPath, batch, "vec_id", "embedding", k = 3))
+      assert(replay == first, "replayed ingest must be pair-stable")
+      // torn index: data partitions without _model are rejected
+      assert(new java.io.File(dir, "_model").delete())
+      val e = intercept[RuntimeException] {
+        IncrementalEmbedDedup.ingest(spark, dir.getPath, batch,
+          "vec_id", "embedding")
+      }
+      assert(e.getMessage.contains("torn"), e.getMessage)
+    } finally rmrf(dir)
+  }
+
   test("embedding-ANN dedup recovers the planted near-dup pairs exactly") {
     val exact = graft.queries.Extensions.exactEmbedNearDupPairs(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
