@@ -93,7 +93,13 @@ object IncrementalEmbedDedup {
           "no _model — index is torn; rebuild it from the corpus snapshot")
       } else {
         // brand-new index: fit on the founding batch, publish the model
-        // (with m pinned in the header) BEFORE any data lands
+        // (with m pinned in the header) BEFORE any data lands. An empty
+        // founding batch would commit a zero-centroid model whose
+        // rankedCells is the empty array — every later ingest would
+        // assign no cells and silently match nothing, a dead index.
+        require(batch.limit(1).count() > 0,
+          s"founding batch for $indexDir is empty — cannot fit the cell " +
+            "model; ingest the first non-empty batch to create the index")
         val fitted = KMeans.fit(batch, idCol, vecCol, k = k, maxIter = 3)
         KMeans.save(spark, fitted, modelPath.toString, Some(s"m=$assignCells"))
         (fitted, assignCells)

@@ -161,4 +161,53 @@ class LayoutSpec extends AnyFunSuite {
         s"read $partsRead of $filesOnDisk slices — pruning ineffective")
     } finally rmrf(dir)
   }
+
+  test("incremental embed dedup lookup prunes the cell index to the batch's cells") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{IncrementalEmbedDedup, KMeans}
+    val dir = java.nio.file.Files.createTempDirectory("celldix").toFile
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    try {
+      graft.functions.VectorExpressions.register(spark)
+      val base = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      IncrementalEmbedDedup.ingest(spark, dir.getPath, base,
+        "vec_id", "embedding", k = 8, assignCells = 2)
+      // a one-vector batch ranks into exactly its 2 nearest cells — the
+      // lookup must read ONLY those slices of the 8-cell index
+      val model = KMeans.load(spark, new java.io.File(dir, "_model").getPath)
+      val batch = base.orderBy("vec_id").limit(1)
+        .select((col("vec_id") + 30000000L).as("vec_id"), col("embedding"))
+      val rows = IncrementalEmbedDedup.cellRows(
+        batch, "vec_id", "embedding", model, 2).localCheckpoint(true)
+      val touched = rows.select("__cell").distinct().collect().map(_.getInt(0)).toSeq
+      assert(touched.size == 2, s"one vector must rank into 2 cells, got $touched")
+      val look = IncrementalEmbedDedup.lookup(spark, dir.getPath, rows, touched, -1.0)
+      look.collect()
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def allNodes(p: SparkPlan): Seq[SparkPlan] =
+        p.collect { case n => n }.flatMap {
+          case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+          case q: QueryStageExec => allNodes(q.plan)
+          case n => Seq(n)
+        }
+      val scans = allNodes(look.queryExecution.executedPlan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, "expected the stored-index parquet scan")
+      scans.foreach { s =>
+        assert(s.partitionFilters.exists(_.references.exists(_.name == "__cell")),
+          "the index scan must prune on the __cell partition column:\n" + s)
+      }
+      val cellsOnDisk = Option(dir.listFiles()).getOrElse(Array.empty)
+        .count(_.getName.startsWith("__cell="))
+      val partsRead = scans.map(_.selectedPartitions.partitionCount).sum
+      assert(partsRead <= touched.size,
+        s"read $partsRead index cells for a batch touching ${touched.size}")
+      assert(partsRead < cellsOnDisk,
+        s"read $partsRead of $cellsOnDisk cells — pruning ineffective")
+    } finally rmrf(dir)
+  }
 }
