@@ -83,7 +83,14 @@ object EmbedDedupScaleProbe {
     section.append("structurally zero: candidates are exact-cosine reranked. The\n")
     section.append("per-cell scan nests the block-pair scheme keyed (cell, bi, bj),\n")
     section.append("so one skewed Lloyd cell raises its task COUNT, not any task's\n")
-    section.append("memory (2*cellsize/B rows bounded).\n")
+    section.append("memory (2*cellsize/B rows bounded).\n\n")
+    section.append("Incremental twin (q_dedup_embed_incremental): the same cells\n")
+    section.append("persist as a parquet index partitioned by __cell under a frozen\n")
+    section.append("founding model, and a batch lookup reads ONLY the cells the\n")
+    section.append("batch ranks into — LayoutSpec pins a one-vector batch to exactly\n")
+    section.append("its 2 ranked cells (__cell PartitionFilters, partitions read <\n")
+    section.append("cells on disk). At production k the read is batch-proportional,\n")
+    section.append("the band index's economics in vector space.\n")
 
     val path = java.nio.file.Paths.get("/root/repo/SCALING.md")
     val cur = java.nio.file.Files.readString(path)
