@@ -26,6 +26,7 @@ object Bench {
     // an actual plan-cost observation.
     val writeKeyPrefixes = Seq("q_snapshot_", "q_sink_", "q_load_",
       "q_cdc_", "q_dedup_incremental", "q_neardup_incremental",
+      "q_dedup_embed_incremental",
       "q_ann_ivf_serve", "q_ann_ivf_quantized_serve")
     def repsFor(name: String): Int =
       if (writeKeyPrefixes.exists(name.startsWith)) math.max(reps, 3) else reps

@@ -134,14 +134,20 @@ object IncrementalEmbedDedup {
       threshold: Double): DataFrame = {
     val stored = spark.read.parquet(indexDir)
       .filter(col("__cell").isin(touched: _*))
-    val cos = round(VectorExpressions.cosineFast(
-      col("n.embedding"), col("o.embedding")), 4)
+    val cos = VectorExpressions.cosineFast(col("n.embedding"), col("o.embedding"))
     batchCellRows.as("n").join(stored.as("o"),
         col("n.__cell") === col("o.__cell") &&
           col("n.vec_id") =!= col("o.vec_id"))
+      // threshold on the UNROUNDED cosine (matching the exact and ANN
+      // twins — rounding first would admit boundary pairs the exact
+      // ground truth excludes and break the gate's subset contract);
+      // round only the OUTPUT. distinct() on the raw double is safe:
+      // a pair's meets evaluate the identical expression on identical
+      // inputs, so the bits agree
       .select(col("n.vec_id").as("new_id"), col("o.vec_id").as("old_id"),
         cos.as("cos"))
       .distinct() // multi-cell meets + replayed index rows collapse here
       .filter(col("cos") >= threshold)
+      .select(col("new_id"), col("old_id"), round(col("cos"), 4).as("cos"))
   }
 }

@@ -623,15 +623,17 @@ object Extensions {
       .orderBy("new_id", "old_id")
   }
 
-  /** The exact ground truth the ANN dedup gate measures recall against:
-    * the full block-pair scan over the SAME planted corpus at the same
-    * threshold (cheap at gate scale — the planted corpus is ≤ a few
-    * thousand rows; the all-pairs guard still applies). */
-  private[graft] def exactEmbedNearDupPairs(s: SparkSession, d: String): DataFrame = {
+  /** The exact ground truth the embed-dedup gates and probes measure
+    * recall against: the full block-pair scan over the SAME planted
+    * corpus at the same threshold (cheap at gate scale — the planted
+    * corpus is ≤ a few thousand rows; the all-pairs guard still
+    * applies, reporting the CALLER's name on refusal). */
+  private[graft] def exactEmbedNearDupPairs(s: SparkSession, d: String,
+      caller: String = "q_gate_dedup_embed_ann"): DataFrame = {
     VectorExpressions.register(s)
     val corpus = plantedNearDupCorpus(Tables.embeddings(s, d))
       .localCheckpoint(true)
-    requireAllPairsSafe(corpus, "q_gate_dedup_embed_ann")
+    requireAllPairsSafe(corpus, caller)
     val cos = VectorExpressions.cosineFast(col("ea"), col("eb"))
     blockPairJoin(corpus, "vec_id", "embedding")
       .filter(cos >= EmbedNearDupThreshold)

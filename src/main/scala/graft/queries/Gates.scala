@@ -213,29 +213,52 @@ object Gates {
     * prober must hold recall@3 ≥ 0.9 against exact brute force ON THE
     * SKEWED CORPUS at the same n/4 budget fixed nprobe=2 pays on
     * balanced cells. */
-  val qGateAnnIvfAdaptive = Q(
-    "q_gate_ann_ivf_adaptive", oracleFor("q_gate_ann_ivf_adaptive")) { (s, d) =>
-    import graft.functions.VectorExpressions
-    VectorExpressions.register(s)
-    val e0 = Tables.embeddings(s, d)
-    // structured skew: 8 direction bundles (unit axis b + vec_id-keyed
-    // jitter, portable and partition-invariant) with an 80/20 mass
-    // split — bundle 0 holds every vec_id % 5 != 0 row, the 7 small
-    // bundles share the rest. Neighbors are co-located in direction
-    // space (a probe's true top-3 are its bundle-mates — the structure
-    // IVF exists to exploit) while the trained cells are heavily
-    // imbalanced: the mega-bundle's cells dwarf the small-bundle ones,
-    // which is exactly the skew a fixed nprobe mishandles. Every probe
-    // id (vec_id % 100 == 0 ⊂ % 5 == 0) lands in a SMALL bundle — the
-    // starved side of the skew.
+  /** The adaptive-IVF gate's fixture — structured skew: 8 direction
+    * bundles (unit axis b + vec_id-keyed jitter, portable and
+    * partition-invariant) with an 80/20 mass split — bundle 0 holds
+    * every vec_id % 5 != 0 row, the 7 small bundles share the rest.
+    * Neighbors are co-located in direction space (a probe's true top-3
+    * are its bundle-mates — the structure IVF exists to exploit) while
+    * the trained cells are heavily imbalanced: the mega-bundle's cells
+    * dwarf the small-bundle ones, exactly the skew a fixed nprobe
+    * mishandles. Every probe id (vec_id % 100 == 0 ⊂ % 5 == 0) lands
+    * in a SMALL bundle — the starved side of the skew.
+    *
+    * SHARED with AnnSkewProbe: the SCALING.md recall table and this
+    * gate's verdict are definitionally over the same corpus — a
+    * fixture tweak here re-measures both. */
+  private[graft] def skewedBundleCorpus(e0: DataFrame): DataFrame = {
     val bundle = when(col("vec_id") % 5 =!= 0, lit(0))
       .otherwise((col("vec_id") / 5).cast("bigint") % 7 + 1)
-    val skewed = e0.withColumn("embedding",
+    e0.withColumn("embedding",
       transform(col("embedding"), (x, i) =>
         (when(i === bundle, lit(1.0d)).otherwise(lit(0.0d)) +
           (pmod(xxhash64(col("vec_id") * 131 + i), lit(1000)).cast("double")
             / 1000.0 - 0.5) * 0.2).cast("float")))
       .localCheckpoint(true)
+  }
+
+  /** Exact brute-force cosine top-3 of `probes` (qid, eq) against
+    * `corpus` — the ground truth both the adaptive gate and the skew
+    * probe rank recall against. */
+  private[graft] def exactTop3(corpus: DataFrame, probes: DataFrame): DataFrame = {
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    broadcast(probes)
+      .join(corpus.select(col("vec_id").as("cid"), col("embedding").as("ec")),
+        col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(graft.functions.VectorExpressions
+          .cosineFast(col("eq"), col("ec")), 4).as("cos"))
+      .withColumn("rnk", row_number().over(cw).cast("bigint"))
+      .filter(col("rnk") <= 3)
+  }
+
+  val qGateAnnIvfAdaptive = Q(
+    "q_gate_ann_ivf_adaptive", oracleFor("q_gate_ann_ivf_adaptive")) { (s, d) =>
+    import graft.functions.VectorExpressions
+    VectorExpressions.register(s)
+    val skewed = skewedBundleCorpus(Tables.embeddings(s, d))
     val model = graft.operators.KMeans.fit(
       skewed, "vec_id", "embedding", k = 8, maxIter = 3)
     val sizes = skewed
@@ -249,17 +272,8 @@ object Gates {
     val ann = Extensions.ivfSearchAdaptive(
       skewed, model, sizes, budget = math.max(1L, n / 4))
     // exact brute force over the SAME skewed corpus and probe batch
-    val q = Extensions.probeBatch(skewed)
-      .select(col("vec_id").as("qid"), col("embedding").as("eq"))
-    val cw = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
-    val exact = broadcast(q)
-      .join(skewed.select(col("vec_id").as("cid"), col("embedding").as("ec")),
-        col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        round(VectorExpressions.cosineFast(col("eq"), col("ec")), 4).as("cos"))
-      .withColumn("rnk", row_number().over(cw).cast("bigint"))
-      .filter(col("rnk") <= 3)
+    val exact = exactTop3(skewed, Extensions.probeBatch(skewed)
+      .select(col("vec_id").as("qid"), col("embedding").as("eq")))
     val r = recallAtK(ann, exact, 3)
     verdict(s, "q_gate_ann_ivf_adaptive", skewed2x && r >= 0.9)
   }
@@ -319,7 +333,8 @@ object Gates {
     val incr = Extensions.qDedupEmbedIncremental.run(s, d).collect()
       .map(r => (math.min(r.getLong(0), r.getLong(1)),
         math.max(r.getLong(0), r.getLong(1)))).toSet
-    val exact = Extensions.exactEmbedNearDupPairs(s, d).collect()
+    val exact = Extensions
+      .exactEmbedNearDupPairs(s, d, "q_gate_dedup_embed_incremental").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall =
       if (exact.isEmpty) 0.0 else exact.count(incr.contains).toDouble / exact.size

@@ -15,16 +15,11 @@ object AnnSkewProbe {
     val spark = GraftSession.builder("local[16]", "16").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.VectorExpressions.register(spark)
-    val e0 = Tables.embeddings(spark, sf)
-    // the gate's fixture, verbatim (Gates.qGateAnnIvfAdaptive)
-    val bundle = when(col("vec_id") % 5 =!= 0, lit(0))
-      .otherwise((col("vec_id") / 5).cast("bigint") % 7 + 1)
-    val skewed = e0.withColumn("embedding",
-      transform(col("embedding"), (x, i) =>
-        (when(i === bundle, lit(1.0d)).otherwise(lit(0.0d)) +
-          (pmod(xxhash64(col("vec_id") * 131 + i), lit(1000)).cast("double")
-            / 1000.0 - 0.5) * 0.2).cast("float")))
-      .localCheckpoint(true)
+    // the gate's fixture and ground truth, by reference (NOT a copy:
+    // Gates.skewedBundleCorpus / Gates.exactTop3 — a fixture tweak in
+    // the gate re-measures this table automatically)
+    val skewed = graft.queries.Gates.skewedBundleCorpus(
+      Tables.embeddings(spark, sf))
     val model = graft.operators.KMeans.fit(
       skewed, "vec_id", "embedding", k = 8, maxIter = 3)
     val sizes = skewed
@@ -34,17 +29,7 @@ object AnnSkewProbe {
     val n = skewed.count()
     val q = graft.queries.Extensions.probeBatch(skewed)
       .select(col("vec_id").as("qid"), col("embedding").as("eq"))
-    val cw = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
-    val exact = broadcast(q)
-      .join(skewed.select(col("vec_id").as("cid"), col("embedding").as("ec")),
-        col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        round(graft.functions.VectorExpressions
-          .cosineFast(col("eq"), col("ec")), 4).as("cos"))
-      .withColumn("rnk", row_number().over(cw).cast("bigint"))
-      .filter(col("rnk") <= 3)
-      .localCheckpoint(true)
+    val exact = graft.queries.Gates.exactTop3(skewed, q).localCheckpoint(true)
     def recallAt(budget: Long): Double = graft.queries.Gates.recallAtK(
       graft.queries.Extensions.ivfSearchAdaptive(skewed, model, sizes, budget),
       exact, 3)
@@ -62,14 +47,7 @@ object AnnSkewProbe {
       .select(col("vec_id"), col("embedding"))
     val qm = megaProbes
       .select(col("vec_id").as("qid"), col("embedding").as("eq"))
-    val exactMega = broadcast(qm)
-      .join(skewed.select(col("vec_id").as("cid"), col("embedding").as("ec")),
-        col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        round(graft.functions.VectorExpressions
-          .cosineFast(col("eq"), col("ec")), 4).as("cos"))
-      .withColumn("rnk", row_number().over(cw).cast("bigint"))
-      .filter(col("rnk") <= 3)
+    val exactMega = graft.queries.Gates.exactTop3(skewed, qm)
       .localCheckpoint(true)
     def recallMegaAt(budget: Long): Double = graft.queries.Gates.recallAtK(
       graft.queries.Extensions.ivfSearchAdaptive(skewed, model, sizes, budget,

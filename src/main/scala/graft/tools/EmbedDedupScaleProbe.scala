@@ -42,8 +42,11 @@ object EmbedDedupScaleProbe {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
 
     val (exactSec, exact) = time {
-      pairSet(Extensions.exactEmbedNearDupPairs(spark, sf))
+      pairSet(Extensions.exactEmbedNearDupPairs(spark, sf, "EmbedDedupScaleProbe"))
     }
+    require(exact.nonEmpty,
+      s"no planted near-dup pairs at $sf — the probe's recall column " +
+        "would be NaN; check plantedNearDupCorpus against this corpus")
 
     val settings = Seq((8, 1), (8, 2), (32, 2))
     val rows = settings.map { case (k, m) =>

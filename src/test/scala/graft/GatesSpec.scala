@@ -12,6 +12,13 @@ class GatesSpec extends AnyFunSuite {
 
   graft.queries.Gates.all.foreach { q =>
     test(s"${q.name} verdicts true at sf0.001") {
+      // a gate is only worth anything if the DRIVER can see it fail:
+      // its oracle must be the constant true-verdict row (a gate
+      // registered Q.noOracle would pass locally but be invisible to
+      // the hash compare — the spec-only-signal failure mode gates
+      // exist to eliminate)
+      assert(q.oracle.exists(_.contains("true AS passed")),
+        s"${q.name} must carry the constant-verdict oracle")
       val rows = q.run(spark, sf).collect()
       assert(rows.length == 1, s"${q.name} must emit exactly one verdict row")
       assert(rows.head.getString(0) == q.name)
