@@ -198,6 +198,37 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  property("bucketed blockPairJoin meets pairs once per shared bucket, never across") = {
+    import org.apache.spark.sql.functions._
+    // each id is assigned 1 or 2 buckets by a deterministic rule
+    // (id%3==0 rows straddle two buckets — the top-m multi-assignment
+    // shape); a pair must appear exactly |shared buckets| times, and
+    // never when the bucket sets are disjoint
+    forAll(Gen.chooseNum(2, 10), Gen.chooseNum(2, 5),
+      Gen.chooseNum(2, 4), Gen.chooseNum(0L, 500L)) { (n, blocks, nBuckets, offset) =>
+      import spark.implicits._
+      def buckets(id: Long): Seq[Int] = {
+        val b = (id % nBuckets).toInt
+        if (id % 3 == 0) Seq(b, (b + 1) % nBuckets).distinct else Seq(b)
+      }
+      val rows = (offset until (offset + n))
+        .flatMap(id => buckets(id).map(b => (id, b)))
+      val e = rows.toDF("vec_id", "cell")
+        .withColumn("embedding", array(col("vec_id").cast("float")))
+      val got = graft.queries.Extensions
+        .blockPairJoin(e, "vec_id", "embedding", blocks, bucketCols = Seq("cell"))
+        .select("ida", "idb").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val expected = (for {
+        a <- offset until (offset + n); b <- (a + 1) until (offset + n)
+        shared = buckets(a).toSet.intersect(buckets(b).toSet).size
+        if shared > 0
+        _ <- 0 until shared
+      } yield (a, b)).toSeq
+      got.sorted == expected.sorted
+    }
+  }
+
   property("phrase search matches exactly the sliding-window reference") = {
     // tiny vocab so phrases genuinely recur; doc = token list
     val tok = Gen.oneOf("a", "b", "c", "d")
