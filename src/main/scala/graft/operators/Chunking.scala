@@ -39,6 +39,11 @@ object Chunking {
     val lastChunk = greatest(
       ceil((size(ws) - window).cast("double") / stride).cast("bigint"), lit(0L))
     df.select(col(idCol), TextOps.tokens(col(textCol)).as("__ws"))
+      // a null/empty-text doc has NO chunks — without this filter the
+      // lastChunk floor still emits one spurious row whose
+      // n_chunk_tokens is size(NULL) = -1 and whose chunk_text is "",
+      // poisoning downstream token accounting
+      .filter(size(ws) > 0)
       .select(col(idCol), ws, explode(sequence(lit(0L), lastChunk)).as("chunk_id"))
       .select(
         col(idCol),

@@ -27,8 +27,13 @@ object CorpusCuration {
     * (graft.queries.Extensions.enMarkers — single source kept there). */
   def curate(docs: DataFrame, markers: Seq[String], minQuality: Double,
       tokenBudget: Long): DataFrame = {
+    // null/empty text is uncurateable by definition — and size(split(
+    // NULL)) is -1 in Spark (the TextSearch.scala hazard), which would
+    // DECREMENT the running token total and shift the budget boundary;
+    // drop such rows up front instead of letting them score
+    val nonNull = docs.filter(col("text").isNotNull && col("text") =!= "")
     // 1. first-seen-wins exact dedup: one hash agg keyed by text
-    val deduped = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+    val deduped = nonNull.groupBy("text").agg(min("doc_id").as("doc_id"))
 
     // 2. weighted quality score — identical expression to q_text_quality
     val ws = TextOps.tokens(col("text"))

@@ -29,10 +29,14 @@ object Decontamination {
     * @param w           shingle width in words (8 is the usual
     *                    contamination gram; 3 matches near-dup)
     * @param minOverlap  pairs sharing fewer shingles are clean
-    * @return (corpusIdCol, benchIdCol, n_shared) */
+    * @return (corpusIdCol, benchIdCol, n_shared); when both frames use
+    *         the SAME id name (doc_id vs doc_id — nothing forbids it),
+    *         the bench column comes back as `<benchId>_bench` so the
+    *         result never carries an ambiguous duplicate column */
   def overlaps(corpus: DataFrame, corpusId: String, corpusText: String,
       bench: DataFrame, benchId: String, benchText: String,
       w: Int = 8, minOverlap: Int = 1): DataFrame = {
+    val benchOut = if (benchId == corpusId) s"${benchId}_bench" else benchId
     val c = TextOps.shingleRows(corpus, corpusId, corpusText, w)
       .select(col(corpusId), xxhash64(col("shingle")).as("__s"))
     val b = TextOps.shingleRows(bench, benchId, benchText, w)
@@ -41,7 +45,7 @@ object Decontamination {
       .groupBy(col(corpusId), col("__bid"))
       .agg(count(lit(1)).cast("bigint").as("n_shared"))
       .filter(col("n_shared") >= minOverlap)
-      .withColumnRenamed("__bid", benchId)
+      .withColumnRenamed("__bid", benchOut)
   }
 
   /** The corpus minus everything [[overlaps]] flags — the decontaminated

@@ -74,6 +74,10 @@ object IncrementalEmbedDedup {
   def ingest(spark: SparkSession, indexDir: String, batch: DataFrame,
       idCol: String, vecCol: String, k: Int = 8, assignCells: Int = 2,
       threshold: Double = 0.8): DataFrame = {
+    // the NON-founding path never runs KMeans.fit (which registers the
+    // fused kernel as a side effect) — register here so a fresh session
+    // serving a stored model doesn't fail on an undefined vec_cosine
+    VectorExpressions.register(spark)
     val p = new org.apache.hadoop.fs.Path(indexDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasIndex = fs.exists(p) &&
@@ -109,11 +113,14 @@ object IncrementalEmbedDedup {
     val touched = rows.select("__cell").distinct()
       .collect().map(_.getInt(0)).toSeq
     val out =
-      if (!hasIndex) { // founding batch: zero pairs, fixed schema
+      if (!hasIndex) { // founding batch: zero pairs; id columns typed
+        // like the BATCH's id so the first result unions cleanly with
+        // every later one (string/UUID ids would otherwise clash)
         import org.apache.spark.sql.types._
+        val idType = batch.schema(idCol).dataType
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(StructField("new_id", LongType),
-            StructField("old_id", LongType), StructField("cos", DoubleType))))
+          StructType(Seq(StructField("new_id", idType),
+            StructField("old_id", idType), StructField("cos", DoubleType))))
       } else {
         val batchIds = batch.select(col(idCol).as("old_id")).distinct()
         lookup(spark, indexDir, rows, touched, threshold)

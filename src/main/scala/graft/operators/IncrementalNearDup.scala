@@ -122,10 +122,13 @@ object IncrementalNearDup {
     val touched = rows.select("__bkt").distinct()
       .collect().map(_.getInt(0)).toSeq
     val out =
-      if (!hasIndex) { // no history yet: zero pairs, fixed schema
+      if (!hasIndex) { // no history yet: zero pairs; id columns typed
+        // like the BATCH's id so the first result unions cleanly with
+        // every later one (string/UUID ids would otherwise clash)
         import org.apache.spark.sql.types._
+        val idType = batch.schema(idCol).dataType
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(StructField("new_id", LongType), StructField("old_id", LongType),
+          StructType(Seq(StructField("new_id", idType), StructField("old_id", idType),
             StructField("est_jaccard", DoubleType))))
       } else {
         // replay stability: a previous attempt may have indexed THIS
@@ -148,9 +151,14 @@ object IncrementalNearDup {
   private[graft] def lookup(spark: SparkSession, indexDir: String,
       batchBandRows: DataFrame, touched: Seq[Int], k: Int,
       threshold: Double): DataFrame = {
-    val estJ = round((0 until k)
+    // threshold on the UNROUNDED agreement fraction (for a k that does
+    // not divide 10^4, rounding first flips boundary pairs relative to
+    // the raw estimate — the hazard the embed twin documents); round
+    // only the OUTPUT. distinct() on the raw double is safe: a pair's
+    // meets evaluate the identical expression on identical signatures
+    val estJ = (0 until k)
       .map(i => when(col(s"n.mh$i") === col(s"o.mh$i"), 1).otherwise(0))
-      .reduce(_ + _).cast("double") / k.toDouble, 4)
+      .reduce(_ + _).cast("double") / k.toDouble
     val stored = spark.read.parquet(indexDir)
       .filter(col("__bkt").isin(touched: _*))
     batchBandRows.as("n").join(stored.as("o"),
@@ -161,5 +169,7 @@ object IncrementalNearDup {
         estJ.as("est_jaccard"))
       .distinct() // re-banded pairs + replayed index rows collapse here
       .filter(col("est_jaccard") >= threshold)
+      .select(col("new_id"), col("old_id"),
+        round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 }

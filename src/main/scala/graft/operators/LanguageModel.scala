@@ -35,7 +35,12 @@ object LanguageModel {
     val total = counts.agg(sum("c").as("total"))
     val probs = counts.crossJoin(broadcast(total))
       .select(col("word"), log(col("c").cast("double") / col("total")).as("logp"))
-    tok.join(broadcast(probs), "word")
+    // NO broadcast hint on the vocabulary table: under the threshold the
+    // optimizer broadcasts it anyway, and a web-scale vocabulary that
+    // outgrows broadcast falls back to the word-keyed shuffle join the
+    // class doc promises — a mandatory hint would force the driver to
+    // materialize the whole vocab and OOM instead
+    tok.join(probs, "word")
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).cast("bigint").as("n_tokens"),

@@ -37,8 +37,13 @@ object MixtureWeighting {
     val n = norm.map { case (s, w) => counts(s).toDouble / w }.min
     norm.map { case (s, w) =>
       // floor at per-mille granularity; identical IEEE expression order
-      // as the oracle: min(1, w*N/c) * 1000
-      s -> math.floor(math.min(1.0, w * n / counts(s).toDouble) * 1000).toLong
+      // as the oracle: min(1, w*N/c) * 1000. The 1e-9 epsilon (same as
+      // temperatureSample) keeps the BINDING source at threshold 1000:
+      // w*(c/w)/c re-rounds at every op and can land a few ulps under
+      // 1.0, and without the epsilon the source the solve promises
+      // keeps everything would floor to 999 and drop ~1 per mille
+      s -> math.floor(
+        math.min(1.0, w * n / counts(s).toDouble) * 1000 + 1e-9).toLong
     }
   }
 

@@ -51,7 +51,7 @@ object Repetition {
       .agg(count(lit(1)).as("c"))
     val top = (n: Int) =>
       round(max(when_(n, col("c"))).cast("double") / sum(when_(n, col("c"))), 4)
-    counted
+    val scored = counted
       .groupBy(col(idCol))
       .agg(
         sum(when_(1, col("c"))).cast("bigint").as("n_tokens"),
@@ -61,6 +61,19 @@ object Repetition {
           round(sum(when_(3, when(col("c") > 1, col("c")))).cast("double")
             / sum(when_(3, col("c"))), 4),
           lit(0.0)).as("dup_trigram_frac"))
+    // "one row per input id" includes null/empty-text docs, whose
+    // tokens explode to NOTHING and would silently vanish from the
+    // aggregate — join back onto the id set and zero-fill, so such a
+    // doc reports 0 tokens / 0 fractions / not repetitive instead of
+    // going missing (a downstream filter join would otherwise treat it
+    // as unmatched)
+    base.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("top_word_frac"), lit(0.0)).as("top_word_frac"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+        coalesce(col("dup_trigram_frac"), lit(0.0)).as("dup_trigram_frac"))
       .withColumn("repetitive",
         col("top_word_frac") > topWordMax
           or col("top_bigram_frac") > topBigramMax

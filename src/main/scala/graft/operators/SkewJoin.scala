@@ -43,8 +43,12 @@ object SkewJoin {
     // int literals -> array<int>, so the exploded salt is already int
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
+    // a NULL factSalt (e.g. a hash of a nullable column) would make the
+    // salt NULL, match no replicated dim row, and silently DROP fact
+    // rows the unsalted join keeps — coalesce to bucket 0 so every row
+    // keeps exactly one salt and the row-for-row identity contract holds
     val saltedFact = fact.withColumn("__salt",
-      pmod(factSalt, lit(salts)).cast("int"))
+      pmod(coalesce(factSalt, lit(0L)), lit(salts)).cast("int"))
     saltedFact
       .join(saltedDim,
         saltedFact(factKey) === saltedDim(dimKey)

@@ -1097,7 +1097,7 @@ object Catalog {
       |c AS (SELECT source, CAST(count(*) AS DOUBLE) AS c FROM documents GROUP BY 1),
       |n AS (SELECT min(c.c / t.w) AS n FROM t JOIN c USING (source)),
       |thr AS (SELECT t.source,
-      |               CAST(floor(least(1.0, t.w * n.n / c.c) * 1000) AS BIGINT) AS thr
+      |               CAST(floor(least(1.0, t.w * n.n / c.c) * 1000 + 1e-9) AS BIGINT) AS thr
       |        FROM t JOIN c USING (source) CROSS JOIN n),
       |mix AS (SELECT d.source, thr.thr,
       |       ${portableHashSql("d.doc_id")}

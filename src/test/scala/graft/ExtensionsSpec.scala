@@ -257,6 +257,14 @@ class ExtensionsSpec extends AnyFunSuite {
         w = 8, minOverlap = 1)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(cleaned == Set(2L, 3L), s"clean() must drop doc 1, got $cleaned")
+    // both frames using the SAME id name must not produce an ambiguous
+    // duplicate column (the bench side disambiguates to doc_id_bench)
+    val sameName = graft.operators.Decontamination
+      .clean(corpus, "doc_id", "text",
+        bench.withColumnRenamed("bench_id", "doc_id"), "doc_id", "text",
+        w = 8, minOverlap = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sameName == Set(2L, 3L), s"same-name ids must still clean, got $sameName")
   }
 
   test("bm25Batch per-query ranking equals the single-query operator") {

@@ -57,4 +57,17 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(plan.contains("__salt"), "salt must be part of the join key")
     assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
   }
+
+  test("a null salt expression keeps the fact row (row-for-row identity)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // salt from a NULLABLE column (xxhash64 would mask the null — it
+    // hashes NULL to its seed — so salt on the raw column): pmod(null,
+    // salts) is null and would match no replicated dim row — the row
+    // must still join
+    val fact = Seq((1L, Some(7L)), (1L, None)).toDF("k", "session")
+    val dim = Seq((1L, "x")).toDF("dk", "dv")
+    val out = SkewJoin.saltedInner(fact, dim, "k", "dk", 4, col("session"))
+    assert(out.count() == 2L, "the null-session fact row must not be dropped")
+  }
 }

@@ -69,6 +69,31 @@ class TrainingSpec extends AnyFunSuite {
     assert(out.head.getAs[Double]("top_bigram_frac") == 1.0)
   }
 
+  test("null text: repetition keeps the row zero-filled, chunking emits no chunk") {
+    import org.apache.spark.sql.functions.col
+    // tokens(NULL) explodes to nothing and size(split(NULL)) is -1 —
+    // the doc must neither vanish from signals (one-row-per-id
+    // contract) nor emit a spurious -1-token chunk. An EMPTY string is
+    // different by the engine-wide split convention (shared with the
+    // DuckDB oracles): "" splits to one empty token.
+    val d = docs(1L -> "a a a", 2L -> null, 3L -> "")
+    val sig = Repetition.signals(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(sig.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L),
+      "every input id must appear in signals")
+    assert(sig(1).getAs[Long]("n_tokens") == 0L)
+    assert(!sig(1).getAs[Boolean]("repetitive"))
+    assert(sig(2).getAs[Long]("n_tokens") == 1L,
+      "empty text is ONE empty token under the split convention")
+    val chunks = Chunking.chunk(d, "doc_id", "text", window = 2, stride = 2)
+    assert(chunks.filter(col("doc_id") === 2L).count() == 0,
+      "a null-text doc must produce no chunks")
+    assert(chunks.filter(col("n_chunk_tokens") < 0).count() == 0,
+      "no chunk may report a negative token count")
+    assert(chunks.filter(col("doc_id") === 3L).count() == 1,
+      "the empty-string doc chunks its single empty token")
+  }
+
   test("unigram LM: probabilities match the corpus distribution") {
     val out = LanguageModel.unigramLogprob(
       docs(1L -> "a a", 2L -> "b"), "doc_id", "text")
