@@ -50,7 +50,11 @@ case class BottomKDistinctAgg(
   private lazy val k: Int = {
     val v = kExpr.eval(InternalRow.empty)
     require(v != null, "bottom_k_distinct: k must be a non-null literal")
-    v.asInstanceOf[Number].intValue()
+    val kk = v.asInstanceOf[Number].intValue()
+    // k <= 0 would otherwise surface as an obscure executor-side
+    // NoSuchElementException on the empty heap's head inside offer()
+    require(kk > 0, s"bottom_k_distinct: k must be positive, got $kk")
+    kk
   }
 
   override def createAggregationBuffer(): BottomKBuffer = new BottomKBuffer()

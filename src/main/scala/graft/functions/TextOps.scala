@@ -68,6 +68,13 @@ object TextOps {
     * key for candidate generation. */
   def lshBands(sig: DataFrame, idCol: String, k: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
+    // integer division would silently IGNORE the trailing signature
+    // rows (k=16, rowsPerBand=5 → 3 bands, mh15 never hashed — recall
+    // quietly differs from the configured signature), and
+    // rowsPerBand > k would emit ZERO bands (no candidates at all, the
+    // dedup pipeline reports no near-dups with no error)
+    require(rowsPerBand >= 1 && k % rowsPerBand == 0,
+      s"lshBands: rowsPerBand must divide k (got k=$k, rowsPerBand=$rowsPerBand)")
     val nBands = k / rowsPerBand
     val bands = (0 until nBands).map { b =>
       struct(lit(b).as("band_idx"),

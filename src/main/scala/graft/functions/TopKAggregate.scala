@@ -69,7 +69,11 @@ case class TopKPairsAgg(
   private lazy val k: Int = {
     val v = kExpr.eval(InternalRow.empty)
     require(v != null, "top_k_pairs: k must be a non-null literal")
-    v.asInstanceOf[Number].intValue()
+    val kk = v.asInstanceOf[Number].intValue()
+    // k <= 0 would otherwise surface as an obscure executor-side
+    // NoSuchElementException on the empty heap's head inside offer()
+    require(kk > 0, s"top_k_pairs: k must be positive, got $kk")
+    kk
   }
 
   // the queue's head is the WORST retained pair (smallest v, then largest
@@ -92,7 +96,11 @@ case class TopKPairsAgg(
       input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
     val v = valueExpr.eval(input)
     val id = idExpr.eval(input)
-    if (v != null && id != null)
+    // NaN is skipped like null: under IEEE semantics a NaN in a FULL
+    // buffer freezes it (v > NaN and v == NaN are both false, so no
+    // candidate could ever displace anything again) — and "largest
+    // value" is meaningless for NaN anyway
+    if (v != null && id != null && !v.asInstanceOf[Double].isNaN)
       offer(buf, v.asInstanceOf[Double], id.asInstanceOf[Long])
     buf
   }

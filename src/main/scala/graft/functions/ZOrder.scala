@@ -78,6 +78,12 @@ object ZOrder {
         }): _*).head()
     val hi = (1L << bits) - 1
     val scaled = cols.zipWithIndex.map { case (c, i) =>
+      // min/max are null on an empty frame or an all-null /
+      // non-numeric-castable column — getDouble would throw a bare NPE
+      // deep in the write job; name the actual problem instead
+      require(!stats.isNullAt(2 * i) && !stats.isNullAt(2 * i + 1),
+        s"z-order layout: column '$c' has no numeric min/max (empty " +
+          "input, all-null, or not castable to double) — nothing to lay out")
       val (mn, mx) = (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
       val span = math.max(mx - mn, 1e-12)
       ((col(c).cast("double") - lit(mn)) * lit(hi.toDouble / span))

@@ -73,10 +73,20 @@ object AsOf {
 object Upsert {
 
   /** @param keys natural key columns present in both frames; `updates`
-    * rows win over `target` rows with the same key */
-  def merge(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
-    target.join(updates.select(keys.map(col): _*), keys, "left_anti")
+    * rows win over `target` rows with the same key. Key equality is
+    * NULL-SAFE (`<=>`): a plain equi anti-join never matches a NULL
+    * key, so a null-keyed target row would survive every merge AND the
+    * batch's null-keyed winner would be appended — one more conflicting
+    * duplicate per merge, breaking replay convergence (the
+    * SnapshotStore contract; CDC count views merge on group columns
+    * that can legitimately be null). */
+  def merge(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    val t = target.alias("__t")
+    val u = updates.select(keys.map(col): _*).alias("__u")
+    val cond = keys.map(k => col(s"__t.$k") <=> col(s"__u.$k")).reduce(_ && _)
+    t.join(u, cond, "left_anti")
       .unionByName(updates)
+  }
 }
 
 /** Interval / range join without an equality key: `l.ts ∈ [r.start, r.end)`.

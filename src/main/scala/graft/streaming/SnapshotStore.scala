@@ -55,6 +55,16 @@ object SnapshotStore {
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       schemaSince: Option[Long] = None)
 
+  /** The manifest's committed schema — or, for a PRE-TRACKING manifest
+    * (written before schemas rode in the header), the union inferred
+    * from the live bucket dirs' parquet footers. The single fallback
+    * every DML verb (merge/delete/update/compact) shares. */
+  private def committedSchema(spark: SparkSession, dir: String,
+      m: Manifest): org.apache.spark.sql.types.StructType =
+    m.schema.getOrElse(
+      spark.read.parquet(m.buckets.values.toSeq.sorted
+        .map(d => s"$dir/$d"): _*).schema)
+
   /** Key-bucket assignment: stable hash of the key columns. Derivable
     * from any row, so it is never stored in the data files. */
   def bucketCol(keys: Seq[String], numBuckets: Int): Column =
@@ -155,19 +165,25 @@ object SnapshotStore {
     val a0 = readAt(spark, dir, fromVersion)
     val b0 = readAt(spark, dir, toVersion)
     val union = graft.ingest.SchemaEvolution.reconcile(Seq(a0.schema, b0.schema))
-    val a = graft.ingest.SchemaEvolution.align(a0, union).as("a")
-    val b = graft.ingest.SchemaEvolution.align(b0, union).as("b")
+    // NULL-SAFE key equality + explicit presence markers: a plain ===
+    // never matches a NULL key value, so an unchanged null-keyed row
+    // would diff as a phantom delete+insert on EVERY changes() call;
+    // and with <=> matching nulls, `keys.head IS NULL` no longer means
+    // "side absent" — presence must be its own (non-null) marker column
+    val a = graft.ingest.SchemaEvolution.align(a0, union)
+      .withColumn("__a_present", lit(1)).as("a")
+    val b = graft.ingest.SchemaEvolution.align(b0, union)
+      .withColumn("__b_present", lit(1)).as("b")
     val nonKey = union.fieldNames.filterNot(keys.contains).toSeq
-    val cond = keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
-    val aKey = col(s"a.${keys.head}")
-    val bKey = col(s"b.${keys.head}")
+    val cond = keys.map(k => col(s"a.$k") <=> col(s"b.$k")).reduce(_ && _)
     // null-safe inequality: a column drifting null→value (or back) is a
     // change; plain =!= would yield NULL and silently drop the row
     val changed = nonKey.map(c => !(col(s"a.$c") <=> col(s"b.$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
     a.join(b, cond, "full_outer")
       .withColumn("change_type",
-        when(aKey.isNull, "insert").when(bKey.isNull, "delete")
+        when(col("a.__a_present").isNull, "insert")
+          .when(col("b.__b_present").isNull, "delete")
           .otherwise(when(changed, "update")))
       .filter(col("change_type").isNotNull)
       .select(
@@ -364,6 +380,13 @@ object SnapshotStore {
     }
     require(keys.forall(batch.columns.contains),
       s"merge batch is missing key column(s) ${keys.filterNot(batch.columns.contains).mkString(", ")}")
+    // __rn / __b are synthesized inside the merge (dedup rank, bucket
+    // id); a user column with either name would be silently overwritten
+    // and then dropped — the manifest schema would still declare it and
+    // every later read would null-fill it: silent data loss. Fail loud
+    // like the key/bucket-count validations.
+    Seq("__rn", "__b").foreach(r => require(!batch.columns.contains(r),
+      s"merge batch column '$r' collides with a reserved internal column"))
     // ---- schema evolution: reconcile the batch against the snapshot's
     // committed schema (SchemaEvolution ladder: add → null-fill earlier
     // rows, numeric drift → widen, irreconcilable → string). The TARGET
@@ -373,11 +396,7 @@ object SnapshotStore {
     // key's physical type, so widening a key would re-hash existing
     // keys into other buckets and silently lose them on later merges.
     val currentSchema: Option[org.apache.spark.sql.types.StructType] =
-      committed.map { m =>
-        m.schema.getOrElse( // pre-tracking manifest: infer from footers
-          spark.read.parquet(m.buckets.values.toSeq.sorted
-            .map(d => s"$dir/$d"): _*).schema)
-      }
+      committed.map(committedSchema(spark, dir, _))
     val target = graft.ingest.SchemaEvolution.reconcile(
       currentSchema.toSeq :+ batch.schema)
     currentSchema.foreach { cur =>
@@ -403,7 +422,15 @@ object SnapshotStore {
           .filter(col("__rn") === 1).drop("__rn")
       }
     val updates = winners.withColumn("__b", bucketCol(keys, numBuckets))
-      .localCheckpoint(true) // reused for touched-set + merge; snapshot swap must not re-read inputs
+      // reused for touched-set + merge; the snapshot swap must not
+      // re-read inputs. Lifecycle note for long-running sinks: the
+      // checkpoint's blocks are released by the ContextCleaner once the
+      // driver drops this batch's references (no public API frees a
+      // localCheckpoint deterministically) — so executor storage holds
+      // O(batches-awaiting-driver-GC) block sets, not one; sinks
+      // processing very large micro-batches on a rarely-collected
+      // driver heap should size executor storage for that
+      .localCheckpoint(true)
     val touched = updates.select("__b").distinct().collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) return // empty micro-batch: nothing to commit
     val current = committed
@@ -461,9 +488,7 @@ object SnapshotStore {
     require(keys.forall(doomed.columns.contains),
       s"delete frame is missing key column(s) ${keys.filterNot(doomed.columns.contains).mkString(", ")}")
     val numBuckets = committed.numBuckets
-    val schema = committed.schema.getOrElse(
-      spark.read.parquet(committed.buckets.values.toSeq.sorted
-        .map(d => s"$dir/$d"): _*).schema)
+    val schema = committedSchema(spark, dir, committed)
     // Pin the doomed frame's key types to the committed schema BEFORE
     // bucketing — xxhash64 hashes per physical type (the same reason
     // merge() refuses key-type drift), so an IntegerType doomed key
@@ -545,9 +570,7 @@ object SnapshotStore {
     val committed = currentManifest(spark, dir).getOrElse(
       throw new java.io.FileNotFoundException(
         s"no snapshot manifest in $dir — nothing to update"))
-    val schema = committed.schema.getOrElse(
-      spark.read.parquet(committed.buckets.values.toSeq.sorted
-        .map(d => s"$dir/$d"): _*).schema)
+    val schema = committedSchema(spark, dir, committed)
     require(set.nonEmpty, "update: empty SET clause")
     val unknown = set.keySet.filterNot(schema.fieldNames.contains)
     require(unknown.isEmpty,
@@ -661,9 +684,7 @@ object SnapshotStore {
     val touched = committed.buckets.keys.toSeq.sorted
       .filter(b => stats(b)._1 > math.max(maxFilesPerBucket, want(b)))
     if (touched.isEmpty) return Seq.empty
-    val schema = committed.schema.getOrElse( // pre-tracking manifest
-      spark.read.parquet(committed.buckets.values.toSeq.sorted
-        .map(d => s"$dir/$d"): _*).schema)
+    val schema = committedSchema(spark, dir, committed)
     val since = committed.schemaSince.getOrElse(committed.version)
     val existingDirs = touched.flatMap(committed.buckets.get).map(d => s"$dir/$d")
     val splits = touched.map(b => b -> want(b)).toMap

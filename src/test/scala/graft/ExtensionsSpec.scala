@@ -625,6 +625,22 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("top_k_pairs: NaN values are skipped, never freezing a full heap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.call_function
+    graft.functions.TopKAggregate.register(spark)
+    // NaN first so it fills the k=2 heap before the real values arrive:
+    // under IEEE comparisons nothing beats a NaN head (v > NaN is
+    // false), so an un-skipped NaN would freeze the heap and lose 9.0
+    val df = Seq((1L, Double.NaN, 100L), (1L, 1.0, 1L),
+      (1L, 9.0, 9L), (1L, 5.0, 5L)).toDF("g", "v", "id")
+    val tk = df.groupBy("g")
+      .agg(call_function("top_k_pairs", $"v", $"id", org.apache.spark.sql.functions.lit(2)).as("tk"))
+      .collect().head.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(tk == Seq((9.0, 9L), (5.0, 5L)), s"NaN must not poison top-k, got $tk")
+  }
+
   test("count-min sketch estimates bound exact counts (overestimate-only)") {
     val est = SparkEntry.queries("q_agg_countmin")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

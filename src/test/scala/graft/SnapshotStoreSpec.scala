@@ -721,4 +721,34 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(SnapshotStore.compact(spark, dir, Seq("k"),
       retain = true, targetFileBytes = target).isEmpty)
   }
+
+  test("null-keyed rows: merge converges, changes() stays silent, reserved names rejected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = freshDir("snap_nullkey").getAbsolutePath
+    // a null key is a legitimate key VALUE (CDC count views merge on
+    // group columns that can be null): replaying the same batch must
+    // converge to one row, not append a conflicting duplicate per merge
+    val batch = Seq((Some(1L), "a"), (None, "n")).toDF("k", "v")
+    SnapshotStore.merge(spark, dir, batch, Seq("k"), numBuckets = 2, retain = true)
+    SnapshotStore.merge(spark, dir, batch, Seq("k"), numBuckets = 2, retain = true)
+    val rows = SnapshotStore.read(spark, dir).collect()
+    assert(rows.length == 2, s"null-keyed row duplicated: ${rows.toSeq}")
+    // the unchanged null-keyed row must NOT diff as phantom delete+insert
+    assert(SnapshotStore.changes(spark, dir, 1L, 2L, Seq("k")).isEmpty,
+      "replayed identical content must produce an empty change set")
+    // an actual update OF the null key diffs as exactly one update row
+    SnapshotStore.merge(spark, dir,
+      Seq((Option.empty[Long], "n2")).toDF("k", "v"),
+      Seq("k"), numBuckets = 2, retain = true)
+    val ch = SnapshotStore.changes(spark, dir, 2L, 3L, Seq("k")).collect()
+    assert(ch.length == 1 && ch.head.getAs[String]("change_type") == "update",
+      s"null-key update must diff as one update, got ${ch.toSeq}")
+    // reserved internal names fail loudly instead of silently clobbering
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.merge(spark, dir,
+        Seq((9L, "x", 1L)).toDF("k", "v", "__rn"), Seq("k"), numBuckets = 2)
+    }
+    assert(e.getMessage.contains("__rn"), e.getMessage)
+  }
 }
