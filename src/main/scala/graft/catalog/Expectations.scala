@@ -52,7 +52,10 @@ object Expectations {
       val scanRules = rules.filter(!_.isInstanceOf[Referential])
       val scan = if (scanRules.isEmpty) None else {
         val aggs: Seq[Column] = scanRules.zipWithIndex.map { case (rule, i) =>
-          (rule match {
+          // coalesce to 0: sum() over an EMPTY table is NULL, and the
+          // status expression would read NULL violations as "fail" —
+          // an empty batch violates nothing
+          coalesce(rule match {
             case NotNull(c) =>
               sum(when(col(c).isNull, 1).otherwise(0)).cast("bigint")
             case Unique(c) =>
@@ -63,7 +66,7 @@ object Expectations {
               sum(when(col(c).isNotNull && !col(c).isin(vs: _*), 1).otherwise(0))
                 .cast("bigint")
             case r => throw new IllegalStateException(r.toString)
-          }).as(s"c$i")
+          }, lit(0L)).as(s"c$i")
         }
         // one row of counts → one (expectation, violations) row per rule
         Some(df.agg(aggs.head, aggs.tail: _*).select(explode(array(
@@ -75,8 +78,13 @@ object Expectations {
       val refs = rules.collect { case r @ Referential(c, pt, pc) =>
         val parent = byName.getOrElse(pt,
           throw new IllegalArgumentException(s"unknown parent table $pt"))
+        // alias the parent key: with the common FK naming (customer_id
+        // referencing customer_id) an unaliased col(c) === col(pc) is
+        // the same attribute on both join sides — ambiguous or
+        // trivially true, either way wrong
         byName(tname).where(col(c).isNotNull)
-          .join(parent.select(col(pc)), col(c) === col(pc), "left_anti")
+          .join(parent.select(col(pc).as("__parent_key")),
+            col(c) === col("__parent_key"), "left_anti")
           .agg(count(lit(1)).cast("bigint").as("violations"))
           .select(lit(s"$tname.${r.name}").as("expectation"), col("violations"))
       }

@@ -61,8 +61,18 @@ object Profile extends Profiler {
   /** Wide → long: one (column_name, value_as_string) row per cell.
     * Binary columns are excluded (they map straight to BLOB). */
   def melt(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val pairs = cols.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
-    df.select(expr(s"stack(${cols.size}, $pairs) AS (col, v)"))
+    // Column-API melt, NOT a string-built stack(): uploaded headers are
+    // arbitrary text, and a name like "item's price" (or one carrying a
+    // backtick) breaks — or injects into — interpolated SQL. Batched in
+    // codegen-safe groups like Relations.melt so a wide table's explode
+    // stays inside whole-stage codegen (spark.sql.codegen.maxFields).
+    val quoted = (c: String) => col("`" + c.replace("`", "``") + "`")
+    cols.grouped(48).toSeq.map { group =>
+      df.select(explode(array(group.map(c =>
+          struct(lit(c).as("col"), quoted(c).cast("string").as("v"))): _*))
+          .as("kv"))
+        .select(col("kv.col").as("col"), col("kv.v").as("v"))
+    }.reduce(_ unionByName _)
   }
 
   /** Distributed per-column tallies: the profile's numeric core as a
@@ -122,10 +132,14 @@ object Profile extends Profiler {
     * nulls, mixed types, high cardinality. Outlier detection is numeric
     * and handled by [[Quality.outlierBounds]]. */
   def qualityIssues(nulls: Long, nonNull: Long, distinct: Long,
-      nInt: Long, nNum: Long, nBool: Long, inferred: String): Seq[String] = {
+      nInt: Long, nNum: Long, nBool: Long, inferred: String,
+      nDate: Long = 0L, nTs: Long = 0L): Seq[String] = {
     val issues = Seq.newBuilder[String]
     if (nulls > 0) issues += "Contains null values"
-    val anyTyped = nInt.max(nNum).max(nBool)
+    // date/timestamp tallies count toward "partially typed": a column
+    // half of whose values parse as dates and half as free text is
+    // exactly the mixed-type case this check reports
+    val anyTyped = nInt.max(nNum).max(nBool).max(nDate).max(nTs)
     if (inferred == "TEXT" && anyTyped > 0 && anyTyped < nonNull)
       issues += "Mixed data types observed"
     if (nonNull > 100 && distinct == nonNull)
@@ -140,7 +154,31 @@ object Profile extends Profiler {
     val base = sampleRows.map(df.limit).getOrElse(df)
     val stringish = base.schema.fields.filterNot(_.dataType == BinaryType).map(_.name).toSeq
     val origTypes = base.schema.fields.map(f => f.name -> f.dataType).toMap
-    typeTallies(base, stringish).collect().toSeq.map { r =>
+    val tallied = typeTallies(base, stringish).collect().toSeq
+    // a ZERO-ROW table melts to zero tally groups — emit one all-zero
+    // profile per schema column anyway (the catalog must describe an
+    // empty-but-schema'd table; Ddl.fromProfile would otherwise
+    // generate a zero-column CREATE TABLE)
+    val missing = stringish
+      .filterNot(tallied.map(_.getAs[String]("col")).toSet)
+      .map { name =>
+        val orig = origTypes(name)
+        val inferred = orig match {
+          case _: StringType => "TEXT"
+          case _ => Ddl.sqlTypeOf(orig)
+        }
+        val sem = semanticType(name, inferred, 0L, 0L)
+        ColumnProfile(
+          columnName = name,
+          originalType = orig.simpleString,
+          inferredSqlType = inferred,
+          semanticType = sem,
+          description = s"$sem column `$name` ($inferred), " +
+            "0 distinct over 0 non-null rows",
+          qualityIssues = Seq.empty,
+          rowCount = 0L, nullCount = 0L, distinctCount = 0L)
+      }
+    (missing ++ tallied.map { r =>
       val name = r.getAs[String]("col")
       val orig = origTypes(name)
       // a column Spark already typed keeps its native mapping; regex
@@ -160,9 +198,10 @@ object Profile extends Profiler {
         description = s"$sem column `$name` ($inferred), " +
           s"$distinct distinct over ${n - nulls} non-null rows",
         qualityIssues = qualityIssues(nulls, n - nulls, distinct,
-          r.getAs[Long]("n_int"), r.getAs[Long]("n_num"), r.getAs[Long]("n_bool"), inferred),
+          r.getAs[Long]("n_int"), r.getAs[Long]("n_num"), r.getAs[Long]("n_bool"), inferred,
+          r.getAs[Long]("n_date"), r.getAs[Long]("n_ts")),
         rowCount = n, nullCount = nulls, distinctCount = distinct)
-    }.sortBy(_.columnName)
+    }).sortBy(_.columnName)
   }
 }
 

@@ -32,11 +32,16 @@ object Relations {
 
   /** Candidate join-key columns: id-like by name AND a joinable key type
     * (integral or string — real catalogs join on string ids too).
-    * Mirrors the semantic classifier's identifier rule (Profile P3). */
+    * Mirrors the semantic classifier's identifier rule (Profile P3) —
+    * INCLUDING its case fold: "ID"/"OrderKey" headers (typical uploaded
+    * CSVs) are id-like too. */
   def idLikeColumns(df: DataFrame): Seq[String] =
     df.schema.fields.toSeq.collect {
-      case f if (f.name == "id" || f.name.endsWith("_id") || f.name.endsWith("key")) &&
-        KeyLike.contains(f.dataType) => f.name
+      case f if {
+        val n = f.name.toLowerCase
+        (n == "id" || n.endsWith("_id") || n.endsWith("key")) &&
+          KeyLike.contains(f.dataType)
+      } => f.name
     }
 
   /** Column base name with a 1-2 letter table prefix stripped

@@ -121,29 +121,42 @@ object TransformGen {
         p.distinctCount < nonNull && p.distinctCount >= DedupFloor * nonNull
     }
 
+  /** Backtick-quoted identifier with embedded backticks doubled (Spark
+    * identifier escaping) — uploaded CSV headers are arbitrary text. */
+  private def qid(name: String): String = "`" + name.replace("`", "``") + "`"
+
+  /** Single-quoted SQL string literal with embedded quotes doubled. */
+  private def qlit(s: String): String = "'" + s.replace("'", "''") + "'"
+
   /** The cleaning SELECT for `table` under `profile` — columns in
-    * profile order, Spark-dialect identifiers. */
+    * profile order, Spark-dialect identifiers. Casts are TRY_CAST: the
+    * profiler's regexes guarantee the VALUES parse shape-wise, but not
+    * range (a 20-digit id matches ^-?[0-9]+$ yet overflows BIGINT) or
+    * calendar validity ("2024-13-45" matches the date shape) — under
+    * Spark's default ANSI mode a plain CAST would kill the whole
+    * cleaning query on one such value; TRY_CAST nulls it, which the
+    * quality report then surfaces. */
   def transformSql(table: String, profile: Seq[ColumnProfile]): String = {
     val alias = aliases(profile)
     val items = profile.map { p =>
       val snake = alias(p.columnName)
-      val quoted = s"`${p.columnName}`"
+      val quoted = qid(p.columnName)
       val castExpr =
         if (p.originalType == "string") castTarget(p.inferredSqlType)
         else None
       castExpr match {
-        case Some(t) => s"CAST($quoted AS $t) AS $snake"
+        case Some(t) => s"TRY_CAST($quoted AS $t) AS $snake"
         case None if snake != p.columnName => s"$quoted AS $snake"
         case None => quoted
       }
     }
     val preds = profile.collect {
       case p if idShaped(snakeCase(p.columnName)) && p.nullCount > 0 =>
-        s"`${p.columnName}` IS NOT NULL"
+        s"${qid(p.columnName)} IS NOT NULL"
     }
     val head = if (dedupWitness(profile).isDefined) "SELECT DISTINCT" else "SELECT"
     s"$head\n  " + items.mkString(",\n  ") +
-      s"\nFROM `$table`" +
+      s"\nFROM ${qid(table)}" +
       (if (preds.isEmpty) "" else "\nWHERE " + preds.mkString(" AND "))
   }
 
@@ -168,10 +181,10 @@ object TransformGen {
     if (nullKeyed.isEmpty) None
     else Some(
       "SELECT\n  " + profile.map(p =>
-        if (alias(p.columnName) == p.columnName) s"`${p.columnName}`"
-        else s"`${p.columnName}` AS ${alias(p.columnName)}").mkString(",\n  ") +
-        s",\n  'null key: ${nullKeyed.mkString(", ")}' AS reason" +
-        s"\nFROM `$table`" +
-        "\nWHERE " + nullKeyed.map(c => s"`$c` IS NULL").mkString(" OR "))
+        if (alias(p.columnName) == p.columnName) qid(p.columnName)
+        else s"${qid(p.columnName)} AS ${alias(p.columnName)}").mkString(",\n  ") +
+        s",\n  ${qlit(s"null key: ${nullKeyed.mkString(", ")}")} AS reason" +
+        s"\nFROM ${qid(table)}" +
+        "\nWHERE " + nullKeyed.map(c => s"${qid(c)} IS NULL").mkString(" OR "))
   }
 }

@@ -40,9 +40,14 @@ object Ingest {
         "Please upload a CSV, JSON, Parquet, or ORC file.")
   }
 
-  /** CSV source (S1, S4): header + per-column dynamic typing; ragged or
-    * malformed rows are kept (PERMISSIVE) with the raw line in
-    * [[CorruptRecordCol]]. */
+  /** CSV source (S1, S4): header + per-column dynamic typing; ragged
+    * rows tolerate under PERMISSIVE (missing fields null-fill, extras
+    * drop). CAVEAT: with an INFERRED schema Spark only keeps fully
+    * corrupt records when the schema contains [[CorruptRecordCol]] —
+    * which inference never adds — so an unparseable LINE (e.g. an
+    * unclosed quote) is dropped here; callers needing capture-not-drop
+    * use [[graft.pipeline.Quarantine.csv]], which re-reads with the
+    * widened corrupt-record schema for exactly this reason. */
   def csv(spark: SparkSession, path: String): DataFrame =
     spark.read
       .option("header", "true")

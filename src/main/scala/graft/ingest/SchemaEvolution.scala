@@ -36,25 +36,36 @@ object SchemaEvolution {
   }
 
   /** Union of the batches' schemas, first-seen column order, types
-    * reconciled via [[widen]]. */
+    * reconciled via [[widen]]. Column names match CASE-INSENSITIVELY
+    * (Spark's default resolution, and DuckDB's `UNION ALL BY NAME` —
+    * the oracle this mirrors): header-case drift across batches ("id"
+    * then "ID", classic re-export drift) is the SAME logical column
+    * under the first-seen spelling, not a duplicate pair that breaks
+    * the union. */
   private[graft] def reconcile(schemas: Seq[StructType]): StructType = {
-    val order = scala.collection.mutable.LinkedHashMap[String, DataType]()
+    // keyed by folded name; value = (first-seen spelling, widened type)
+    val order = scala.collection.mutable.LinkedHashMap[String, (String, DataType)]()
     schemas.foreach(_.fields.foreach { f =>
-      order.get(f.name) match {
-        case None => order.update(f.name, f.dataType)
-        case Some(t) => order.update(f.name, widen(t, f.dataType))
+      val key = f.name.toLowerCase
+      order.get(key) match {
+        case None => order.update(key, (f.name, f.dataType))
+        case Some((n0, t)) => order.update(key, (n0, widen(t, f.dataType)))
       }
     })
-    StructType(order.map { case (n, t) => StructField(n, t, nullable = true) }.toSeq)
+    StructType(order.values.map { case (n, t) =>
+      StructField(n, t, nullable = true) }.toSeq)
   }
 
-  /** Project one batch onto the target schema: cast present columns,
-    * null-fill absent ones, in target column order. */
+  /** Project one batch onto the target schema: cast present columns
+    * (matched case-insensitively, like [[reconcile]]), null-fill absent
+    * ones, in target column order under the target's spelling. */
   def align(df: DataFrame, target: StructType): DataFrame = {
-    val present = df.schema.fieldNames.toSet
+    val present = df.schema.fieldNames.map(n => n.toLowerCase -> n).toMap
     df.select(target.fields.toSeq.map { f =>
-      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      present.get(f.name.toLowerCase) match {
+        case Some(actual) => col(actual).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
     }: _*)
   }
 

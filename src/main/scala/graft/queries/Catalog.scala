@@ -336,12 +336,12 @@ object Catalog {
     * the generator (CatalogSpec asserts generator output == this). */
   private[graft] val etlTransformGolden =
     """SELECT DISTINCT
-      |  CAST(`CustKey` AS BIGINT) AS cust_key,
-      |  CAST(`Is Big` AS BOOLEAN) AS is_big,
-      |  CAST(`Order Date` AS DATE) AS order_date,
-      |  CAST(`Order Key` AS BIGINT) AS order_key,
+      |  TRY_CAST(`CustKey` AS BIGINT) AS cust_key,
+      |  TRY_CAST(`Is Big` AS BOOLEAN) AS is_big,
+      |  TRY_CAST(`Order Date` AS DATE) AS order_date,
+      |  TRY_CAST(`Order Key` AS BIGINT) AS order_key,
       |  `Status` AS status,
-      |  CAST(`Total Price` AS DOUBLE) AS total_price
+      |  TRY_CAST(`Total Price` AS DOUBLE) AS total_price
       |FROM `messy_orders`
       |WHERE `Order Key` IS NOT NULL""".stripMargin
 
