@@ -610,4 +610,57 @@ class CatalogSpec extends AnyFunSuite {
     val renames = TransformGen.steps(colliding).filter(_.kind == "rename")
     assert(renames.map(_.detail).exists(_.contains(s"-> ${a("OrderKey")}")))
   }
+
+  test("schema evolution matches header-case drift as one logical column") {
+    import spark.implicits._
+    // classic re-export drift: v2 renames "id" to "ID" and "score" to
+    // "Score" — same logical columns, first-seen spelling wins (the
+    // DuckDB UNION ALL BY NAME semantics the oracle uses)
+    val v1 = Seq((1L, 7.0)).toDF("id", "score")
+    val v2 = Seq((2L, 9.5)).toDF("ID", "Score")
+    val out = graft.ingest.SchemaEvolution.unionEvolved(Seq(v1, v2))
+    assert(out.columns.toSeq == Seq("id", "score"),
+      s"case-drifted headers must collapse, got ${out.columns.toSeq}")
+    assert(out.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("expectations: an empty batch violates nothing") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("id", "v")
+    val report = graft.catalog.Expectations.check(Seq(
+      ("t", empty, Seq(graft.catalog.Expectations.NotNull("id"),
+        graft.catalog.Expectations.InRange("id", 0, 10))))).collect()
+    assert(report.length == 2)
+    assert(report.forall(_.getAs[String]("status") == "pass"),
+      s"empty batch must pass, got ${report.toSeq}")
+    assert(report.forall(_.getAs[Long]("violations") == 0L))
+  }
+
+  test("expectations: referential works with identically-named FK/PK columns") {
+    import spark.implicits._
+    val child = Seq(1L, 2L, 99L).toDF("customer_id")
+    val parent = Seq(1L, 2L, 3L).toDF("customer_id")
+    val report = graft.catalog.Expectations.check(Seq(
+      ("orders", child, Seq(graft.catalog.Expectations.Referential(
+        "customer_id", "customers", "customer_id"))),
+      ("customers", parent, Seq.empty))).collect()
+    assert(report.length == 1 && report.head.getAs[Long]("violations") == 1L,
+      s"one dangling FK expected, got ${report.toSeq}")
+  }
+
+  test("profiler survives quoted headers and empty tables") {
+    import spark.implicits._
+    // a header with an embedded quote broke the old string-built melt
+    val quoted = Seq((1L, "x")).toDF("id", "item's price")
+    val ps = Profile.of(quoted)
+    assert(ps.map(_.columnName).toSet == Set("id", "item's price"))
+    // a zero-row table still profiles one all-zero entry per column,
+    // so DDL synthesis never emits a zero-column CREATE TABLE
+    val empty = Seq.empty[(Long, String)].toDF("id", "name")
+    val pe = Profile.of(empty)
+    assert(pe.map(_.columnName).toSet == Set("id", "name"))
+    assert(pe.forall(p => p.rowCount == 0 && p.distinctCount == 0))
+    val ddl = graft.catalog.Ddl.fromProfile("t_empty", pe)
+    assert(ddl.contains("id") && ddl.contains("name"), ddl)
+  }
 }
