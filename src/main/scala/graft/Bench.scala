@@ -16,7 +16,16 @@ object Bench {
     // swing 1.5-2x run-to-run for identical code (CPU steal, cold page
     // cache, JIT), which would drown real regressions; min-of-2 is
     // stable to a few percent (methodology note in BASELINE.md).
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // trim + fail-fast on unknown keys (mirrors Verify): an untrimmed
+    // token or a typo would otherwise bench NOTHING for that key and
+    // still print a valid-looking total
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.filterNot(SparkEntry.queries.contains)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown keys: ${unknown.mkString(", ")}")
+    }
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     // Disk-WRITING keys get min-of-3 (vs min-of-2 for compute keys):
     // their run-to-run swing is host I/O contention, not plan cost —
@@ -42,8 +51,12 @@ object Bench {
       (name, runs.map(_._1).min, runs.forall(_._2))
     }
     def r3(v: Double): Double = math.round(v * 1000).toDouble / 1000
+    // minimal JSON string escaping for the user-controlled sfDir (a
+    // quote or backslash in the env var must not emit unparseable JSON)
+    def js(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     def jmap(rs: Seq[(String, Double, Boolean)]): String =
-      rs.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+      rs.map { case (k, v, _) => js(k) + ":" + r3(v) }.mkString("{", ",", "}")
     val errors = results.collect { case (n, _, false) => "\"" + n + "\"" }
     val total = r3(results.map(_._2).sum)
     // Full per-query detail goes to a file; stdout gets ONE COMPACT line
@@ -57,11 +70,11 @@ object Bench {
       if (only.isEmpty) "BENCH_DETAIL.json" else "BENCH_DETAIL_partial.json"
     Files.writeString(Paths.get(detailFile),
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
-      s""""errors":${errors.mkString("[", ",", "]")},"queries":${jmap(results)},"sf":"$sfDir"}""" + "\n")
+      s""""errors":${errors.mkString("[", ",", "]")},"queries":${jmap(results)},"sf":${js(sfDir)}}""" + "\n")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
       s""""errors":${errors.mkString("[", ",", "]")},"queries":${jmap(slowest)},""" +
-      s""""detail":"$detailFile","sf":"$sfDir"}""")
+      s""""detail":${js(detailFile)},"sf":${js(sfDir)}}""")
     spark.stop()
   }
 }

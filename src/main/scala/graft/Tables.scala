@@ -39,8 +39,14 @@ object Tables {
     val df = load(spark, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // FLOOR division in exact long arithmetic: `ts div 1000`
+        // truncates toward zero, which rounds PRE-EPOCH nanos the wrong
+        // way (-1500 ns -> -1 µs instead of -2 µs) and diverges from an
+        // oracle that floors; (ts - pmod(ts,1000)) is exactly divisible
+        // so div is then a true floor, with no double-precision loss at
+        // 10^18-nano magnitudes
         df.withColumn("ts", org.apache.spark.sql.functions.expr(
-          "CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+          "CAST(timestamp_micros((ts - pmod(ts, 1000)) div 1000) AS TIMESTAMP_NTZ)"))
       case _: org.apache.spark.sql.types.TimestampNTZType =>
         df
       case _ =>

@@ -74,6 +74,13 @@ object Multimodal {
     * splitter; the sampling/fan-out plumbing is what's exercised here. */
   def sampleFrames(records: Dataset[MediaRecord], frameBytes: Int,
       stride: Int): Dataset[Frame] = {
+    // fail on the DRIVER: stride=0 would otherwise surface as an
+    // ArithmeticException inside executor tasks (i % stride), and
+    // frameBytes<=0 as grouped()'s obscure failure, after the stage
+    // has already launched
+    require(frameBytes > 0 && stride > 0,
+      s"sampleFrames needs frameBytes > 0 and stride > 0, " +
+        s"got frameBytes=$frameBytes stride=$stride")
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
       it.flatMap { r =>
@@ -90,6 +97,10 @@ object Multimodal {
     * flow through the plan. */
   def resizeFeatures(features: Array[Double], targetDim: Int): Array[Double] = {
     val n = features.length
+    // an empty input would average over zero elements (0.0/0 = NaN) and
+    // silently poison every downstream dot product/sort — name it
+    require(n > 0, "resizeFeatures: empty input vector (missing payload?)")
+    require(targetDim > 0, s"resizeFeatures: targetDim must be > 0, got $targetDim")
     if (n == targetDim) features
     else Array.tabulate(targetDim) { i =>
       val lo = i.toDouble * n / targetDim

@@ -102,7 +102,13 @@ object ContractGate {
   * keep the bad rows addressable. */
 object Quarantine {
 
-  final case class SplitResult(clean: DataFrame, quarantined: DataFrame)
+  /** `unpersist()` releases the single cached scan both splits share —
+    * call it once both sides are consumed, or a long-lived session
+    * ingesting many files accumulates one cached relation per call. */
+  final case class SplitResult(clean: DataFrame, quarantined: DataFrame,
+      private val raw: Option[DataFrame] = None) {
+    def unpersist(): Unit = { raw.foreach(_.unpersist()); () }
+  }
 
   /** Read a CSV keeping corrupt lines, then split: clean rows flow on,
     * corrupt raw lines (with the reason) go to the quarantine side. */
@@ -126,32 +132,80 @@ object Quarantine {
         .drop(Ingest.CorruptRecordCol),
       quarantined = raw.filter(col(Ingest.CorruptRecordCol).isNotNull)
         .select(col(Ingest.CorruptRecordCol).as("raw_line"),
-          lit("CSV parse failure").as("reason")))
+          lit("CSV parse failure").as("reason")),
+      raw = Some(raw))
   }
 
   /** JSON twin: malformed records land in the corrupt column instead of
     * failing the read (mirrors the reference's "Invalid JSON format."
     * error path, dataProcessingService.ts:24-27 — but healing, not
-    * aborting). */
+    * aborting).
+    *
+    * Parse-mode dispatch: inference and re-read must use the SAME mode
+    * (a mode mismatch parses different record shapes — the round-11
+    * review finding). JSON-Lines is tried first (the Spark-native
+    * shape, one record per line); when EVERY record comes back corrupt
+    * the file is almost certainly a pretty-printed array / single
+    * object (the reference's upload shapes, which line mode sees as
+    * one malformed record per physical line) — retry as one multi-line
+    * document. A genuinely garbage file stays all-quarantined either
+    * way. */
   def json(spark: SparkSession, path: String): SplitResult = {
-    val inferred = Ingest.json(spark, path).schema
-    val widened =
-      if (inferred.fieldNames.contains(Ingest.CorruptRecordCol)) inferred
-      else org.apache.spark.sql.types.StructType(
-        inferred.fields :+ org.apache.spark.sql.types.StructField(
-          Ingest.CorruptRecordCol, org.apache.spark.sql.types.StringType))
-    val raw = spark.read
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", Ingest.CorruptRecordCol)
-      .schema(widened)
-      .json(path)
-      .cache()
+    def readWith(multiLine: Boolean): DataFrame = {
+      val inferred = spark.read
+        .option("multiLine", multiLine.toString)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", Ingest.CorruptRecordCol)
+        .json(path).schema
+      val widened =
+        if (inferred.fieldNames.contains(Ingest.CorruptRecordCol)) inferred
+        else org.apache.spark.sql.types.StructType(
+          inferred.fields :+ org.apache.spark.sql.types.StructField(
+            Ingest.CorruptRecordCol, org.apache.spark.sql.types.StringType))
+      spark.read
+        .option("multiLine", multiLine.toString)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", Ingest.CorruptRecordCol)
+        .schema(widened)
+        .json(path)
+        .cache() // one scan serves the shape probe AND both splits
+    }
+    // shape probe: a top-level '[' can ONLY be the array upload shape
+    // (JSON-Lines records are objects) → parse as one multi-line doc.
+    // An all-corrupt line-mode read catches the pretty-printed
+    // SINGLE-object shape (its first line "{" alone is malformed).
+    // The probe must look at the BYTES: line mode half-parses a pretty
+    // array (objects parse, the bracket lines quarantine), so a
+    // corrupt-fraction probe alone mis-splits it.
+    val isArray = {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(hp)
+      val head = try {
+        val buf = new Array[Byte](256)
+        val n = math.max(0, in.read(buf))
+        new String(buf, 0, n, "UTF-8")
+      } finally in.close()
+      head.trim.startsWith("[")
+    }
+    val raw =
+      if (isArray) readWith(multiLine = true)
+      else {
+        val lineMode = readWith(multiLine = false)
+        val total = lineMode.count()
+        val corrupt = lineMode.filter(col(Ingest.CorruptRecordCol).isNotNull).count()
+        if (total > 0 && corrupt == total) {
+          lineMode.unpersist()
+          readWith(multiLine = true)
+        } else lineMode
+      }
     SplitResult(
       clean = raw.filter(col(Ingest.CorruptRecordCol).isNull)
         .drop(Ingest.CorruptRecordCol),
       quarantined = raw.filter(col(Ingest.CorruptRecordCol).isNotNull)
         .select(col(Ingest.CorruptRecordCol).as("raw_line"),
-          lit("JSON parse failure").as("reason")))
+          lit("JSON parse failure").as("reason")),
+      raw = Some(raw))
   }
 }
 

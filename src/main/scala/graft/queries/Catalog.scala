@@ -920,9 +920,7 @@ object Catalog {
       |       CAST(max(l_shipdate) AS VARCHAR) AS max_ship
       |FROM lineitem""".stripMargin) { (s, d) =>
     val path = "/root/repo/target/roundtrip/lineitem_avro"
-    val hp = new org.apache.hadoop.fs.Path(path)
-    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(hp)) fs.delete(hp, true) // hadoop output dirs must not pre-exist
+    // AvroIO.write overwrites like the other sinks — no caller cleanup
     val slice = Tables.lineitem(s, d)
       .select("l_orderkey", "l_extendedprice", "l_returnflag", "l_shipdate")
       .coalesce(4)

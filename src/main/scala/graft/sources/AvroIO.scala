@@ -109,6 +109,12 @@ object AvroIO {
     * partition, the standard hadoop layout). Row → GenericRecord is the
     * only map; no shuffle, no collect. */
   def write(df: DataFrame, path: String): Unit = {
+    // overwrite semantics like every other sink here (.mode("overwrite")
+    // on the parquet/ORC paths): Hadoop's checkOutputSpecs refuses a
+    // pre-existing dir, which would make every RE-RUN of a caller fail
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
     val sparkSchema = df.schema
     val schemaJson = toAvroSchema(sparkSchema).toString
     val job = Job.getInstance(df.sparkSession.sparkContext.hadoopConfiguration)

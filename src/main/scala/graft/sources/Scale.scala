@@ -18,17 +18,21 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
       numBuckets: Int): Unit = {
     val spark = df.sparkSession
+    // unqualified, simple names only: the leftover-dir cleanup below
+    // joins the warehouse path with the CATALOG's directory name, and a
+    // db-qualified or exotic name would make the two diverge silently
+    require(table.matches("[A-Za-z0-9_]+"),
+      s"writeBucketed needs a simple unqualified table name, got '$table'")
     // an in-memory catalog forgets tables across sessions but leaves the
     // warehouse directory behind — clear both so overwrite is idempotent
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
-    val loc = new java.io.File(warehouse, table)
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(loc)
-    }
+    // Hadoop Path handles relative/space-bearing warehouse dirs that
+    // java.net.URI(...) rejects; the catalog lowercases the dir name
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode("overwrite")
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
@@ -58,8 +62,15 @@ object Salting {
 
   def saltedEquiJoin(large: DataFrame, small: DataFrame, key: String,
       factor: Int = 8): DataFrame = {
+    // the salt must be DETERMINISTIC per row content, never
+    // monotonically_increasing_id: a retried/speculated map task
+    // re-salts its rows differently than the outputs other reducers
+    // already fetched, silently dropping/duplicating rows (the
+    // SPARK-23207 class of bug). Hashing every column spreads a hot
+    // key's distinct rows across salts; full duplicates co-locate,
+    // which is correct (they'd land on one reducer anyway).
     val saltedLarge = large.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(factor.toLong)))
+      pmod(xxhash64(large.columns.map(col).toIndexedSeq: _*), lit(factor.toLong)))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(factor.toLong - 1))))
     saltedLarge.join(saltedSmall, Seq(key, "__salt")).drop("__salt")

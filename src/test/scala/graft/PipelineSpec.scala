@@ -71,6 +71,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(split.clean.count() == 2)
     assert(split.quarantined.count() == 1)
     assert(split.quarantined.collect().head.getAs[String]("raw_line").contains("not json"))
+    split.unpersist()
+  }
+
+  test("quarantine: pretty-printed JSON array parses clean, not one corrupt row per line") {
+    // line mode sees every physical line of a pretty-printed array as a
+    // malformed record — the shape dispatch must retry multi-line and
+    // return the two clean rows (the reference's upload shape)
+    val p = "/root/repo/target/fixtures/quarantine_pretty.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      "[\n  {\"a\": 1, \"b\": \"x\"},\n  {\"a\": 2, \"b\": \"y\"}\n]\n")
+    val split = graft.pipeline.Quarantine.json(spark, p)
+    assert(split.clean.count() == 2,
+      s"pretty array must parse clean, got quarantined=${split.quarantined.count()}")
+    assert(split.quarantined.count() == 0)
+    split.unpersist()
   }
 
   test("profiler honors the 50-row sample cap (reference P1 parity)") {
