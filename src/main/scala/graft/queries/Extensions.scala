@@ -875,6 +875,41 @@ object Extensions {
       .orderBy("qid", "rnk")
   }
 
+  /** The (qid, cid) candidate set [[qAnnIvf]]'s cell pruning admits —
+    * the probe's nprobe=2 visited cells joined against the cell-assigned
+    * corpus, BEFORE reranking. Rebuilt from the same deterministic
+    * trainer as the operator (q_gate_kmeans pins partition-invariant
+    * fits), so the set is definitionally the operator's own reachability:
+    * q_gate_ann_ivf gates achieved recall against the ceiling this set
+    * imposes instead of an absolute corpus-geometry floor. */
+  private[graft] def ivfProbeCandidates(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.register(s)
+    val e = Tables.embeddings(s, d).localCheckpoint(true)
+    val model = graft.operators.KMeans.fit(e, "vec_id", "embedding", k = 8, maxIter = 3)
+    val visited = probeBatch(e)
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"))
+      .select(col("qid"), explode(slice(cellsRankedCol(model), 1, 2)).as("cc"))
+      .select(col("qid"), col("cc.cell").as("cell"))
+    broadcast(visited).join(ivfCandidates(e, model), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"))
+  }
+
+  /** The (qid, cid) candidate set [[qAnnLsh]]'s band tables admit — any
+    * shared bucket across the 4×4 tables, before reranking. Same role
+    * as [[ivfProbeCandidates]] for q_gate_ann_lsh's relative contract. */
+  private[graft] def lshProbeCandidates(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.register(s)
+    val buckets = VectorOps.rhpBuckets(col("embedding"), planes = 4, tables = 4)
+    val e = Tables.embeddings(s, d)
+    val probes = probeBatch(e)
+      .select(col("vec_id").as("qid"), explode(buckets).as("bucket"))
+    val cand = e.select(col("vec_id").as("cid"), explode(buckets).as("bucket"))
+    broadcast(probes).join(cand, Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid")).distinct()
+  }
+
   /** Int8-quantized brute-force top-k (operators/Quantization.scala):
     * the corpus is stored as (scale, array<tinyint>) — 4× smaller than
     * float32 — and the search ranks by cosine over the quantized codes

@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   * recall/error bound into a visible correctness FAILURE instead of a
   * spec-only signal.
   *
+  * Shared twins are memoized per driver run via [[GateMemo]] (round-11
+  * verdict item #1): `q_similarity_topk` backs 7 ANN gates, `q_neardup`
+  * backs 3 dedup gates, and the exact relations discover backs the
+  * sketch gate — each is now computed once per (session, sfDir), not
+  * once per gate. Every verdict still compares the same frames it
+  * compared before; only the recomputation is gone.
+  *
   * Scale note: every driver-side collect below is a top-k list
   * (probe-batch × k rows), a pair list (planted near-dups), or a
   * grouped aggregate (≤ groups rows) — never corpus-sized. The
@@ -31,6 +38,11 @@ object Gates {
 
   private def oracleFor(gate: String): String =
     s"SELECT '$gate' AS gate, true AS passed"
+
+  /** A registered key's output, memoized for gate-side reuse. Operator
+    * keys themselves never call this — their bench timings stay live. */
+  private def memoQ(s: SparkSession, d: String, q: Q): DataFrame =
+    GateMemo.frame(s, d, q.name)(q.run(s, d))
 
   /** Mean recall@k of `ann` against `exact`; both are ranked
     * (qid, cid, …, rnk) frames. A probe the index lost entirely counts
@@ -48,9 +60,37 @@ object Gates {
     if (recalls.isEmpty) 0.0 else recalls.sum / recalls.size
   }
 
+  /** The reachability CEILING cell pruning imposes on an ANN index: the
+    * fraction of exact top-k neighbors whose ids appear anywhere in the
+    * index's CANDIDATE set per probe. Candidates are exact-cosine
+    * reranked downstream, so a healthy index's achieved recall@k equals
+    * this ceiling almost exactly — gating `recall ≥ ceiling − slack`
+    * pins the RANKING pipeline independently of corpus geometry (the
+    * round-11 verdict's complaint about the absolute 0.4/0.3 floors:
+    * geometry varies per SF, so an absolute floor loose enough for every
+    * SF is too loose to catch a real regression). */
+  private[graft] def reachableCeiling(
+      candidates: DataFrame, exact: DataFrame, k: Int): Double = {
+    // distributed: the candidate set is probe-batch × cell-size (can be
+    // a corpus fraction), so only COUNTS reach the driver. Every qid
+    // contributes exactly k exact rows, so total-hit / total-exact IS
+    // the equal-weight mean per-probe reachability.
+    val ex = exact.filter(col("rnk") <= k)
+      .select(col(exact.columns(0)).as("qid"), col(exact.columns(1)).as("cid"))
+    val nEx = ex.count()
+    if (nEx == 0L) 0.0
+    else {
+      val cand = candidates
+        .select(col(candidates.columns(0)).as("qid"),
+          col(candidates.columns(1)).as("cid"))
+      ex.join(cand, Seq("qid", "cid"), "left_semi").count().toDouble / nEx
+    }
+  }
+
   private def annGate(name: String, annKey: Q, floor: Double): Q =
     Q(name, oracleFor(name)) { (s, d) =>
-      val r = recallAtK(annKey.run(s, d), Extensions.qSimilarityTopk.run(s, d), 3)
+      val r = recallAtK(memoQ(s, d, annKey),
+        memoQ(s, d, Extensions.qSimilarityTopk), 3)
       verdict(s, name, r >= floor)
     }
 
@@ -67,9 +107,9 @@ object Gates {
     * would pin the corpus, not the operator). */
   val qGateAnnIvfQuantized = Q(
     "q_gate_ann_ivf_quantized", oracleFor("q_gate_ann_ivf_quantized")) { (s, d) =>
-    val exact = Extensions.qSimilarityTopk.run(s, d)
-    val rFloat = recallAtK(Extensions.qAnnIvf.run(s, d), exact, 3)
-    val rQuant = recallAtK(Extensions.qAnnIvfQuantized.run(s, d), exact, 3)
+    val exact = memoQ(s, d, Extensions.qSimilarityTopk)
+    val rFloat = recallAtK(memoQ(s, d, Extensions.qAnnIvf), exact, 3)
+    val rQuant = recallAtK(memoQ(s, d, Extensions.qAnnIvfQuantized), exact, 3)
     verdict(s, "q_gate_ann_ivf_quantized", rQuant >= rFloat - 0.05)
   }
 
@@ -79,8 +119,8 @@ object Gates {
     def pairSet(df: DataFrame): Set[(Long, Long)] =
       df.select(df.columns(0), df.columns(1)).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = pairSet(Extensions.qNeardup.run(s, d))
-    val lsh = pairSet(Extensions.qDedupMinhash.run(s, d))
+    val exact = pairSet(memoQ(s, d, Extensions.qNeardup))
+    val lsh = pairSet(memoQ(s, d, Extensions.qDedupMinhash))
     val recall =
       if (exact.isEmpty) 1.0 else exact.count(lsh.contains).toDouble / exact.size
     verdict(s, "q_gate_dedup_minhash", exact.nonEmpty && recall >= 0.8)
@@ -91,7 +131,7 @@ object Gates {
     * checked distributed (violation counts only reach the driver). */
   val qGateLangIdNgram = Q(
     "q_gate_lang_id_ngram", oracleFor("q_gate_lang_id_ngram")) { (s, d) =>
-    val out = Extensions.qLangIdNgram.run(s, d)
+    val out = memoQ(s, d, Extensions.qLangIdNgram)
     val docs = Tables.documents(s, d)
     val labels = docs.select("lang").distinct()
       .collect().map(_.getString(0)).toSeq :+ "und"
@@ -113,7 +153,7 @@ object Gates {
     * requested rsd) — the key itself carries both columns. */
   val qGateApproxDistinct = Q(
     "q_gate_approx_distinct", oracleFor("q_gate_approx_distinct")) { (s, d) =>
-    val out = Relational.qAggApproxDistinct.run(s, d)
+    val out = memoQ(s, d, Relational.qAggApproxDistinct)
     val bad = out.filter(
       abs(col("approx_parts") - col("exact_parts")) >
         col("exact_parts") * 0.05).count()
@@ -125,14 +165,16 @@ object Gates {
     * (rank error ≤ n/1000 ≪ the bracket width). */
   val qGateApproxPercentile = Q(
     "q_gate_approx_percentile", oracleFor("q_gate_approx_percentile")) { (s, d) =>
-    val approx = Analytics.qAggApproxPercentile.run(s, d)
-    val bracket = Tables.orders(s, d)
-      .groupBy("o_orderstatus")
-      .agg(
-        expr("percentile(o_totalprice, 0.4)").as("p40"),
-        expr("percentile(o_totalprice, 0.6)").as("p60"),
-        expr("percentile(o_totalprice, 0.85)").as("p85"),
-        expr("percentile(o_totalprice, 0.95)").as("p95"))
+    val approx = memoQ(s, d, Analytics.qAggApproxPercentile)
+    val bracket = GateMemo.frame(s, d, "gate_pctl_bracket") {
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("percentile(o_totalprice, 0.4)").as("p40"),
+          expr("percentile(o_totalprice, 0.6)").as("p60"),
+          expr("percentile(o_totalprice, 0.85)").as("p85"),
+          expr("percentile(o_totalprice, 0.95)").as("p95"))
+    }
     val bad = approx.join(bracket, "o_orderstatus")
       .filter(col("ap50") < col("p40") || col("ap50") > col("p60") ||
         col("ap90") < col("p85") || col("ap90") > col("p95"))
@@ -146,13 +188,14 @@ object Gates {
     * on every run). */
   val qGateCountmin = Q(
     "q_gate_countmin", oracleFor("q_gate_countmin")) { (s, d) =>
-    val est = Analytics.qAggCountmin.run(s, d).collect()
+    val est = memoQ(s, d, Analytics.qAggCountmin).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val orders = Tables.orders(s, d)
-    val n = orders.count()
-    val exact = orders.filter(col("o_custkey").between(1, 10))
-      .groupBy("o_custkey").agg(count(lit(1)).as("n")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = GateMemo.value(s, d, "gate_countmin_n")(orders.count())
+    val exact = GateMemo.frame(s, d, "gate_countmin_exact") {
+      orders.filter(col("o_custkey").between(1, 10))
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+    }.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val slack = (2 * 0.001 * n).toLong
     val ok = est.nonEmpty && est.forall { case (k, e) =>
       val t = exact.getOrElse(k, 0L)
@@ -165,18 +208,40 @@ object Gates {
   // driver-visible (round-10 verdict item #2). Floors mirror the
   // ExtensionsSpec / CatalogSpec / ClusteringSpec contracts verbatim.
 
-  /** Float IVF recall@3 vs exact ≥ 0.4. The ABSOLUTE cell-pruning
-    * recall varies with corpus geometry per SF (measured 0.667 at
-    * sf0.001 but 0.467 at sf0.01 — same variation already documented on
-    * [[qGateAnnIvfQuantized]], which is why THAT gate is relative);
-    * 0.4 is the floor that a broken index (wrong cell assignment, probe
-    * ranking inverted) cannot clear while every measured healthy run
-    * does. ExtensionsSpec keeps its tighter 0.5 at sf0.001. */
-  val qGateAnnIvf = annGate("q_gate_ann_ivf", Extensions.qAnnIvf, 0.4)
+  /** Float IVF gated RELATIVELY against its own pruning geometry
+    * (round-11 verdict item #3): achieved recall@3 must sit within 0.05
+    * of the reachable ceiling — the fraction of true top-3 ids the
+    * probed cells contain at all. Candidates are exact-cosine reranked,
+    * so a healthy index cannot score below the ceiling; a broken probe
+    * ranking, wrong cell assignment, or inverted rerank drops recall
+    * far below it while the ceiling itself stays put. The old absolute
+    * 0.4 floor (loose enough for every SF's geometry) stays as a
+    * secondary sanity bound so a degenerate index whose CEILING
+    * collapsed (e.g. every probe assigned to an empty cell) also fails. */
+  val qGateAnnIvf = Q(
+    "q_gate_ann_ivf", oracleFor("q_gate_ann_ivf")) { (s, d) =>
+    val exact = memoQ(s, d, Extensions.qSimilarityTopk)
+    val r = recallAtK(memoQ(s, d, Extensions.qAnnIvf), exact, 3)
+    val ceiling = reachableCeiling(
+      GateMemo.frame(s, d, "gate_ivf_candidates")(
+        Extensions.ivfProbeCandidates(s, d)), exact, 3)
+    verdict(s, "q_gate_ann_ivf", r >= ceiling - 0.05 && r >= 0.4)
+  }
 
-  /** Multi-table LSH recall@3 ≥ 0.3 (single-table measures ~0.07; the
-    * 4×4 table union is what makes the index usable). */
-  val qGateAnnLsh = annGate("q_gate_ann_lsh", Extensions.qAnnLsh, 0.3)
+  /** Multi-table LSH, same relative contract: the 4×4 band tables fix
+    * which neighbors are co-bucketed at all (the ceiling); the achieved
+    * recall@3 must match that ceiling within 0.05 — a bucketing or
+    * rerank regression cannot hide under the absolute floor (0.3, kept
+    * as the degenerate-index sanity bound). */
+  val qGateAnnLsh = Q(
+    "q_gate_ann_lsh", oracleFor("q_gate_ann_lsh")) { (s, d) =>
+    val exact = memoQ(s, d, Extensions.qSimilarityTopk)
+    val r = recallAtK(memoQ(s, d, Extensions.qAnnLsh), exact, 3)
+    val ceiling = reachableCeiling(
+      GateMemo.frame(s, d, "gate_lsh_candidates")(
+        Extensions.lshProbeCandidates(s, d)), exact, 3)
+    verdict(s, "q_gate_ann_lsh", r >= ceiling - 0.05 && r >= 0.3)
+  }
 
   /** Serving == fitting, float IVF: the persisted-model path must
     * return EXACTLY the fit-per-run key's rows (deterministic trainer +
@@ -188,8 +253,8 @@ object Gates {
 
   val qGateAnnIvfServe = Q(
     "q_gate_ann_ivf_serve", oracleFor("q_gate_ann_ivf_serve")) { (s, d) =>
-    val fit = rowsOf(Extensions.qAnnIvf.run(s, d))
-    val served = rowsOf(Extensions.qAnnIvfServe.run(s, d))
+    val fit = rowsOf(memoQ(s, d, Extensions.qAnnIvf))
+    val served = rowsOf(memoQ(s, d, Extensions.qAnnIvfServe))
     verdict(s, "q_gate_ann_ivf_serve", fit.nonEmpty && served == fit)
   }
 
@@ -198,8 +263,8 @@ object Gates {
   val qGateAnnIvfQuantizedServe = Q(
     "q_gate_ann_ivf_quantized_serve",
     oracleFor("q_gate_ann_ivf_quantized_serve")) { (s, d) =>
-    val built = rowsOf(Extensions.qAnnIvfQuantized.run(s, d))
-    val served = rowsOf(Extensions.qAnnIvfQuantizedServe.run(s, d))
+    val built = rowsOf(memoQ(s, d, Extensions.qAnnIvfQuantized))
+    val served = rowsOf(memoQ(s, d, Extensions.qAnnIvfQuantizedServe))
     verdict(s, "q_gate_ann_ivf_quantized_serve",
       built.nonEmpty && served == built)
   }
@@ -258,22 +323,28 @@ object Gates {
     "q_gate_ann_ivf_adaptive", oracleFor("q_gate_ann_ivf_adaptive")) { (s, d) =>
     import graft.functions.VectorExpressions
     VectorExpressions.register(s)
-    val skewed = skewedBundleCorpus(Tables.embeddings(s, d))
-    val model = graft.operators.KMeans.fit(
-      skewed, "vec_id", "embedding", k = 8, maxIter = 3)
-    val sizes = skewed
-      .select(graft.operators.KMeans.assignment(col("embedding"), model).as("cell"))
-      .groupBy("cell").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // ≤ k rows
-    val n = skewed.count()
+    val skewed = GateMemo.frame(s, d, "gate_skewed_corpus")(
+      skewedBundleCorpus(Tables.embeddings(s, d)))
+    val model = GateMemo.value(s, d, "gate_skewed_model")(
+      graft.operators.KMeans.fit(
+        skewed, "vec_id", "embedding", k = 8, maxIter = 3))
+    val sizes = GateMemo.value(s, d, "gate_skewed_sizes") {
+      skewed
+        .select(graft.operators.KMeans.assignment(col("embedding"), model).as("cell"))
+        .groupBy("cell").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // ≤ k rows
+    }
+    val n = GateMemo.value(s, d, "gate_skewed_n")(skewed.count())
     // skew precondition: the biggest trained cell must hold at least
     // twice the balanced share, or the fixture is not testing skew
     val skewed2x = sizes.nonEmpty && sizes.values.max >= 2L * (n / 8)
-    val ann = Extensions.ivfSearchAdaptive(
-      skewed, model, sizes, budget = math.max(1L, n / 4))
+    val ann = GateMemo.frame(s, d, "gate_adaptive_ann")(
+      Extensions.ivfSearchAdaptive(
+        skewed, model, sizes, budget = math.max(1L, n / 4)))
     // exact brute force over the SAME skewed corpus and probe batch
-    val exact = exactTop3(skewed, Extensions.probeBatch(skewed)
-      .select(col("vec_id").as("qid"), col("embedding").as("eq")))
+    val exact = GateMemo.frame(s, d, "gate_adaptive_exact")(
+      exactTop3(skewed, Extensions.probeBatch(skewed)
+        .select(col("vec_id").as("qid"), col("embedding").as("eq"))))
     val r = recallAtK(ann, exact, 3)
     verdict(s, "q_gate_ann_ivf_adaptive", skewed2x && r >= 0.9)
   }
@@ -289,8 +360,8 @@ object Gates {
       df.select(df.columns(0), df.columns(1)).collect()
         .map(r => (math.min(r.getLong(0), r.getLong(1)),
           math.max(r.getLong(0), r.getLong(1)))).toSet
-    val exact = pairSet(Extensions.qNeardup.run(s, d))
-    val sim = Extensions.qDedupSimhash.run(s, d).collect()
+    val exact = pairSet(memoQ(s, d, Extensions.qNeardup))
+    val sim = memoQ(s, d, Extensions.qDedupSimhash).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val wellFormed = sim.forall { case (a, b) => a < b } &&
       sim.distinct.length == sim.length
@@ -313,8 +384,9 @@ object Gates {
     def pairSet(df: DataFrame): Set[(Long, Long)] =
       df.select(df.columns(0), df.columns(1)).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ann = pairSet(Extensions.qDedupEmbedAnn.run(s, d))
-    val exact = pairSet(Extensions.exactEmbedNearDupPairs(s, d))
+    val ann = pairSet(memoQ(s, d, Extensions.qDedupEmbedAnn))
+    val exact = pairSet(GateMemo.frame(s, d, "gate_embed_exact_pairs")(
+      Extensions.exactEmbedNearDupPairs(s, d)))
     val recall =
       if (exact.isEmpty) 0.0 else exact.count(ann.contains).toDouble / exact.size
     verdict(s, "q_gate_dedup_embed_ann",
@@ -330,16 +402,66 @@ object Gates {
   val qGateDedupEmbedIncremental = Q(
     "q_gate_dedup_embed_incremental",
     oracleFor("q_gate_dedup_embed_incremental")) { (s, d) =>
-    val incr = Extensions.qDedupEmbedIncremental.run(s, d).collect()
+    val incr = memoQ(s, d, Extensions.qDedupEmbedIncremental).collect()
       .map(r => (math.min(r.getLong(0), r.getLong(1)),
         math.max(r.getLong(0), r.getLong(1)))).toSet
-    val exact = Extensions
-      .exactEmbedNearDupPairs(s, d, "q_gate_dedup_embed_incremental").collect()
+    val exact = GateMemo.frame(s, d, "gate_embed_exact_pairs_incr")(Extensions
+      .exactEmbedNearDupPairs(s, d, "q_gate_dedup_embed_incremental")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall =
       if (exact.isEmpty) 0.0 else exact.count(incr.contains).toDouble / exact.size
     verdict(s, "q_gate_dedup_embed_incremental",
       exact.nonEmpty && incr.subsetOf(exact) && recall >= 0.95)
+  }
+
+  /** The q_gate_index_drift fixture: a CLUSTER-STRUCTURED corpus (the
+    * geometry real embedding corpora have — the raw test embeddings are
+    * near-isotropic, where distance-to-centroid cannot separate; probe
+    * numbers in tools/DriftProbe): 8 direction bundles at axes
+    * base..base+7 plus ±0.1 deterministic jitter. `base = 0` is the
+    * founding/aligned geometry; `base = 16` is drifted — orthogonal
+    * bundles the frozen model never saw (measured: founding mean
+    * distance 0.15 ± 0.12, aligned 0.16, drifted 0.93 — the gauge's
+    * 3·sd0 fire line sits at 0.50, decisive on both sides). */
+  private[graft] def bundleCorpus(df: DataFrame, base: Int): DataFrame =
+    df.withColumn("embedding",
+      transform(col("embedding"), (_, i) =>
+        (when(i === lit(base) + pmod(col("vec_id"), lit(8)).cast("int"),
+          lit(1.0d)).otherwise(lit(0.0d)) +
+          (pmod(xxhash64(col("vec_id") * 131 + i), lit(1000)).cast("double")
+            / 1000.0 - 0.5) * 0.2).cast("float")))
+
+  /** Frozen-model drift monitor, driver-visible (round-11 verdict item
+    * #4): found an IncrementalEmbedDedup index on the bundle corpus,
+    * then gauge (a) an ALIGNED batch — same geometry, must NOT
+    * recommend a rebuild — and (b) a DRIFTED batch — orthogonal
+    * bundles, MUST recommend one. Both verdicts ride in one passed
+    * flag, so either a gauge that cries wolf or one that sleeps through
+    * real drift fails the key. The band index needs no such gauge —
+    * content hashing is distribution-free (scope note in
+    * operators/IndexDrift.scala). */
+  val qGateIndexDrift = Q(
+    "q_gate_index_drift", oracleFor("q_gate_index_drift")) { (s, d) =>
+    import graft.operators.{IncrementalEmbedDedup, IndexDrift}
+    val ok = GateMemo.value(s, d, "gate_index_drift_ok") {
+      graft.functions.VectorExpressions.register(s)
+      val dir = new java.io.File(
+        "/root/repo/target/drift_gate_index/" + new java.io.File(d).getName)
+      def rmrf(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+      }
+      rmrf(dir) // fresh founding model per driver run (determinism)
+      val e = Tables.embeddings(s, d).localCheckpoint(true)
+      val founding = bundleCorpus(e.filter(col("vec_id") % 3 =!= 0), 0)
+      IncrementalEmbedDedup.ingest(s, dir.getPath, founding,
+        "vec_id", "embedding", k = 8)
+      val held = e.filter(col("vec_id") % 3 === 0)
+      def fires(batch: DataFrame): Boolean =
+        IndexDrift.gauge(s, dir.getPath, batch, "embedding")
+          .head().getAs[Boolean]("rebuild_recommended")
+      !fires(bundleCorpus(held, 0)) && fires(bundleCorpus(held, 16))
+    }
+    verdict(s, "q_gate_index_drift", ok)
   }
 
   /** K-means trainer determinism and report totality: the same corpus
@@ -350,11 +472,13 @@ object Gates {
   val qGateKmeans = Q(
     "q_gate_kmeans", oracleFor("q_gate_kmeans")) { (s, d) =>
     graft.functions.VectorExpressions.register(s)
-    val e = Tables.embeddings(s, d).localCheckpoint(true)
-    val a = graft.operators.KMeans.fit(e, "vec_id", "embedding", k = 8, maxIter = 5)
-    val b = graft.operators.KMeans.fit(e.repartition(7), "vec_id", "embedding",
-      k = 8, maxIter = 5)
-    val report = Extensions.qKmeans.run(s, d).collect()
+    val e = GateMemo.frame(s, d, "gate_kmeans_corpus")(Tables.embeddings(s, d))
+    val a = GateMemo.value(s, d, "gate_kmeans_fit_a")(
+      graft.operators.KMeans.fit(e, "vec_id", "embedding", k = 8, maxIter = 5))
+    val b = GateMemo.value(s, d, "gate_kmeans_fit_b")(
+      graft.operators.KMeans.fit(e.repartition(7), "vec_id", "embedding",
+        k = 8, maxIter = 5))
+    val report = memoQ(s, d, Extensions.qKmeans).collect()
     val total = report.map(_.getLong(1)).sum
     val clustersOk = report.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 8) &&
       report.forall(_.getDouble(2) >= 0.0)
@@ -375,8 +499,9 @@ object Gates {
           (r.getAs[Double]("containment"), r.getAs[String]("verdict"))
       }.toMap
     val loaded = Catalog.relTables.map { case (t, _) => t -> Tables.load(s, d, t) }
-    val exact = pairs(graft.catalog.Relations.discover(loaded))
-    val sketch = pairs(Catalog.qCatalogRelationsSketch.run(s, d))
+    val exact = pairs(GateMemo.frame(s, d, "gate_relations_exact")(
+      graft.catalog.Relations.discover(loaded)))
+    val sketch = pairs(memoQ(s, d, Catalog.qCatalogRelationsSketch))
     val fkKept = exact.forall { case (p, (cont, v)) =>
       v != "fk_candidate" || cont < 1.0 ||
         sketch.get(p).exists(_._2 == "fk_candidate")
@@ -395,9 +520,10 @@ object Gates {
     "q_gate_catalog_relations_incremental",
     oracleFor("q_gate_catalog_relations_incremental")) { (s, d) =>
     val loaded = Catalog.relTables.map { case (t, _) => t -> Tables.load(s, d, t) }
-    val incremental = rowsOf(Catalog.qCatalogRelationsIncremental.run(s, d))
-    val full = rowsOf(graft.catalog.Relations.sketchDiscover(loaded)
-      .where(col("table_a") === "lineitem" || col("table_b") === "lineitem"))
+    val incremental = rowsOf(memoQ(s, d, Catalog.qCatalogRelationsIncremental))
+    val full = rowsOf(GateMemo.frame(s, d, "gate_relations_sketch_full")(
+      graft.catalog.Relations.sketchDiscover(loaded)
+        .where(col("table_a") === "lineitem" || col("table_b") === "lineitem")))
     verdict(s, "q_gate_catalog_relations_incremental",
       incremental.nonEmpty && incremental == full)
   }
@@ -410,11 +536,11 @@ object Gates {
     "q_gate_neardup_incremental",
     oracleFor("q_gate_neardup_incremental")) { (s, d) =>
     def inBatch(id: Long) = id % 10 == 0
-    val exactCross = Extensions.qNeardup.run(s, d).collect()
+    val exactCross = memoQ(s, d, Extensions.qNeardup).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
       .filter { case (a, b) => inBatch(a) != inBatch(b) }.toSet
-    val found = Extensions.qNeardupIncremental.run(s, d).collect()
+    val found = memoQ(s, d, Extensions.qNeardupIncremental).collect()
       .map(r => (math.min(r.getLong(0), r.getLong(1)),
         math.max(r.getLong(0), r.getLong(1)))).toSet
     val recall =
@@ -432,5 +558,6 @@ object Gates {
     qGateAnnIvfAdaptive,
     qGateDedupSimhash, qGateDedupEmbedAnn, qGateDedupEmbedIncremental,
     qGateKmeans, qGateCatalogRelationsSketch,
-    qGateCatalogRelationsIncremental, qGateNeardupIncremental)
+    qGateCatalogRelationsIncremental, qGateNeardupIncremental,
+    qGateIndexDrift)
 }
