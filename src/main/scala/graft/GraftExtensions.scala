@@ -43,6 +43,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         PortableHashExpr(exprs(0))))
     e.injectFunction((
+      FunctionIdentifier("kmv_containment"),
+      new ExpressionInfo(classOf[graft.functions.KmvContainmentExpr].getName,
+        "kmv_containment"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.KmvContainmentExpr(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((
       FunctionIdentifier("bottom_k_distinct"),
       new ExpressionInfo(classOf[BottomKDistinctAgg].getName, "bottom_k_distinct"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -124,6 +124,30 @@ object Relations {
   def discover(tables: Seq[(String, DataFrame)], minContainment: Double = 0.5): DataFrame =
     scoreMelted(melt(tables), minContainment)
 
+  /** Size-dispatched discovery (round-11 verdict item #5, the
+    * q_dedup_cluster auto-dispatch pattern applied to the catalog):
+    * exact containment is the right default for small catalogs — its
+    * one value-keyed exchange is data-sized, measured 3.4× at 10× data
+    * (SCALING.md) — while the KMV sketch's exchange is k-bounded per
+    * column (1.7× at 10×). The dispatch signal is the MELT VOLUME
+    * upper bound Σ rows(t)·|idCols(t)|, computed from input row counts
+    * (metadata-cheap on parquet/file sources — no data scan, unlike an
+    * approx-distinct probe which would cost as much as the exact pass
+    * it is trying to avoid). Distinct volume ≤ melt volume, so the
+    * bound only ever over-triggers toward the SAFE side (sketching a
+    * catalog that exact could still handle costs accuracy ε≈1/√k, not
+    * a blown exchange). Default threshold 50M melted cells ≈ the
+    * value-keyed exchange a single executor comfortably combines
+    * map-side. */
+  def discoverAuto(tables: Seq[(String, DataFrame)],
+      minContainment: Double = 0.5, k: Int = 256,
+      maxExactVolume: Long = 50L * 1000 * 1000): DataFrame = {
+    val volume = tables.map { case (_, df) =>
+      df.count() * math.max(1, idLikeColumns(df).size.toLong) }.sum
+    if (volume <= maxExactVolume) discover(tables, minContainment)
+    else sketchDiscover(tables, k, minContainment)
+  }
+
   /** Composite-key discovery: score declared multi-column groups as
     * single candidates (see [[meltGroups]] for the collision-safe value
     * encoding). Same output schema, counting plan, and scale shape as
@@ -265,6 +289,7 @@ object Relations {
   /** KMV containment estimates for every cross-table sketch pair. */
   private def scoreSketches(sk0: DataFrame, k: Int,
       minContainment: Double): DataFrame = {
+    graft.functions.SketchExpressions.register(sk0.sparkSession)
     // materialize the sketch set before the self-join: both join sides
     // reference it, and without a checkpoint each side re-runs the FULL
     // sketch pipeline — corpus scans included (PLANS.md showed lineitem
@@ -272,11 +297,16 @@ object Relations {
     // a few KB at any corpus size.
     val sk = sk0.localCheckpoint(true)
     val pairs = sk.as("a").join(broadcast(sk.as("b")), col("a.tbl") =!= col("b.tbl"))
-    // unified bottom-k of the union, then membership counting
-    val unified = slice(array_sort(array_distinct(
-      concat(col("a.sketch"), col("b.sketch")))), 1, k)
-    val inA = size(array_intersect(unified, col("a.sketch")))
-    val inBoth = size(array_intersect(array_intersect(unified, col("a.sketch")), col("b.sketch")))
+    // unified-bottom-k membership counts in ONE two-pointer merge per
+    // pair (kmv_containment; sketches are sorted+distinct by the
+    // bottom_k_distinct contract) — bit-identical to the former
+    // slice/sort/intersect array algebra, which re-walked the arrays ~6
+    // times per pair and dominated wide-catalog runs (W² pairs;
+    // round-11 verdict item #8 — probe numbers in SCALING.md).
+    val cont = call_function("kmv_containment",
+      col("a.sketch"), col("b.sketch"), lit(k))
+    val inA = cont.getField("in_a")
+    val inBoth = cont.getField("in_both")
     val est = when(inA > 0, inBoth.cast("double") / inA.cast("double")).otherwise(0.0)
 
     pairs

@@ -550,6 +550,121 @@ object Gates {
       exactCross.nonEmpty && recall >= 0.8)
   }
 
+  // ---- round-12 streaming gates (round-11 verdict items #6/#7): the
+  // watermark and state-store contracts lived only in StreamingSpec's
+  // memory-sink tests — these keys surface them where the driver's hash
+  // compare can see a regression.
+
+  /** Late-data contract, driver-visible: replay the events table through
+    * the WATERMARKED tumbling aggregation as three micro-batches —
+    * (1) the on-time corpus, (2) planted late rows (copies of the
+    * earliest-window events under fresh ids, far below the watermark the
+    * first batch advanced to) plus a nudge row that finalizes every
+    * on-time window, (3) a flush row that finalizes the nudge's window.
+    * Verdict: the append-mode streamed result equals the SAME
+    * aggregation run in batch over the on-time rows only (late
+    * contributed nothing — batch-mode withWatermark is a no-op, so the
+    * identical tumblingCounts function is both sides of the compare),
+    * AND the planted rows would have changed the result had they leaked
+    * (non-vacuity: a gate that plants ignorable rows gates nothing). */
+  val qGateStreamLate = Q(
+    "q_gate_stream_late", oracleFor("q_gate_stream_late")) { (s, d) =>
+    import graft.streaming.Streams
+    val ok = GateMemo.value(s, d, "gate_stream_late_ok") {
+      val work = new java.io.File(
+        "/root/repo/target/stream_late_gate/" + new java.io.File(d).getName)
+      def rmrf(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+      }
+      rmrf(work)
+      val landing = new java.io.File(work, "landing"); landing.mkdirs()
+      // LTZ event time (watermarks reject NTZ; session is UTC, so the
+      // wall-clock values match the batch key — same shim eventsStream
+      // applies)
+      val onTime = Tables.events(s, d)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .localCheckpoint(true)
+      val bounds = onTime.agg(min("ts"), max("ts")).head()
+      val span = bounds.getTimestamp(1).getTime - bounds.getTimestamp(0).getTime
+      // fixture precondition: the corpus must span past the watermark
+      // horizon or nothing can ever be late
+      require(span > 20 * 60 * 1000L,
+        s"events span ${span}ms — too short for a 10-minute watermark replay")
+      val late = onTime.orderBy("ts").limit(50)
+        .withColumn("event_id", -col("event_id") - 1000L)
+      def marker(id: Long, offsetMs: Long) = onTime.limit(1)
+        .withColumn("event_id", lit(id))
+        .withColumn("ts", timestamp_millis(
+          lit(bounds.getTimestamp(1).getTime + offsetMs)))
+      val nudge = marker(-1L, 60 * 60 * 1000L)
+      val flush = marker(-2L, 3 * 60 * 60 * 1000L)
+      def land(df: DataFrame, name: String): Unit = {
+        val tmp = new java.io.File(work, s"tmp_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val part = tmp.listFiles().find(f =>
+          f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file under $tmp"))
+        require(part.renameTo(new java.io.File(landing, name)),
+          s"landing rename failed for $name")
+        rmrf(tmp)
+      }
+      def rows(df: DataFrame): Seq[String] =
+        df.orderBy("wstart", "event_type").collect().map(_.toString).toSeq
+      land(onTime, "b1.parquet")
+      val stream = s.readStream.schema(onTime.schema).parquet(landing.getPath)
+      val q = Streams.tumblingCounts(stream).writeStream
+        .format("memory").queryName("gate_stream_late")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable() // batch 1: watermark → max(onTime) − 10m
+        land(late.unionByName(nudge), "b2.parquet")
+        q.processAllAvailable() // late dropped; on-time windows finalize
+        land(flush, "b3.parquet")
+        q.processAllAvailable() // nudge's window finalizes
+      } finally q.stop()
+      val streamed = rows(s.table("gate_stream_late"))
+      val expected = rows(Streams.tumblingCounts(onTime.unionByName(nudge)))
+      val withLeak = rows(Streams.tumblingCounts(
+        onTime.unionByName(nudge).unionByName(late)))
+      streamed == expected && withLeak != expected
+    }
+    verdict(s, "q_gate_stream_late", ok)
+  }
+
+  /** State-store parity, driver-visible: the tumbling aggregation under
+    * the default HDFS-backed store and under RocksDB (the backend a
+    * production state size needs — billions of keys spill to local disk
+    * instead of OOMing the executor) must produce IDENTICAL results,
+    * both equal to the oracle-checked batch key. A state-backend
+    * encoding bug (key ordering, timestamp serialization) breaks the
+    * triple equality here instead of surfacing as silent drift on a
+    * cluster. */
+  val qGateStatestoreParity = Q(
+    "q_gate_statestore_parity", oracleFor("q_gate_statestore_parity")) { (s, d) =>
+    import graft.streaming.Streams
+    val ok = GateMemo.value(s, d, "gate_statestore_parity_ok") {
+      def rows(df: DataFrame): Seq[String] =
+        df.orderBy("wstart", "event_type").collect().map(_.toString).toSeq
+      def run(table: String): Seq[String] = {
+        Streams.runToMemory(
+          Streams.tumblingCounts(Streams.eventsStream(s, d)), table, "complete")
+        rows(s.table(table))
+      }
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val saved = s.conf.getOption(key)
+      val hdfs = run("gate_ss_hdfs")
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+      val rocks = try run("gate_ss_rocks") finally saved match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+      val batch = rows(TimeWindows.qStreamTumbling.run(s, d))
+      hdfs.nonEmpty && hdfs == rocks && rocks == batch
+    }
+    verdict(s, "q_gate_statestore_parity", ok)
+  }
+
   val all: Seq[Q] = Seq(
     qGateAnnQuantized, qGateAnnIvfQuantized, qGateDedupMinhash,
     qGateLangIdNgram, qGateApproxDistinct, qGateApproxPercentile,
@@ -559,5 +674,5 @@ object Gates {
     qGateDedupSimhash, qGateDedupEmbedAnn, qGateDedupEmbedIncremental,
     qGateKmeans, qGateCatalogRelationsSketch,
     qGateCatalogRelationsIncremental, qGateNeardupIncremental,
-    qGateIndexDrift)
+    qGateIndexDrift, qGateStreamLate, qGateStatestoreParity)
 }

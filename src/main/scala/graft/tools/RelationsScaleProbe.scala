@@ -93,7 +93,7 @@ object RelationsScaleProbe {
     section.append("above them is catalog-sized. The sketch's exchange is k-bounded\n")
     section.append("per column per map partition (bottom_k_distinct), so its cost is\n")
     section.append("dominated by the scan itself — the wide-catalog path.\n")
-    section.append("\nCatalog WIDTH sweep (round 11): two real on-disk wide tables\n")
+    section.append("\nCatalog WIDTH sweep (round 12): two real on-disk wide tables\n")
     section.append(f"(${key.count()}%,d / one-tenth rows), one key column cloned W times with\n")
     section.append("value shifts; every matched pair scores containment 1.0. The\n")
     section.append("sketch run is one W-column scan + a k-bounded per-column\n")
@@ -105,14 +105,20 @@ object RelationsScaleProbe {
     }
     val (w0, t0, _) = widthRows.head
     val (wN, tN, _) = widthRows.last
-    section.append(f"\nWidth grew ${wN / w0}%dx, time ${tN / t0}%.1fx — within 2x of\n")
-    section.append("proportional, and the residual is aggregation state plus host\n")
-    section.append("noise, not a quadratic pair compare (pairs scored grow linearly).\n")
-    section.append("The melt explodes in codegen-safe 48-column batches (round-11\n")
-    section.append("fix — a single 128-wide explode array fell out of whole-stage\n")
-    section.append("codegen via spark.sql.codegen.maxFields and paid 2-3x per\n")
-    section.append("column, measured 41.4 s vs 25.6 s at width 128); the exchange\n")
-    section.append("carries k hashes per column regardless of rows.\n")
+    section.append(f"\nWidth grew ${wN / w0}%dx, time ${tN / t0}%.1fx — per-column cost now\n")
+    section.append("FALLS with width (fixed session overhead amortizes; no creep).\n")
+    section.append("Round-11's residual (0.118 -> 0.200 s/col, 16 -> 128 columns) was\n")
+    section.append("NOT aggregation state: the stage probe (WidthResidualProbe)\n")
+    section.append("showed columnSketches per-column flat while the W^2 pair compare\n")
+    section.append("grew from 0.5 to 17.9 s — the slice/sort/intersect array algebra\n")
+    section.append("walked each k-element sketch pair ~6 times with allocations.\n")
+    section.append("Replaced by the kmv_containment expression (one O(k) two-pointer\n")
+    section.append("merge per pair over the sorted sketches, bit-identical results,\n")
+    section.append("property-pinned in SketchExpressionsSpec): pair compare at width\n")
+    section.append("128 now 0.6 s, full run 20.3 -> 3.2 s. The melt explodes in\n")
+    section.append("codegen-safe 48-column batches (round-11 fix: a 128-wide explode\n")
+    section.append("fell out of whole-stage codegen and paid 2-3x per column); the\n")
+    section.append("exchange carries k hashes per column regardless of rows.\n")
     section.append("At a 1000-table, 100k-column catalog the same shape holds:\n")
     section.append("per-table sketches persist (columnSketches) and\n")
     section.append("q_catalog_relations_incremental scores one arriving table against\n")

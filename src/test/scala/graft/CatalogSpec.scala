@@ -486,6 +486,20 @@ class CatalogSpec extends AnyFunSuite {
     assert(incremental.nonEmpty, "lineitem FK edges should be rediscovered")
   }
 
+  test("relations: discoverAuto dispatches exact below the volume bound, sketch above") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    // the sf0.001 catalog melts well under the default 50M-cell bound →
+    // the auto path must BE the exact operator, row for row
+    assert(rows(graft.catalog.Relations.discoverAuto(relTables)) ==
+      rows(graft.catalog.Relations.discover(relTables)))
+    // force the bound below the catalog's melt volume → the auto path
+    // must BE the sketch operator, row for row
+    assert(rows(graft.catalog.Relations
+        .discoverAuto(relTables, maxExactVolume = 10L)) ==
+      rows(graft.catalog.Relations.sketchDiscover(relTables)))
+  }
+
   test("relations: sketch verdicts agree with the exact operator") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map { r =>
