@@ -665,6 +665,111 @@ object Gates {
     verdict(s, "q_gate_statestore_parity", ok)
   }
 
+  /** Bucketed zero-shuffle join, driver-visible (continuing the
+    * round-12 pattern of surfacing ScaleSpec/PlanSpec contracts as
+    * verdict keys): two tables bucketed+sorted on the join key must
+    * plan a SortMergeJoin with NO hash-partitioning Exchange and the
+    * bucket layout actually used — the storage-layout technique that
+    * turns a 100 TB fact-fact join's dominant shuffle into a per-bucket
+    * local merge — while returning exactly the plain join's row count. */
+  val qGateBucketedJoin = Q(
+    "q_gate_bucketed_join", oracleFor("q_gate_bucketed_join")) { (s, d) =>
+    import graft.sources.Bucketing
+    val ok = GateMemo.value(s, d, "gate_bucketed_ok") {
+      val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val to = s"gate_b_orders_$tag"
+      val tl = s"gate_b_lineitem_$tag"
+      Bucketing.writeBucketed(Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice"), to, Seq("o_orderkey"), 8)
+      Bucketing.writeBucketed(Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+        tl, Seq("o_orderkey"), 8)
+      val joined = Bucketing.colocatedJoin(s, to, tl, Seq("o_orderkey"))
+      val n = joined.count()
+      val plan = joined.queryExecution.executedPlan.toString
+      val plain = Tables.orders(s, d).join(Tables.lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey")).count()
+      plan.contains("SortMergeJoin") &&
+        !plan.contains("Exchange hashpartitioning") &&
+        plan.contains("Bucketed: true") && n == plain && n > 0
+    }
+    verdict(s, "q_gate_bucketed_join", ok)
+  }
+
+  /** Runtime bloom-filter injection, driver-visible: a selective dim
+    * filter must inject a `might_contain` runtime filter into the fact
+    * scan side (Spark's InjectRuntimeFilter — at 100 TB this is the
+    * difference between scanning the full fact table and skipping the
+    * row groups the dim filter can never match) without changing the
+    * join's results. Thresholds are lowered the same way PlanSpec does
+    * (the production 10 GB defaults are cluster-scale). */
+  val qGateBloomJoin = Q(
+    "q_gate_bloom_join", oracleFor("q_gate_bloom_join")) { (s, d) =>
+    val ok = GateMemo.value(s, d, "gate_bloom_ok") {
+      val confs = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      def query(): DataFrame = {
+        val orders = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+        val li = Tables.lineitem(s, d)
+        li.hint("merge").join(orders, li("l_orderkey") === orders("o_orderkey"))
+          .select("l_orderkey", "l_quantity", "o_totalprice")
+      }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      val (nBloom, plan) = try {
+        val j = query()
+        (j.count(), j.queryExecution.executedPlan.toString)
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+      val nPlain = query().count() // default confs: no bloom filter
+      plan.contains("might_contain") && nBloom == nPlain && nBloom > 0
+    }
+    verdict(s, "q_gate_bloom_join", ok)
+  }
+
+  /** Exactly-once restart, driver-visible: the checkpointed streaming
+    * dedup writes the events table to a parquet sink, then RESTARTS
+    * from the same checkpoint — committed offsets mean the input is not
+    * reprocessed, so the sink holds exactly one row per distinct
+    * event_id after both runs. The failure this catches (offset log and
+    * sink commit log drifting apart) is precisely the one that silently
+    * duplicates data in a production restart. */
+  val qGateExactlyOnce = Q(
+    "q_gate_exactly_once", oracleFor("q_gate_exactly_once")) { (s, d) =>
+    import graft.streaming.Streams
+    val ok = GateMemo.value(s, d, "gate_exactly_once_ok") {
+      val work = new java.io.File(
+        "/root/repo/target/exactly_once_gate/" + new java.io.File(d).getName)
+      def rmrf(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+      }
+      rmrf(work)
+      val out = new java.io.File(work, "out")
+      val chk = new java.io.File(work, "chk")
+      def runOnce(): Unit = {
+        val q = Streams.dedupStream(Streams.eventsStream(s, d)).writeStream
+          .format("parquet")
+          .option("path", out.getAbsolutePath)
+          .option("checkpointLocation", chk.getAbsolutePath)
+          .outputMode("append")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      runOnce()
+      val n1 = s.read.parquet(out.getAbsolutePath).count()
+      runOnce()
+      val n2 = s.read.parquet(out.getAbsolutePath).count()
+      val expected = Tables.events(s, d).select("event_id").distinct().count()
+      n1 == expected && n2 == n1
+    }
+    verdict(s, "q_gate_exactly_once", ok)
+  }
+
   val all: Seq[Q] = Seq(
     qGateAnnQuantized, qGateAnnIvfQuantized, qGateDedupMinhash,
     qGateLangIdNgram, qGateApproxDistinct, qGateApproxPercentile,
@@ -674,5 +779,6 @@ object Gates {
     qGateDedupSimhash, qGateDedupEmbedAnn, qGateDedupEmbedIncremental,
     qGateKmeans, qGateCatalogRelationsSketch,
     qGateCatalogRelationsIncremental, qGateNeardupIncremental,
-    qGateIndexDrift, qGateStreamLate, qGateStatestoreParity)
+    qGateIndexDrift, qGateStreamLate, qGateStatestoreParity,
+    qGateBucketedJoin, qGateBloomJoin, qGateExactlyOnce)
 }
