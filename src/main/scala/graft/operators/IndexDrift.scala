@@ -44,9 +44,15 @@ object IndexDrift {
 
   /** Mean cosine distance of `vecCol` to the assigned (nearest) frozen
     * centroid — the gauge statistic, one map-side pass over the batch. */
-  def meanDistance(batch: DataFrame, vecCol: String, model: KMeans.Model): Double =
-    batch.agg(avg(KMeans.distanceToAssigned(col(vecCol), model)))
-      .head().getDouble(0)
+  def meanDistance(batch: DataFrame, vecCol: String, model: KMeans.Model): Double = {
+    val row = batch.agg(avg(KMeans.distanceToAssigned(col(vecCol), model))).head()
+    // an EMPTY batch has no distance distribution — surface that as an
+    // explicit error, not the NULL-aggregate NPE it would otherwise be
+    require(!row.isNullAt(0),
+      "drift gauge needs a non-empty batch (empty batches have no " +
+        "distance distribution to compare)")
+    row.getDouble(0)
+  }
 
   /** Gauge `batch` against the index at `indexDir`. Returns a one-row
     * report: (founding_mean, founding_std, batch_mean, drift_ratio,

@@ -592,7 +592,13 @@ object Gates {
         s"events span ${span}ms — too short for a 10-minute watermark replay")
       val late = onTime.orderBy("ts").limit(50)
         .withColumn("event_id", -col("event_id") - 1000L)
-      def marker(id: Long, offsetMs: Long) = onTime.limit(1)
+      // DETERMINISTIC template row: the nudge lands in the stream file
+      // once but is re-derived for the expected batch side — an
+      // unordered limit(1) could legally pick different rows for the
+      // two evaluations and split them across (wstart, event_type)
+      // groups, failing the equality for a reason that isn't late data
+      def marker(id: Long, offsetMs: Long) = onTime
+        .orderBy("event_id").limit(1)
         .withColumn("event_id", lit(id))
         .withColumn("ts", timestamp_millis(
           lit(bounds.getTimestamp(1).getTime + offsetMs)))
