@@ -776,6 +776,44 @@ object Gates {
     verdict(s, "q_gate_exactly_once", ok)
   }
 
+  /** ANALYZE/CBO stats, driver-visible (the last spec-only scale
+    * contract): `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` must
+    * produce the exact row count and per-column stats the cost-based
+    * optimizer reads for join reorder and build-side selection — at
+    * warehouse scale these stats ARE the difference between a broadcast
+    * and a sorted 100 TB shuffle. Verdict: optimizer-visible rowCount
+    * equals the table's true count, per-column stats exist, and the
+    * low-cardinality status column's ndv estimate is in its true range. */
+  val qGateCboStats = Q(
+    "q_gate_cbo_stats", oracleFor("q_gate_cbo_stats")) { (s, d) =>
+    val ok = GateMemo.value(s, d, "gate_cbo_ok") {
+      val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val table = s"gate_orders_stats_$tag"
+      val saved = s.conf.getOption("spark.sql.cbo.enabled")
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      try {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        Tables.orders(s, d).write.mode("overwrite").saveAsTable(table)
+        s.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS " +
+          "FOR COLUMNS o_custkey, o_totalprice, o_orderstatus")
+        val stats = s.table(table).queryExecution.optimizedPlan.stats
+        val ndv = stats.attributeStats.collectFirst {
+          case (a, cs) if a.name == "o_orderstatus" => cs.distinctCount
+        }.flatten
+        stats.rowCount.contains(BigInt(Tables.orders(s, d).count())) &&
+          stats.attributeStats.nonEmpty &&
+          ndv.exists(n => n >= 1 && n <= 5)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        saved match {
+          case Some(v) => s.conf.set("spark.sql.cbo.enabled", v)
+          case None => s.conf.unset("spark.sql.cbo.enabled")
+        }
+      }
+    }
+    verdict(s, "q_gate_cbo_stats", ok)
+  }
+
   val all: Seq[Q] = Seq(
     qGateAnnQuantized, qGateAnnIvfQuantized, qGateDedupMinhash,
     qGateLangIdNgram, qGateApproxDistinct, qGateApproxPercentile,
@@ -786,5 +824,5 @@ object Gates {
     qGateKmeans, qGateCatalogRelationsSketch,
     qGateCatalogRelationsIncremental, qGateNeardupIncremental,
     qGateIndexDrift, qGateStreamLate, qGateStatestoreParity,
-    qGateBucketedJoin, qGateBloomJoin, qGateExactlyOnce)
+    qGateBucketedJoin, qGateBloomJoin, qGateExactlyOnce, qGateCboStats)
 }
