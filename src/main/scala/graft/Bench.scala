@@ -44,8 +44,17 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val runs = (1 to repsFor(name)).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
+        // gate keys carry their contract in the row: a (gate, passed)
+        // verdict that is FALSE at this scale factor must surface in
+        // the errors list, not hide behind a successful row count —
+        // the driver's oracle compare only runs at sf0.01, so the
+        // bench's sf0.1 pass is the one place a scale-dependent
+        // contract break (recall geometry, plan shape) is observable
+        val ok = try {
+          if (name.startsWith("q_gate_"))
+            fn(spark, sfDir).collect().forall(_.getBoolean(1))
+          else { fn(spark, sfDir).count(); true }
+        } catch { case _: Throwable => false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       (name, runs.map(_._1).min, runs.forall(_._2))
