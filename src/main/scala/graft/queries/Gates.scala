@@ -814,6 +814,47 @@ object Gates {
     verdict(s, "q_gate_cbo_stats", ok)
   }
 
+  /** Incremental-index vacuum, driver-visible: the band/cell indexes'
+    * at-least-once ingest lets replays grow the ON-DISK index forever
+    * (lookups stay correct — their distinct() collapses duplicates —
+    * but scan cost climbs). The gate replays one batch into a fresh
+    * band index twice, vacuums, and verdicts that (a) the replay really
+    * planted duplicates and vacuum removed them (rowsAfter <
+    * rowsBefore), (b) vacuum converged to the distinct row set
+    * (a second vacuum removes nothing), and (c) a post-vacuum ingest
+    * still finds the IDENTICAL pair set — index hygiene without
+    * semantic drift. */
+  val qGateIndexVacuum = Q(
+    "q_gate_index_vacuum", oracleFor("q_gate_index_vacuum")) { (s, d) =>
+    import graft.operators.{IncrementalNearDup, IndexMaintenance}
+    val ok = GateMemo.value(s, d, "gate_index_vacuum_ok") {
+      val dir = new java.io.File(
+        "/root/repo/target/vacuum_gate_index/" + new java.io.File(d).getName)
+      def rmrf(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+      }
+      rmrf(dir)
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val history = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      def pairs(df: DataFrame): Set[(Long, Long)] =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      IncrementalNearDup.ingest(s, dir.getPath, history, "doc_id", "text")
+      val p1 = pairs(IncrementalNearDup.ingest(s, dir.getPath, batch,
+        "doc_id", "text"))
+      val p2 = pairs(IncrementalNearDup.ingest(s, dir.getPath, batch,
+        "doc_id", "text")) // the replay that plants duplicates
+      val v1 = IndexMaintenance.vacuum(s, dir.getPath, "__bkt")
+      val v2 = IndexMaintenance.vacuum(s, dir.getPath, "__bkt")
+      val p3 = pairs(IncrementalNearDup.ingest(s, dir.getPath, batch,
+        "doc_id", "text"))
+      p1.nonEmpty && p1 == p2 && p1 == p3 &&
+        v1.rowsAfter < v1.rowsBefore && v1.rowsAfter > 0 &&
+        v2.rowsAfter == v2.rowsBefore
+    }
+    verdict(s, "q_gate_index_vacuum", ok)
+  }
+
   val all: Seq[Q] = Seq(
     qGateAnnQuantized, qGateAnnIvfQuantized, qGateDedupMinhash,
     qGateLangIdNgram, qGateApproxDistinct, qGateApproxPercentile,
@@ -824,5 +865,6 @@ object Gates {
     qGateKmeans, qGateCatalogRelationsSketch,
     qGateCatalogRelationsIncremental, qGateNeardupIncremental,
     qGateIndexDrift, qGateStreamLate, qGateStatestoreParity,
-    qGateBucketedJoin, qGateBloomJoin, qGateExactlyOnce, qGateCboStats)
+    qGateBucketedJoin, qGateBloomJoin, qGateExactlyOnce, qGateCboStats,
+    qGateIndexVacuum)
 }
