@@ -37,6 +37,76 @@ object IndexMaintenance {
 
   final case class VacuumStats(rowsBefore: Long, rowsAfter: Long)
 
+  /** Replay-duplication gauge — the "when should I vacuum" half of the
+    * maintenance story, mirroring [[IndexDrift]]'s role for rebuilds.
+    * One scan, no full-width shuffle: `approx_count_distinct` over the
+    * whole-row hash aggregates partially map-side, so at 100 TB this is
+    * a read-only pass, never a distinct()-sized exchange. A ratio near
+    * 1.0 means vacuum would be wasted I/O; a replay-heavy index shows
+    * rows/distinct ≈ 1 + replays. */
+  final case class IndexStats(rows: Long, approxDistinctRows: Long) {
+    def duplicationRatio: Double =
+      if (approxDistinctRows == 0) 1.0
+      else rows.toDouble / approxDistinctRows
+  }
+
+  def stats(spark: SparkSession, indexDir: String): IndexStats = {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(indexDir)
+    val row = df.agg(
+      count(lit(1)).as("rows"),
+      approx_count_distinct(xxhash64(df.columns.map(col): _*))
+        .as("distinct_rows")).head()
+    IndexStats(row.getLong(0), row.getLong(1))
+  }
+
+  final case class RecoverStats(restored: Boolean, staleScratchRemoved: Int,
+      staleOldRemoved: Int)
+
+  /** Recover from a crash mid-[[vacuum]]. The torn states and their
+    * repairs, in protocol order:
+    *   - crash during the scratch write → live index untouched, a
+    *     `__vacuum_new_` sibling is stale garbage: delete it;
+    *   - crash between the two renames → index path ABSENT, the
+    *     complete original sits at `__vacuum_old_`: rename it back
+    *     (the documented "recovery is one rename back"; the scratch is
+    *     deleted rather than promoted — re-running vacuum is cheap and
+    *     a promote would have to prove the scratch write finished);
+    *   - crash after promote, before cleanup → index live, the old
+    *     tree is garbage: delete it.
+    * No-op on a healthy index. Same single-writer contract as vacuum. */
+  def recover(spark: SparkSession, indexDir: String): RecoverStats = {
+    val p = new Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = p.getParent
+    val base = p.getName
+    val siblings =
+      if (parent != null && fs.exists(parent)) fs.listStatus(parent).toSeq
+      else Seq.empty
+    def named(prefix: String) =
+      siblings.filter(_.getPath.getName.startsWith(base + prefix))
+    val scratches = named("__vacuum_new_")
+    val olds = named("__vacuum_old_")
+    scratches.foreach(s => fs.delete(s.getPath, true))
+    if (fs.exists(p)) {
+      // index live: any old tree is post-promote garbage
+      olds.foreach(o => fs.delete(o.getPath, true))
+      RecoverStats(restored = false, scratches.size, olds.size)
+    } else {
+      require(olds.nonEmpty,
+        s"no index at $indexDir and no __vacuum_old_ sibling to restore — " +
+          "nothing recoverable; rebuild the index from the corpus snapshot")
+      require(olds.size == 1,
+        s"multiple __vacuum_old_ siblings for $indexDir — concurrent " +
+          s"vacuums violated the single-writer contract; resolve manually: " +
+          olds.map(_.getPath.getName).mkString(", "))
+      if (!fs.rename(olds.head.getPath, p))
+        throw new java.io.IOException(
+          s"recover: could not rename ${olds.head.getPath} back to $p")
+      RecoverStats(restored = true, scratches.size, 0)
+    }
+  }
+
   /** Vacuum the index at `indexDir`, whose data is parquet partitioned
     * by `partitionCol` (`__bkt` or `__cell`). Returns before/after row
     * counts; a no-replay index vacuums to itself (rowsAfter ==

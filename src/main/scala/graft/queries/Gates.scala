@@ -821,9 +821,11 @@ object Gates {
     * band index twice, vacuums, and verdicts that (a) the replay really
     * planted duplicates and vacuum removed them (rowsAfter <
     * rowsBefore), (b) vacuum converged to the distinct row set
-    * (a second vacuum removes nothing), and (c) a post-vacuum ingest
-    * still finds the IDENTICAL pair set — index hygiene without
-    * semantic drift. */
+    * (a second vacuum removes nothing), (c) a torn swap (crash between
+    * vacuum's two renames, index path absent) is repaired by
+    * IndexMaintenance.recover, and (d) a post-recovery ingest still
+    * finds the IDENTICAL pair set — index hygiene and crash repair
+    * without semantic drift. */
   val qGateIndexVacuum = Q(
     "q_gate_index_vacuum", oracleFor("q_gate_index_vacuum")) { (s, d) =>
     import graft.operators.{IncrementalNearDup, IndexMaintenance}
@@ -846,11 +848,20 @@ object Gates {
         "doc_id", "text")) // the replay that plants duplicates
       val v1 = IndexMaintenance.vacuum(s, dir.getPath, "__bkt")
       val v2 = IndexMaintenance.vacuum(s, dir.getPath, "__bkt")
+      // torn-swap recovery: leave the index exactly as a crash between
+      // vacuum's two renames would (path absent, original aside), then
+      // recover and demand lookup fidelity
+      val fs = new org.apache.hadoop.fs.Path(dir.getPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val torn = fs.rename(
+        new org.apache.hadoop.fs.Path(dir.getPath),
+        new org.apache.hadoop.fs.Path(dir.getPath + "__vacuum_old_crash"))
+      val rec = IndexMaintenance.recover(s, dir.getPath)
       val p3 = pairs(IncrementalNearDup.ingest(s, dir.getPath, batch,
         "doc_id", "text"))
       p1.nonEmpty && p1 == p2 && p1 == p3 &&
         v1.rowsAfter < v1.rowsBefore && v1.rowsAfter > 0 &&
-        v2.rowsAfter == v2.rowsBefore
+        v2.rowsAfter == v2.rowsBefore && torn && rec.restored
     }
     verdict(s, "q_gate_index_vacuum", ok)
   }

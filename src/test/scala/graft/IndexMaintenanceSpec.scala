@@ -70,6 +70,55 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(run() == p1)
   }
 
+  test("stats gauges replay duplication; vacuum returns it to ~1.0") {
+    val dir = freshDir("stats")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .filter(col("doc_id") % 5 === 0)
+    IncrementalNearDup.ingest(spark, dir.getPath, docs, "doc_id", "text")
+    IncrementalNearDup.ingest(spark, dir.getPath, docs, "doc_id", "text") // replay
+    val before = IndexMaintenance.stats(spark, dir.getPath)
+    assert(before.duplicationRatio > 1.5,
+      s"full replay should roughly double rows: $before")
+    IndexMaintenance.vacuum(spark, dir.getPath, "__bkt")
+    val after = IndexMaintenance.stats(spark, dir.getPath)
+    // approx_count_distinct carries a few % error; 1.1 is far below the
+    // pre-vacuum ~2.0
+    assert(after.duplicationRatio < 1.1, s"vacuum left duplication: $after")
+  }
+
+  test("recover restores a torn swap and sweeps stale scratch trees") {
+    val dir = freshDir("recover")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val history = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    def pairs() =
+      IncrementalNearDup.ingest(spark, dir.getPath, batch, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    IncrementalNearDup.ingest(spark, dir.getPath, history, "doc_id", "text")
+    val p1 = pairs()
+    // simulate a crash between vacuum's two renames: index absent, the
+    // original aside as __vacuum_old_, a half-written scratch left over
+    val old = new java.io.File(dir.getPath + "__vacuum_old_crash")
+    val scratch = new java.io.File(dir.getPath + "__vacuum_new_crash")
+    assert(dir.renameTo(old))
+    scratch.mkdirs()
+    new java.io.File(scratch, "part-00000.parquet").createNewFile()
+    val r = IndexMaintenance.recover(spark, dir.getPath)
+    assert(r.restored && r.staleScratchRemoved == 1)
+    assert(!old.exists() && !scratch.exists() && dir.exists())
+    assert(pairs() == p1, "restored index lost lookup fidelity")
+    // post-promote crash: index live, old tree is garbage — swept
+    val old2 = new java.io.File(dir.getPath + "__vacuum_old_crash2")
+    old2.mkdirs()
+    val r2 = IndexMaintenance.recover(spark, dir.getPath)
+    assert(!r2.restored && r2.staleOldRemoved == 1 && !old2.exists())
+    // nothing recoverable: absent index, no old sibling
+    val gone = freshDir("recover_gone")
+    intercept[IllegalArgumentException] {
+      IndexMaintenance.recover(spark, gone.getPath)
+    }
+  }
+
   test("vacuum refuses a missing or data-less index") {
     val dir = freshDir("empty")
     intercept[IllegalArgumentException] {
