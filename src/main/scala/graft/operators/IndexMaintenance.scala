@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 /** Maintenance for the persisted incremental indexes
   * ([[IncrementalNearDup]]'s `__bkt=` band index,
@@ -140,7 +141,14 @@ object IndexMaintenance {
         org.apache.hadoop.fs.FileUtil.copy(
           fs, m.getPath, fs, dst, false, spark.sparkContext.hadoopConfiguration)
       }
-    deduped.write.partitionBy(partitionCol).mode("append")
+    // cluster rows by their partition before the write: without this,
+    // every shuffle task of the distinct() writes a sliver into every
+    // __bkt=/__cell= dir (tasks x partitions files — on TOP of the
+    // fragmentation N appends already left), and post-vacuum scans pay
+    // a parquet footer per sliver. One exchange keyed on the partition
+    // column makes each dir one file: vacuum compacts as it dedups.
+    deduped.repartition(col(partitionCol))
+      .write.partitionBy(partitionCol).mode("append")
       .parquet(scratch.toString)
     // the swap: two renames; the tiny absent window is the documented
     // single-writer maintenance contract

@@ -1,0 +1,121 @@
+package graft.tools
+
+import graft.{GraftSession, Tables}
+import graft.operators.{IncrementalNearDup, IndexMaintenance}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Measures the operational claim behind IndexMaintenance: at-least-once
+  * replays grow the persisted band index linearly, lookups pay that
+  * growth on every batch (the pruned partitions hold R x rows), and one
+  * vacuum returns the read path to founding cost. Also times the vacuum
+  * itself and reads the `stats` duplication gauge at each state, so the
+  * "when is vacuum worth the I/O" advice in OPERATORS/README is a
+  * measured number, not a hunch.
+  *
+  * Appends/replaces the "## Index vacuum" section of SCALING.md.
+  * Run: `sbt "runMain graft.tools.VacuumProbe"`.
+  */
+object VacuumProbe {
+
+  private def time[T](body: => T): Double = {
+    val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+  }
+  private def timeMin(body: => Unit): Double =
+    (1 to 5).map(_ => time(body)).min
+
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.builder("local[32]", "32").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = new java.io.File("/root/repo/target/vacuum_probe/index")
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(dir.getParentFile)
+
+    // 10x the corpus by key-shifted copies (the standard amplification
+    // of this probe family), so the index is big enough that lookup
+    // timing is scan-bound rather than fixed-overhead-bound
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val shift = 1000000L
+    val docs10 = (0 until 10).map(c =>
+      docs.withColumn("doc_id", col("doc_id") + lit(c * shift)))
+      .reduce(_ unionAll _).localCheckpoint(true)
+    val history = docs10.filter(col("doc_id") % 100 =!= 0)
+    val batch = docs10.filter(col("doc_id") % 100 === 0)
+      .localCheckpoint(true)
+
+    // the pure read path: batch band rows against the stored index,
+    // exactly the join ingest runs (bandRows + partition-pruned lookup),
+    // WITHOUT the append that would mutate the state under measurement
+    val rows = IncrementalNearDup.bandRows(batch, "doc_id", "text", 16, 4)
+      .withColumn("__bkt",
+        pmod(xxhash64(col("band_idx"), col("band_hash")), lit(32)).cast("int"))
+      .localCheckpoint(true)
+    val touched = rows.select("__bkt").distinct().collect()
+      .map(_.getInt(0)).toSeq
+    def lookupSec: Double = timeMin {
+      IncrementalNearDup.lookup(spark, dir.getPath, rows, touched, 16, 0.5)
+        .count(); ()
+    }
+
+    final case class State(label: String, rows: Long, ratio: Double,
+        lookup: Double)
+    def state(label: String): State = {
+      val st = IndexMaintenance.stats(spark, dir.getPath)
+      State(label, st.rows, st.duplicationRatio, lookupSec)
+    }
+
+    IncrementalNearDup.ingest(spark, dir.getPath, history, "doc_id", "text")
+    val founding = state("founding ingest (1x)")
+    (1 to 7).foreach { _ =>
+      IncrementalNearDup.ingest(spark, dir.getPath, history, "doc_id", "text")
+    }
+    val replayed = state("after 7 crash replays")
+    val vacuumSec = time {
+      IndexMaintenance.vacuum(spark, dir.getPath, "__bkt")
+    }
+    val vacuumed = state("after vacuum")
+
+    val section = new StringBuilder
+    section.append("\n## Index vacuum: reclaiming the at-least-once replay tax\n\n")
+    section.append(s"Band index over ${docs10.count()} documents (10x-amplified\n")
+    section.append("sf0.1 corpus, 32 hash partitions); the same full-corpus ingest\n")
+    section.append("crash-replayed 7 times; one batch (1% of doc ids) looked up at\n")
+    section.append("each state — the partition-pruned join every arriving batch\n")
+    section.append("pays (VacuumProbe):\n\n")
+    section.append("| index state | band rows | stats dup ratio | batch lookup sec |\n")
+    section.append("|---|---|---|---|\n")
+    Seq(founding, replayed, vacuumed).foreach { s =>
+      section.append(f"| ${s.label} | ${s.rows}%,d | ${s.ratio}%.2f | ${s.lookup}%.2f |\n")
+    }
+    section.append(f"\nVacuum itself (distinct + partitioned rewrite + swap): " +
+      f"$vacuumSec%.1f s —\n")
+    section.append("about the cost of one founding ingest, amortized over every\n")
+    section.append("subsequent batch. Finding: replays multiply the rows under\n")
+    section.append("every touched partition, so lookup cost tracks the duplication\n")
+    section.append("ratio (correctness never moves — the lookup's distinct()\n")
+    section.append("collapses the copies); vacuum drops the read path BELOW\n")
+    section.append("founding cost, because its partition-clustered rewrite also\n")
+    section.append("compacts the one-sliver-per-task-per-dir fragmentation the\n")
+    section.append("appends left behind. The `stats` gauge (one shuffle-free scan,\n")
+    section.append("approx-distinct over the whole-row hash) reads the ratio\n")
+    section.append("without a rewrite, so at 100 TB an operator vacuums when the\n")
+    section.append("gauge says the scan tax exceeds one rewrite — not on a timer.\n")
+
+    val path = java.nio.file.Paths.get("/root/repo/SCALING.md")
+    val cur = java.nio.file.Files.readString(path)
+    val marker = "\n## Index vacuum"
+    val fixed = cur.indexOf(marker) match {
+      case -1 => cur
+      case i =>
+        val rest = cur.indexOf("\n## ", i + marker.length)
+        if (rest == -1) cur.substring(0, i)
+        else cur.substring(0, i) + cur.substring(rest)
+    }
+    java.nio.file.Files.writeString(path, fixed + section.toString)
+    println(section.toString)
+    spark.stop()
+  }
+}
