@@ -176,4 +176,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(res == Right(2L))
     assert(m.toDF().filter("level = 'warning'").count() == 1)
   }
+
+  test("incremental ingest demo: exactly-once corpus, re-crawl refused, vacuum reclaims") {
+    val root = "/root/repo/target/incremental_demo_test"
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(new java.io.File(root))
+    val (reports, m) = graft.examples.IncrementalIngestDemo.run(spark, sf, root)
+    val byDay = reports.map(r => r.batch -> r).toMap
+    reports.foreach { r =>
+      assert(r.arrived == r.withinBatchDups + r.alreadyKnown + r.accepted,
+        s"${r.batch} accounting leaks: $r")
+    }
+    // day 3 carries a re-crawl of half of day 1 under fresh ids: the
+    // exact path must refuse those texts as already known
+    assert(byDay("day3").alreadyKnown > 0, s"re-crawl not refused: ${byDay("day3")}")
+    assert(byDay("day1").alreadyKnown == 0, s"day1 has no history: ${byDay("day1")}")
+    // crash replay of day 2: corpus is exactly-once (nothing accepted),
+    // the band lookup returns the same pair set
+    assert(m.replayAccepted == 0, s"replay grew the corpus: $m")
+    assert(m.replayPairsStable, s"replay changed the pair set: $m")
+    // the replay DID grow the index (at-least-once, by design);
+    // vacuum reclaims it and lookups stay bit-identical
+    assert(m.dupRatioBefore > 1.2 && m.vacuumedRows > 0, s"no replay tax seen: $m")
+    assert(m.dupRatioAfter < 1.1, s"vacuum left duplication: $m")
+    assert(m.pairsStableAfterVacuum, s"vacuum changed the pair set: $m")
+  }
 }
