@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.IndexMaintenance
 import graft.streaming.Streams
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -370,5 +371,87 @@ class StreamingSpec extends AnyFunSuite {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
+  }
+
+  test("streaming near-dup admission: exactly-once pairs feed, at-least-once index healed by vacuum") {
+    import org.apache.spark.sql.functions._
+    def rmrf(p: java.io.File): Unit = {
+      Option(p.listFiles()).foreach(_.foreach(rmrf)); p.delete(); ()
+    }
+    val root = new java.io.File("/root/repo/target/stream_neardup")
+    rmrf(root)
+    val src = new java.io.File(root, "src")
+    val idx = new java.io.File(root, "index")
+    val pairsDir = new java.io.File(root, "pairs")
+    val chk = new java.io.File(root, "chk")
+
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val founding = docs.filter(col("doc_id") % 4 === 0)
+    // second arrival: a fresh stripe plus re-crawls of founding texts
+    // under new ids — guaranteed est_jaccard-1.0 pairs vs history
+    val recrawl = founding.filter(col("doc_id") % 16 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+    val arrival = docs.filter(col("doc_id") % 4 === 1).unionAll(recrawl)
+
+    val schema = founding.schema
+    def sink() = Streams.nearDupIngestSink(
+      spark.readStream.schema(schema).parquet(src.getAbsolutePath),
+      idx.getAbsolutePath, pairsDir.getAbsolutePath, chk.getAbsolutePath,
+      "doc_id", "text")
+    // restart-with-same-checkpoint can race the previous run's async
+    // deregistration ("concurrently using …/commits"); retrying is
+    // exactly the at-least-once restart the protocol tolerates
+    def drain(mk: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      var ok = false
+      var attempts = 0
+      while (!ok) {
+        attempts += 1
+        val q = mk
+        try { q.processAllAvailable(); ok = true }
+        catch {
+          case e: Exception if attempts < 10 &&
+              Option(e.getMessage).exists(_.contains("concurrently using")) =>
+            Thread.sleep(500)
+        } finally { q.stop(); q.awaitTermination() }
+      }
+    }
+    def pairSet() = Streams.readNearDupPairs(spark, pairsDir.getAbsolutePath)
+      .select("new_id", "old_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    founding.coalesce(1).write.parquet(src.getAbsolutePath)
+    drain(sink())
+    arrival.coalesce(1).write.mode("append").parquet(src.getAbsolutePath)
+    drain(sink())
+
+    val p1 = pairSet()
+    assert(p1.size == p1.distinct.size, "duplicate pair rows in the feed")
+    val recrawlIds = recrawl.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(recrawlIds.nonEmpty &&
+      recrawlIds.subsetOf(p1.map(_._1).toSet),
+      "re-crawled docs not flagged against history")
+    val rowsAfterFirst = IndexMaintenance.stats(spark, idx.getAbsolutePath)
+
+    // crash replay: drop the last commit marker so the restarted query
+    // re-runs the final micro-batch (foreachBatch at-least-once)
+    val commits = new java.io.File(chk, "commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.last.delete(), "could not plant the replay")
+    // the local FS keeps a checksum shadow; an orphaned .N.crc makes
+    // the re-commit's rename fail as a concurrent-writer conflict
+    new java.io.File(commits.last.getParentFile,
+      "." + commits.last.getName + ".crc").delete()
+    drain(sink())
+
+    // the feed is exactly-once: the replayed batch overwrote its own
+    // __batch partition with identical content
+    assert(pairSet().sorted == p1.sorted, "replay changed the pairs feed")
+    // the index is at-least-once: the replay re-appended band rows...
+    val replayed = IndexMaintenance.stats(spark, idx.getAbsolutePath)
+    assert(replayed.rows > rowsAfterFirst.rows, "replay did not grow the index")
+    // ...and vacuum heals it back to the distinct row set
+    val v = IndexMaintenance.vacuum(spark, idx.getAbsolutePath, "__bkt")
+    assert(v.rowsAfter == rowsAfterFirst.rows,
+      s"vacuum did not restore the pre-replay index: $v vs $rowsAfterFirst")
   }
 }
