@@ -61,6 +61,20 @@ object IndexMaintenance {
     IndexStats(row.getLong(0), row.getLong(1))
   }
 
+  /** The gauge-driven maintenance policy in one call: vacuum only when
+    * [[stats]] says the replay tax exceeds `minRatio` (default 1.5 —
+    * every lookup is paying ≥50% extra scan before a rewrite is
+    * spent). Returns None when the index is clean enough to leave
+    * alone, so a nightly maintenance job is one idempotent call per
+    * index, not a timer-driven rewrite of healthy data. */
+  def vacuumIfNeeded(spark: SparkSession, indexDir: String,
+      partitionCol: String, minRatio: Double = 1.5): Option[VacuumStats] = {
+    val s = stats(spark, indexDir)
+    if (s.duplicationRatio >= minRatio)
+      Some(vacuum(spark, indexDir, partitionCol))
+    else None
+  }
+
   final case class RecoverStats(restored: Boolean, staleScratchRemoved: Int,
       staleOldRemoved: Int)
 

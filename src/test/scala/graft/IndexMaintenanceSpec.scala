@@ -79,11 +79,15 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     val before = IndexMaintenance.stats(spark, dir.getPath)
     assert(before.duplicationRatio > 1.5,
       s"full replay should roughly double rows: $before")
-    IndexMaintenance.vacuum(spark, dir.getPath, "__bkt")
+    // the policy call: fires on the replayed index...
+    val fired = IndexMaintenance.vacuumIfNeeded(spark, dir.getPath, "__bkt")
+    assert(fired.exists(v => v.rowsAfter < v.rowsBefore), s"policy idle: $fired")
     val after = IndexMaintenance.stats(spark, dir.getPath)
     // approx_count_distinct carries a few % error; 1.1 is far below the
     // pre-vacuum ~2.0
     assert(after.duplicationRatio < 1.1, s"vacuum left duplication: $after")
+    // ...and leaves a clean index alone
+    assert(IndexMaintenance.vacuumIfNeeded(spark, dir.getPath, "__bkt").isEmpty)
   }
 
   test("recover restores a torn swap and sweeps stale scratch trees") {

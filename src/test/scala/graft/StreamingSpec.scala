@@ -454,4 +454,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(v.rowsAfter == rowsAfterFirst.rows,
       s"vacuum did not restore the pre-replay index: $v vs $rowsAfterFirst")
   }
+
+  test("streaming embed-dedup admission: re-sent vectors flagged against the frozen-model index") {
+    import org.apache.spark.sql.functions._
+    def rmrf(p: java.io.File): Unit = {
+      Option(p.listFiles()).foreach(_.foreach(rmrf)); p.delete(); ()
+    }
+    val root = new java.io.File("/root/repo/target/stream_embeddedup")
+    rmrf(root)
+    val src = new java.io.File(root, "src")
+    val idx = new java.io.File(root, "index")
+    val pairsDir = new java.io.File(root, "pairs")
+    val chk = new java.io.File(root, "chk")
+
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val founding = vecs.filter(col("vec_id") % 3 === 0)
+    // identical embeddings re-sent under fresh ids: cosine-1.0 pairs
+    val resent = founding.filter(col("vec_id") % 9 === 0)
+      .withColumn("vec_id", col("vec_id") + lit(10000000L))
+    val arrival = vecs.filter(col("vec_id") % 3 === 1).unionAll(resent)
+
+    def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+      try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+    def sink() = Streams.embedDedupIngestSink(
+      spark.readStream.schema(founding.schema).parquet(src.getAbsolutePath),
+      idx.getAbsolutePath, pairsDir.getAbsolutePath, chk.getAbsolutePath,
+      "vec_id", "embedding")
+
+    founding.coalesce(1).write.parquet(src.getAbsolutePath)
+    drain(sink())
+    arrival.coalesce(1).write.mode("append").parquet(src.getAbsolutePath)
+    drain(sink())
+
+    val pairs = Streams.readNearDupPairs(spark, pairsDir.getAbsolutePath)
+      .select("new_id", "old_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.size == pairs.distinct.size, "duplicate pair rows in the feed")
+    val resentIds = resent.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(resentIds.nonEmpty && resentIds.subsetOf(pairs.map(_._1).toSet),
+      "re-sent vectors not flagged against history")
+    // no replay happened: the gauge-driven policy leaves the index alone
+    assert(IndexMaintenance.vacuumIfNeeded(spark, idx.getAbsolutePath,
+      "__cell").isEmpty, "policy rewrote a clean index")
+  }
 }
