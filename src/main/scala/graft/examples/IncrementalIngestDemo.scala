@@ -118,10 +118,7 @@ object IncrementalIngestDemo {
       s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def rmrf(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
-    }
-    rmrf(new java.io.File(outRoot))
+    graft.LocalFs.rmrf(new java.io.File(outRoot))
     val (reports, m) = run(spark, sfDir, outRoot)
     reports.foreach(r => println(
       f"${r.batch}%-6s arrived=${r.arrived}%6d inBatchDups=${r.withinBatchDups}%5d " +

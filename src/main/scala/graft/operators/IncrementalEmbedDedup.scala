@@ -100,7 +100,11 @@ object IncrementalEmbedDedup {
         sys.error(s"embed-dedup index at $indexDir has data partitions but " +
           "no _model — index is torn; rebuild it from the corpus snapshot")
       } else {
-        // brand-new index: fit on the founding batch, publish the model
+        // brand-new index — but NOT if a torn vacuum renamed the real
+        // one aside: founding here would silently restart history from
+        // zero (and recover would later delete the only copy)
+        IndexMaintenance.assertNotTornVacuum(fs, p)
+        // fit on the founding batch, publish the model
         // (with m pinned in the header) BEFORE any data lands. An empty
         // founding batch would commit a zero-centroid model whose
         // rankedCells is the empty array — every later ingest would

@@ -108,7 +108,11 @@ object IncrementalNearDup {
         sys.error(s"near-dup index at $indexDir has data partitions but no " +
           "_parts marker — index is torn; rebuild it from the corpus snapshot")
       } else {
-        // brand-new index: publish params BEFORE any data lands, so a
+        // brand-new index — but NOT if a torn vacuum renamed the real
+        // one aside: founding here would silently restart history from
+        // zero (and recover would later delete the only copy)
+        IndexMaintenance.assertNotTornVacuum(fs, p)
+        // publish params BEFORE any data lands, so a
         // crash mid-append can never leave unmarked partitions
         val o = fs.create(partsPath, true)
         try o.write(s"$parts,$k,$rowsPerBand".getBytes("UTF-8"))

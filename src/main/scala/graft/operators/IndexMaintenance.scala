@@ -75,6 +75,31 @@ object IndexMaintenance {
     else None
   }
 
+  /** The `__vacuum_old_` siblings of `indexPath`, if any — a non-empty
+    * result with the index path ABSENT is the torn mid-vacuum state.
+    * The incremental ingests call this before FOUNDING a new index:
+    * founding over a torn vacuum would silently restart history from
+    * zero, and a later [[recover]] would then delete the old tree (the
+    * only copy of that history) as post-promote garbage. */
+  def tornVacuumSiblings(fs: org.apache.hadoop.fs.FileSystem,
+      indexPath: Path): Seq[Path] = {
+    val parent = indexPath.getParent
+    if (parent == null || !fs.exists(parent)) Seq.empty
+    else fs.listStatus(parent).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(indexPath.getName + "__vacuum_old_"))
+  }
+
+  /** Guard for the founding paths: refuse to found a fresh index where
+    * a torn vacuum left the real one renamed aside. */
+  def assertNotTornVacuum(fs: org.apache.hadoop.fs.FileSystem,
+      indexPath: Path): Unit = {
+    val olds = tornVacuumSiblings(fs, indexPath)
+    if (olds.nonEmpty && !fs.exists(indexPath))
+      sys.error(s"refusing to found a new index at $indexPath: a torn " +
+        s"vacuum left the existing index at ${olds.map(_.getName).mkString(", ")} " +
+        "— run IndexMaintenance.recover first")
+  }
+
   final case class RecoverStats(restored: Boolean, staleScratchRemoved: Int,
       staleOldRemoved: Int)
 
@@ -136,15 +161,17 @@ object IndexMaintenance {
     require(hasData,
       s"index at $indexDir has no $partitionCol= data partitions to vacuum")
     val uuid = java.util.UUID.randomUUID().toString
-    val scratch = new Path(indexDir + s"__vacuum_new_$uuid")
-    val old = new Path(indexDir + s"__vacuum_old_$uuid")
-    // distinct BEFORE any filesystem mutation; count() both sides while
-    // the source is still live (localCheckpoint pins the result so the
-    // write below does not re-read the directory being swapped)
+    // siblings derive from (parent, name) — raw string concatenation
+    // would nest them INSIDE the index on a trailing-slash indexDir
+    val scratch = new Path(p.getParent, p.getName + s"__vacuum_new_$uuid")
+    val old = new Path(p.getParent, p.getName + s"__vacuum_old_$uuid")
     val before = spark.read.parquet(indexDir)
     val rowsBefore = before.count()
-    val deduped = before.distinct().localCheckpoint(true)
-    val rowsAfter = deduped.count()
+    // ONE data pass: the distinct shuffles straight into the scratch
+    // write below — no checkpoint pinning a 100 TB index in the block
+    // manager. Writing from the live directory is safe: the write
+    // finishes before either rename runs.
+    val deduped = before.distinct()
     // markers first (the founding protocol's ordering): a scratch tree
     // with data but no marker would be a torn index if it ever became
     // the live path
@@ -164,6 +191,7 @@ object IndexMaintenance {
     deduped.repartition(col(partitionCol))
       .write.partitionBy(partitionCol).mode("append")
       .parquet(scratch.toString)
+    val rowsAfter = spark.read.parquet(scratch.toString).count()
     // the swap: two renames; the tiny absent window is the documented
     // single-writer maintenance contract
     if (!fs.rename(p, old))

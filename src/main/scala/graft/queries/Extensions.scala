@@ -266,10 +266,7 @@ object Extensions {
     import graft.operators.IncrementalNearDup
     val dir = new java.io.File(
       "/root/repo/target/neardup_index/" + new java.io.File(d).getName)
-    def rmrf(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
-    }
-    rmrf(dir)
+    graft.LocalFs.rmrf(dir)
     val docs = Tables.documents(s, d)
     val history = docs.filter(col("doc_id") % 10 =!= 0)
     val batch = docs.filter(col("doc_id") % 10 === 0)
@@ -608,10 +605,7 @@ object Extensions {
     import graft.operators.IncrementalEmbedDedup
     val dir = new java.io.File(
       "/root/repo/target/embed_dedup_index/" + new java.io.File(d).getName)
-    def rmrf(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
-    }
-    rmrf(dir)
+    graft.LocalFs.rmrf(dir)
     val base = Tables.embeddings(s, d)
     val history = base.select("vec_id", "embedding")
     val batch = plantedNearDupCorpus(base).filter(col("vec_id") >= 10000000L)

@@ -447,10 +447,7 @@ object Gates {
       graft.functions.VectorExpressions.register(s)
       val dir = new java.io.File(
         "/root/repo/target/drift_gate_index/" + new java.io.File(d).getName)
-      def rmrf(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
-      }
-      rmrf(dir) // fresh founding model per driver run (determinism)
+      graft.LocalFs.rmrf(dir) // fresh founding model per driver run (determinism)
       val e = Tables.embeddings(s, d).localCheckpoint(true)
       val founding = bundleCorpus(e.filter(col("vec_id") % 3 =!= 0), 0)
       IncrementalEmbedDedup.ingest(s, dir.getPath, founding,
@@ -573,10 +570,7 @@ object Gates {
     val ok = GateMemo.value(s, d, "gate_stream_late_ok") {
       val work = new java.io.File(
         "/root/repo/target/stream_late_gate/" + new java.io.File(d).getName)
-      def rmrf(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
-      }
-      rmrf(work)
+      graft.LocalFs.rmrf(work)
       val landing = new java.io.File(work, "landing"); landing.mkdirs()
       // LTZ event time (watermarks reject NTZ; session is UTC, so the
       // wall-clock values match the batch key — same shim eventsStream
@@ -612,7 +606,7 @@ object Gates {
           .getOrElse(sys.error(s"no part file under $tmp"))
         require(part.renameTo(new java.io.File(landing, name)),
           s"landing rename failed for $name")
-        rmrf(tmp)
+        graft.LocalFs.rmrf(tmp)
       }
       def rows(df: DataFrame): Seq[String] =
         df.orderBy("wstart", "event_type").collect().map(_.toString).toSeq
@@ -751,10 +745,7 @@ object Gates {
     val ok = GateMemo.value(s, d, "gate_exactly_once_ok") {
       val work = new java.io.File(
         "/root/repo/target/exactly_once_gate/" + new java.io.File(d).getName)
-      def rmrf(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
-      }
-      rmrf(work)
+      graft.LocalFs.rmrf(work)
       val out = new java.io.File(work, "out")
       val chk = new java.io.File(work, "chk")
       def runOnce(): Unit = {
@@ -832,10 +823,9 @@ object Gates {
     val ok = GateMemo.value(s, d, "gate_index_vacuum_ok") {
       val dir = new java.io.File(
         "/root/repo/target/vacuum_gate_index/" + new java.io.File(d).getName)
-      def rmrf(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
-      }
-      rmrf(dir)
+      // sweep the parent: a crashed prior run can leave __vacuum_old_
+      // siblings NEXT TO dir, which would wedge this run's rename
+      graft.LocalFs.rmrf(dir.getParentFile)
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val history = docs.filter(col("doc_id") % 10 =!= 0)
       val batch = docs.filter(col("doc_id") % 10 === 0)

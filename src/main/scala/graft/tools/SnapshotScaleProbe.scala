@@ -27,10 +27,7 @@ object SnapshotScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val numBuckets = 32
     val dir = "/root/repo/target/snapscale"
-    def rmrf(p: java.io.File): Unit = {
-      Option(p.listFiles()).foreach(_.foreach(rmrf)); p.delete(); ()
-    }
-    rmrf(new java.io.File(dir))
+    graft.LocalFs.rmrf(new java.io.File(dir))
 
     // base snapshot: 1.5M keys (10x orders, key-shifted)
     val base = (0 until 10).map { i =>
@@ -136,7 +133,7 @@ object SnapshotScaleProbe {
     // parallel write tasks and near-target-size files.
     val skewDir = "/root/repo/target/snapscale_skew"
     def buildSkewed(): Unit = {
-      rmrf(new java.io.File(skewDir))
+      graft.LocalFs.rmrf(new java.io.File(skewDir))
       spark.conf.set(coalesceKey, "false"); spark.conf.set(shufKey, "64")
       SnapshotStore.merge(spark, skewDir, base, Seq("k"), numBuckets = 1)
       SnapshotStore.merge(spark, skewDir,
@@ -158,7 +155,7 @@ object SnapshotScaleProbe {
     val tCompactSplit = time(SnapshotStore.compact(spark, skewDir, Seq("k"),
       targetFileBytes = math.max(1L, skewBytes / 8)))
     val (filesSplit, _) = skewStats()
-    rmrf(new java.io.File(skewDir))
+    graft.LocalFs.rmrf(new java.io.File(skewDir))
 
     val section = new StringBuilder
     section.append("\n## Snapshot merge: cost follows touched buckets, not snapshot size\n\n")

@@ -29,10 +29,7 @@ object VacuumProbe {
     val spark = GraftSession.builder("local[32]", "32").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = new java.io.File("/root/repo/target/vacuum_probe/index")
-    def rmrf(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
-    }
-    rmrf(dir.getParentFile)
+    graft.LocalFs.rmrf(dir.getParentFile)
 
     // 10x the corpus by key-shifted copies (the standard amplification
     // of this probe family), so the index is big enough that lookup

@@ -15,10 +15,7 @@ class IndexMaintenanceSpec extends AnyFunSuite {
 
   private def freshDir(tag: String): java.io.File = {
     val dir = new java.io.File(s"/root/repo/target/test_vacuum/$tag")
-    def rmrf(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
-    }
-    rmrf(dir)
+    LocalFs.rmrf(dir)
     dir
   }
 
@@ -107,6 +104,14 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(dir.renameTo(old))
     scratch.mkdirs()
     new java.io.File(scratch, "part-00000.parquet").createNewFile()
+    // the founding guard: an ingest against the absent path must refuse
+    // rather than silently found a fresh index over the torn vacuum
+    // (recover would then delete the renamed-aside original — the only
+    // copy of the history — as post-promote garbage)
+    val refused = intercept[RuntimeException] {
+      IncrementalNearDup.ingest(spark, dir.getPath, batch, "doc_id", "text")
+    }
+    assert(refused.getMessage.contains("torn"), refused.getMessage)
     val r = IndexMaintenance.recover(spark, dir.getPath)
     assert(r.restored && r.staleScratchRemoved == 1)
     assert(!old.exists() && !scratch.exists() && dir.exists())

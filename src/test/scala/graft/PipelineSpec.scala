@@ -179,10 +179,7 @@ class PipelineSpec extends AnyFunSuite {
 
   test("incremental ingest demo: exactly-once corpus, re-crawl refused, vacuum reclaims") {
     val root = "/root/repo/target/incremental_demo_test"
-    def rmrf(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
-    }
-    rmrf(new java.io.File(root))
+    LocalFs.rmrf(new java.io.File(root))
     val (reports, m) = graft.examples.IncrementalIngestDemo.run(spark, sf, root)
     val byDay = reports.map(r => r.batch -> r).toMap
     reports.foreach { r =>

@@ -71,12 +71,9 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("checkpointed file sink is exactly-once across stream restarts") {
-    def rmrf(p: java.io.File): Unit = {
-      Option(p.listFiles()).foreach(_.foreach(rmrf)); p.delete(); ()
-    }
     val out = new java.io.File("/root/repo/target/stream_out")
     val chk = new java.io.File("/root/repo/target/stream_chk")
-    rmrf(out); rmrf(chk)
+    LocalFs.rmrf(out); LocalFs.rmrf(chk)
     def runOnce(): Unit = {
       val q = Streams.dedupStream(Streams.eventsStream(spark, sf)).writeStream
         .format("parquet")
@@ -99,12 +96,9 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming upsert sink maintains a keyed snapshot; replay is idempotent") {
     import org.apache.spark.sql.functions._
-    def rmrf(p: java.io.File): Unit = {
-      Option(p.listFiles()).foreach(_.foreach(rmrf)); p.delete(); ()
-    }
     val target = new java.io.File("/root/repo/target/upsert_snapshot")
     val chk = new java.io.File("/root/repo/target/upsert_chk")
-    rmrf(target); rmrf(chk)
+    LocalFs.rmrf(target); LocalFs.rmrf(chk)
     // latest state per user from the event stream, keyed on user_id
     val events = Streams.eventsStream(spark, sf)
       .select(col("user_id"), col("event_type"), col("value"))
@@ -123,14 +117,11 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming upsert with CDC side channel: per-version change feed, bounded retention") {
     import org.apache.spark.sql.functions._
-    def rmrf(p: java.io.File): Unit = {
-      Option(p.listFiles()).foreach(_.foreach(rmrf)); p.delete(); ()
-    }
     val target = new java.io.File("/root/repo/target/cdc_snapshot")
     val cdc = new java.io.File("/root/repo/target/cdc_feed")
     val chk1 = new java.io.File("/root/repo/target/cdc_chk1")
     val chk2 = new java.io.File("/root/repo/target/cdc_chk2")
-    Seq(target, cdc, chk1, chk2).foreach(rmrf)
+    Seq(target, cdc, chk1, chk2).foreach(LocalFs.rmrf)
     val evens = Streams.eventsStream(spark, sf)
       .filter(col("event_id") % 2 === 0).select("user_id", "event_id")
     val odds = Streams.eventsStream(spark, sf)
@@ -165,12 +156,9 @@ class StreamingSpec extends AnyFunSuite {
   test("CDC publish is stage-then-rename: scaffolds invisible + swept; update feeds the log") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    def rmrf(p: java.io.File): Unit = {
-      Option(p.listFiles()).foreach(_.foreach(rmrf)); p.delete(); ()
-    }
     val src = new java.io.File("/root/repo/target/cdcp_src")
     val cdc = new java.io.File("/root/repo/target/cdcp_cdc")
-    Seq(src, cdc).foreach(rmrf)
+    Seq(src, cdc).foreach(LocalFs.rmrf)
     Streams.cdcBatch(spark, src.getAbsolutePath, cdc.getAbsolutePath,
       Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"), numBuckets = 4)
     // plant crashed-publish scaffolds: one DEAD (version ≤ last logged —
@@ -231,14 +219,11 @@ class StreamingSpec extends AnyFunSuite {
   test("CDC feed drives a downstream count view end-to-end, exactly-once on restart") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    def rmrf(p: java.io.File): Unit = {
-      Option(p.listFiles()).foreach(_.foreach(rmrf)); p.delete(); ()
-    }
     val src = new java.io.File("/root/repo/target/ivm_src")
     val cdc = new java.io.File("/root/repo/target/ivm_cdc")
     val down = new java.io.File("/root/repo/target/ivm_down")
     val chk = new java.io.File("/root/repo/target/ivm_chk")
-    Seq(src, cdc, down, chk).foreach(rmrf)
+    Seq(src, cdc, down, chk).foreach(LocalFs.rmrf)
     def upstream(rows: Seq[(Long, String)]): Unit =
       Streams.cdcBatch(spark, src.getAbsolutePath, cdc.getAbsolutePath,
         rows.toDF("id", "status"), Seq("id"), numBuckets = 4)
@@ -287,12 +272,9 @@ class StreamingSpec extends AnyFunSuite {
   test("cdc sink absorbs schema drift mid-stream: added column flows into the feed") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    def rmrf(p: java.io.File): Unit = {
-      Option(p.listFiles()).foreach(_.foreach(rmrf)); p.delete(); ()
-    }
     val src = new java.io.File("/root/repo/target/drift_src")
     val cdc = new java.io.File("/root/repo/target/drift_cdc")
-    Seq(src, cdc).foreach(rmrf)
+    Seq(src, cdc).foreach(LocalFs.rmrf)
     // batch 1: (k, v); batch 2 ADDS score — the sink must merge without
     // manual alignment and the change feed must carry the union schema
     graft.streaming.Streams.cdcBatch(spark, src.getAbsolutePath,
@@ -375,11 +357,8 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming near-dup admission: exactly-once pairs feed, at-least-once index healed by vacuum") {
     import org.apache.spark.sql.functions._
-    def rmrf(p: java.io.File): Unit = {
-      Option(p.listFiles()).foreach(_.foreach(rmrf)); p.delete(); ()
-    }
     val root = new java.io.File("/root/repo/target/stream_neardup")
-    rmrf(root)
+    LocalFs.rmrf(root)
     val src = new java.io.File(root, "src")
     val idx = new java.io.File(root, "index")
     val pairsDir = new java.io.File(root, "pairs")
@@ -400,19 +379,24 @@ class StreamingSpec extends AnyFunSuite {
       "doc_id", "text")
     // restart-with-same-checkpoint can race the previous run's async
     // deregistration ("concurrently using …/commits"); retrying is
-    // exactly the at-least-once restart the protocol tolerates
+    // exactly the at-least-once restart the protocol tolerates. The
+    // teardown must swallow its own rethrow of the terminated query's
+    // exception, or the retry never reaches attempt 2.
     def drain(mk: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
       var ok = false
       var attempts = 0
       while (!ok) {
         attempts += 1
-        val q = mk
-        try { q.processAllAvailable(); ok = true }
+        var q: org.apache.spark.sql.streaming.StreamingQuery = null
+        try { q = mk; q.processAllAvailable(); ok = true }
         catch {
           case e: Exception if attempts < 10 &&
               Option(e.getMessage).exists(_.contains("concurrently using")) =>
             Thread.sleep(500)
-        } finally { q.stop(); q.awaitTermination() }
+        } finally if (q != null) {
+          try { q.stop(); q.awaitTermination() }
+          catch { case _: Exception => () } // already-reported failure
+        }
       }
     }
     def pairSet() = Streams.readNearDupPairs(spark, pairsDir.getAbsolutePath)
@@ -457,11 +441,8 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming embed-dedup admission: re-sent vectors flagged against the frozen-model index") {
     import org.apache.spark.sql.functions._
-    def rmrf(p: java.io.File): Unit = {
-      Option(p.listFiles()).foreach(_.foreach(rmrf)); p.delete(); ()
-    }
     val root = new java.io.File("/root/repo/target/stream_embeddedup")
-    rmrf(root)
+    LocalFs.rmrf(root)
     val src = new java.io.File(root, "src")
     val idx = new java.io.File(root, "index")
     val pairsDir = new java.io.File(root, "pairs")
