@@ -13,10 +13,7 @@ class AvroIOSpec extends AnyFunSuite {
 
   private def freshDir(name: String): String = {
     val f = new java.io.File(s"target/test_avro/$name")
-    def rmrf(x: java.io.File): Unit = {
-      Option(x.listFiles()).foreach(_.foreach(rmrf)); x.delete(); ()
-    }
-    rmrf(f)
+    LocalFs.rmrf(f)
     f.getAbsolutePath
   }
 

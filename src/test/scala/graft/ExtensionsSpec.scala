@@ -44,9 +44,6 @@ class ExtensionsSpec extends AnyFunSuite {
   test("incremental near-dup ingest is replay-stable and pins its partitioning") {
     import graft.operators.IncrementalNearDup
     val dir = java.nio.file.Files.createTempDirectory("inddx").toFile
-    def rmrf(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
-    }
     try {
       val docs = Tables.documents(spark, sf)
       val history = docs.filter(col("doc_id") % 10 =!= 0)
@@ -80,15 +77,12 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(wrongBanding == first,
         "a mismatched rowsPerBand changed lookup results — banding " +
           "params must be pinned in the marker")
-    } finally rmrf(dir)
+    } finally LocalFs.rmrf(dir)
   }
 
   test("incremental near-dup rejects a torn index (data partitions, no marker)") {
     import graft.operators.IncrementalNearDup
     val dir = java.nio.file.Files.createTempDirectory("inddx-torn").toFile
-    def rmrf(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
-    }
     try {
       val docs = Tables.documents(spark, sf).limit(20)
       IncrementalNearDup.ingest(spark, dir.getPath, docs, "doc_id", "text",
@@ -102,7 +96,7 @@ class ExtensionsSpec extends AnyFunSuite {
       }
       assert(e.getMessage.contains("torn"),
         s"expected a torn-index rejection, got: ${e.getMessage}")
-    } finally rmrf(dir)
+    } finally LocalFs.rmrf(dir)
   }
 
   test("exact dedup keeps every distinct text once") {
@@ -783,9 +777,6 @@ class ExtensionsSpec extends AnyFunSuite {
     import graft.operators.IncrementalEmbedDedup
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("embdedup").toFile
-    def rmrf(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
-    }
     try {
       graft.functions.VectorExpressions.register(spark)
       val base = Tables.embeddings(spark, sf)
@@ -816,7 +807,7 @@ class ExtensionsSpec extends AnyFunSuite {
           "vec_id", "embedding")
       }
       assert(e.getMessage.contains("torn"), e.getMessage)
-    } finally rmrf(dir)
+    } finally LocalFs.rmrf(dir)
   }
 
   test("embedding-ANN dedup recovers the planted near-dup pairs exactly") {

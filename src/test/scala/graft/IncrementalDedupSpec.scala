@@ -11,13 +11,10 @@ import graft.streaming.SnapshotStore
 class IncrementalDedupSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  private def rmrf(p: java.io.File): Unit = {
-    Option(p.listFiles()).foreach(_.foreach(rmrf)); p.delete(); ()
-  }
 
   private def freshDir(name: String): String = {
     val d = new java.io.File(s"/root/repo/target/$name")
-    rmrf(d); d.toString
+    LocalFs.rmrf(d); d.toString
   }
 
   private def docsDf(rows: (Long, String)*) = {

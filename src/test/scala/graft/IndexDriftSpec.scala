@@ -15,10 +15,7 @@ class IndexDriftSpec extends AnyFunSuite {
 
   private def freshDir(tag: String): java.io.File = {
     val dir = new java.io.File(s"/root/repo/target/test_drift/$tag")
-    def rmrf(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
-    }
-    rmrf(dir)
+    LocalFs.rmrf(dir)
     dir
   }
 

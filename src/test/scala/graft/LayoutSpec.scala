@@ -116,9 +116,6 @@ class LayoutSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     import graft.operators.IncrementalNearDup
     val dir = java.nio.file.Files.createTempDirectory("banddix").toFile
-    def rmrf(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
-    }
     try {
       val docs = Tables.documents(spark, sf)
       val history = docs.filter(col("doc_id") % 10 =!= 0)
@@ -159,16 +156,13 @@ class LayoutSpec extends AnyFunSuite {
         s"read $partsRead index slices for a batch touching ${touched.size}")
       assert(partsRead < filesOnDisk,
         s"read $partsRead of $filesOnDisk slices — pruning ineffective")
-    } finally rmrf(dir)
+    } finally LocalFs.rmrf(dir)
   }
 
   test("incremental embed dedup lookup prunes the cell index to the batch's cells") {
     import org.apache.spark.sql.functions._
     import graft.operators.{IncrementalEmbedDedup, KMeans}
     val dir = java.nio.file.Files.createTempDirectory("celldix").toFile
-    def rmrf(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
-    }
     try {
       graft.functions.VectorExpressions.register(spark)
       val base = Tables.embeddings(spark, sf).select("vec_id", "embedding")
@@ -208,6 +202,6 @@ class LayoutSpec extends AnyFunSuite {
         s"read $partsRead index cells for a batch touching ${touched.size}")
       assert(partsRead < cellsOnDisk,
         s"read $partsRead of $cellsOnDisk cells — pruning ineffective")
-    } finally rmrf(dir)
+    } finally LocalFs.rmrf(dir)
   }
 }

@@ -11,15 +11,12 @@ import graft.operators.QuantizedIvf
 class QuantizedIvfSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  private def rmrf(p: java.io.File): Unit = {
-    Option(p.listFiles()).foreach(_.foreach(rmrf)); p.delete(); ()
-  }
 
   test("serve key == fit-per-run composed key; second load skips the build") {
     graft.functions.VectorExpressions.register(spark)
     val base = new java.io.File("/root/repo/target/ann_models/ivfq_k8_" +
       new java.io.File(sf).getName)
-    rmrf(new java.io.File(base.getPath + ".codes"))
+    LocalFs.rmrf(new java.io.File(base.getPath + ".codes"))
     new java.io.File(base.getPath + ".model").delete()
     def rows(name: String) = SparkEntry.queries(name)(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
@@ -52,7 +49,7 @@ class QuantizedIvfSpec extends AnyFunSuite {
       // different k under the same path: the pair is rebuilt for that k
       val (m3, _) = QuantizedIvf.loadOrBuild(e, "vec_id", "embedding", 2, 2, basePath)
       assert(m3.k == 2)
-    } finally rmrf(dir)
+    } finally LocalFs.rmrf(dir)
   }
 
   test("crash garbage (tmp dirs, marker-less codes) never serves") {
@@ -69,6 +66,6 @@ class QuantizedIvfSpec extends AnyFunSuite {
       val (_, c) = QuantizedIvf.loadOrBuild(e, "vec_id", "embedding", 4, 2, basePath)
       assert(c.count() == e.count(),
         "marker-less codes dir is crash garbage and must be rebuilt over")
-    } finally rmrf(dir)
+    } finally LocalFs.rmrf(dir)
   }
 }

@@ -10,13 +10,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class SnapshotStoreSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  private def rmrf(p: java.io.File): Unit = {
-    Option(p.listFiles()).foreach(_.foreach(rmrf)); p.delete(); ()
-  }
 
   private def freshDir(name: String): java.io.File = {
     val d = new java.io.File(s"/root/repo/target/$name")
-    rmrf(d); d
+    LocalFs.rmrf(d); d
   }
 
   private def filesUnder(d: java.io.File): Map[String, (Long, Long)] =
