@@ -212,6 +212,64 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** Canonical selection — the step after clustering that every
+    * near-dup pipeline actually ships: within each transitive near-dup
+    * cluster, KEEP the best document (highest q_text_quality weighted
+    * score, doc_id tie-break) and mark the rest for removal. Output is
+    * every clustered document with its cluster id, quality, and keep
+    * flag, so the downstream filter is `WHERE keep` and the audit trail
+    * (what was dropped, in favor of what) is free.
+    *
+    * Scale shape: pair generation and clustering are the q_dedup_cluster
+    * plan unchanged (df-capped inverted index, min-label propagation);
+    * the quality join is keyed by doc_id; the keep flag is a
+    * row_number window PARTITIONED BY cluster — per-partition work is
+    * bounded by cluster size, which the shingle df cap already bounds,
+    * so no unpartitioned-window or skew hazard. Oracle: the recursive
+    * reachability CTE + the same rounded-quality argmax. */
+  val qDedupCanonical = Q(
+    "q_dedup_canonical",
+    s"""WITH RECURSIVE $nearDupPairsSql,
+       |edges AS (SELECT ida AS a, idb AS b FROM pairs
+       |          UNION ALL SELECT idb, ida FROM pairs),
+       |reach(src, node) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node),
+       |clusters AS (SELECT src AS doc_id, min(node) AS cluster_id
+       |             FROM reach GROUP BY src),
+       |q AS (SELECT doc_id,
+       |  round(0.4 * least(1.0, len(string_split(text, ' ')) / 100.0)
+       |      + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |               / len(string_split(text, ' ')))
+       |      + 0.3 * (1 - CAST(len(list_filter(string_split(text, ' '),
+       |               x -> list_contains(${markerList(enMarkers)}, x))) AS DOUBLE)
+       |               / len(string_split(text, ' '))), 4) AS quality
+       |  FROM documents)
+       |SELECT c.cluster_id, c.doc_id, q.quality,
+       |  (row_number() OVER (PARTITION BY c.cluster_id
+       |     ORDER BY q.quality DESC, c.doc_id) = 1) AS keep
+       |FROM clusters c JOIN q USING (doc_id)
+       |ORDER BY cluster_id, doc_id""".stripMargin) { (s, d) =>
+    val clusters = graft.operators.ConnectedComponents
+      .run(nearDupPairs(s, d, 0.2), "ida", "idb")
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+    val ws = TextOps.tokens(col("text"))
+    val nTok = size(ws).cast("double")
+    val quality = Tables.documents(s, d).select(
+      col("doc_id"),
+      round(lit(0.4) * least(lit(1.0), nTok / 100.0)
+        + lit(0.3) * (size(array_distinct(ws)).cast("double") / nTok)
+        + lit(0.3) * (lit(1) - TextOps.markerHits(ws, enMarkers)
+            .cast("double") / nTok), 4).as("quality"))
+    clusters.join(quality, "doc_id")
+      .withColumn("keep",
+        row_number().over(Window.partitionBy("cluster_id")
+          .orderBy(col("quality").desc, col("doc_id"))) === 1)
+      .select("cluster_id", "doc_id", "quality", "keep")
+      .orderBy("cluster_id", "doc_id")
+  }
+
   /** Incremental first-seen-wins ingestion (graft.operators
     * .IncrementalDedup over the bucketed SnapshotStore): the documents
     * table arrives as two batches (even doc_ids first), each deduped
@@ -1419,6 +1477,47 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style hard quality gating with per-rule attribution
+    * (operators/QualityRules): five named boolean rules — token-count
+    * bounds, mean-word-length bounds, stopword evidence, type-token
+    * ratio, top-token share — plus the pass count and the all-rules
+    * verdict. Complements q_text_quality's weighted SCORE with the
+    * thing pipelines filter on: which rule failed. One scan, zero
+    * shuffles, all higher-order built-ins in codegen; every ratio is a
+    * single int/int division against a literal threshold, so the
+    * booleans hash-match the DuckDB oracle exactly. */
+  val qQualityRules = Q(
+    "q_quality_rules",
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+       |           FROM documents),
+       |m AS (SELECT doc_id,
+       |  len(ws) AS n,
+       |  (length(text) - len(ws) + 1.0) / len(ws) AS awl,
+       |  len(list_filter(ws, x -> list_contains(${markerList(enMarkers)}, x))) AS stops,
+       |  CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ttr,
+       |  CAST(list_max(list_transform(list_distinct(ws),
+       |    w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE) / len(ws) AS topf
+       |  FROM t)
+       |SELECT doc_id,
+       |  CAST(n AS BIGINT) AS n_tokens,
+       |  (n >= 30 AND n <= 100000) AS r_len,
+       |  (awl >= 4.0 AND awl <= 10.0) AS r_word_len,
+       |  (stops >= 2) AS r_stopwords,
+       |  (ttr >= 0.35) AS r_ttr,
+       |  (topf <= 0.15) AS r_top_token,
+       |  CAST(CAST(n >= 30 AND n <= 100000 AS INT)
+       |     + CAST(awl >= 4.0 AND awl <= 10.0 AS INT)
+       |     + CAST(stops >= 2 AS INT)
+       |     + CAST(ttr >= 0.35 AS INT)
+       |     + CAST(topf <= 0.15 AS INT) AS BIGINT) AS n_passed,
+       |  (n >= 30 AND n <= 100000 AND awl >= 4.0 AND awl <= 10.0
+       |     AND stops >= 2 AND ttr >= 0.35 AND topf <= 0.15) AS pass
+       |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.operators.QualityRules
+      .evaluate(Tables.documents(s, d).select("doc_id", "text"), enMarkers)
+      .orderBy("doc_id")
+  }
+
   /** Token counting: whitespace tokens vs a BPE-ish regex tokenizer vs
     * the metadata n_chars column. */
   val qTokenCount = Q(
@@ -1546,14 +1645,15 @@ object Extensions {
   }
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qNeardup, qDedupCluster, qDedupClusterStar, qDedupMinhash, qDedupSimhash, qDedupEmbed,
+    qDedupExact, qNeardup, qDedupCluster, qDedupClusterStar, qDedupCanonical,
+    qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupEmbedAnn, qDedupEmbedIncremental,
     qDedupIncremental, qNeardupIncremental, qTokenBudget, qCorpusCuration,
     qSimilarityTopk, qSimilaritySql, qAnnIvf, qAnnIvfServe, qAnnIvfAdaptive, qAnnLsh, qAnnQuantized,
     qAnnIvfQuantized, qAnnIvfQuantizedServe, qKmeans,
     qTextAnalysis, qTextTopwords, qTextSearch, qTextSearchAll, qTextSearchPhrase,
     qTextSearchBatch, qHybridSearch, qDecontaminate, qPiiRedact,
-    qLangId, qLangIdNgram, qTextQuality, qTokenCount,
+    qLangId, qLangIdNgram, qTextQuality, qQualityRules, qTokenCount,
     qDocFingerprint,
     qMultimodalJoin, qMultimodalMeta, qMultimodalFeatures, qMultimodalFrames)
 }

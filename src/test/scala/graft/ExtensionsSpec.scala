@@ -826,4 +826,61 @@ class ExtensionsSpec extends AnyFunSuite {
     info(f"ANN dedup recall $recall%.3f over ${exact.size} planted pairs")
     assert(recall >= 0.95, s"ANN dedup recall $recall")
   }
+
+  test("canonical selection keeps exactly the best-quality doc per cluster") {
+    val rows = SparkEntry.queries("q_dedup_canonical")(spark, sf).collect()
+    assert(rows.nonEmpty, "expected planted near-dup clusters in testdata")
+    rows.groupBy(_.getLong(0)).foreach { case (cid, members) =>
+      assert(members.length >= 2, s"cluster $cid: clusters come from pairs")
+      val keepers = members.filter(_.getBoolean(3))
+      assert(keepers.length == 1, s"cluster $cid: one keeper, got ${keepers.length}")
+      // keeper = argmax quality, doc_id tie-break
+      val best = members.maxBy(r => (r.getDouble(2), -r.getLong(1)))
+      assert(keepers.head.getLong(1) == best.getLong(1),
+        s"cluster $cid kept ${keepers.head.getLong(1)}, best is ${best.getLong(1)}")
+    }
+    // membership and labels agree with the clustering key exactly
+    val clusters = SparkEntry.queries("q_dedup_cluster")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r.getLong(1), r.getLong(0))).toSet == clusters,
+      "canonical output must cover exactly the clustered docs")
+  }
+
+  test("quality rules: per-rule attribution isolates the failing signal") {
+    import spark.implicits._
+    val markers = Seq("the", "a", "of", "and", "to")
+    val good = (1 to 50).map(i => s"item$i").mkString(" ") +
+      " the a of and to item51"
+    val degenerate = Seq.fill(40)("spam").mkString(" ") // ttr+topf+stop fail
+    val noStops = (1 to 60).map(i => s"wordy$i").mkString(" ")
+    val short = "the a of and to the a of and to" // len+awl+topf fail
+    val out = graft.operators.QualityRules
+      .evaluate(Seq((1L, good), (2L, degenerate), (3L, noStops), (4L, short))
+        .toDF("doc_id", "text"), markers)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+          r.getBoolean(6), r.getLong(7), r.getBoolean(8))).toMap
+    assert(out(1L) == ((true, true, true, true, true, 5L, true)))
+    assert(out(2L) == ((true, true, false, false, false, 2L, false)))
+    assert(out(3L) == ((true, true, false, true, true, 4L, false)))
+    assert(out(4L) == ((false, false, true, true, false, 2L, false)))
+  }
+
+  test("quality rules over the corpus: consistent aggregates, no degenerate rule") {
+    val rows = SparkEntry.queries("q_quality_rules")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flags = (2 to 6).map(r.getBoolean)
+      assert(r.getLong(7) == flags.count(identity), s"n_passed mismatch: $r")
+      assert(r.getBoolean(8) == flags.forall(identity), s"pass mismatch: $r")
+    }
+    // every rule must discriminate on the real corpus (thresholds are
+    // tuned to be non-degenerate at this SF — see QualityRules.Config)
+    (2 to 6).foreach { i =>
+      val passed = rows.count(_.getBoolean(i))
+      assert(passed > 0 && passed < rows.length,
+        s"rule at column $i is degenerate: $passed/${rows.length}")
+    }
+  }
 }
