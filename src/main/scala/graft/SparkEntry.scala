@@ -13,6 +13,7 @@ object SparkEntry {
       graft.queries.Windows.all ++
       graft.queries.Functions.all ++
       graft.queries.TimeWindows.all ++
+      graft.queries.EventAnalytics.all ++
       graft.queries.Catalog.all ++
       graft.queries.Analytics.all ++
       graft.queries.Extensions.all ++

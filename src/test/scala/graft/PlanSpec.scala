@@ -211,4 +211,19 @@ class PlanSpec extends AnyFunSuite {
     // Spark cannot broadcast a full outer — but its inputs are the two
     // TOAP-bounded 20-row lists, so the exchange moves O(k) rows)
   }
+
+  test("funnel stages read type-pruned scans, never the whole log") {
+    // each funnel stage filters on its step's event_type BEFORE
+    // aggregating/joining — at 100 TB the difference between "scan the
+    // purchase rows" and "scan the log three times" is the operator's
+    // entire cost, so the EqualTo(event_type, …) predicate must reach
+    // every parquet scan of the events table
+    val p = plan("q_funnel")
+    Seq("view", "click", "purchase").foreach { step =>
+      assert(p.contains(s"EqualTo(event_type,$step)"),
+        s"step '$step' filter not pushed to scan:\n" +
+          p.linesIterator.filter(_.contains("PushedFilters"))
+            .mkString("\n"))
+    }
+  }
 }
