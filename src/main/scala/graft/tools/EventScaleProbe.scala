@@ -1,0 +1,112 @@
+package graft.tools
+
+import graft.{GraftSession, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Behavioral-analytics scaling probe (round 12): the three event-log
+  * keys measured against amplified logs, each on the axis that stresses
+  * its claimed bound.
+  *
+  *  - `q_funnel` (Funnel.run) on TWO axes. More USERS (key-shifted
+  *    copies — the horizontal-growth axis a 100 TB log actually grows
+  *    on): every stage is a keyed agg + co-keyed join, so time should
+  *    track rows with fleet-size parallelism. More EVENTS PER USER
+  *    (same users, timestamp-jittered copies — the power-user axis):
+  *    a hot user must stay ONE aggregation cell per stage (min-ts
+  *    partial agg combines map-side), so cost follows the scan, not a
+  *    per-user blowup.
+  *  - `q_retention_cohort`: user axis — the cohort×offset summary must
+  *    stay calendar-bounded (same row count at 4× users) while the
+  *    distinct shuffle grows linearly.
+  *  - `q_timeseries_fill` (TimeSeriesFill.hourly) on the TIME-SPAN
+  *    axis (copies shifted by +30 days each): the spine — and with it
+  *    the per-series sequential carry — grows with CALENDAR time, not
+  *    data volume; the probe pins that 4× span costs ~4× spine rows
+  *    through 5 series-parallel tasks, while 4× denser data over the
+  *    SAME span leaves the carry untouched (only the hash agg grows).
+  *
+  * Prints rows for SCALING.md (pasted by hand, same as the other
+  * probes). Run: `sbt "runMain graft.tools.EventScaleProbe"`. */
+object EventScaleProbe {
+
+  private def time[T](body: => T): Double = {
+    val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+  }
+  private def timeMin(body: => Unit): Double = (1 to 3).map(_ => time(body)).min
+
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = "/root/repo/target/eventscale"
+    val spark = GraftSession.builder(
+      s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val ev1 = Tables.events(spark, sf)
+
+    // 4x users: disjoint user-id spaces, same time span
+    (0 until 4).map(i => ev1
+        .withColumn("user_id", col("user_id") + i * 1000000L)
+        .withColumn("event_id", col("event_id") + i * 10000000L))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/ev4_users")
+    // 4x events per user: same users, copies jittered by +i seconds —
+    // every user is 4x hotter, the span and user base are unchanged
+    (0 until 4).map(i => ev1
+        .withColumn("ts", col("ts") + expr(s"INTERVAL $i SECOND"))
+        .withColumn("event_id", col("event_id") + i * 10000000L))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/ev4_dense")
+    // 4x time span: copies shifted +30 days each — same density, the
+    // spine (and the sequential carry) grows 4x
+    (0 until 4).map(i => ev1
+        .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 30} DAY"))
+        .withColumn("event_id", col("event_id") + i * 10000000L))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/ev4_span")
+
+    def rd(p: String) = spark.read.parquet(s"$out/$p")
+
+    def funnel(d: DataFrame): Long =
+      graft.operators.Funnel
+        .run(d, Seq("view", "click", "purchase"), "24 hours").count()
+    def retention(d: DataFrame): Long = {
+      val first = d.groupBy("user_id")
+        .agg(to_date(date_trunc("day", min("ts"))).as("cohort_day"))
+      d.join(first, "user_id")
+        .select(col("cohort_day"),
+          datediff(to_date(date_trunc("day", col("ts"))), col("cohort_day"))
+            .as("day_offset"), col("user_id"))
+        .distinct()
+        .groupBy("cohort_day", "day_offset").agg(count(lit(1))).count()
+    }
+    def fill(d: DataFrame): Long =
+      graft.operators.TimeSeriesFill
+        .hourly(d, "event_type", "ts", "value").count()
+
+    val f1 = timeMin { funnel(ev1) }
+    val fU = timeMin { funnel(rd("ev4_users")) }
+    val fD = timeMin { funnel(rd("ev4_dense")) }
+    println(f"FUNNEL 1x: $f1%.2f s")
+    println(f"FUNNEL 4x users: $fU%.2f s (${fU / f1}%.1fx)")
+    println(f"FUNNEL 4x per-user density: $fD%.2f s (${fD / f1}%.1fx)")
+
+    val r1 = timeMin { retention(ev1) }
+    val rU = timeMin { retention(rd("ev4_users")) }
+    val rows1 = retention(ev1); val rowsU = retention(rd("ev4_users"))
+    println(f"RETENTION 1x: $r1%.2f s ($rows1 summary rows)")
+    println(f"RETENTION 4x users: $rU%.2f s (${rU / r1}%.1fx), " +
+      f"$rowsU summary rows (${rowsU.toDouble / rows1}%.1fx)")
+
+    val s1 = timeMin { fill(ev1) }
+    val sS = timeMin { fill(rd("ev4_span")) }
+    val sD = timeMin { fill(rd("ev4_dense")) }
+    val g1 = fill(ev1); val gS = fill(rd("ev4_span"))
+    println(f"FILL 1x: $s1%.2f s ($g1 grid rows)")
+    println(f"FILL 4x span: $sS%.2f s (${sS / s1}%.1fx), $gS grid rows (${gS.toDouble / g1}%.1fx)")
+    println(f"FILL 4x density, same span: $sD%.2f s (${sD / s1}%.1fx), grid unchanged")
+
+    spark.stop()
+  }
+}
