@@ -318,4 +318,72 @@ object PropertySpec extends Properties("graft") {
       commutative && idempotent && noNarrow && absorbing
     }
   }
+
+  // --- behavioral analytics vs independent in-memory references ---
+
+  private val eventGen: Gen[List[(Long, String, Long)]] =
+    Gen.listOfN(30, Gen.zip(
+      Gen.chooseNum(1L, 5L),                      // user
+      Gen.oneOf("view", "click", "purchase"),     // step
+      Gen.chooseNum(0L, 100L)))                   // minutes since epoch
+
+  property("funnel matches the greedy first-qualifying reference on random logs") =
+    forAll(eventGen) { evs =>
+      import spark.implicits._
+      val steps = Seq("view", "click", "purchase")
+      val gapMin = 30L
+      // independent reference: per user, earliest step-1 event, then the
+      // earliest later event of each next step within the gap
+      val byUser = evs.groupBy(_._1)
+      val reach = Array.fill(steps.length)(0)
+      byUser.values.foreach { rows =>
+        var t = rows.filter(_._2 == steps.head).map(_._3).minOption
+        t.foreach(_ => reach(0) += 1)
+        steps.tail.zipWithIndex.foreach { case (step, i) =>
+          t = t.flatMap(pt => rows
+            .filter(r => r._2 == step && r._3 > pt && r._3 <= pt + gapMin)
+            .map(_._3).minOption)
+          t.foreach(_ => reach(i + 1) += 1)
+        }
+      }
+      val df = evs.map { case (u, s, m) =>
+        (u, s, new java.sql.Timestamp(m * 60000L)) }
+        .toDF("user_id", "event_type", "ts")
+      val got = operators.Funnel.run(df, steps, s"$gapMin minutes")
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(2)).toMap
+      // step rows exist even at zero reach; counts must match the reference
+      steps.indices.forall(i => got(i + 1) == reach(i).toLong)
+    }
+
+  property("series fill: dense grid, observed sums preserved, carry matches a fold") =
+    forAll(Gen.listOfN(20, Gen.zip(Gen.oneOf("a", "b"),
+      Gen.chooseNum(0L, 6L), Gen.chooseNum(1, 99)))) { evs =>
+      evs.nonEmpty ==> {
+        import spark.implicits._
+        val df = evs.map { case (s, h, v) =>
+          (s, new java.sql.Timestamp(h * 3600000L), v.toDouble) }
+          .toDF("series", "ts", "value")
+        val rows = operators.TimeSeriesFill.hourly(df, "series", "ts", "value")
+          .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime / 3600000L,
+            Option(r.get(2)).map(_.asInstanceOf[Double]),
+            Option(r.get(3)).map(_.asInstanceOf[Double])))
+        val lo = evs.map(_._2).min; val hi = evs.map(_._2).max
+        val seriesIds = evs.map(_._1).distinct
+        val spine = (lo to hi)
+        val dense = rows.length == seriesIds.size * spine.size &&
+          seriesIds.forall(s => spine.forall(h => rows.exists(r => r._1 == s && r._2 == h)))
+        val sums = evs.groupBy(e => (e._1, e._2)).view
+          .mapValues(g => math.round(g.map(_._3.toDouble).sum * 10000) / 10000.0).toMap
+        val observedOk = rows.forall { case (s, h, obs, _) =>
+          obs == sums.get((s, h)) }
+        val carryOk = seriesIds.forall { s =>
+          var last: Option[Double] = None
+          rows.filter(_._1 == s).sortBy(_._2).forall { case (_, h, obs, filled) =>
+            if (obs.isDefined) last = obs
+            filled == last
+          }
+        }
+        dense && observedOk && carryOk
+      }
+    }
 }
