@@ -207,7 +207,14 @@ object DumpPlans {
       "one shuffle regardless of rule count. (q_neardup_incremental's " +
       "lookup-join pruning is pinned in LayoutSpec instead — the key's " +
       "returned frame is checkpoint-pinned, so its plan is an RDD scan " +
-      "by design.)"))
+      "by design.)"),
+    "q_funnel" -> ("Windowed ordered funnel (round 12). What to check: " +
+      "THREE type-pruned scans of events — each stage's " +
+      "EqualTo(event_type, …) in PushedFilters, so at 100 TB the " +
+      "operator reads the view/click/purchase rows, never the log per " +
+      "stage; every frontier join and aggregation keys on user_id (the " +
+      "same exchange key end to end); the conversion window runs over " +
+      "the K-row step summary, not the data."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
