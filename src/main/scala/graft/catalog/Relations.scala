@@ -139,11 +139,26 @@ object Relations {
     * a blown exchange). Default threshold 50M melted cells ≈ the
     * value-keyed exchange a single executor comfortably combines
     * map-side. */
+  /** NOTE on the dispatch probe's cost model: "metadata-cheap" assumes
+    * each input is a plain FILE-BACKED frame (parquet/ORC scan), where
+    * `count()` is answered from footer row counts. For a VIEW or derived
+    * DataFrame the count executes the full upstream plan once for the
+    * dispatch decision and again inside discover/sketchDiscover — pass
+    * `rowHints` (from pipeline metadata, ANALYZE TABLE stats, or a prior
+    * materialization) to skip the probe for those inputs; Catalyst's
+    * optimizer row-count statistic is used as a free second source when
+    * present. An over-estimate only pushes toward the sketch — the safe
+    * side — so coarse hints are fine. */
   def discoverAuto(tables: Seq[(String, DataFrame)],
       minContainment: Double = 0.5, k: Int = 256,
-      maxExactVolume: Long = 50L * 1000 * 1000): DataFrame = {
-    val volume = tables.map { case (_, df) =>
-      df.count() * math.max(1, idLikeColumns(df).size.toLong) }.sum
+      maxExactVolume: Long = 50L * 1000 * 1000,
+      rowHints: Map[String, Long] = Map.empty): DataFrame = {
+    def rowsOf(name: String, df: DataFrame): Long =
+      rowHints.get(name)
+        .orElse(df.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong))
+        .getOrElse(df.count())
+    val volume = tables.map { case (name, df) =>
+      rowsOf(name, df) * math.max(1, idLikeColumns(df).size.toLong) }.sum
     if (volume <= maxExactVolume) discover(tables, minContainment)
     else sketchDiscover(tables, k, minContainment)
   }

@@ -30,9 +30,9 @@ import org.apache.spark.sql.functions._
   * per-row expression over the token array (higher-order `transform` /
   * `filter` / `array_max` built-ins, all inside whole-stage codegen), so
   * the filter runs map-side at any corpus size and composes with any
-  * downstream shuffle for free. The top-token count is
-  * O(types × tokens) per document — bounded by document length, not
-  * corpus size, the same cost class as the shingle pipeline.
+  * downstream shuffle for free. The top-token count is O(n log n) per
+  * document (sort + run-length pass) — bounded by document length, not
+  * corpus size, and safe even at the 100k-token r_len cap.
   */
 object QualityRules {
 
@@ -59,8 +59,25 @@ object QualityRules {
     // mean word length from char count: n-1 separators for n tokens
     val awl = (length(col("text")) - n + lit(1.0)) / n
     val ttr = size(array_distinct(ws)).cast("double") / n
-    val topCount =
-      array_max(transform(array_distinct(ws), w => size(filter(ws, _ === w))))
+    // Max token frequency in O(n log n): sort the tokens, then a single
+    // aggregate() pass counts run lengths. The obvious alternative —
+    // transform(array_distinct(ws), w => size(filter(ws, w))) — is
+    // O(types × tokens) per document, which at the 100k-token r_len cap
+    // is ~10^9 comparisons inside ONE task for a single pathological web
+    // document: an executor-wedger, not a filter. The sort-run pass is
+    // ~1.7M ops at the same cap.
+    val sorted = array_sort(ws)
+    val topCount = aggregate(
+      sorted,
+      struct(lit(0).as("best"), lit(0).as("run"),
+        lit(null).cast("string").as("prev")),
+      (acc, w) => {
+        val run = when(w === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(greatest(acc.getField("best"), run).as("best"),
+          run.as("run"), w.as("prev"))
+      },
+      acc => acc.getField("best"))
     val topFrac = topCount.cast("double") / n
 
     val rLen = n >= cfg.minTokens && n <= cfg.maxTokens

@@ -584,8 +584,14 @@ object Gates {
       // horizon or nothing can ever be late
       require(span > 20 * 60 * 1000L,
         s"events span ${span}ms — too short for a 10-minute watermark replay")
+      // pinned once: `late` is read twice (landed into the stream file
+      // AND re-read for the withLeak non-vacuity compare) and
+      // orderBy(ts).limit(50) may legally pick different rows across
+      // evaluations on timestamp ties — the same hazard the marker()
+      // comment below fixes for the nudge row
       val late = onTime.orderBy("ts").limit(50)
         .withColumn("event_id", -col("event_id") - 1000L)
+        .localCheckpoint(true)
       // DETERMINISTIC template row: the nudge lands in the stream file
       // once but is re-derived for the expected batch side — an
       // unordered limit(1) could legally pick different rows for the

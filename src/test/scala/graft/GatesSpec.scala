@@ -10,6 +10,21 @@ import org.scalatest.funsuite.AnyFunSuite
 class GatesSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("GateMemo evicts entries for a superseded sfDir (bounded lifetime)") {
+    import graft.queries.GateMemo
+    var evals = 0
+    def make(tag: String) = { evals += 1; spark.range(3).toDF(tag) }
+    // distinct names so this test can never collide with real gate keys
+    GateMemo.frame(spark, "/tmp/__memo_dirA", "memo_spec_x")(make("a"))
+    GateMemo.frame(spark, "/tmp/__memo_dirA", "memo_spec_x")(make("a"))
+    assert(evals == 1, "same (sfDir, name) must hit the memo")
+    // first touch of a NEW sfDir evicts dirA's entries...
+    GateMemo.frame(spark, "/tmp/__memo_dirB", "memo_spec_y")(make("b"))
+    // ...so returning to dirA recomputes (and evicts dirB in turn)
+    GateMemo.frame(spark, "/tmp/__memo_dirA", "memo_spec_x")(make("a"))
+    assert(evals == 3, "switching sfDir must evict the previous dir's entries")
+  }
+
   graft.queries.Gates.all.foreach { q =>
     test(s"${q.name} verdicts true at sf0.001") {
       // a gate is only worth anything if the DRIVER can see it fail:
