@@ -37,12 +37,76 @@ object EventAnalytics {
       |  UNION ALL SELECT 2, 'click', count(*) FROM c
       |  UNION ALL SELECT 3, 'purchase', count(*) FROM p)
       |SELECT step, event_type, users,
-      |       round(CAST(users AS DOUBLE)
-      |         / first_value(users) OVER (ORDER BY step
-      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
-      |         AS conversion
-      |FROM steps ORDER BY step""".stripMargin) { (s, d) =>
+      |       CASE WHEN first_value(users) OVER w > 0 THEN
+      |         round(CAST(users AS DOUBLE) / first_value(users) OVER w, 4)
+      |       END AS conversion
+      |FROM steps
+      |WINDOW w AS (ORDER BY step
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY step""".stripMargin) { (s, d) =>
     graft.operators.Funnel.run(Tables.events(s, d),
+      Seq("view", "click", "purchase"), maxGap = "24 hours")
+  }
+
+  /** Step-latency percentiles for the same funnel: p50/p90 seconds from
+    * the previous step's time to conversion, per step ≥ 2 — rides the
+    * identical frontier frames as q_funnel (the prev-step time is
+    * carried on the frontier row), so the report costs no extra scan. */
+  val qFunnelLatency = Q(
+    "q_funnel_latency",
+    """WITH v AS (SELECT user_id, min(ts) AS t FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS t, v.t AS pt
+      |      FROM events e JOIN v USING (user_id)
+      |      WHERE e.event_type = 'click'
+      |        AND e.ts > v.t AND e.ts <= v.t + INTERVAL 24 HOUR
+      |      GROUP BY e.user_id, v.t),
+      |p AS (SELECT e.user_id, min(e.ts) AS t, c.t AS pt
+      |      FROM events e JOIN c USING (user_id)
+      |      WHERE e.event_type = 'purchase'
+      |        AND e.ts > c.t AND e.ts <= c.t + INTERVAL 24 HOUR
+      |      GROUP BY e.user_id, c.t),
+      |l2 AS (SELECT date_diff('second', pt, t) AS d FROM c),
+      |l3 AS (SELECT date_diff('second', pt, t) AS d FROM p)
+      |SELECT * FROM (
+      |  SELECT CAST(2 AS BIGINT) AS step, 'click' AS event_type,
+      |         count(*) AS users,
+      |         round(quantile_cont(d, 0.5), 4) AS p50_sec,
+      |         round(quantile_cont(d, 0.9), 4) AS p90_sec FROM l2
+      |  UNION ALL
+      |  SELECT 3, 'purchase', count(*),
+      |         round(quantile_cont(d, 0.5), 4),
+      |         round(quantile_cont(d, 0.9), 4) FROM l3)
+      |ORDER BY step""".stripMargin) { (s, d) =>
+    graft.operators.Funnel.latency(Tables.events(s, d),
+      Seq("view", "click", "purchase"), maxGap = "24 hours")
+  }
+
+  /** Any-order funnel over the same steps: entry is the user's first
+    * event of ANY step, a step is reached if its first occurrence falls
+    * within 24 h of entry, step k counts users reaching ≥ k distinct
+    * steps (see operators/Funnel.runUnordered for the scale shape). */
+  val qFunnelUnordered = Q(
+    "q_funnel_unordered",
+    """WITH m AS (SELECT user_id, event_type, min(ts) AS t FROM events
+      |           WHERE event_type IN ('view', 'click', 'purchase')
+      |           GROUP BY 1, 2),
+      |e AS (SELECT user_id, min(t) AS t0 FROM m GROUP BY 1),
+      |r AS (SELECT m.user_id, count(*) AS k FROM m JOIN e USING (user_id)
+      |      WHERE m.t <= e.t0 + INTERVAL 24 HOUR GROUP BY 1),
+      |s AS (SELECT CAST(x AS BIGINT) AS step
+      |      FROM (VALUES (1), (2), (3)) AS t(x)),
+      |c AS (SELECT s.step, count(r.user_id) AS users
+      |      FROM s LEFT JOIN r ON r.k >= s.step GROUP BY 1)
+      |SELECT step, users,
+      |       CASE WHEN first_value(users) OVER w > 0 THEN
+      |         round(CAST(users AS DOUBLE) / first_value(users) OVER w, 4)
+      |       END AS conversion
+      |FROM c
+      |WINDOW w AS (ORDER BY step
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY step""".stripMargin) { (s, d) =>
+    graft.operators.Funnel.runUnordered(Tables.events(s, d),
       Seq("view", "click", "purchase"), maxGap = "24 hours")
   }
 
@@ -92,6 +156,61 @@ object EventAnalytics {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Weekly cohort retention + retention-curve summary: q_retention_cohort
+    * at week grain, with the cross-cohort curve alongside each row —
+    * curve_retention at offset w = Σ active users / Σ cohort sizes over
+    * the cohorts observed at that offset (integer sums then ONE divide,
+    * so the double is engine-portable; an avg-of-ratios would sum
+    * doubles in engine-dependent order). Frame sizes: weeks² rows. */
+  val qRetentionWeekly = Q(
+    "q_retention_weekly",
+    """WITH first AS (
+      |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      |  FROM events GROUP BY 1),
+      |act AS (
+      |  SELECT DISTINCT f.cohort_week,
+      |         CAST(date_diff('day', f.cohort_week,
+      |                CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT)
+      |           AS week_offset,
+      |         e.user_id
+      |  FROM events e JOIN first f USING (user_id)),
+      |counts AS (SELECT cohort_week, week_offset, count(*) AS users
+      |           FROM act GROUP BY 1, 2),
+      |sizes AS (SELECT cohort_week, users AS cohort_size FROM counts
+      |          WHERE week_offset = 0)
+      |SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+      |       c.week_offset, c.users,
+      |       round(CAST(c.users AS DOUBLE) / s.cohort_size, 4) AS retention,
+      |       round(CAST(sum(c.users) OVER (PARTITION BY c.week_offset) AS DOUBLE)
+      |         / sum(s.cohort_size) OVER (PARTITION BY c.week_offset), 4)
+      |         AS curve_retention
+      |FROM counts c JOIN sizes s USING (cohort_week)
+      |ORDER BY cohort_week, week_offset""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val first = ev.groupBy("user_id")
+      .agg(to_date(date_trunc("week", min("ts"))).as("cohort_week"))
+    val act = ev.join(first, "user_id")
+      .select(col("cohort_week"),
+        (datediff(to_date(date_trunc("week", col("ts"))), col("cohort_week"))
+          / 7).cast("bigint").as("week_offset"),
+        col("user_id"))
+      .distinct()
+    val counts = act.groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("users"))
+    val sizes = counts.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("users").as("cohort_size"))
+    val wOff = Window.partitionBy("week_offset")
+    counts.join(broadcast(sizes), "cohort_week")
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("users"),
+        round(col("users").cast("double") / col("cohort_size"), 4)
+          .as("retention"),
+        round(sum("users").over(wOff).cast("double")
+          / sum("cohort_size").over(wOff), 4).as("curve_retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** Hourly resample of per-type value sums onto a dense spine with
     * forward fill (operators/TimeSeriesFill): gaps become explicit NULL
     * observations and `filled` carries the last value across them. */
@@ -118,5 +237,6 @@ object EventAnalytics {
       .orderBy("event_type", "hour")
   }
 
-  val all: Seq[Q] = Seq(qFunnel, qRetentionCohort, qTimeseriesFill)
+  val all: Seq[Q] = Seq(qFunnel, qFunnelLatency, qFunnelUnordered,
+    qRetentionCohort, qRetentionWeekly, qTimeseriesFill)
 }

@@ -862,7 +862,35 @@ object Gates {
     verdict(s, "q_gate_index_vacuum", ok)
   }
 
+  /** Fill-carry dispatch contract (round-12 verdict item #2): the
+    * one-series degenerate shape must take the SEGMENTED two-pass carry
+    * (a windowed carry would funnel the whole grid through one task)
+    * with output IDENTICAL to the windowed twin, while the normal
+    * multi-series corpus keeps the windowed plan (series-parallel is
+    * the right grain there, and the two extra passes would be pure
+    * overhead). Forcing thresholds: 64 buckets trips the one-series
+    * dispatch on the sf-corpus span; MaxValue pins the windowed twin. */
+  val qGateFillDispatch = Q(
+    "q_gate_fill_dispatch", oracleFor("q_gate_fill_dispatch")) { (s, d) =>
+    import graft.operators.TimeSeriesFill
+    val ok = GateMemo.value(s, d, "gate_fill_dispatch_ok") {
+      val oneSeries = Tables.events(s, d).withColumn("series", lit("all"))
+      val (seg, pSeg) = TimeSeriesFill.hourlyWithPath(
+        oneSeries, "series", "ts", "value", segmentedMinSpine = 64L)
+      val (win, pWin) = TimeSeriesFill.hourlyWithPath(
+        oneSeries, "series", "ts", "value", segmentedMinSpine = Long.MaxValue)
+      def rows(df: DataFrame): Seq[String] =
+        df.orderBy("series", "hour").collect().map(_.toString).toSeq
+      val corpusPath = TimeSeriesFill.hourlyWithPath(
+        Tables.events(s, d), "event_type", "ts", "value")._2
+      pSeg == "segmented" && pWin == "windowed" && rows(seg) == rows(win) &&
+        corpusPath == "windowed"
+    }
+    verdict(s, "q_gate_fill_dispatch", ok)
+  }
+
   val all: Seq[Q] = Seq(
+    qGateFillDispatch,
     qGateAnnQuantized, qGateAnnIvfQuantized, qGateDedupMinhash,
     qGateLangIdNgram, qGateApproxDistinct, qGateApproxPercentile,
     qGateCountmin,

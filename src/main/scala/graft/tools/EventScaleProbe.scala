@@ -99,6 +99,25 @@ object EventScaleProbe {
     println(f"RETENTION 4x users: $rU%.2f s (${rU / r1}%.1fx), " +
       f"$rowsU summary rows (${rowsU.toDouble / rows1}%.1fx)")
 
+    // one-scan vs K-scan funnel (round-12 verdict item #6): the K-scan
+    // plan's bet is that type pruning makes each stage cheap — so probe
+    // the shape that breaks the bet (funnel steps COVER the log: the
+    // log filtered to exactly the step types, densified 4x) against the
+    // shape that rewards it (full log, steps are 3 of the types)
+    rd("ev4_dense").filter(col("event_type").isin("view", "click", "purchase"))
+      .write.mode("overwrite").parquet(s"$out/ev4_steps_only")
+    def funnel1(d: DataFrame): Long =
+      graft.operators.Funnel
+        .runOneScan(d, Seq("view", "click", "purchase"), "24 hours").count()
+    val kScanMixed = timeMin { funnel(rd("ev4_dense")) }
+    val oneScanMixed = timeMin { funnel1(rd("ev4_dense")) }
+    val kScanCover = timeMin { funnel(rd("ev4_steps_only")) }
+    val oneScanCover = timeMin { funnel1(rd("ev4_steps_only")) }
+    println(f"FUNNEL K-scan, steps 3-of-5 types (4x dense): $kScanMixed%.2f s")
+    println(f"FUNNEL one-scan, steps 3-of-5 types (4x dense): $oneScanMixed%.2f s")
+    println(f"FUNNEL K-scan, steps cover log (4x dense): $kScanCover%.2f s")
+    println(f"FUNNEL one-scan, steps cover log (4x dense): $oneScanCover%.2f s")
+
     val s1 = timeMin { fill(ev1) }
     val sS = timeMin { fill(rd("ev4_span")) }
     val sD = timeMin { fill(rd("ev4_dense")) }

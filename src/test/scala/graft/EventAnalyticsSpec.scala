@@ -67,6 +67,136 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel: empty step-1 population yields NULL conversion, not NaN") {
+    import spark.implicits._
+    val ev = Seq((1L, "click", ts("2024-01-01 00:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val out = operators.Funnel
+      .run(ev, Seq("view", "click"), "24 hours").collect()
+    assert(out.forall(_.getLong(2) == 0L))
+    assert(out.forall(_.isNullAt(3)),
+      "conversion over an empty entry population must be NULL")
+  }
+
+  test("funnel: malformed maxGap fails fast with a clear message") {
+    import spark.implicits._
+    val ev = Seq((1L, "view", ts("2024-01-01 00:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val e = intercept[IllegalArgumentException] {
+      operators.Funnel.run(ev, Seq("view"), "24 bananas")
+    }
+    assert(e.getMessage.contains("maxGap"))
+  }
+
+  test("funnel latency: hand-computed p50/p90 on a planted frame") {
+    import spark.implicits._
+    // three converters with view→click deltas 1h, 2h, 3h:
+    // p50 = 7200 s; p90 at position 0.9·(3−1)=1.8 → 7200+0.8·3600 = 10080
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 00:00:00")),
+      (1L, "click", ts("2024-01-01 01:00:00")),
+      (2L, "view", ts("2024-01-01 00:00:00")),
+      (2L, "click", ts("2024-01-01 02:00:00")),
+      (3L, "view", ts("2024-01-01 00:00:00")),
+      (3L, "click", ts("2024-01-01 03:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = operators.Funnel
+      .latency(ev, Seq("view", "click"), "24 hours").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getString(1), r.getLong(2)) == (2L, "click", 3L))
+    assert(r.getDouble(3) == 7200.0, s"p50 was ${r.getDouble(3)}")
+    assert(r.getDouble(4) == 10080.0, s"p90 was ${r.getDouble(4)}")
+  }
+
+  test("funnel latency rides the same frontier as reach: users match per step") {
+    val reach = SparkEntry.queries("q_funnel")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val lat = SparkEntry.queries("q_funnel_latency")(spark, sf).collect()
+    assert(lat.map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    lat.foreach { r =>
+      assert(r.getLong(2) == reach(r.getLong(0)),
+        s"latency users at step ${r.getLong(0)} must equal funnel reach")
+      if (r.getLong(2) > 0) {
+        assert(!r.isNullAt(3) && !r.isNullAt(4))
+        assert(r.getDouble(3) <= r.getDouble(4), "p50 must not exceed p90")
+        // the deadline bounds every delta, so percentiles too (24h)
+        assert(r.getDouble(4) <= 24 * 3600.0)
+      }
+    }
+  }
+
+  test("unordered funnel: order-free within the entry window") {
+    import spark.implicits._
+    // u1: all three steps within 24h of first (purchase before click —
+    // counts in unordered, not in ordered); u2: click then view (2 steps);
+    // u3: view, click 25h after entry (only 1 step inside the window)
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 00:00:00")),
+      (1L, "purchase", ts("2024-01-01 01:00:00")),
+      (1L, "click", ts("2024-01-01 02:00:00")),
+      (2L, "click", ts("2024-01-01 00:00:00")),
+      (2L, "view", ts("2024-01-01 01:00:00")),
+      (3L, "view", ts("2024-01-01 00:00:00")),
+      (3L, "click", ts("2024-01-02 01:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = operators.Funnel
+      .runUnordered(ev, Seq("view", "click", "purchase"), "24 hours")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 1.0),     // u1 u2 u3 all did ≥1 step
+      (2L, 2L, 0.6667),  // u1 (3 steps) and u2 (2 steps)
+      (3L, 1L, 0.3333))) // only u1
+  }
+
+  test("unordered funnel over the corpus: monotone, consistent, wider entry") {
+    val ordered = SparkEntry.queries("q_funnel")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val rows = SparkEntry.queries("q_funnel_unordered")(spark, sf).collect()
+    val unordered = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unordered.keySet == ordered.keySet)
+    // entry (step 1): "did any funnel step" is a strict superset of
+    // "did a view" — NOTE deeper steps do NOT dominate the ordered
+    // funnel (the entry window anchors at the FIRST funnel event, so a
+    // user whose early click precedes their view can convert ordered
+    // but overrun the unordered window)
+    assert(unordered(1L) >= ordered(1L))
+    val users = rows.sortBy(_.getLong(0)).map(_.getLong(1))
+    assert(users.sliding(2).forall(w => w(0) >= w(1)),
+      s"unordered reach must be non-increasing: ${users.toSeq}")
+    rows.foreach { r =>
+      val expected =
+        math.round(r.getLong(1).toDouble / users(0) * 10000) / 10000.0
+      assert(r.getDouble(2) == expected,
+        s"conversion mismatch at step ${r.getLong(0)}")
+    }
+  }
+
+  test("one-scan funnel is result-identical to the K-scan plan") {
+    // planted edge cases AND the corpus: both formulations implement
+    // the same greedy first-qualifying-event semantics
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "view", ts("2024-01-01 00:00:00")),
+      (1L, "click", ts("2024-01-01 23:00:00")),
+      (1L, "click", ts("2024-01-02 04:00:00")),
+      (1L, "purchase", ts("2024-01-02 22:00:00")),
+      (2L, "click", ts("2024-01-01 00:00:00")),
+      (2L, "view", ts("2024-01-01 01:00:00")),
+      (3L, "view", ts("2024-01-01 00:00:00")),
+      (3L, "click", ts("2024-01-02 01:00:00")),
+      (4L, "view", ts("2024-01-01 00:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    def render(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    val steps = Seq("view", "click", "purchase")
+    assert(render(operators.Funnel.runOneScan(planted, steps, "24 hours")) ==
+      render(operators.Funnel.run(planted, steps, "24 hours")))
+    val corpus = Tables.events(spark, sf)
+    assert(render(operators.Funnel.runOneScan(corpus, steps, "24 hours")) ==
+      render(operators.Funnel.run(corpus, steps, "24 hours")))
+  }
+
   test("retention cohort: offset-0 retention is 1.0 and users never exceed cohort size") {
     val rows = SparkEntry.queries("q_retention_cohort")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
@@ -84,6 +214,33 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .select("user_id").distinct().count()
     assert(size.values.sum == totalUsers,
       "offset-0 cohort sizes must partition the user base")
+  }
+
+  test("weekly retention: offset-0 is 1.0, curve is the size-weighted cross-cohort ratio") {
+    val rows = SparkEntry.queries("q_retention_weekly")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val size = rows.filter(_._2 == 0L).map(t => t._1 -> t._3).toMap
+    assert(rows.map(_._1).toSet == size.keySet)
+    rows.foreach { case (week, off, users, ret, _) =>
+      assert(users <= size(week), s"cohort $week offset $off: $users > size")
+      if (off == 0L) assert(ret == 1.0)
+      assert(ret > 0 && ret <= 1.0)
+    }
+    // curve at each offset = Σusers / Σsizes over the cohorts with a row
+    // there (and therefore identical across those rows)
+    rows.groupBy(_._2).foreach { case (off, rs) =>
+      val expected = math.round(rs.map(_._3).sum.toDouble
+        / rs.map(r => size(r._1)).sum * 10000) / 10000.0
+      rs.foreach { r =>
+        assert(r._5 == expected, s"curve at offset $off: ${r._5} != $expected")
+      }
+    }
+    // weekly cohorts partition the user base exactly like daily ones
+    val totalUsers = Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(size.values.sum == totalUsers)
   }
 
   test("timeseries fill: planted gap carries the last observation, leading gap stays null") {

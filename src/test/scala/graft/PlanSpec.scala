@@ -225,5 +225,23 @@ class PlanSpec extends AnyFunSuite {
           p.linesIterator.filter(_.contains("PushedFilters"))
             .mkString("\n"))
     }
+    // the latency report rides the SAME frontier frames — prev-step
+    // carry must not cost the type pruning
+    val pl = plan("q_funnel_latency")
+    Seq("view", "click", "purchase").foreach { step =>
+      assert(pl.contains(s"EqualTo(event_type,$step)"),
+        s"latency step '$step' filter not pushed to scan:\n" +
+          pl.linesIterator.filter(_.contains("PushedFilters"))
+            .mkString("\n"))
+    }
+    // the one-scan formulation reads the step-typed rows ONCE via a
+    // pushed IN-list (this is its whole point vs the K-scan plan)
+    val df1 = graft.operators.Funnel.runOneScan(Tables.events(spark, sf),
+      Seq("view", "click", "purchase"), "24 hours")
+    df1.collect()
+    val p1 = df1.queryExecution.executedPlan.toString
+    assert(p1.contains("In(event_type"),
+      "one-scan funnel must push the step IN-list:\n" +
+        p1.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
   }
 }
