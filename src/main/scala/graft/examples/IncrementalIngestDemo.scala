@@ -20,6 +20,9 @@ import org.apache.spark.sql.functions._
   *     → maintenance when the replay tax shows
   *       (IndexMaintenance.stats gauges duplication in one shuffle-free
   *       scan; vacuum rewrites to the distinct row set and compacts)
+  *     → corpus OPTIMIZE when fragmentation shows
+  *       (SnapshotStore.compactionGauge reads one manifest-sized
+  *       listing; compact runs only when the gauge recommends)
   *
   * Day 3 is deliberately a re-crawl: half its documents are day-1 texts
   * under fresh ids — the exact path must refuse them (alreadyKnown, not
@@ -43,7 +46,10 @@ object IncrementalIngestDemo {
       replayAccepted: Long,        // exact path on a full replay: must be 0
       replayPairsStable: Boolean,  // near-dup pairs identical across replay
       dupRatioBefore: Double, dupRatioAfter: Double,
-      vacuumedRows: Long, pairsStableAfterVacuum: Boolean)
+      vacuumedRows: Long, pairsStableAfterVacuum: Boolean,
+      snapshotMaxFilesBefore: Int, // corpus gauge when the days are in
+      snapshotCompacted: Boolean,  // gauge-dispatched OPTIMIZE ran
+      snapshotQuietAfter: Boolean) // post-maintenance gauge is quiet
 
   def run(spark: SparkSession, sfDir: String, outRoot: String)
       : (Seq[BatchReport], MaintenanceReport) = {
@@ -102,13 +108,31 @@ object IncrementalIngestDemo {
     val postVacPairs = pairsOf(
       IncrementalNearDup.ingest(spark, bandDir, day2, "doc_id", "text"))
 
+    // the CORPUS side of maintenance: nightly gauge-then-OPTIMIZE on
+    // the snapshot store (SnapshotStore.compactionGauge — one
+    // manifest-sized listing, the analog of IndexMaintenance.stats for
+    // the band index above). Idempotent: a quiet store skips the
+    // rewrite entirely.
+    import graft.streaming.SnapshotStore
+    val corpusGauge = SnapshotStore.compactionGauge(spark, corpusDir)
+    val compacted =
+      if (corpusGauge.recommend) {
+        SnapshotStore.compact(spark, corpusDir,
+          keys = Seq("__fp", "text")) // IncrementalDedup's store keys
+        true
+      } else false
+    val corpusQuiet = !SnapshotStore.compactionGauge(spark, corpusDir).recommend
+
     (reports, MaintenanceReport(
       replayAccepted = replayAccepted,
       replayPairsStable = replayPairsStable,
       dupRatioBefore = before.duplicationRatio,
       dupRatioAfter = after.duplicationRatio,
       vacuumedRows = vac.rowsBefore - vac.rowsAfter,
-      pairsStableAfterVacuum = postVacPairs == preVacPairs))
+      pairsStableAfterVacuum = postVacPairs == preVacPairs,
+      snapshotMaxFilesBefore = corpusGauge.maxBucketFiles,
+      snapshotCompacted = compacted,
+      snapshotQuietAfter = corpusQuiet))
   }
 
   def main(args: Array[String]): Unit = {
@@ -126,6 +150,8 @@ object IncrementalIngestDemo {
     println(f"replay: accepted=${m.replayAccepted} pairsStable=${m.replayPairsStable} " +
       f"dupRatio ${m.dupRatioBefore}%.2f -> ${m.dupRatioAfter}%.2f " +
       f"(vacuumed ${m.vacuumedRows} rows, stable=${m.pairsStableAfterVacuum})")
+    println(s"corpus: maxBucketFiles=${m.snapshotMaxFilesBefore} " +
+      s"compacted=${m.snapshotCompacted} quietAfter=${m.snapshotQuietAfter}")
     spark.stop()
   }
 }

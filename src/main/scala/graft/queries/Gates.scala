@@ -637,6 +637,149 @@ object Gates {
     verdict(s, "q_gate_stream_late", ok)
   }
 
+  /** Stream-stream interval join, driver-visible (round-12 verdict
+    * item #4 — the one StreamingSpec contract without a gate key):
+    * replay the events table through the WATERMARKED signup↔purchase
+    * interval join as micro-batches —
+    * (1) the on-time corpus (every pair emits as matches are found),
+    * (2) far-future marker rows on BOTH sides (one signup, one
+    *     purchase, 3 h apart so they never join each other) that
+    *     advance both side watermarks and evict all buffered state,
+    * (3) a LATE purchase crafted to pair with a real on-time signup —
+    *     its event time is now far below the purchase-side watermark,
+    *     so the stream must DROP it even though batch semantics would
+    *     emit the pair.
+    * Verdict: streamed == the batch twin over the on-time corpus (the
+    * IDENTICAL signupPurchaseJoin function — batch withWatermark is a
+    * no-op), non-empty, AND the with-leak batch twin differs (the
+    * planted late purchase gates something real: state eviction is
+    * observable, the bounded-state contract a 100 TB stream join
+    * lives by). */
+  val qGateStreamStreamJoin = Q(
+    "q_gate_stream_stream_join", oracleFor("q_gate_stream_stream_join")) { (s, d) =>
+    import graft.streaming.Streams
+    val ok = GateMemo.value(s, d, "gate_stream_stream_join_ok") {
+      val work = new java.io.File(
+        "/root/repo/target/stream_ss_join_gate/" + new java.io.File(d).getName)
+      graft.LocalFs.rmrf(work)
+      val landing = new java.io.File(work, "landing"); landing.mkdirs()
+      val onTime = Tables.events(s, d)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .localCheckpoint(true)
+      val maxTs = onTime.agg(max("ts")).head().getTimestamp(0).getTime
+      // one deterministic template row (same hazard class as the late
+      // gate's marker: pinned by checkpointed onTime + orderBy on the
+      // unique event_id)
+      def marker(id: Long, tpe: String, offsetMs: Long) = onTime
+        .orderBy("event_id").limit(1)
+        .withColumn("event_id", lit(id))
+        .withColumn("user_id", lit(id)) // never matches a real user
+        .withColumn("event_type", lit(tpe))
+        .withColumn("ts", timestamp_millis(lit(maxTs + offsetMs)))
+      val nudgeSignup = marker(-1L, "signup", 100L * 3600 * 1000)
+      val nudgePurchase = marker(-2L, "purchase", 103L * 3600 * 1000)
+      // the leak probe: a purchase 1 h after a REAL signup — a valid
+      // batch pair, landed only after the watermark passed it
+      val seedSignup = onTime.filter(col("event_type") === "signup")
+        .orderBy("event_id").limit(1).localCheckpoint(true)
+      val seed = seedSignup.head()
+      val latePurchase = seedSignup
+        .withColumn("event_id", lit(-3L))
+        .withColumn("event_type", lit("purchase"))
+        .withColumn("ts", timestamp_millis(
+          lit(seed.getTimestamp(seed.fieldIndex("ts")).getTime + 3600 * 1000L)))
+        .localCheckpoint(true)
+      def land(df: DataFrame, name: String): Unit = {
+        val tmp = new java.io.File(work, s"tmp_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val part = tmp.listFiles().find(f =>
+          f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file under $tmp"))
+        require(part.renameTo(new java.io.File(landing, name)),
+          s"landing rename failed for $name")
+        graft.LocalFs.rmrf(tmp)
+      }
+      def rows(df: DataFrame): Seq[String] =
+        df.orderBy("eid_a", "eid_b").collect().map(_.toString).toSeq
+      land(onTime, "b1.parquet")
+      val stream = s.readStream.schema(onTime.schema).parquet(landing.getPath)
+      val q = Streams.signupPurchaseJoin(stream).writeStream
+        .format("memory").queryName("gate_stream_ss_join")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable() // all on-time pairs emit
+        land(nudgeSignup.unionByName(nudgePurchase), "b2.parquet")
+        q.processAllAvailable() // watermarks advance 100 h; state evicts
+        land(latePurchase, "b3.parquet")
+        q.processAllAvailable() // late purchase must be dropped
+      } finally q.stop()
+      val streamed = rows(s.table("gate_stream_ss_join"))
+      val expected = rows(Streams.signupPurchaseJoin(onTime))
+      val withLeak = rows(Streams.signupPurchaseJoin(
+        onTime.unionByName(latePurchase)))
+      streamed.nonEmpty && streamed == expected && withLeak != expected
+    }
+    verdict(s, "q_gate_stream_stream_join", ok)
+  }
+
+  /** Snapshot compaction gauge (round-12 verdict item #5 —
+    * IndexMaintenance.stats' analog for the snapshot store): a store
+    * fragmented by N retained merges must GAUGE recommend=true with the
+    * overfull buckets named; running the gauge-dispatched compact must
+    * leave identical content; and the freshly compacted store must
+    * gauge QUIET — so a nightly `if (gauge.recommend) compact()` is
+    * idempotent maintenance, not a timer-driven rewrite of healthy
+    * data. The gauge itself is one manifest-sized listing (≤ numBuckets
+    * dirs, no data read at any store size). */
+  val qGateSnapshotCompactGauge = Q(
+    "q_gate_snapshot_compact_gauge",
+    oracleFor("q_gate_snapshot_compact_gauge")) { (s, d) =>
+    import graft.streaming.SnapshotStore
+    val ok = GateMemo.value(s, d, "gate_snapshot_compact_gauge_ok") {
+      val dir = "/root/repo/target/compact_gauge_store/" +
+        new java.io.File(d).getName
+      graft.LocalFs.rmrf(new java.io.File(dir))
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      // fragment deliberately, the q_snapshot_compact fixture's trick:
+      // with AQE coalescing off and a pinned fan-out every merge writes
+      // several files into each touched bucket dir (at spec scale AQE
+      // would coalesce the tiny shuffle to 1 partition = 1 file and
+      // there would be nothing to gauge)
+      val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+      val shufKey = "spark.sql.shuffle.partitions"
+      val (coalesceWas, shufWas) =
+        (s.conf.get(coalesceKey, "true"), s.conf.get(shufKey))
+      try {
+        s.conf.set(coalesceKey, "false"); s.conf.set(shufKey, "6")
+        SnapshotStore.merge(s, dir,
+          orders.filter(col("o_orderkey") % 2 === 0), Seq("o_orderkey"),
+          numBuckets = 4, retain = true)
+        SnapshotStore.merge(s, dir,
+          orders.filter(col("o_orderkey") % 2 === 1), Seq("o_orderkey"),
+          numBuckets = 4, retain = true)
+      } finally {
+        s.conf.set(coalesceKey, coalesceWas); s.conf.set(shufKey, shufWas)
+      }
+      val fragmented = SnapshotStore.compactionGauge(s, dir)
+      val before = SnapshotStore.read(s, dir)
+        .orderBy("o_orderkey").collect().map(_.toString).toSeq
+      val touched =
+        if (fragmented.recommend)
+          SnapshotStore.compact(s, dir, Seq("o_orderkey"))
+        else Seq.empty
+      val after = SnapshotStore.read(s, dir)
+        .orderBy("o_orderkey").collect().map(_.toString).toSeq
+      val quiet = SnapshotStore.compactionGauge(s, dir)
+      fragmented.recommend &&
+        fragmented.versionsRetained == 2 &&
+        fragmented.overfullBuckets == touched &&
+        before == after &&
+        !quiet.recommend && quiet.maxBucketFiles <= 1
+    }
+    verdict(s, "q_gate_snapshot_compact_gauge", ok)
+  }
+
   /** State-store parity, driver-visible: the tumbling aggregation under
     * the default HDFS-backed store and under RocksDB (the backend a
     * production state size needs — billions of keys spill to local disk
@@ -899,7 +1042,8 @@ object Gates {
     qGateDedupSimhash, qGateDedupEmbedAnn, qGateDedupEmbedIncremental,
     qGateKmeans, qGateCatalogRelationsSketch,
     qGateCatalogRelationsIncremental, qGateNeardupIncremental,
-    qGateIndexDrift, qGateStreamLate, qGateStatestoreParity,
+    qGateIndexDrift, qGateStreamLate, qGateStreamStreamJoin,
+    qGateSnapshotCompactGauge, qGateStatestoreParity,
     qGateBucketedJoin, qGateBloomJoin, qGateExactlyOnce, qGateCboStats,
     qGateIndexVacuum)
 }

@@ -617,6 +617,57 @@ object SnapshotStore {
       numBuckets, schema, since, touched, rewritten, keys, retain)
   }
 
+  /** One manifest-sized observation of the store's physical health —
+    * what [[compactionGauge]] reports and [[compact]] dispatches on.
+    * `overfullBuckets` applies EXACTLY compact's touch rule
+    * (files > max(maxFilesPerBucket, size-warranted count)), so
+    * `recommend` is true iff a compact call would rewrite anything. */
+  final case class CompactionGauge(
+      version: Long, buckets: Int, totalFiles: Long, totalBytes: Long,
+      maxBucketFiles: Int, overfullBuckets: Seq[Int],
+      versionsRetained: Int,
+      filesPerBucket: Map[Int, Int], bytesPerBucket: Map[Int, Long]) {
+    def recommend: Boolean = overfullBuckets.nonEmpty
+  }
+
+  /** The "when should I run OPTIMIZE" half of the compaction story —
+    * [[graft.operators.IndexMaintenance.stats]]'s analog for the
+    * snapshot store: ONE manifest-sized listing (≤ numBuckets dirs, no
+    * data read, constant cost at any data size) reporting the current
+    * version's per-bucket file fragmentation plus the retained-version
+    * count. A nightly maintenance job is one idempotent
+    * gauge-then-compact per store:
+    * `if (compactionGauge(...).recommend) compact(...)` — a freshly
+    * compacted (or never-fragmented) store gauges quiet and pays no
+    * rewrite (`q_gate_snapshot_compact_gauge` pins both directions). */
+  def compactionGauge(spark: SparkSession, dir: String,
+      maxFilesPerBucket: Int = 1,
+      targetFileBytes: Long = 512L * 1024 * 1024): CompactionGauge = {
+    require(maxFilesPerBucket >= 1,
+      s"maxFilesPerBucket must be >= 1, got $maxFilesPerBucket")
+    require(targetFileBytes >= 1,
+      s"targetFileBytes must be >= 1, got $targetFileBytes")
+    val committed = currentManifest(spark, dir).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"no snapshot manifest in $dir — nothing to gauge"))
+    val (fs, base) = fsOf(spark, dir)
+    val stats: Map[Int, (Int, Long)] = committed.buckets.map { case (b, d) =>
+      val files = fs.listStatus(new Path(base, d)).filter(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
+      b -> (files.length, files.map(_.getLen).sum)
+    }
+    def want(b: Int): Int =
+      math.max(1, math.ceil(stats(b)._2.toDouble / targetFileBytes).toInt)
+    val overfull = committed.buckets.keys.toSeq.sorted
+      .filter(b => stats(b)._1 > math.max(maxFilesPerBucket, want(b)))
+    CompactionGauge(
+      committed.version, committed.buckets.size,
+      stats.values.map(_._1.toLong).sum, stats.values.map(_._2).sum,
+      stats.values.map(_._1).maxOption.getOrElse(0), overfull,
+      listVersions(spark, dir).size,
+      stats.view.mapValues(_._1).toMap, stats.view.mapValues(_._2).toMap)
+  }
+
   /** Small-file compaction — the lakehouse OPTIMIZE verb: every
     * incremental merge/delete/update writes its touched buckets with as
     * many files as the shuffle had partitions, so a long-lived snapshot
@@ -668,21 +719,17 @@ object SnapshotStore {
     val committed = currentManifest(spark, dir).getOrElse(
       throw new java.io.FileNotFoundException(
         s"no snapshot manifest in $dir — nothing to compact"))
-    val (fs, base) = fsOf(spark, dir)
-    // per-bucket (file count, byte size) from one manifest-sized listing
-    val stats: Map[Int, (Int, Long)] = committed.buckets.map { case (b, d) =>
-      val files = fs.listStatus(new Path(base, d)).filter(st =>
-        st.isFile && st.getPath.getName.endsWith(".parquet"))
-      b -> (files.length, files.map(_.getLen).sum)
-    }
+    // per-bucket (file count, byte size) from one manifest-sized
+    // listing — THE gauge: compact dispatches off compactionGauge so
+    // the advisory recommend bit and the rewrite's touch set can never
+    // diverge (a bucket needs compaction when its file count exceeds
+    // BOTH the caller's floor and what its size warrants, so a bucket
+    // already at its size-targeted layout is left alone and compact()
+    // converges)
+    val gauge = compactionGauge(spark, dir, maxFilesPerBucket, targetFileBytes)
     def want(b: Int): Int =
-      math.max(1, math.ceil(stats(b)._2.toDouble / targetFileBytes).toInt)
-    // a bucket needs compaction when its file count exceeds BOTH the
-    // caller's floor and what its size warrants — so a bucket already
-    // at its size-targeted layout (including one just compacted) is
-    // left alone and compact() converges
-    val touched = committed.buckets.keys.toSeq.sorted
-      .filter(b => stats(b)._1 > math.max(maxFilesPerBucket, want(b)))
+      math.max(1, math.ceil(gauge.bytesPerBucket(b).toDouble / targetFileBytes).toInt)
+    val touched = gauge.overfullBuckets
     if (touched.isEmpty) return Seq.empty
     val schema = committedSchema(spark, dir, committed)
     val since = committed.schemaSince.getOrElse(committed.version)

@@ -199,5 +199,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.dupRatioBefore > 1.2 && m.vacuumedRows > 0, s"no replay tax seen: $m")
     assert(m.dupRatioAfter < 1.1, s"vacuum left duplication: $m")
     assert(m.pairsStableAfterVacuum, s"vacuum changed the pair set: $m")
+    // the corpus-snapshot side of maintenance: the gauge-dispatched
+    // OPTIMIZE leg ends quiet either way (compacted, or never needed)
+    assert(m.snapshotQuietAfter, s"corpus gauge still recommends: $m")
+    assert(!m.snapshotCompacted || m.snapshotMaxFilesBefore > 1,
+      s"compact ran on an unfragmented corpus: $m")
   }
 }
