@@ -61,14 +61,16 @@ object Bench {
       // host noise (CPU steal on a shared box can inflate a 0.2 s plan
       // to >1 s — the same five keys were flagged as phantom 3-7x
       // regressions in three separate rounds). Cheap keys are cheap to
-      // re-run, so: first rep < 1 s → min-of-5; the extra ~1 s/key
-      // buys a minimum that is an actual plan-cost observation.
+      // re-run, so: whenever the running MINIMUM is < 1 s, keep going
+      // to min-of-5 (gating on the minimum, not the first rep, so a
+      // cold-cache first rep over 1 s cannot exempt a sub-second key).
       // Expensive keys keep the configured rep count — re-running a
       // 6 s key 5x would cost more than the noise it removes.
       val base = repsFor(name)
-      val first = runOnce()
-      val target = if (first._1 < 1.0) math.max(base, 5) else base
-      val runs = first +: (2 to target).map(_ => runOnce())
+      var runs = Vector(runOnce())
+      while (runs.size < base) runs :+= runOnce()
+      while (runs.map(_._1).min < 1.0 && runs.size < math.max(base, 5))
+        runs :+= runOnce()
       (name, runs.map(_._1).min, runs.forall(_._2), runs.size)
     }
     def r3(v: Double): Double = math.round(v * 1000).toDouble / 1000

@@ -211,6 +211,94 @@ object EventAnalytics {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** DAU / rolling-7-day WAU / stickiness per day. The scale problem is
+    * the ROLLING DISTINCT: "users active in [d−6, d]" is not
+    * decomposable over a window (distinct doesn't sum), and the naive
+    * day×day self-join rescans the activity frame 7×. Instead each
+    * (user, day) activity CONTRIBUTES itself to the 7 windows ending at
+    * day..day+6 — a bounded ×7 `sequence`+`explode` on the already
+    * user-deduped daily frame, then one distinct + count per window
+    * end. Map-side bounded fan-out beats a self-join at any corpus
+    * size. Window ends past the observed range are clipped so every
+    * reported day has a fully defined (possibly partial-history) WAU.
+    * Stickiness = DAU/WAU — the engagement ratio product analytics
+    * reads daily. */
+  val qActiveUsers = Q(
+    "q_active_users",
+    """WITH act AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d,
+      |                             user_id
+      |             FROM events),
+      |bounds AS (SELECT max(d) AS hi FROM act),
+      |dau AS (SELECT d, count(*) AS dau FROM act GROUP BY 1),
+      |contrib AS (
+      |  SELECT DISTINCT w.wend, a.user_id
+      |  FROM act a CROSS JOIN bounds b
+      |  JOIN LATERAL (SELECT unnest(generate_series(a.d, least(a.d + 6, b.hi),
+      |                              INTERVAL 1 DAY)) AS wend) w ON true),
+      |wau AS (SELECT CAST(wend AS DATE) AS d, count(*) AS wau
+      |        FROM contrib GROUP BY 1)
+      |SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+      |       round(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
+      |FROM dau JOIN wau ON dau.d = wau.d
+      |ORDER BY day""".stripMargin) { (s, d) =>
+    val act = Tables.events(s, d)
+      .select(to_date(date_trunc("day", col("ts"))).as("d"), col("user_id"))
+      .distinct()
+    val hi = act.agg(max("d")).head().getDate(0)
+    val dau = act.groupBy("d").agg(count(lit(1)).as("dau"))
+    // each activity feeds the 7 window-ends it is visible from,
+    // clipped at the last observed day
+    val contrib = act
+      .select(explode(sequence(col("d"),
+        least(date_add(col("d"), 6), lit(hi)))).as("wend"), col("user_id"))
+      .distinct()
+    val wau = contrib.groupBy(col("wend").as("d"))
+      .agg(count(lit(1)).as("wau"))
+    dau.join(wau, "d")
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+      .orderBy("day")
+  }
+
+  /** Next-event transition counts — the Markov/path-analysis staple:
+    * per user in timestamp order, count (event_type → next event_type)
+    * pairs, with per-source transition shares. One user-partitioned
+    * lead() window (the sessionizer's shuffle grain; a hot user is one
+    * partition's sort, never a cross product), then a types² hash agg —
+    * the output is vocabulary-bounded, never event-bounded. Ties on
+    * (user, ts) are broken by event_id so the "next" event is total-
+    * ordered and engine-portable. */
+  val qEventTransitions = Q(
+    "q_event_transitions",
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |         -- ts truncated to MICROS: Spark reads the ns parquet ts
+      |         -- at micros precision, so the engines must rank ties
+      |         -- identically before event_id breaks them
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY date_trunc('microseconds', ts),
+      |                                         event_id) AS next_type
+      |  FROM events),
+      |t AS (SELECT event_type, next_type, count(*) AS n FROM seq
+      |      WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT event_type, next_type, n,
+      |       round(CAST(n AS DOUBLE)
+      |         / sum(n) OVER (PARTITION BY event_type), 4) AS share
+      |FROM t ORDER BY event_type, next_type""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val wNext = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val seq = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        lead("event_type", 1).over(wNext).as("next_type"))
+    val t = seq.filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+    val wSrc = Window.partitionBy("event_type")
+    t.select(col("event_type"), col("next_type"), col("n"),
+        round(col("n").cast("double") / sum("n").over(wSrc), 4).as("share"))
+      .orderBy("event_type", "next_type")
+  }
+
   /** Hourly resample of per-type value sums onto a dense spine with
     * forward fill (operators/TimeSeriesFill): gaps become explicit NULL
     * observations and `filled` carries the last value across them. */
@@ -238,5 +326,6 @@ object EventAnalytics {
   }
 
   val all: Seq[Q] = Seq(qFunnel, qFunnelLatency, qFunnelUnordered,
-    qRetentionCohort, qRetentionWeekly, qTimeseriesFill)
+    qRetentionCohort, qRetentionWeekly, qActiveUsers, qEventTransitions,
+    qTimeseriesFill)
 }

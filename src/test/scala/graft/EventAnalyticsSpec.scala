@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Behavioral-analytics invariants (funnel ordering + deadline, cohort
@@ -241,6 +242,77 @@ class EventAnalyticsSpec extends AnyFunSuite {
     val totalUsers = Tables.events(spark, sf)
       .select("user_id").distinct().count()
     assert(size.values.sum == totalUsers)
+  }
+
+  test("active users: hand-computed DAU/WAU on a planted frame") {
+    import spark.implicits._
+    // u1 active day1+day3, u2 active day1 only; observed range ends day3
+    val ev = Seq(
+      (1L, 1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, 2L, "view", ts("2024-01-01 11:00:00")),
+      (2L, 1L, "view", ts("2024-01-01 12:00:00")), // same user+day dedups
+      (3L, 1L, "view", ts("2024-01-03 10:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val q = queries.EventAnalytics.qActiveUsers
+    // build against a temp dir holding just this events table
+    val dir = java.nio.file.Files.createTempDirectory("graft_dau").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = q.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // day1: DAU {u1,u2}=2, WAU(window ending day1)={u1,u2}=2
+    // day2: no DAU row (no activity) — only observed-active days report
+    // day3: DAU {u1}=1, WAU(days −3..3 clipped)= {u1,u2} = 2
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 2L, 2L, 1.0),
+      ("2024-01-03", 1L, 2L, 0.5)))
+  }
+
+  test("active users over the corpus: WAU dominates DAU, stickiness in (0,1]") {
+    val rows = SparkEntry.queries("q_active_users")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"day ${r.getString(0)}: WAU ${r.getLong(2)} < DAU ${r.getLong(1)}")
+      assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0)
+    }
+    // every observed-active day reports exactly once
+    val days = Tables.events(spark, sf)
+      .select(to_date(date_trunc("day", col("ts")))).distinct().count()
+    assert(rows.length == days)
+  }
+
+  test("event transitions: planted chain counts and shares") {
+    import spark.implicits._
+    // u1: a→b→a ; u2: a→b. Transitions: a→b ×2, b→a ×1.
+    val ev = Seq(
+      (1L, 1L, "a", ts("2024-01-01 00:00:00")),
+      (2L, 1L, "b", ts("2024-01-01 00:01:00")),
+      (3L, 1L, "a", ts("2024-01-01 00:02:00")),
+      (4L, 2L, "a", ts("2024-01-01 00:00:30")),
+      (5L, 2L, "b", ts("2024-01-01 00:01:30"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("graft_trans").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = queries.EventAnalytics.qEventTransitions.run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq == Seq(("a", "b", 2L, 1.0), ("b", "a", 1L, 1.0)))
+  }
+
+  test("event transitions over the corpus: totals and shares reconcile") {
+    val rows = SparkEntry.queries("q_event_transitions")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // Σ transitions = Σ_users (events_u − 1)
+    val perUser = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("n")).agg(sum(col("n") - 1)).head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum == perUser,
+      "transition count must equal events minus one per user")
+    // per-source shares sum to 1 (up to the 4-decimal rounding per row)
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val s = rs.map(_.getDouble(3)).sum
+      assert(math.abs(s - 1.0) < 0.001 * rs.length,
+        s"shares for $src sum to $s")
+    }
   }
 
   test("timeseries fill: planted gap carries the last observation, leading gap stays null") {
