@@ -214,7 +214,29 @@ object DumpPlans {
       "operator reads the view/click/purchase rows, never the log per " +
       "stage; every frontier join and aggregation keys on user_id (the " +
       "same exchange key end to end); the conversion window runs over " +
-      "the K-row step summary, not the data."))
+      "the K-row step summary, not the data."),
+    "q_funnel_latency" -> ("Funnel step latency (round 13). Same frontier " +
+      "frames as q_funnel with the prev-step time carried on the row — " +
+      "so the plan shows the SAME three type-pruned scans and user_id " +
+      "exchanges, plus one exact percentile aggregate per step over the " +
+      "already user-deduped frontier. What to check: no extra scan of " +
+      "events beyond the three stages, EqualTo(event_type, …) pushed on " +
+      "each, and the percentile agg input bounded by frontier size."),
+    "q_active_users" -> ("DAU/rolling-WAU (round 13). The rolling " +
+      "distinct is computed by CONTRIBUTION EXPANSION: the user-deduped " +
+      "daily activity explodes to its ≤7 visible window-ends (bounded " +
+      "map-side fan-out, an Expand/Generate over the small frame), then " +
+      "one distinct + per-day count. What to check: events is scanned " +
+      "ONCE (plus the 1-row max-day probe); no day×day self-join of the " +
+      "activity frame; the DAU↔WAU join runs over calendar-bounded " +
+      "frames (days × users-per-day, never raw events)."),
+    "q_event_transitions" -> ("Next-event transitions (round 13). One " +
+      "user-partitioned Window (lead) — the sessionizer's shuffle grain, " +
+      "a hot user is one partition's sort, never a cross product — " +
+      "feeding a types² hash aggregate; the share window runs over the " +
+      "vocabulary-bounded transition table. What to check: exactly one " +
+      "data-sized exchange (hashpartitioning(user_id)); the second " +
+      "Window's partition key is event_type over ≤types² rows."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
