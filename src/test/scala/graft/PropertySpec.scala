@@ -355,6 +355,58 @@ object PropertySpec extends Properties("graft") {
       steps.indices.forall(i => got(i + 1) == reach(i).toLong)
     }
 
+  property("one-scan funnel is result-identical to the K-scan plan on random logs") =
+    forAll(eventGen) { evs =>
+      import spark.implicits._
+      val steps = Seq("view", "click", "purchase")
+      val df = evs.map { case (u, s, m) =>
+        (u, s, new java.sql.Timestamp(m * 60000L)) }
+        .toDF("user_id", "event_type", "ts")
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(_.toString).toSeq
+      rows(operators.Funnel.runOneScan(df, steps, "30 minutes")) ==
+        rows(operators.Funnel.run(df, steps, "30 minutes"))
+    }
+
+  property("unordered funnel: step counts match a per-user set-fold reference") =
+    forAll(eventGen) { evs =>
+      import spark.implicits._
+      val steps = Seq("view", "click", "purchase")
+      val gapMin = 30L
+      // reference: per user, t0 = first funnel event; k = distinct step
+      // types whose FIRST occurrence is within the gap of t0
+      val ks = evs.groupBy(_._1).values.map { rows =>
+        val t0 = rows.map(_._3).min
+        steps.count(s => rows.filter(_._2 == s).map(_._3).minOption
+          .exists(_ <= t0 + gapMin))
+      }.toSeq
+      val expected = steps.indices.map(i => ks.count(_ >= i + 1).toLong)
+      val df = evs.map { case (u, s, m) =>
+        (u, s, new java.sql.Timestamp(m * 60000L)) }
+        .toDF("user_id", "event_type", "ts")
+      val got = operators.Funnel.runUnordered(df, steps, s"$gapMin minutes")
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      steps.indices.forall(i => got(i + 1) == expected(i))
+    }
+
+  property("segmented fill carry is bit-identical to the windowed carry") =
+    forAll(Gen.listOfN(16, Gen.zip(Gen.oneOf("a", "b"),
+      Gen.chooseNum(0L, 9L), Gen.chooseNum(1, 99)))) { evs =>
+      evs.nonEmpty ==> {
+        import spark.implicits._
+        val df = evs.map { case (s, h, v) =>
+          (s, new java.sql.Timestamp(h * 3600000L), v.toDouble) }
+          .toDF("series", "ts", "value")
+        def rows(threshold: Long) = operators.TimeSeriesFill
+          .hourlyWithPath(df, "series", "ts", "value", threshold)
+        val (seg, pSeg) = rows(1L)             // force the segmented path
+        val (win, pWin) = rows(Long.MaxValue)  // force the windowed path
+        def render(d: org.apache.spark.sql.DataFrame) =
+          d.orderBy("series", "hour").collect().map(_.toString).toSeq
+        pSeg == "segmented" && pWin == "windowed" && render(seg) == render(win)
+      }
+    }
+
   property("series fill: dense grid, observed sums preserved, carry matches a fold") =
     forAll(Gen.listOfN(20, Gen.zip(Gen.oneOf("a", "b"),
       Gen.chooseNum(0L, 6L), Gen.chooseNum(1, 99)))) { evs =>
