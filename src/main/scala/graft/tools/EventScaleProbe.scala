@@ -118,6 +118,40 @@ object EventScaleProbe {
     println(f"FUNNEL K-scan, steps cover log (4x dense): $kScanCover%.2f s")
     println(f"FUNNEL one-scan, steps cover log (4x dense): $oneScanCover%.2f s")
 
+    // round-13 keys, each on its bounding axis: the DAU/WAU summary is
+    // CALENDAR-bounded (4x users must not grow the output), the
+    // transition matrix is VOCABULARY-bounded (4x per-user density
+    // grows only the lead() window's input, never the output)
+    def activeUsers(d: DataFrame): Long = {
+      val act = d.select(to_date(date_trunc("day", col("ts"))).as("dy"),
+        col("user_id")).distinct()
+      val hi = act.agg(max("dy")).head().getDate(0)
+      val contrib = act.select(explode(sequence(col("dy"),
+        least(date_add(col("dy"), 6), lit(hi)))).as("wend"), col("user_id"))
+        .distinct()
+      contrib.groupBy("wend").agg(count(lit(1))).count()
+    }
+    def transitions(d: DataFrame): Long = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      d.select(col("event_type"),
+          lead("event_type", 1).over(w).as("nt"))
+        .filter(col("nt").isNotNull)
+        .groupBy("event_type", "nt").agg(count(lit(1))).count()
+    }
+    val a1 = timeMin { activeUsers(ev1) }
+    val aU = timeMin { activeUsers(rd("ev4_users")) }
+    val rowsA1 = activeUsers(ev1); val rowsAU = activeUsers(rd("ev4_users"))
+    println(f"ACTIVE_USERS 1x: $a1%.2f s ($rowsA1 summary rows)")
+    println(f"ACTIVE_USERS 4x users: $aU%.2f s (${aU / a1}%.1fx), " +
+      f"$rowsAU rows (${rowsAU.toDouble / rowsA1}%.1fx)")
+    val t1 = timeMin { transitions(ev1) }
+    val tD = timeMin { transitions(rd("ev4_dense")) }
+    val rowsT1 = transitions(ev1); val rowsTD = transitions(rd("ev4_dense"))
+    println(f"TRANSITIONS 1x: $t1%.2f s ($rowsT1 matrix rows)")
+    println(f"TRANSITIONS 4x per-user density: $tD%.2f s (${tD / t1}%.1fx), " +
+      f"$rowsTD rows (${rowsTD.toDouble / rowsT1}%.1fx)")
+
     val s1 = timeMin { fill(ev1) }
     val sS = timeMin { fill(rd("ev4_span")) }
     val sD = timeMin { fill(rd("ev4_dense")) }
