@@ -261,6 +261,36 @@ object EventAnalytics {
       .orderBy("day")
   }
 
+  /** The sketch path for q_active_users at 100 TB: per-day HyperLogLog
+    * sketches of the user set (map-side mergeable — the daily state is
+    * a fixed-size sketch, never a user set, so the scan needs NO
+    * (user, day) distinct shuffle at all), rolled up with the same
+    * ≤7-way contribution expansion but over SKETCHES (days × 7 tiny
+    * rows) and merged via hll_union_agg. Estimates are engine-specific
+    * (DataSketches HLL, lgConfigK=12 → ~1.6% relative standard error),
+    * so the key is rows-only with `q_gate_active_users_sketch` pinning
+    * the estimates against the exact twin. */
+  val qActiveUsersSketch = Q.noOracle("q_active_users_sketch") { (s, d) =>
+    val act = Tables.events(s, d)
+      .select(to_date(date_trunc("day", col("ts"))).as("d"), col("user_id"))
+    val daily = act.groupBy("d")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .localCheckpoint(true) // reused by the DAU estimate and the rollup
+    val hi = daily.agg(max("d")).head().getDate(0)
+    val contrib = daily.select(
+      explode(sequence(col("d"),
+        least(date_add(col("d"), 6), lit(hi)))).as("d"), col("sk"))
+    val wau = contrib.groupBy("d")
+      .agg(round(hll_sketch_estimate(hll_union_agg(col("sk"))), 0)
+        .cast("bigint").as("wau_est"))
+    daily.select(col("d"),
+        round(hll_sketch_estimate(col("sk")), 0).cast("bigint").as("dau_est"))
+      .join(wau, "d")
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("dau_est"), col("wau_est"))
+      .orderBy("day")
+  }
+
   /** Next-event transition counts — the Markov/path-analysis staple:
     * per user in timestamp order, count (event_type → next event_type)
     * pairs, with per-source transition shares. One user-partitioned
@@ -326,6 +356,6 @@ object EventAnalytics {
   }
 
   val all: Seq[Q] = Seq(qFunnel, qFunnelLatency, qFunnelUnordered,
-    qRetentionCohort, qRetentionWeekly, qActiveUsers, qEventTransitions,
-    qTimeseriesFill)
+    qRetentionCohort, qRetentionWeekly, qActiveUsers, qActiveUsersSketch,
+    qEventTransitions, qTimeseriesFill)
 }

@@ -637,6 +637,27 @@ object Gates {
     verdict(s, "q_gate_stream_late", ok)
   }
 
+  /** The HLL active-users estimates track the exact rolling-distinct
+    * twin within 5% relative error on EVERY day, for both DAU and WAU
+    * (DataSketches HLL at the default lgConfigK=12 carries ~1.6%
+    * relative standard error — 5% is ≈3σ, a real regression bound, not
+    * a vacuous one). Day alignment must be exact: a missing or extra
+    * day is a logic bug, not estimation error. */
+  val qGateActiveUsersSketch = Q(
+    "q_gate_active_users_sketch",
+    oracleFor("q_gate_active_users_sketch")) { (s, d) =>
+    val exact = memoQ(s, d, EventAnalytics.qActiveUsers).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val est = memoQ(s, d, EventAnalytics.qActiveUsersSketch).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def close(a: Long, b: Long): Boolean =
+      math.abs(a - b).toDouble / math.max(b, 1L) <= 0.05
+    val ok = est.keySet == exact.keySet && exact.forall { case (day, (dau, wau)) =>
+      close(est(day)._1, dau) && close(est(day)._2, wau)
+    }
+    verdict(s, "q_gate_active_users_sketch", ok)
+  }
+
   /** Stream-stream interval join, driver-visible (round-12 verdict
     * item #4 — the one StreamingSpec contract without a gate key):
     * replay the events table through the WATERMARKED signup↔purchase
@@ -720,6 +741,90 @@ object Gates {
       streamed.nonEmpty && streamed == expected && withLeak != expected
     }
     verdict(s, "q_gate_stream_stream_join", ok)
+  }
+
+  /** Streaming ordered funnel, driver-visible: replay the events table
+    * through [[graft.streaming.Streams.funnelReach]] as TWO event-time-
+    * ordered micro-batches split at the median ts — the cross-batch
+    * state carry (O(1) per user: step index + step time) must land
+    * every user on exactly the step the batch funnel assigns them, so
+    * the per-step reach counts equal q_funnel's. Non-vacuity: the
+    * split must actually cut through user journeys (some user advances
+    * their step in batch 2), otherwise the carry was never exercised. */
+  val qGateStreamFunnel = Q(
+    "q_gate_stream_funnel", oracleFor("q_gate_stream_funnel")) { (s, d) =>
+    import graft.streaming.Streams
+    val ok = GateMemo.value(s, d, "gate_stream_funnel_ok") {
+      val steps = Seq("view", "click", "purchase")
+      val work = new java.io.File(
+        "/root/repo/target/stream_funnel_gate/" + new java.io.File(d).getName)
+      graft.LocalFs.rmrf(work)
+      val landing = new java.io.File(work, "landing"); landing.mkdirs()
+      val corpus = Tables.events(s, d)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .localCheckpoint(true)
+      val midMicros = corpus
+        .agg(expr("percentile(unix_micros(ts), 0.5)")).head().getDouble(0)
+      // plant ONE journey that straddles the split by construction
+      // (view 1 h before the median, click/purchase after it): real
+      // journeys at spec scale can easily complete inside one half, and
+      // a carry the replay never exercises gates nothing
+      val midMs = (midMicros / 1000).toLong
+      def planted(tpe: String, offsetH: Long) = corpus
+        .orderBy("event_id").limit(1)
+        .withColumn("event_id", lit(-100L - offsetH))
+        .withColumn("user_id", lit(-77L))
+        .withColumn("event_type", lit(tpe))
+        .withColumn("ts", timestamp_millis(lit(midMs + offsetH * 3600 * 1000)))
+      val onTime = corpus
+        .unionByName(planted("view", -1L))
+        .unionByName(planted("click", 1L))
+        .unionByName(planted("purchase", 2L))
+        .localCheckpoint(true)
+      val b1 = onTime.filter(expr("unix_micros(ts)") <= midMicros)
+      val b2 = onTime.filter(expr("unix_micros(ts)") > midMicros)
+      def land(df: DataFrame, name: String): Unit = {
+        val tmp = new java.io.File(work, s"tmp_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val part = tmp.listFiles().find(f =>
+          f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file under $tmp"))
+        require(part.renameTo(new java.io.File(landing, name)),
+          s"landing rename failed for $name")
+        graft.LocalFs.rmrf(tmp)
+      }
+      land(b1, "b1.parquet")
+      val stream = s.readStream.schema(onTime.schema).parquet(landing.getPath)
+      val q = Streams.funnelReach(stream, steps).toDF().writeStream
+        .format("memory").queryName("gate_stream_funnel")
+        .outputMode("update").start()
+      val (reachAfterB1, reachFinal) =
+        try {
+          q.processAllAvailable()
+          val after1 = s.table("gate_stream_funnel")
+            .groupBy("user_id").agg(max("step").as("step"))
+            .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+          land(b2, "b2.parquet")
+          q.processAllAvailable()
+          val fin = s.table("gate_stream_funnel")
+            .groupBy("user_id").agg(max("step").as("step"))
+            .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+          (after1, fin)
+        } finally q.stop()
+      val streamedCounts = steps.indices.map(i =>
+        reachFinal.values.count(_ >= i + 1).toLong)
+      // batch twin over the SAME (planted-augmented) input
+      val batchCounts = graft.operators.Funnel
+        .run(onTime, steps, "24 hours").collect()
+        .sortBy(_.getLong(0)).map(_.getLong(2)).toSeq
+      // non-vacuity: batch 2 advanced at least one user's journey
+      // (the planted user by construction; naturally-straddling real
+      // journeys also count)
+      val advanced = reachFinal.exists { case (u, st) =>
+        reachAfterB1.get(u).exists(_ < st) }
+      streamedCounts == batchCounts && advanced
+    }
+    verdict(s, "q_gate_stream_funnel", ok)
   }
 
   /** Snapshot compaction gauge (round-12 verdict item #5 —
@@ -1033,7 +1138,7 @@ object Gates {
   }
 
   val all: Seq[Q] = Seq(
-    qGateFillDispatch,
+    qGateFillDispatch, qGateActiveUsersSketch,
     qGateAnnQuantized, qGateAnnIvfQuantized, qGateDedupMinhash,
     qGateLangIdNgram, qGateApproxDistinct, qGateApproxPercentile,
     qGateCountmin,
@@ -1043,7 +1148,7 @@ object Gates {
     qGateKmeans, qGateCatalogRelationsSketch,
     qGateCatalogRelationsIncremental, qGateNeardupIncremental,
     qGateIndexDrift, qGateStreamLate, qGateStreamStreamJoin,
-    qGateSnapshotCompactGauge, qGateStatestoreParity,
+    qGateStreamFunnel, qGateSnapshotCompactGauge, qGateStatestoreParity,
     qGateBucketedJoin, qGateBloomJoin, qGateExactlyOnce, qGateCboStats,
     qGateIndexVacuum)
 }
