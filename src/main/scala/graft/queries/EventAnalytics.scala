@@ -329,6 +329,49 @@ object EventAnalytics {
       .orderBy("event_type", "next_type")
   }
 
+  /** Session-level engagement summary — the aggregate layer above
+    * q_stream_session's per-session rows: sessionize (same 30-minute
+    * session_window the streaming twin uses; the gaps-and-islands
+    * oracle equality is already pinned by q_stream_session's
+    * hash-match), then ONE global row of session count, exact p50/p90
+    * session duration (floored-second deltas of actual first/last
+    * event, engine-portable), and mean events per session. Scale: the
+    * sessionize is one user-keyed shuffle; the percentile runs over the
+    * session frame (≤ events rows, usually ≪), the output is 1 row. */
+  val qSessionStats = Q(
+    "q_session_stats",
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                   > INTERVAL '30 minutes'
+      |              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |numbered AS (
+      |  SELECT user_id, ts,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged),
+      |g AS (SELECT user_id, session_id, count(*) AS n,
+      |             date_diff('second', min(ts), max(ts)) AS dur
+      |      FROM numbered GROUP BY 1, 2)
+      |SELECT count(*) AS sessions,
+      |       round(quantile_cont(dur, 0.5), 4) AS p50_dur_sec,
+      |       round(quantile_cont(dur, 0.9), 4) AS p90_dur_sec,
+      |       round(avg(n), 4) AS avg_events
+      |FROM g""".stripMargin) { (s, d) =>
+    def secs(c: org.apache.spark.sql.Column) =
+      c.cast("timestamp").cast("long")
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        (secs(max("ts")) - secs(min("ts"))).as("dur"))
+      .agg(count(lit(1)).as("sessions"),
+        round(percentile(col("dur"), lit(0.5)), 4).as("p50_dur_sec"),
+        round(percentile(col("dur"), lit(0.9)), 4).as("p90_dur_sec"),
+        round(avg("n"), 4).as("avg_events"))
+  }
+
   /** Hourly resample of per-type value sums onto a dense spine with
     * forward fill (operators/TimeSeriesFill): gaps become explicit NULL
     * observations and `filled` carries the last value across them. */
@@ -357,5 +400,5 @@ object EventAnalytics {
 
   val all: Seq[Q] = Seq(qFunnel, qFunnelLatency, qFunnelUnordered,
     qRetentionCohort, qRetentionWeekly, qActiveUsers, qActiveUsersSketch,
-    qEventTransitions, qTimeseriesFill)
+    qEventTransitions, qSessionStats, qTimeseriesFill)
 }

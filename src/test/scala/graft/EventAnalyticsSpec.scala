@@ -315,6 +315,27 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("session stats: hand-computed counts and percentiles on a planted frame") {
+    import spark.implicits._
+    // u1: two sessions (gap 45m splits) of durations 600s and 0s;
+    // u2: one session of 1800s. sessions=3, durations sorted {0,600,1800}
+    // p50=600, p90 at 0.9*2=1.8 → 600+0.8*1200=1560; avg events = 5/3
+    val ev = Seq(
+      (1L, 1L, "view", ts("2024-01-01 00:00:00")),
+      (2L, 1L, "view", ts("2024-01-01 00:10:00")),
+      (3L, 1L, "view", ts("2024-01-01 01:00:00")), // 50m gap → new session
+      (4L, 2L, "view", ts("2024-01-01 00:00:00")),
+      (5L, 2L, "view", ts("2024-01-01 00:30:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = queries.EventAnalytics.qSessionStats.run(spark, dir).head()
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == 600.0, s"p50 was ${r.getDouble(1)}")
+    assert(r.getDouble(2) == 1560.0, s"p90 was ${r.getDouble(2)}")
+    assert(r.getDouble(3) == math.round(5.0 / 3 * 10000) / 10000.0)
+  }
+
   test("timeseries fill: planted gap carries the last observation, leading gap stays null") {
     import spark.implicits._
     // series A: hours 0,1,3 observed (gap at 2); series B first observed
