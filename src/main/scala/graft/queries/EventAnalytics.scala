@@ -372,6 +372,57 @@ object EventAnalytics {
         round(avg("n"), 4).as("avg_events"))
   }
 
+  /** Rolling z-score anomaly flags over the hourly series — the
+    * alerting layer on top of the resampled metrics: a bucket whose
+    * hourly sum deviates from its trailing-24-bucket mean by more than
+    * 3σ (population), after a 12-bucket warm-up. The DETERMINISM trick
+    * is the whole design: rolling mean/std over doubles would sum in
+    * engine-dependent order, so the already-4dp-rounded sums are scaled
+    * to integers (×100) and the 3σ test is evaluated in EXACT integer
+    * arithmetic — (n·x − S)² > 9·(n·Sq − S²) is algebraically
+    * (x − mean)² > 9·var with every term an integer window sum, so both
+    * engines compute bit-identical flags in any order. Scale shape: one
+    * hash agg + one series-partitioned window; integer headroom holds
+    * to scaled hourly sums ≈ 6×10⁸ (far past sf100 here) — widen to
+    * DECIMAL beyond that. */
+  val qAnomalyZscore = Q(
+    "q_anomaly_zscore",
+    """WITH obs AS (SELECT event_type, date_trunc('hour', ts) AS h,
+      |                    round(sum(value), 4) AS sum_val
+      |             FROM events GROUP BY 1, 2),
+      |x AS (SELECT event_type, h, sum_val,
+      |             CAST(round(sum_val * 100) AS BIGINT) AS v FROM obs),
+      |w AS (SELECT event_type, h, sum_val, v,
+      |             count(*) OVER win AS n,
+      |             sum(v) OVER win AS s,
+      |             sum(v * v) OVER win AS sq
+      |      FROM x
+      |      WINDOW win AS (PARTITION BY event_type ORDER BY h
+      |                     ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+      |SELECT event_type, CAST(h AS TIMESTAMP) AS hour, sum_val AS observed
+      |FROM w
+      |WHERE n >= 12 AND (n * v - s) * (n * v - s) > 9 * (n * sq - s * s)
+      |ORDER BY event_type, hour""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val obs = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(round(sum("value"), 4).as("sum_val"))
+    val win = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(-23, Window.currentRow)
+    val scored = obs
+      .withColumn("v", round(col("sum_val") * 100, 0).cast("bigint"))
+      .withColumn("n", count(lit(1)).over(win))
+      .withColumn("s", sum("v").over(win))
+      .withColumn("sq", sum(col("v") * col("v")).over(win))
+    val dev = col("n") * col("v") - col("s")
+    scored
+      .filter(col("n") >= 12 &&
+        dev * dev > lit(9L) * (col("n") * col("sq") - col("s") * col("s")))
+      .select(col("event_type"), col("h").as("hour"),
+        col("sum_val").as("observed"))
+      .orderBy("event_type", "hour")
+  }
+
   /** Hourly resample of per-type value sums onto a dense spine with
     * forward fill (operators/TimeSeriesFill): gaps become explicit NULL
     * observations and `filled` carries the last value across them. */
@@ -400,5 +451,5 @@ object EventAnalytics {
 
   val all: Seq[Q] = Seq(qFunnel, qFunnelLatency, qFunnelUnordered,
     qRetentionCohort, qRetentionWeekly, qActiveUsers, qActiveUsersSketch,
-    qEventTransitions, qSessionStats, qTimeseriesFill)
+    qEventTransitions, qSessionStats, qAnomalyZscore, qTimeseriesFill)
 }

@@ -336,6 +336,34 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r.getDouble(3) == math.round(5.0 / 3 * 10000) / 10000.0)
   }
 
+  test("anomaly z-score: planted spike flags, flat series and warm-up stay quiet") {
+    import spark.implicits._
+    // series a: 14 flat hours then a 10x spike → flags at hour 14;
+    // series b: spike at hour 3 but only 4 observations → warm-up guard
+    // (n < 12) suppresses it; the flat prefix of a never flags (dev = 0)
+    val rows =
+      (0 to 13).map(h => (h.toLong, 1L, "a", ts(f"2024-01-01 $h%02d:10:00"), 10.0)) ++
+      Seq((14L, 1L, "a", ts("2024-01-01 14:10:00"), 100.0)) ++
+      (0 to 2).map(h => (20L + h, 1L, "b", ts(f"2024-01-01 $h%02d:10:00"), 10.0)) ++
+      Seq((23L, 1L, "b", ts("2024-01-01 03:10:00"), 100.0))
+    val ev = rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_anom").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = queries.EventAnalytics.qAnomalyZscore.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString.substring(11, 13),
+        r.getDouble(2)))
+    assert(out.toSeq == Seq(("a", "14", 100.0)))
+  }
+
+  test("anomaly z-score over the corpus: flags are rare and every flag deviates") {
+    val flags = SparkEntry.queries("q_anomaly_zscore")(spark, sf).collect()
+    val buckets = Tables.events(spark, sf)
+      .select(col("event_type"), date_trunc("hour", col("ts"))).distinct().count()
+    assert(flags.nonEmpty, "3-sigma flags should exist on a Poisson-ish log")
+    assert(flags.length < buckets / 20,
+      s"${flags.length} of $buckets buckets flagged — 3-sigma should be rare")
+  }
+
   test("timeseries fill: planted gap carries the last observation, leading gap stays null") {
     import spark.implicits._
     // series A: hours 0,1,3 observed (gap at 2); series B first observed
