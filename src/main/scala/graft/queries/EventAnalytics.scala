@@ -244,21 +244,29 @@ object EventAnalytics {
     val act = Tables.events(s, d)
       .select(to_date(date_trunc("day", col("ts"))).as("d"), col("user_id"))
       .distinct()
-    val hi = act.agg(max("d")).head().getDate(0)
+    val hiRow = act.agg(max("d")).head()
     val dau = act.groupBy("d").agg(count(lit(1)).as("dau"))
-    // each activity feeds the 7 window-ends it is visible from,
-    // clipped at the last observed day
-    val contrib = act
-      .select(explode(sequence(col("d"),
-        least(date_add(col("d"), 6), lit(hi)))).as("wend"), col("user_id"))
-      .distinct()
-    val wau = contrib.groupBy(col("wend").as("d"))
-      .agg(count(lit(1)).as("wau"))
-    dau.join(wau, "d")
-      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
-        col("dau"), col("wau"),
-        round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
-      .orderBy("day")
+    if (hiRow.isNullAt(0))
+      // empty log → empty summary under the output schema
+      dau.select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("dau").as("wau"),
+        lit(null).cast("double").as("stickiness")).limit(0)
+    else {
+      val hi = hiRow.getDate(0)
+      // each activity feeds the 7 window-ends it is visible from,
+      // clipped at the last observed day
+      val contrib = act
+        .select(explode(sequence(col("d"),
+          least(date_add(col("d"), 6), lit(hi)))).as("wend"), col("user_id"))
+        .distinct()
+      val wau = contrib.groupBy(col("wend").as("d"))
+        .agg(count(lit(1)).as("wau"))
+      dau.join(wau, "d")
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+        .orderBy("day")
+    }
   }
 
   /** The sketch path for q_active_users at 100 TB: per-day HyperLogLog
@@ -276,19 +284,26 @@ object EventAnalytics {
     val daily = act.groupBy("d")
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
       .localCheckpoint(true) // reused by the DAU estimate and the rollup
-    val hi = daily.agg(max("d")).head().getDate(0)
-    val contrib = daily.select(
-      explode(sequence(col("d"),
-        least(date_add(col("d"), 6), lit(hi)))).as("d"), col("sk"))
-    val wau = contrib.groupBy("d")
-      .agg(round(hll_sketch_estimate(hll_union_agg(col("sk"))), 0)
-        .cast("bigint").as("wau_est"))
-    daily.select(col("d"),
-        round(hll_sketch_estimate(col("sk")), 0).cast("bigint").as("dau_est"))
-      .join(wau, "d")
-      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
-        col("dau_est"), col("wau_est"))
-      .orderBy("day")
+    val hiRow = daily.agg(max("d")).head()
+    val dauEst = daily.select(col("d"),
+      round(hll_sketch_estimate(col("sk")), 0).cast("bigint").as("dau_est"))
+    if (hiRow.isNullAt(0))
+      // empty log → empty summary under the output schema
+      dauEst.select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("dau_est"), col("dau_est").as("wau_est")).limit(0)
+    else {
+      val hi = hiRow.getDate(0)
+      val contrib = daily.select(
+        explode(sequence(col("d"),
+          least(date_add(col("d"), 6), lit(hi)))).as("d"), col("sk"))
+      val wau = contrib.groupBy("d")
+        .agg(round(hll_sketch_estimate(hll_union_agg(col("sk"))), 0)
+          .cast("bigint").as("wau_est"))
+      dauEst.join(wau, "d")
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("dau_est"), col("wau_est"))
+        .orderBy("day")
+    }
   }
 
   /** Next-event transition counts — the Markov/path-analysis staple:

@@ -281,6 +281,19 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(rows.length == days)
   }
 
+  test("active users on an empty log: empty summary, correct schema, no NPE") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dau_empty").toString
+    Seq.empty[(Long, Long, String, Timestamp)]
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val exact = queries.EventAnalytics.qActiveUsers.run(spark, dir)
+    val sketch = queries.EventAnalytics.qActiveUsersSketch.run(spark, dir)
+    assert(exact.columns.toSeq == Seq("day", "dau", "wau", "stickiness"))
+    assert(sketch.columns.toSeq == Seq("day", "dau_est", "wau_est"))
+    assert(exact.count() == 0 && sketch.count() == 0)
+  }
+
   test("event transitions: planted chain counts and shares") {
     import spark.implicits._
     // u1: a→b→a ; u2: a→b. Transitions: a→b ×2, b→a ×1.
