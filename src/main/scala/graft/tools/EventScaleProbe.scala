@@ -139,12 +139,30 @@ object EventScaleProbe {
         .filter(col("nt").isNotNull)
         .groupBy("event_type", "nt").agg(count(lit(1))).count()
     }
+    // the HLL twin: no (user, day) distinct shuffle at all — daily
+    // state is a fixed-size sketch, so the user axis moves only the
+    // map-side sketch updates
+    def activeUsersSketch(d: DataFrame): Long = {
+      val daily = d.select(to_date(date_trunc("day", col("ts"))).as("dy"),
+        col("user_id")).groupBy("dy")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .localCheckpoint(true)
+      val hi = daily.agg(max("dy")).head().getDate(0)
+      daily.select(explode(sequence(col("dy"),
+          least(date_add(col("dy"), 6), lit(hi)))).as("wend"), col("sk"))
+        .groupBy("wend").agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+        .count()
+    }
     val a1 = timeMin { activeUsers(ev1) }
     val aU = timeMin { activeUsers(rd("ev4_users")) }
     val rowsA1 = activeUsers(ev1); val rowsAU = activeUsers(rd("ev4_users"))
     println(f"ACTIVE_USERS 1x: $a1%.2f s ($rowsA1 summary rows)")
     println(f"ACTIVE_USERS 4x users: $aU%.2f s (${aU / a1}%.1fx), " +
       f"$rowsAU rows (${rowsAU.toDouble / rowsA1}%.1fx)")
+    val as1 = timeMin { activeUsersSketch(ev1) }
+    val asU = timeMin { activeUsersSketch(rd("ev4_users")) }
+    println(f"ACTIVE_USERS_SKETCH 1x: $as1%.2f s")
+    println(f"ACTIVE_USERS_SKETCH 4x users: $asU%.2f s (${asU / as1}%.1fx)")
     val t1 = timeMin { transitions(ev1) }
     val tD = timeMin { transitions(rd("ev4_dense")) }
     val rowsT1 = transitions(ev1); val rowsTD = transitions(rd("ev4_dense"))
