@@ -14,6 +14,7 @@ object SparkEntry {
       graft.queries.Functions.all ++
       graft.queries.TimeWindows.all ++
       graft.queries.EventAnalytics.all ++
+      graft.queries.Commerce.all ++
       graft.queries.Catalog.all ++
       graft.queries.Analytics.all ++
       graft.queries.Extensions.all ++

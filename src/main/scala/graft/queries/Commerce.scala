@@ -1,0 +1,181 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Customer-value analytics over `orders` — the commerce staples
+  * (cohort lifetime value, RFM segmentation) that sit beside the
+  * behavioral event family: same per-entity-then-summarize shape, but
+  * the entity is the CUSTOMER and the value axis is money.
+  *
+  * Determinism stance: money is NEVER summed as doubles — `o_totalprice`
+  * is scaled to integer cents up front (`round(x*100)::BIGINT`), every
+  * aggregate runs in exact integer arithmetic, and division back to
+  * currency happens once at the end, so both engines emit bit-identical
+  * values in any aggregation order (the q_anomaly_zscore trick applied
+  * to revenue).
+  *
+  * Scale stance: each key shuffles `orders` on `o_custkey` exactly once;
+  * every later frame is customer-bounded or calendar-bounded
+  * (months² / 4³ rows), and the quantile thresholds for RFM are a
+  * one-row aggregate broadcast back — deliberately NOT an `ntile`
+  * window, whose global ORDER BY would funnel the whole customer frame
+  * through one task at 100 TB.
+  */
+object Commerce {
+
+  /** Monthly cohort lifetime value: customers grouped by the month of
+    * their first order; for each (cohort, month offset), the active
+    * customers, that month's revenue, and the cohort's cumulative
+    * revenue per founding customer — the LTV curve. Offsets are exact
+    * integers (month-truncated dates on both engines); the cumulative
+    * window runs over the months²-bounded summary, never the fact
+    * table. */
+  val qCohortLtv = Q(
+    "q_cohort_ltv",
+    """WITH o AS (SELECT o_custkey,
+      |                  CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+      |                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |           FROM orders),
+      |f AS (SELECT o_custkey, min(m) AS cohort_month FROM o GROUP BY 1),
+      |agg AS (SELECT f.cohort_month,
+      |               CAST(date_diff('month', f.cohort_month, o.m) AS BIGINT)
+      |                 AS month_offset,
+      |               count(DISTINCT o.o_custkey) AS active_customers,
+      |               sum(o.cents) AS cents
+      |        FROM o JOIN f USING (o_custkey) GROUP BY 1, 2),
+      |sizes AS (SELECT cohort_month, count(*) AS cohort_size FROM f GROUP BY 1)
+      |SELECT strftime(a.cohort_month, '%Y-%m') AS cohort_month,
+      |       a.month_offset, s.cohort_size, a.active_customers,
+      |       round(CAST(a.cents AS DOUBLE) / 100.0, 2) AS revenue,
+      |       -- 4dp half-up rounding of cum_cents/(100*size) in EXACT
+      |       -- integer arithmetic — round(double, 4) diverges between
+      |       -- engines when the true rational sits on the x.xxxx5 tie
+      |       CAST((2 * sum(a.cents) OVER (PARTITION BY a.cohort_month
+      |               ORDER BY a.month_offset ROWS UNBOUNDED PRECEDING) * 100
+      |             + s.cohort_size) // (2 * s.cohort_size) AS DOUBLE) / 10000.0
+      |         AS cum_ltv_per_user
+      |FROM agg a JOIN sizes s USING (cohort_month)
+      |ORDER BY cohort_month, month_offset""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      to_date(date_trunc("month", col("o_orderdate"))).as("m"),
+      round(col("o_totalprice") * 100, 0).cast("bigint").as("cents"))
+    val f = o.groupBy("o_custkey").agg(min("m").as("cohort_month"))
+    val agg = o.join(f, "o_custkey")
+      .groupBy(col("cohort_month"),
+        months_between(col("m"), col("cohort_month")).cast("bigint")
+          .as("month_offset"))
+      .agg(countDistinct("o_custkey").as("active_customers"),
+        sum("cents").as("cents"))
+    val sizes = f.groupBy("cohort_month").agg(count(lit(1)).as("cohort_size"))
+    val w = Window.partitionBy("cohort_month").orderBy("month_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    agg.join(broadcast(sizes), "cohort_month")
+      .withColumn("cum_cents", sum("cents").over(w))
+      .select(date_format(col("cohort_month"), "yyyy-MM").as("cohort_month"),
+        col("month_offset"), col("cohort_size"), col("active_customers"),
+        round(col("cents").cast("double") / 100.0, 2).as("revenue"),
+        // 4dp half-up rounding of cum_cents/(100*size) in EXACT integer
+        // arithmetic (see the oracle comment): headroom needs
+        // 200×cum_cents < 2^63 — cumulative revenue below ~4.6×10^14
+        // dollars per cohort, far past any real corpus
+        expr("CAST((2 * cum_cents * 100 + cohort_size) " +
+          "DIV (2 * cohort_size) AS DOUBLE) / 10000.0")
+          .as("cum_ltv_per_user"))
+      .orderBy("cohort_month", "month_offset")
+  }
+
+  /** RFM segmentation: per customer, recency (days from last order to
+    * the corpus' last order date), frequency (order count), monetary
+    * (cents sum); each scored 1–4 against the exact quartiles of the
+    * customer frame, then summarized per (r, f, m) cell. Quartile
+    * thresholds interpolate on quarter positions over integers, so
+    * both engines compute the identical double; scores are strict
+    * threshold comparisons (recency: lower is better), so ties land
+    * identically too. The threshold row is a global 1-row aggregate
+    * cross-joined back (broadcast) — no global-ORDER ntile. */
+  val qRfm = Q(
+    "q_rfm",
+    """WITH m AS (SELECT o_custkey, count(*) AS freq,
+      |                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+      |                  max(o_orderdate) AS last_o
+      |           FROM orders GROUP BY 1),
+      |mx AS (SELECT CAST(max(o_orderdate) AS DATE) AS hi FROM orders),
+      |base AS (SELECT m.o_custkey,
+      |                date_diff('day', CAST(m.last_o AS DATE), mx.hi) AS rec,
+      |                m.freq, CAST(m.cents AS BIGINT) AS cents
+      |         FROM m CROSS JOIN mx),
+      |q AS (SELECT quantile_cont(rec, 0.25) AS r1, quantile_cont(rec, 0.5) AS r2,
+      |             quantile_cont(rec, 0.75) AS r3,
+      |             quantile_cont(freq, 0.25) AS f1, quantile_cont(freq, 0.5) AS f2,
+      |             quantile_cont(freq, 0.75) AS f3,
+      |             quantile_cont(cents, 0.25) AS m1, quantile_cont(cents, 0.5) AS m2,
+      |             quantile_cont(cents, 0.75) AS m3
+      |      FROM base),
+      |s AS (SELECT CAST(1 + CASE WHEN rec < r3 THEN 1 ELSE 0 END
+      |                    + CASE WHEN rec < r2 THEN 1 ELSE 0 END
+      |                    + CASE WHEN rec < r1 THEN 1 ELSE 0 END AS BIGINT)
+      |               AS r_score,
+      |             CAST(1 + CASE WHEN freq > f1 THEN 1 ELSE 0 END
+      |                    + CASE WHEN freq > f2 THEN 1 ELSE 0 END
+      |                    + CASE WHEN freq > f3 THEN 1 ELSE 0 END AS BIGINT)
+      |               AS f_score,
+      |             CAST(1 + CASE WHEN cents > m1 THEN 1 ELSE 0 END
+      |                    + CASE WHEN cents > m2 THEN 1 ELSE 0 END
+      |                    + CASE WHEN cents > m3 THEN 1 ELSE 0 END AS BIGINT)
+      |               AS m_score,
+      |             cents
+      |      FROM base CROSS JOIN q)
+      |SELECT r_score, f_score, m_score, count(*) AS customers,
+      |       -- 4dp half-up rounding of cents/(100*n) in exact integer
+      |       -- arithmetic (same tie hazard as q_cohort_ltv)
+      |       CAST((2 * sum(cents) * 100 + count(*)) // (2 * count(*))
+      |            AS DOUBLE) / 10000.0 AS avg_spend
+      |FROM s GROUP BY 1, 2, 3
+      |ORDER BY r_score, f_score, m_score""".stripMargin) { (s, d) =>
+    val orders = Tables.orders(s, d)
+    val m = orders.groupBy("o_custkey").agg(
+      count(lit(1)).as("freq"),
+      sum(round(col("o_totalprice") * 100, 0).cast("bigint")).as("cents"),
+      max("o_orderdate").as("last_o"))
+    val mx = orders.agg(to_date(max("o_orderdate")).as("hi"))
+    val base = m.crossJoin(broadcast(mx))
+      .select(col("o_custkey"),
+        datediff(col("hi"), to_date(col("last_o"))).cast("bigint").as("rec"),
+        col("freq"), col("cents"))
+    val q = base.agg(
+      percentile(col("rec"), lit(0.25)).as("r1"),
+      percentile(col("rec"), lit(0.5)).as("r2"),
+      percentile(col("rec"), lit(0.75)).as("r3"),
+      percentile(col("freq"), lit(0.25)).as("f1"),
+      percentile(col("freq"), lit(0.5)).as("f2"),
+      percentile(col("freq"), lit(0.75)).as("f3"),
+      percentile(col("cents"), lit(0.25)).as("m1"),
+      percentile(col("cents"), lit(0.5)).as("m2"),
+      percentile(col("cents"), lit(0.75)).as("m3"))
+    def score(v: String, lo: String, mid: String, hi: String,
+        lowerIsBetter: Boolean) = {
+      def hit(t: String) =
+        when(if (lowerIsBetter) col(v) < col(t) else col(v) > col(t), 1)
+          .otherwise(0)
+      (lit(1) + (if (lowerIsBetter) hit(hi) + hit(mid) + hit(lo)
+                 else hit(lo) + hit(mid) + hit(hi))).cast("bigint")
+    }
+    base.crossJoin(broadcast(q))
+      .select(score("rec", "r1", "r2", "r3", lowerIsBetter = true).as("r_score"),
+        score("freq", "f1", "f2", "f3", lowerIsBetter = false).as("f_score"),
+        score("cents", "m1", "m2", "m3", lowerIsBetter = false).as("m_score"),
+        col("cents"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("customers"), sum("cents").as("cents"))
+      .select(col("r_score"), col("f_score"), col("m_score"),
+        col("customers"),
+        // exact-integer 4dp half-up rounding (see the oracle comment)
+        expr("CAST((2 * cents * 100 + customers) DIV (2 * customers) " +
+          "AS DOUBLE) / 10000.0").as("avg_spend"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  val all: Seq[Q] = Seq(qCohortLtv, qRfm)
+}

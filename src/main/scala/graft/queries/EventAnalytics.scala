@@ -344,6 +344,128 @@ object EventAnalytics {
       .orderBy("event_type", "next_type")
   }
 
+  /** Top session-opening paths — "how do sessions start?": sessionize
+    * (same 30-minute gaps-and-islands the engagement summary uses),
+    * take each session's first ≤3 events in (ts, event_id) order, join
+    * them into a `view>click>purchase`-style path string, and count
+    * sessions per path with the path's share of all sessions. Scale:
+    * the session numbering and the in-session ranking ride ONE
+    * user-keyed shuffle (same partition key, two window sorts); the
+    * path frame is session-sized and the count frame is
+    * vocabulary-bounded (≤ |types|³ + |types|² + |types| rows), so the
+    * share window over the unpartitioned count frame is a few hundred
+    * rows at any corpus size. */
+  val qEventPaths = Q(
+    "q_event_paths",
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                   > INTERVAL '30 minutes'
+      |              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |numbered AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged),
+      |ranked AS (
+      |  SELECT user_id, session_id, event_type,
+      |         row_number() OVER (PARTITION BY user_id, session_id
+      |                            ORDER BY ts, event_id) AS rn
+      |  FROM numbered),
+      |paths AS (
+      |  SELECT user_id, session_id,
+      |         string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM ranked WHERE rn <= 3 GROUP BY 1, 2),
+      |c AS (SELECT path, count(*) AS sessions FROM paths GROUP BY 1)
+      |SELECT path, sessions,
+      |       round(CAST(sessions AS DOUBLE) / sum(sessions) OVER (), 4) AS share
+      |FROM c ORDER BY sessions DESC, path""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val wUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val lagTs = lag(col("ts"), 1).over(wUser)
+    val numbered = Tables.events(s, d)
+      .withColumn("new_session",
+        when(lagTs.isNull ||
+          col("ts") - lagTs > expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+      .withColumn("session_id",
+        sum("new_session").over(wUser.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+    val wSess = Window.partitionBy("user_id", "session_id")
+      .orderBy("ts", "event_id")
+    val paths = numbered
+      .withColumn("rn", row_number().over(wSess))
+      .filter(col("rn") <= 3)
+      .groupBy("user_id", "session_id")
+      // collect_list order is nondeterministic — sort by the struct's
+      // leading rn field, then strip to the types, for a stable join
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+    val c = paths.groupBy("path").agg(count(lit(1)).as("sessions"))
+    val wAll = Window.partitionBy()
+    c.select(col("path"), col("sessions"),
+        round(col("sessions").cast("double") / sum("sessions").over(wAll), 4)
+          .as("share"))
+      .orderBy(col("sessions").desc, col("path"))
+  }
+
+  /** First/last-touch purchase attribution — which channel (event type)
+    * opened and which closed the journey that ended in each user's
+    * FIRST purchase. The journey is every non-purchase event strictly
+    * before that purchase; first touch is its earliest event, last
+    * touch its latest (ties broken by event_id — total order, so the
+    * pick is engine-portable). Scale: the first-purchase frame and the
+    * journey filter ride one user-keyed shuffle; both row_number
+    * windows share that partitioning (two sorts, no extra exchange);
+    * the output is vocabulary-bounded. */
+  val qAttribution = Q(
+    "q_attribution",
+    """WITH fp AS (SELECT user_id, min(ts) AS pts FROM events
+      |            WHERE event_type = 'purchase' GROUP BY 1),
+      |pre AS (SELECT e.user_id, e.event_type, e.ts, e.event_id
+      |        FROM events e JOIN fp USING (user_id)
+      |        WHERE e.ts < fp.pts AND e.event_type <> 'purchase'),
+      |r AS (SELECT user_id, event_type,
+      |             row_number() OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS rf,
+      |             row_number() OVER (PARTITION BY user_id
+      |                                ORDER BY ts DESC, event_id DESC) AS rl
+      |      FROM pre),
+      |u AS (SELECT 'first' AS touch, event_type, count(*) AS users
+      |      FROM r WHERE rf = 1 GROUP BY 2
+      |      UNION ALL
+      |      SELECT 'last', event_type, count(*) FROM r WHERE rl = 1 GROUP BY 2)
+      |SELECT touch, event_type, users,
+      |       round(CAST(users AS DOUBLE)
+      |         / sum(users) OVER (PARTITION BY touch), 4) AS share
+      |FROM u ORDER BY touch, event_type""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("ts").as("pts"))
+    val pre = ev.join(fp, "user_id")
+      .filter(col("ts") < col("pts") && col("event_type") =!= "purchase")
+    val r = pre
+      .withColumn("rf", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+      .withColumn("rl", row_number().over(
+        Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+    val u = r.filter(col("rf") === 1)
+      .groupBy("event_type").agg(count(lit(1)).as("users"))
+      .select(lit("first").as("touch"), col("event_type"), col("users"))
+      .unionByName(r.filter(col("rl") === 1)
+        .groupBy("event_type").agg(count(lit(1)).as("users"))
+        .select(lit("last").as("touch"), col("event_type"), col("users")))
+    val wTouch = Window.partitionBy("touch")
+    u.select(col("touch"), col("event_type"), col("users"),
+        round(col("users").cast("double") / sum("users").over(wTouch), 4)
+          .as("share"))
+      .orderBy("touch", "event_type")
+  }
+
   /** Session-level engagement summary — the aggregate layer above
     * q_stream_session's per-session rows: sessionize (same 30-minute
     * session_window the streaming twin uses; the gaps-and-islands
@@ -466,5 +588,6 @@ object EventAnalytics {
 
   val all: Seq[Q] = Seq(qFunnel, qFunnelLatency, qFunnelUnordered,
     qRetentionCohort, qRetentionWeekly, qActiveUsers, qActiveUsersSketch,
-    qEventTransitions, qSessionStats, qAnomalyZscore, qTimeseriesFill)
+    qEventTransitions, qEventPaths, qAttribution, qSessionStats,
+    qAnomalyZscore, qTimeseriesFill)
 }

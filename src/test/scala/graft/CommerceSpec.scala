@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Customer-value analytics invariants: cohort LTV accounting on a
+  * planted order book where the curve is computable by hand, RFM
+  * scoring on a frame whose quartile thresholds are trivial, plus
+  * reconciliation checks over the real corpus keys. */
+class CommerceSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def plantOrders(rows: Seq[(Long, Double, Timestamp)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_orders").toString
+    rows.toDF("o_custkey", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  test("cohort LTV: planted curve — offsets, actives, cumulative per-user") {
+    // cohort 2024-01, size 2: c1 spends 10 in Jan and 20 in Mar,
+    // c2 spends 5 in Jan. Curve: offset 0 → revenue 15, 7.5/user;
+    // offset 2 → revenue 20, cumulative 35 → 17.5/user.
+    val dir = plantOrders(Seq(
+      (1L, 10.0, ts("2024-01-05 00:00:00")),
+      (1L, 20.0, ts("2024-03-10 00:00:00")),
+      (2L, 5.0, ts("2024-01-20 00:00:00"))))
+    val out = queries.Commerce.qCohortLtv.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      ("2024-01", 0L, 2L, 2L, 15.0, 7.5),
+      ("2024-01", 2L, 2L, 1L, 20.0, 17.5)))
+  }
+
+  test("cohort LTV over the corpus: founding month is full, curve is monotone") {
+    val rows = SparkEntry.queries("q_cohort_ltv")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.filter(_.getLong(1) == 0L).foreach { r =>
+      // every founding customer ordered in the cohort month by definition
+      assert(r.getLong(3) == r.getLong(2),
+        s"cohort ${r.getString(0)}: offset-0 actives != cohort size")
+    }
+    rows.groupBy(_.getString(0)).foreach { case (cohort, rs) =>
+      val curve = rs.sortBy(_.getLong(1)).map(_.getDouble(5))
+      assert(curve.zip(curve.tail).forall { case (a, b) => b >= a },
+        s"cohort $cohort: cumulative LTV decreased")
+    }
+    // cohort sizes partition the customer base
+    val sizes = rows.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum
+    val customers = Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(sizes == customers)
+  }
+
+  test("RFM: planted two-customer book lands on opposite score corners") {
+    // c2 is more recent, more frequent, and higher-spend than c1 on
+    // every quartile threshold → (4,4,4); c1 → (1,1,1).
+    val dir = plantOrders(Seq(
+      (1L, 10.0, ts("2024-01-01 00:00:00")),
+      (2L, 12.0, ts("2024-02-01 00:00:00")),
+      (2L, 8.0, ts("2024-03-01 00:00:00"))))
+    val out = queries.Commerce.qRfm.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 1L, 1L, 10.0),
+      (4L, 4L, 4L, 1L, 20.0)))
+  }
+
+  test("RFM over the corpus: scores bounded, cells partition the customers") {
+    val rows = SparkEntry.queries("q_rfm")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq(r.getLong(0), r.getLong(1), r.getLong(2)).foreach(s =>
+        assert(s >= 1 && s <= 4, s"score $s out of range"))
+      assert(r.getDouble(4) > 0)
+    }
+    val customers = Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(3)).sum == customers)
+  }
+}

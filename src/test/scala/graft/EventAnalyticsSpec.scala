@@ -420,4 +420,84 @@ class EventAnalyticsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("event paths: planted sessions produce ordered ≤3-step path strings") {
+    import spark.implicits._
+    // u1: a,b,c,d inside one session (the d is truncated past depth 3),
+    // then a >30min gap opens a second session holding just b;
+    // u2: a,b in one session.
+    val ev = Seq(
+      (1L, 1L, "a", ts("2024-01-01 00:00:00")),
+      (2L, 1L, "b", ts("2024-01-01 00:05:00")),
+      (3L, 1L, "c", ts("2024-01-01 00:10:00")),
+      (4L, 1L, "d", ts("2024-01-01 00:15:00")),
+      (5L, 1L, "b", ts("2024-01-01 01:00:00")),
+      (6L, 2L, "a", ts("2024-01-01 00:00:00")),
+      (7L, 2L, "b", ts("2024-01-01 00:20:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("graft_paths").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = queries.EventAnalytics.qEventPaths.run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      ("a>b", 1L, 0.3333), ("a>b>c", 1L, 0.3333), ("b", 1L, 0.3333)))
+  }
+
+  test("event paths over the corpus: shares reconcile, depth bounded") {
+    val rows = SparkEntry.queries("q_event_paths")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0).split(">").length <= 3)
+      assert(r.getDouble(2) > 0 && r.getDouble(2) <= 1.0)
+    }
+    // Σ path sessions = the engagement summary's session count — the
+    // gaps-and-islands numbering and session_window agree (parity
+    // already pinned by q_stream_session's oracle hash)
+    val sessions = SparkEntry.queries("q_session_stats")(spark, sf)
+      .head().getLong(0)
+    assert(rows.map(_.getLong(1)).sum == sessions)
+  }
+
+  test("attribution: planted journeys pick first and last pre-purchase touch") {
+    import spark.implicits._
+    // u1: signup, view, click, purchase, view — the trailing view is
+    // after the purchase and must not count; first=signup, last=click.
+    // u2: view, purchase → view is both first and last touch.
+    // u3: purchase only → no journey, excluded from both roles.
+    val ev = Seq(
+      (1L, 1L, "signup", ts("2024-01-01 00:00:00")),
+      (2L, 1L, "view", ts("2024-01-01 00:10:00")),
+      (3L, 1L, "click", ts("2024-01-01 00:20:00")),
+      (4L, 1L, "purchase", ts("2024-01-01 00:30:00")),
+      (5L, 1L, "view", ts("2024-01-01 00:40:00")),
+      (6L, 2L, "view", ts("2024-01-01 00:00:00")),
+      (7L, 2L, "purchase", ts("2024-01-01 00:10:00")),
+      (8L, 3L, "purchase", ts("2024-01-01 00:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("graft_attr").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = queries.EventAnalytics.qAttribution.run(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("first", "signup", 1L, 0.5), ("first", "view", 1L, 0.5),
+      ("last", "click", 1L, 0.5), ("last", "view", 1L, 0.5)))
+  }
+
+  test("attribution over the corpus: both roles cover the same journeys") {
+    val rows = SparkEntry.queries("q_attribution")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byTouch = rows.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    // first and last pick exactly one event per attributed journey
+    assert(byTouch("first") == byTouch("last"))
+    // journeys = users owning a purchase preceded by a non-purchase event
+    val ev = Tables.events(spark, sf)
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("ts").as("pts"))
+    val journeys = ev.join(fp, "user_id")
+      .filter(col("ts") < col("pts") && col("event_type") =!= "purchase")
+      .select("user_id").distinct().count()
+    assert(byTouch("first") == journeys)
+  }
 }
