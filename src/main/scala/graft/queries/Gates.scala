@@ -827,6 +827,86 @@ object Gates {
     verdict(s, "q_gate_stream_funnel", ok)
   }
 
+  /** Streaming next-event transitions, driver-visible: replay the
+    * events table through [[graft.streaming.Streams.transitions]] as
+    * TWO event-time-ordered micro-batches split at the median ts — the
+    * O(1) cross-batch state carry (last event only) must emit exactly
+    * the pair multiset the batch lead() window computes, so the
+    * per-(source, next) counts equal q_event_transitions' n column.
+    * Non-vacuity: a journey PLANTED to straddle the split (view 1 h
+    * before the median, click 1 h after) must surface its pair only
+    * after batch 2 — the carry is provably exercised, not replayed
+    * inside one batch. */
+  val qGateStreamTransitions = Q(
+    "q_gate_stream_transitions", oracleFor("q_gate_stream_transitions")) { (s, d) =>
+    import graft.streaming.Streams
+    import org.apache.spark.sql.expressions.Window
+    val ok = GateMemo.value(s, d, "gate_stream_transitions_ok") {
+      val work = new java.io.File(
+        "/root/repo/target/stream_transitions_gate/" + new java.io.File(d).getName)
+      graft.LocalFs.rmrf(work)
+      val landing = new java.io.File(work, "landing"); landing.mkdirs()
+      val corpus = Tables.events(s, d)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .localCheckpoint(true)
+      val midMicros = corpus
+        .agg(expr("percentile(unix_micros(ts), 0.5)")).head().getDouble(0)
+      val midMs = (midMicros / 1000).toLong
+      def planted(tpe: String, offsetH: Long) = corpus
+        .orderBy("event_id").limit(1)
+        .withColumn("event_id", lit(-100L - offsetH))
+        .withColumn("user_id", lit(-77L))
+        .withColumn("event_type", lit(tpe))
+        .withColumn("ts", timestamp_millis(lit(midMs + offsetH * 3600 * 1000)))
+      val onTime = corpus
+        .unionByName(planted("view", -1L))
+        .unionByName(planted("click", 1L))
+        .localCheckpoint(true)
+      val b1 = onTime.filter(expr("unix_micros(ts)") <= midMicros)
+      val b2 = onTime.filter(expr("unix_micros(ts)") > midMicros)
+      def land(df: DataFrame, name: String): Unit = {
+        val tmp = new java.io.File(work, s"tmp_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val part = tmp.listFiles().find(f =>
+          f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file under $tmp"))
+        require(part.renameTo(new java.io.File(landing, name)),
+          s"landing rename failed for $name")
+        graft.LocalFs.rmrf(tmp)
+      }
+      land(b1, "b1.parquet")
+      val stream = s.readStream.schema(onTime.schema).parquet(landing.getPath)
+      val q = Streams.transitions(stream).toDF().writeStream
+        .format("memory").queryName("gate_stream_transitions")
+        .outputMode("append").start()
+      val (plantedAfterB1, streamedCounts, plantedFinal) =
+        try {
+          q.processAllAvailable()
+          val after1 = s.table("gate_stream_transitions")
+            .filter(col("user_id") === -77L).count()
+          land(b2, "b2.parquet")
+          q.processAllAvailable()
+          val fin = s.table("gate_stream_transitions")
+          (after1,
+            fin.groupBy("event_type", "next_type").count().collect()
+              .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
+            fin.filter(col("user_id") === -77L).count())
+        } finally q.stop()
+      // batch twin over the SAME (planted-augmented) input — the
+      // q_event_transitions lead() window formulation
+      val wNext = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val batchCounts = onTime
+        .select(col("user_id"), col("event_type"),
+          lead("event_type", 1).over(wNext).as("next_type"))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type").count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      streamedCounts == batchCounts &&
+        plantedAfterB1 == 0L && plantedFinal == 1L
+    }
+    verdict(s, "q_gate_stream_transitions", ok)
+  }
+
   /** Snapshot compaction gauge (round-12 verdict item #5 —
     * IndexMaintenance.stats' analog for the snapshot store): a store
     * fragmented by N retained merges must GAUGE recommend=true with the
@@ -1148,7 +1228,8 @@ object Gates {
     qGateKmeans, qGateCatalogRelationsSketch,
     qGateCatalogRelationsIncremental, qGateNeardupIncremental,
     qGateIndexDrift, qGateStreamLate, qGateStreamStreamJoin,
-    qGateStreamFunnel, qGateSnapshotCompactGauge, qGateStatestoreParity,
+    qGateStreamFunnel, qGateStreamTransitions,
+    qGateSnapshotCompactGauge, qGateStatestoreParity,
     qGateBucketedJoin, qGateBloomJoin, qGateExactlyOnce, qGateCboStats,
     qGateIndexVacuum)
 }

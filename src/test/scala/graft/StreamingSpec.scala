@@ -54,6 +54,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming transitions match the batch lead() pair counts") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val events = Streams.eventsStream(spark, sf)
+    Streams.runToMemory(Streams.transitions(events).toDF(), "t_trans", "append")
+    val streamed = spark.table("t_trans")
+      .groupBy("event_type", "next_type").count()
+      .orderBy("event_type", "next_type").collect().map(_.toString).toSeq
+    val wNext = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val batch = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        lead("event_type", 1).over(wNext).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type").count()
+      .orderBy("event_type", "next_type").collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming dedup within watermark preserves distinct event ids") {
     val events = Streams.eventsStream(spark, sf)
     Streams.runToMemory(Streams.dedupStream(events), "t_dedup", "append")
