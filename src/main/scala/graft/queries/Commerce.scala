@@ -134,12 +134,17 @@ object Commerce {
       |            AS DOUBLE) / 10000.0 AS avg_spend
       |FROM s GROUP BY 1, 2, 3
       |ORDER BY r_score, f_score, m_score""".stripMargin) { (s, d) =>
-    val orders = Tables.orders(s, d)
-    val m = orders.groupBy("o_custkey").agg(
+    // ONE scan + one o_custkey shuffle builds the per-customer frame;
+    // checkpoint it because three consumers (the corpus max-date probe,
+    // the quartile aggregate, and the scoring pass) would otherwise
+    // each re-execute the scan+shuffle subtree (Catalyst doesn't
+    // CTE-dedup DataFrame branches)
+    val m = Tables.orders(s, d).groupBy("o_custkey").agg(
       count(lit(1)).as("freq"),
       sum(round(col("o_totalprice") * 100, 0).cast("bigint")).as("cents"),
       max("o_orderdate").as("last_o"))
-    val mx = orders.agg(to_date(max("o_orderdate")).as("hi"))
+      .localCheckpoint(true)
+    val mx = m.agg(to_date(max("last_o")).as("hi"))
     val base = m.crossJoin(broadcast(mx))
       .select(col("o_custkey"),
         datediff(col("hi"), to_date(col("last_o"))).cast("bigint").as("rec"),

@@ -416,10 +416,12 @@ object EventAnalytics {
     * FIRST purchase. The journey is every non-purchase event strictly
     * before that purchase; first touch is its earliest event, last
     * touch its latest (ties broken by event_id — total order, so the
-    * pick is engine-portable). Scale: the first-purchase frame and the
-    * journey filter ride one user-keyed shuffle; both row_number
-    * windows share that partitioning (two sorts, no extra exchange);
-    * the output is vocabulary-bounded. */
+    * pick is engine-portable). Scale: both picks are ONE map-side-
+    * combined min_by/max_by hash agg on user_id (no window sort at
+    * all), and the two roles leave that frame via `stack`, not a
+    * Union of branches — a Union would re-execute the whole journey
+    * subtree per role (Catalyst doesn't CTE-dedup DataFrame branches),
+    * doubling the log scan at 100 TB. Output is vocabulary-bounded. */
   val qAttribution = Q(
     "q_attribution",
     """WITH fp AS (SELECT user_id, min(ts) AS pts FROM events
@@ -447,18 +449,15 @@ object EventAnalytics {
       .groupBy("user_id").agg(min("ts").as("pts"))
     val pre = ev.join(fp, "user_id")
       .filter(col("ts") < col("pts") && col("event_type") =!= "purchase")
-    val r = pre
-      .withColumn("rf", row_number().over(
-        Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
-      .withColumn("rl", row_number().over(
-        Window.partitionBy("user_id")
-          .orderBy(col("ts").desc, col("event_id").desc)))
-    val u = r.filter(col("rf") === 1)
-      .groupBy("event_type").agg(count(lit(1)).as("users"))
-      .select(lit("first").as("touch"), col("event_type"), col("users"))
-      .unionByName(r.filter(col("rl") === 1)
-        .groupBy("event_type").agg(count(lit(1)).as("users"))
-        .select(lit("last").as("touch"), col("event_type"), col("users")))
+    val picks = pre.groupBy("user_id").agg(
+      min_by(col("event_type"), struct(col("ts"), col("event_id")))
+        .as("first_type"),
+      max_by(col("event_type"), struct(col("ts"), col("event_id")))
+        .as("last_type"))
+    val u = picks
+      .selectExpr("stack(2, 'first', first_type, 'last', last_type) " +
+        "AS (touch, event_type)")
+      .groupBy("touch", "event_type").agg(count(lit(1)).as("users"))
     val wTouch = Window.partitionBy("touch")
     u.select(col("touch"), col("event_type"), col("users"),
         round(col("users").cast("double") / sum("users").over(wTouch), 4)

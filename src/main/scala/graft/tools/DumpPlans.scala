@@ -236,7 +236,43 @@ object DumpPlans {
       "feeding a types² hash aggregate; the share window runs over the " +
       "vocabulary-bounded transition table. What to check: exactly one " +
       "data-sized exchange (hashpartitioning(user_id)); the second " +
-      "Window's partition key is event_type over ≤types² rows."))
+      "Window's partition key is event_type over ≤types² rows."),
+    "q_event_paths" -> ("Top session-opening paths (round 13). " +
+      "Sessionize + in-session rank ride ONE user-keyed exchange (the " +
+      "session window's partition key extends the user window's, so " +
+      "Spark reuses the partitioning — two sorts, one shuffle); the " +
+      "path assembly aggregates on (user, session) and the count on " +
+      "path. What to check: a single hashpartitioning(user_id) exchange " +
+      "under both Window nodes; the share window's single-partition " +
+      "frame fed only by the ≤|types|³-row count aggregate, never data."),
+    "q_attribution" -> ("First/last-touch attribution (round 13). Both " +
+      "picks are ONE map-side-combined min_by/max_by hash agg on " +
+      "user_id — no window sort — and the two roles leave that frame " +
+      "via stack(), not a Union of branches (a Union re-executes the " +
+      "whole journey subtree per role). What to check: " +
+      "EqualTo(event_type, purchase) pushed into the first-purchase " +
+      "scan; exactly one scan of the non-purchase events; partial_" +
+      "min_by in the pre-shuffle HashAggregate; everything after the " +
+      "user agg is vocabulary-bounded."),
+    "q_cohort_ltv" -> ("Monthly cohort LTV (round 13). orders shuffles " +
+      "on o_custkey once (first-order frame + join back); the " +
+      "(cohort, offset) aggregate and cumulative window run over the " +
+      "months²-bounded summary with the cohort-size frame broadcast. " +
+      "What to check: one hashpartitioning(o_custkey) exchange feeding " +
+      "both the min(month) agg and the join; BroadcastHashJoin on " +
+      "cohort sizes; the money column is integer cents end to end " +
+      "(exact-integer 4dp rounding, no double sums)."),
+    "q_rfm" -> ("RFM segmentation (round 13). One o_custkey hash agg " +
+      "builds the per-customer frame, CHECKPOINTED because its three " +
+      "consumers (max-date probe, quartile aggregate, scoring pass) " +
+      "would otherwise each re-run the scan+shuffle; quartile " +
+      "thresholds are a 1-ROW global aggregate cross-joined back as a " +
+      "broadcast — deliberately NOT an ntile window, whose global " +
+      "ORDER BY would funnel every customer through one task at " +
+      "100 TB. What to check: the customer frame appears as one " +
+      "(checkpointed) scan, orders is read once; " +
+      "BroadcastNestedLoopJoin (1-row build side) for the thresholds, " +
+      "score assignment map-side in codegen, final agg over ≤4³ cells."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
