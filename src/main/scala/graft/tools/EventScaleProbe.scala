@@ -178,6 +178,54 @@ object EventScaleProbe {
     println(f"FILL 4x span: $sS%.2f s (${sS / s1}%.1fx), $gS grid rows (${gS.toDouble / g1}%.1fx)")
     println(f"FILL 4x density, same span: $sD%.2f s (${sD / s1}%.1fx), grid unchanged")
 
+    // round-13 additions, driven through the REGISTERED keys (the
+    // amplified frames are staged as <dir>/events.parquet so the Q
+    // lambdas run verbatim): paths + attribution on the USER axis
+    // (their per-user windows/aggs must track rows; their outputs are
+    // vocabulary-bounded), LTV + RFM on the CUSTOMER axis of an
+    // amplified order book (per-customer shuffles track rows; the LTV
+    // summary is calendar-bounded, the RFM summary ≤4³ cells).
+    ev1.write.mode("overwrite").parquet(s"$out/dir1x/events.parquet")
+    rd("ev4_users").write.mode("overwrite")
+      .parquet(s"$out/dir4u/events.parquet")
+    def paths(d: String): Long =
+      graft.queries.EventAnalytics.qEventPaths.run(spark, d).count()
+    def attribution(d: String): Long =
+      graft.queries.EventAnalytics.qAttribution.run(spark, d).count()
+    val p1 = timeMin { paths(s"$out/dir1x") }
+    val pU = timeMin { paths(s"$out/dir4u") }
+    val rowsP1 = paths(s"$out/dir1x"); val rowsPU = paths(s"$out/dir4u")
+    println(f"PATHS 1x: $p1%.2f s ($rowsP1 path rows)")
+    println(f"PATHS 4x users: $pU%.2f s (${pU / p1}%.1fx), " +
+      f"$rowsPU rows (${rowsPU.toDouble / rowsP1}%.1fx)")
+    val at1 = timeMin { attribution(s"$out/dir1x") }
+    val atU = timeMin { attribution(s"$out/dir4u") }
+    println(f"ATTRIBUTION 1x: $at1%.2f s")
+    println(f"ATTRIBUTION 4x users: $atU%.2f s (${atU / at1}%.1fx)")
+
+    val o1 = Tables.orders(spark, sf)
+    o1.write.mode("overwrite").parquet(s"$out/ord1x/orders.parquet")
+    (0 until 4).map(i => o1
+        .withColumn("o_custkey", col("o_custkey") + i * 10000000L)
+        .withColumn("o_orderkey", col("o_orderkey") + i * 100000000L))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/ord4x/orders.parquet")
+    def ltv(d: String): Long =
+      graft.queries.Commerce.qCohortLtv.run(spark, d).count()
+    def rfm(d: String): Long =
+      graft.queries.Commerce.qRfm.run(spark, d).count()
+    val l1 = timeMin { ltv(s"$out/ord1x") }
+    val lC = timeMin { ltv(s"$out/ord4x") }
+    val rowsL1 = ltv(s"$out/ord1x"); val rowsLC = ltv(s"$out/ord4x")
+    println(f"COHORT_LTV 1x: $l1%.2f s ($rowsL1 summary rows)")
+    println(f"COHORT_LTV 4x customers: $lC%.2f s (${lC / l1}%.1fx), " +
+      f"$rowsLC rows (${rowsLC.toDouble / rowsL1}%.1fx)")
+    val m1 = timeMin { rfm(s"$out/ord1x") }
+    val mC = timeMin { rfm(s"$out/ord4x") }
+    val rowsM1 = rfm(s"$out/ord1x"); val rowsMC = rfm(s"$out/ord4x")
+    println(f"RFM 1x: $m1%.2f s ($rowsM1 cells)")
+    println(f"RFM 4x customers: $mC%.2f s (${mC / m1}%.1fx), $rowsMC cells")
+
     spark.stop()
   }
 }
