@@ -244,4 +244,63 @@ class PlanSpec extends AnyFunSuite {
       "one-scan funnel must push the step IN-list:\n" +
         p1.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
   }
+
+  test("session paths: one user-keyed exchange feeds all three windows") {
+    val p = plan("q_event_paths")
+    // the sessionize + numbering + rank windows must REUSE one
+    // hashpartitioning(user_id) exchange — a second data-sized shuffle
+    // would double the operator's cost at 100 TB
+    // AQE prints initial + final plans with distinct plan_ids — strip
+    // them (and expr ids) so the SAME exchange listed twice dedups
+    val userExchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning(user_id"))
+      .map(_.dropWhile(ch => !ch.isLetter)
+        .replaceAll("plan_id=\\d+", "").replaceAll("#\\d+", "")).toSet
+    assert(userExchanges.size == 1,
+      s"expected exactly one user_id exchange, got:\n${userExchanges.mkString("\n")}")
+    // Catalyst must cap the per-session rank map-side (rn <= 3)
+    assert(p.contains("WindowGroupLimit"),
+      "expected the rn<=3 filter to become a WindowGroupLimit")
+  }
+
+  test("attribution picks are one min_by/max_by agg, no window, one log scan") {
+    val p = plan("q_attribution")
+    assert(p.contains("min_by") && p.contains("max_by"),
+      "expected min_by/max_by aggregate picks")
+    // stack(), not a Union of branches — a Union would re-execute the
+    // journey subtree (scan+join) once per role
+    assert(!p.contains("Union"), "expected stack(), not a role Union")
+    val journeyScans = distinctNodes(p, "PushedFilters: [IsNotNull(event_type), Not(EqualTo(event_type,purchase))")
+    assert(journeyScans.size == 1,
+      s"expected ONE journey scan of events, got ${journeyScans.size}")
+  }
+
+  test("RFM reads orders once and never sorts the customer frame globally") {
+    val df = SparkEntry.queries("q_rfm")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the per-customer frame is checkpointed: its three consumers read
+    // the materialized RDD, not three scan+shuffle replays
+    assert(!p.contains("Scan parquet"),
+      "expected the checkpointed customer frame (no parquet re-scan in-plan)")
+    // quartiles come from a broadcast 1-row aggregate — an ntile plan
+    // would show a single-partition global Sort over every customer
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "expected the 1-row threshold broadcast")
+    // no Window node anywhere: scores are threshold comparisons against
+    // the broadcast row, never an ntile (whose global ORDER BY would
+    // funnel the customer frame through one task)
+    assert(!p.contains("Window"), "expected threshold scoring, no window")
+  }
+
+  test("cohort LTV broadcasts the cohort sizes; summary windows stay bounded") {
+    val p = plan("q_cohort_ltv")
+    assert(p.contains("BroadcastHashJoin"),
+      "expected the months-bounded cohort-size frame to broadcast")
+    // the cumulative window partitions by cohort_month — never a
+    // single-partition global window over the summary
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("windowspecdefinition()")),
+      "expected no unpartitioned window")
+  }
 }
