@@ -438,4 +438,72 @@ object PropertySpec extends Properties("graft") {
         dense && observedOk && carryOk
       }
     }
+
+  // identified event logs for the round-13 keys: event_id = list index
+  // (unique), ts ties across users AND within a user are frequent by
+  // construction so the (ts, event_id) tiebreak is actually exercised
+  private val idEventGen: Gen[List[(Long, Long, String, Long)]] =
+    Gen.listOfN(25, Gen.zip(
+      Gen.chooseNum(1L, 4L),                                // user
+      Gen.oneOf("view", "click", "purchase", "signup"),     // type
+      Gen.chooseNum(0L, 90L)))                              // minutes
+      .map(_.zipWithIndex.map { case ((u, t, m), i) => (i.toLong, u, t, m) })
+
+  private def stageEvents(evs: List[(Long, Long, String, Long)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_prop_ev").toString
+    evs.map { case (id, u, t, m) =>
+      (id, u, t, new java.sql.Timestamp(m * 60000L)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  property("attribution matches the per-user first/last pre-purchase pick") =
+    forAll(idEventGen) { evs =>
+      // reference: per user with a purchase, journey = events strictly
+      // before the FIRST purchase ts, excluding purchases; pick min/max
+      // by (ts, event_id)
+      val picks = evs.groupBy(_._2).values.flatMap { rows =>
+        rows.filter(_._3 == "purchase").map(_._4).minOption.flatMap { pt =>
+          val pre = rows.filter(r => r._4 < pt && r._3 != "purchase")
+          Option.when(pre.nonEmpty)(
+            (pre.minBy(r => (r._4, r._1))._3, pre.maxBy(r => (r._4, r._1))._3))
+        }
+      }.toSeq
+      val expected =
+        picks.groupBy(_._1).view.mapValues(_.size.toLong).toMap.map {
+          case (t, n) => ("first", t) -> n } ++
+        picks.groupBy(_._2).view.mapValues(_.size.toLong).toMap.map {
+          case (t, n) => ("last", t) -> n }
+      val got = queries.EventAnalytics.qAttribution
+        .run(spark, stageEvents(evs)).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      got == expected
+    }
+
+  property("session paths match the gaps-and-islands prefix reference") =
+    forAll(idEventGen) { evs =>
+      evs.nonEmpty ==> {
+        // reference: per user in (ts, event_id) order, a >30-minute gap
+        // opens a session; path = first <=3 types joined by '>'
+        val paths = evs.groupBy(_._2).values.flatMap { rows =>
+          val sorted = rows.sortBy(r => (r._4, r._1))
+          val sessions = scala.collection.mutable.ListBuffer(
+            scala.collection.mutable.ListBuffer(sorted.head))
+          sorted.sliding(2).foreach {
+            case Seq(a, b) =>
+              if (b._4 - a._4 > 30L) sessions += scala.collection.mutable.ListBuffer(b)
+              else sessions.last += b
+            case _ =>
+          }
+          sessions.map(_.take(3).map(_._3).mkString(">"))
+        }.toSeq
+        val expected = paths.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val got = queries.EventAnalytics.qEventPaths
+          .run(spark, stageEvents(evs)).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        got == expected
+      }
+    }
 }
