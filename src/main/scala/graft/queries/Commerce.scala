@@ -182,5 +182,75 @@ object Commerce {
       .orderBy("r_score", "f_score", "m_score")
   }
 
-  val all: Seq[Q] = Seq(qCohortLtv, qRfm)
+  /** Market-basket co-occurrence: the top-20 part pairs bought together
+    * in one order, with each pair's order count. The pair generation is
+    * an orderkey self-join of the (order, part)-deduped frame — BOTH
+    * sides shuffle on the same key, so Spark reuses one exchange, and
+    * the fan-out per order is basket-size-bounded (k² for k items, k≤7
+    * in a TPC-H-shaped book), never |lineitem|². The pair count agg is
+    * data-bounded and the top-20 fuses to TakeOrderedAndProject
+    * (per-partition heaps + a 20-row driver merge, no global sort). */
+  val qBasketPairs = Q(
+    "q_basket_pairs",
+    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2),
+      |pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |                 count(*) AS orders
+      |          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |                             AND a.l_partkey < b.l_partkey
+      |          GROUP BY 1, 2)
+      |SELECT part_a, part_b, orders FROM pairs
+      |ORDER BY orders DESC, part_a, part_b LIMIT 20""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = li.toDF("l_orderkey", "part_a")
+    val b = li.toDF("l_orderkey", "part_b")
+    a.join(b, a("l_orderkey") === b("l_orderkey") &&
+        col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("orders"))
+      .orderBy(col("orders").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  /** Repeat-purchase cadence: one summary row over the gaps (in days)
+    * between a customer's consecutive orders — repeat customers, gap
+    * count, exact p50/p90, and the mean gap (exact-integer 4dp half-up
+    * rounding, same engine-portability trick as the LTV divide). One
+    * custkey-partitioned lag() window (ties broken by o_orderkey), then
+    * a single global aggregate over the integer gaps. */
+  val qRepeatPurchase = Q(
+    "q_repeat_purchase",
+    """WITH g AS (SELECT o_custkey,
+      |                  date_diff('day',
+      |                    CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+      |                           ORDER BY o_orderdate, o_orderkey) AS DATE),
+      |                    CAST(o_orderdate AS DATE)) AS gap_days
+      |           FROM orders),
+      |gg AS (SELECT o_custkey, CAST(gap_days AS BIGINT) AS gap_days FROM g
+      |       WHERE gap_days IS NOT NULL)
+      |SELECT count(DISTINCT o_custkey) AS repeat_customers,
+      |       count(*) AS gaps,
+      |       round(quantile_cont(gap_days, 0.5), 4) AS p50_gap_days,
+      |       round(quantile_cont(gap_days, 0.9), 4) AS p90_gap_days,
+      |       CAST((2 * sum(gap_days) * 10000 + count(*)) // (2 * count(*))
+      |            AS DOUBLE) / 10000.0 AS avg_gap_days
+      |FROM gg""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val gg = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")),
+          to_date(lag("o_orderdate", 1).over(w))).cast("bigint").as("gap_days"))
+      .filter(col("gap_days").isNotNull)
+    gg.agg(countDistinct("o_custkey").as("repeat_customers"),
+        count(lit(1)).as("gaps"),
+        round(percentile(col("gap_days"), lit(0.5)), 4).as("p50_gap_days"),
+        round(percentile(col("gap_days"), lit(0.9)), 4).as("p90_gap_days"),
+        sum("gap_days").as("sum_days"))
+      .select(col("repeat_customers"), col("gaps"),
+        col("p50_gap_days"), col("p90_gap_days"),
+        // exact-integer 4dp half-up mean: deterministic on both engines
+        expr("CAST((2 * sum_days * 10000 + gaps) DIV (2 * gaps) " +
+          "AS DOUBLE) / 10000.0").as("avg_gap_days"))
+  }
+
+  val all: Seq[Q] = Seq(qCohortLtv, qRfm, qBasketPairs, qRepeatPurchase)
 }

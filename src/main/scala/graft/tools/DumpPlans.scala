@@ -262,6 +262,16 @@ object DumpPlans {
       "both the min(month) agg and the join; BroadcastHashJoin on " +
       "cohort sizes; the money column is integer cents end to end " +
       "(exact-integer 4dp rounding, no double sums)."),
+    "q_basket_pairs" -> ("Market-basket co-occurrence (round 13). The " +
+      "pair generation is an l_orderkey SELF-JOIN of the (order, part)-" +
+      "deduped frame: both sides need the same hashpartitioning" +
+      "(l_orderkey), so the shuffle is planned once per side off one " +
+      "scan each; fan-out per order is basket-size-bounded (k², k≤7 " +
+      "in a TPC-H-shaped book), never |lineitem|². What to check: " +
+      "SortMergeJoin (or BHJ at small SF) keyed l_orderkey with the " +
+      "part_a < part_b predicate as a join condition (not a post-" +
+      "filter over a cross product); the top-20 fuses to " +
+      "TakeOrderedAndProject — no global sort of the pair table."),
     "q_rfm" -> ("RFM segmentation (round 13). One o_custkey hash agg " +
       "builds the per-customer frame, CHECKPOINTED because its three " +
       "consumers (max-date probe, quartile aggregate, scoring pass) " +

@@ -225,6 +225,37 @@ object EventScaleProbe {
     val rowsM1 = rfm(s"$out/ord1x"); val rowsMC = rfm(s"$out/ord4x")
     println(f"RFM 1x: $m1%.2f s ($rowsM1 cells)")
     println(f"RFM 4x customers: $mC%.2f s (${mC / m1}%.1fx), $rowsMC cells")
+    def repeat(d: String): Long =
+      graft.queries.Commerce.qRepeatPurchase.run(spark, d).count()
+    val rp1 = timeMin { repeat(s"$out/ord1x") }
+    val rpC = timeMin { repeat(s"$out/ord4x") }
+    println(f"REPEAT_PURCHASE 1x: $rp1%.2f s")
+    println(f"REPEAT_PURCHASE 4x customers: $rpC%.2f s (${rpC / rp1}%.1fx)")
+
+    // basket pairs on the ORDER axis (amplified lineitem, disjoint
+    // orderkey spaces): the self-join's pair volume is basket-bounded,
+    // so 4x orders must cost ~4x pairs — linear, never quadratic
+    val li1 = Tables.lineitem(spark, sf)
+    li1.write.mode("overwrite").parquet(s"$out/li1x/lineitem.parquet")
+    (0 until 4).map(i => li1
+        .withColumn("l_orderkey", col("l_orderkey") + i * 100000000L))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/li4x/lineitem.parquet")
+    def basket(d: String): Long =
+      graft.queries.Commerce.qBasketPairs.run(spark, d).count()
+    // pair volume (pre-top-k) on each book, for the linearity check
+    def pairVolume(d: String): Long = {
+      val li = spark.read.parquet(s"$d/lineitem.parquet")
+        .select("l_orderkey", "l_partkey").distinct()
+        .groupBy("l_orderkey").agg(count(lit(1)).as("k"))
+      li.agg(sum(expr("k * (k - 1) / 2"))).head().getDouble(0).toLong
+    }
+    val b1 = timeMin { basket(s"$out/li1x") }
+    val bC = timeMin { basket(s"$out/li4x") }
+    val pv1 = pairVolume(s"$out/li1x"); val pvC = pairVolume(s"$out/li4x")
+    println(f"BASKET_PAIRS 1x: $b1%.2f s ($pv1 candidate pairs)")
+    println(f"BASKET_PAIRS 4x orders: $bC%.2f s (${bC / b1}%.1fx), " +
+      f"$pvC pairs (${pvC.toDouble / pv1}%.1fx)")
 
     spark.stop()
   }

@@ -17,7 +17,8 @@ class CommerceSpec extends AnyFunSuite {
   private def plantOrders(rows: Seq[(Long, Double, Timestamp)]): String = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_orders").toString
-    rows.toDF("o_custkey", "o_totalprice", "o_orderdate")
+    rows.zipWithIndex.map { case ((c, p, t), i) => (i.toLong, c, p, t) }
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
     dir
   }
@@ -71,6 +72,50 @@ class CommerceSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(
       (1L, 1L, 1L, 1L, 10.0),
       (4L, 4L, 4L, 1L, 20.0)))
+  }
+
+  test("basket pairs: planted co-occurrence counts, ordered pairs only") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_basket").toString
+    // o1 {1,2,3}, o2 {1,2}, o3 {1} (and a duplicate line for part 1 in
+    // o1 that must not double-count) → (1,2)x2, (1,3)x1, (2,3)x1
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 1L), (2L, 1L), (2L, 2L), (3L, 1L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = queries.Commerce.qBasketPairs.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
+  test("basket pairs over the corpus: top-20, strict pair order, descending") {
+    val rows = SparkEntry.queries("q_basket_pairs")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach(r => assert(r.getLong(0) < r.getLong(1)))
+    val counts = rows.map(_.getLong(2))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("repeat purchase: planted cadence summary") {
+    // c1 orders on days 0/10/20 → gaps {10, 10}; c2 orders once → none
+    val dir = plantOrders(Seq(
+      (1L, 5.0, ts("2024-01-01 00:00:00")),
+      (1L, 5.0, ts("2024-01-11 00:00:00")),
+      (1L, 5.0, ts("2024-01-21 00:00:00")),
+      (2L, 5.0, ts("2024-01-02 00:00:00"))))
+    val r = queries.Commerce.qRepeatPurchase.run(spark, dir).head()
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+      r.getDouble(4)) == ((1L, 2L, 10.0, 10.0, 10.0)))
+  }
+
+  test("repeat purchase over the corpus: gap accounting reconciles") {
+    val r = SparkEntry.queries("q_repeat_purchase")(spark, sf).head()
+    val orders = Tables.orders(spark, sf)
+    val total = orders.count()
+    val customers = orders.select("o_custkey").distinct().count()
+    // every order after a customer's first contributes exactly one gap
+    assert(r.getLong(1) == total - customers)
+    assert(r.getLong(0) <= customers)
+    assert(r.getDouble(2) <= r.getDouble(3), "p50 must not exceed p90")
   }
 
   test("RFM over the corpus: scores bounded, cells partition the customers") {
