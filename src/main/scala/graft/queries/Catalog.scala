@@ -1029,13 +1029,13 @@ object Catalog {
     * space is exact in both engines — no caller-side pre-hashing
     * contract to forget at > 2^31 rows (PropertySpec pins ids beyond
     * 2^31 against this oracle chain). */
-  private def portableHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[queries] def portableHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.PortableHash.column(c)
 
   /** The same fold+mixer as lateral-alias SQL (`h4` selects the row):
     * three absorb rounds, one per key chunk, mirroring
     * [[graft.functions.PortableHash.column]] term by term. */
-  private def portableHashSql(e: String): String =
+  private[queries] def portableHashSql(e: String): String =
     s"""(($e) % 2147483648) * 2654435761 % 2147483648 AS a1,
        |       xor(a1, a1 >> 15) AS a2,
        |       (a2 * 1597334677) % 2147483648 AS a3,

@@ -465,6 +465,98 @@ object EventAnalytics {
       .orderBy("touch", "event_type")
   }
 
+  /** Deterministic A/B experiment readout: users are assigned to arms
+    * by the PORTABLE key mixer (`Catalog.portableHashSql` — the
+    * q_split_train_eval property applied to experimentation:
+    * assignment is a pure function of user_id, so it is re-runnable,
+    * partitioning-invariant, and a user can never switch arms between
+    * reads — exactly what RNG bucketing lacks). The metric is
+    * purchases per user (continuous — a binary "ever purchased" is
+    * degenerate on this corpus where every user converts). One summary
+    * row: per-arm exposure and purchase totals, exact-integer 4dp
+    * means, relative lift as a ratio of exact rationals
+    * ((sB·uA)/(sA·uB), integer-rounded; headroom 2·s·u·10⁴ < 2^63 —
+    * widen to DECIMAL past ~4.6×10^14 purchase-user products), and the
+    * Welch z-score over the integer (sum, sumsq) moments — the only
+    * double arithmetic, an IDENTICAL expression tree on both engines,
+    * guarded so zero variance yields NULL, not a divide error. Scale:
+    * one user-keyed hash agg over the purchase-pruned scan, then a
+    * 1-row summary. */
+  val qExperimentLift = Q(
+    "q_experiment_lift",
+    s"""WITH u AS (
+      |  SELECT user_id, count(*) AS n FROM events
+      |  WHERE event_type = 'purchase' GROUP BY 1),
+      |h AS (SELECT n,
+      |       ${Catalog.portableHashSql("user_id")}
+      |      FROM u),
+      |arms AS (SELECT h4 % 2 AS variant, count(*) AS users,
+      |                CAST(sum(n) AS BIGINT) AS s,
+      |                CAST(sum(n * n) AS BIGINT) AS q
+      |         FROM h GROUP BY 1),
+      |w AS (SELECT
+      |        max(CASE WHEN variant = 0 THEN users END) AS ua,
+      |        max(CASE WHEN variant = 0 THEN s END) AS sa,
+      |        max(CASE WHEN variant = 0 THEN q END) AS qa,
+      |        max(CASE WHEN variant = 1 THEN users END) AS ub,
+      |        max(CASE WHEN variant = 1 THEN s END) AS sb,
+      |        max(CASE WHEN variant = 1 THEN q END) AS qb
+      |      FROM arms)
+      |SELECT ua AS users_a, sa AS purchases_a, ub AS users_b,
+      |       sb AS purchases_b,
+      |       CAST((2 * sa * 10000 + ua) // (2 * ua) AS DOUBLE) / 10000.0
+      |         AS mean_a,
+      |       CAST((2 * sb * 10000 + ub) // (2 * ub) AS DOUBLE) / 10000.0
+      |         AS mean_b,
+      |       CASE WHEN sa > 0 THEN
+      |         CAST((2 * sb * ua * 10000 + sa * ub) // (2 * sa * ub)
+      |              AS DOUBLE) / 10000.0 END AS lift,
+      |       CASE WHEN ua > 1 AND ub > 1 AND
+      |            (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / ua)
+      |              / (ua - 1) / ua
+      |            + (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / ub)
+      |              / (ub - 1) / ub > 0 THEN
+      |         round((CAST(sb AS DOUBLE) / ub - CAST(sa AS DOUBLE) / ua)
+      |           / sqrt((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / ua)
+      |                    / (ua - 1) / ua
+      |                  + (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / ub)
+      |                    / (ub - 1) / ub), 4) END AS z_score
+      |FROM w""".stripMargin) { (s, d) =>
+    val u = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val arms = u
+      .withColumn("variant",
+        pmod(Catalog.portableHash(col("user_id")), lit(2L)))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("users"),
+        sum("n").cast("bigint").as("s"),
+        sum(col("n") * col("n")).cast("bigint").as("q"))
+    val w = arms.agg(
+      max(when(col("variant") === 0, col("users"))).as("ua"),
+      max(when(col("variant") === 0, col("s"))).as("sa"),
+      max(when(col("variant") === 0, col("q"))).as("qa"),
+      max(when(col("variant") === 1, col("users"))).as("ub"),
+      max(when(col("variant") === 1, col("s"))).as("sb"),
+      max(when(col("variant") === 1, col("q"))).as("qb"))
+    w.selectExpr(
+      "ua AS users_a", "sa AS purchases_a", "ub AS users_b",
+      "sb AS purchases_b",
+      "CAST((2 * sa * 10000 + ua) DIV (2 * ua) AS DOUBLE) / 10000.0 AS mean_a",
+      "CAST((2 * sb * 10000 + ub) DIV (2 * ub) AS DOUBLE) / 10000.0 AS mean_b",
+      "CASE WHEN sa > 0 THEN CAST((2 * sb * ua * 10000 + sa * ub) " +
+        "DIV (2 * sa * ub) AS DOUBLE) / 10000.0 END AS lift",
+      "CASE WHEN ua > 1 AND ub > 1 AND " +
+        "(CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / ua) / (ua - 1) / ua " +
+        "+ (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / ub) / (ub - 1) / ub " +
+        "> 0 THEN " +
+        "round((CAST(sb AS DOUBLE) / ub - CAST(sa AS DOUBLE) / ua) " +
+        "/ sqrt((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / ua) " +
+        "/ (ua - 1) / ua " +
+        "+ (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / ub) " +
+        "/ (ub - 1) / ub), 4) END AS z_score")
+  }
+
   /** Session-level engagement summary — the aggregate layer above
     * q_stream_session's per-session rows: sessionize (same 30-minute
     * session_window the streaming twin uses; the gaps-and-islands
@@ -587,6 +679,6 @@ object EventAnalytics {
 
   val all: Seq[Q] = Seq(qFunnel, qFunnelLatency, qFunnelUnordered,
     qRetentionCohort, qRetentionWeekly, qActiveUsers, qActiveUsersSketch,
-    qEventTransitions, qEventPaths, qAttribution, qSessionStats,
-    qAnomalyZscore, qTimeseriesFill)
+    qEventTransitions, qEventPaths, qAttribution, qExperimentLift,
+    qSessionStats, qAnomalyZscore, qTimeseriesFill)
 }

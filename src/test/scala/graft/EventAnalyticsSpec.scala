@@ -484,6 +484,33 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("last", "click", 1L, 0.5), ("last", "view", 1L, 0.5)))
   }
 
+  test("experiment lift over the corpus: arm accounting reconciles, deterministic") {
+    val q = SparkEntry.queries("q_experiment_lift")
+    val r = q(spark, sf).head()
+    val ev = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+    val purchasers = ev.select("user_id").distinct().count()
+    val purchases = ev.count()
+    assert(r.getLong(0) + r.getLong(2) == purchasers,
+      "arms must partition the purchasing users")
+    assert(r.getLong(1) + r.getLong(3) == purchases,
+      "arm purchase totals must sum to the corpus total")
+    assert(r.getDouble(4) > 0 && r.getDouble(5) > 0)
+    // assignment is a pure function of user_id: a second run is
+    // bit-identical (the property RNG bucketing lacks)
+    assert(q(spark, sf).head().toString == r.toString)
+  }
+
+  test("experiment lift on a purchase-free log: null row, no divide error") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ab_empty").toString
+    Seq((1L, 1L, "view", ts("2024-01-01 00:00:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = queries.EventAnalytics.qExperimentLift.run(spark, dir).head()
+    // no arm exists: every stat must be NULL (never an ANSI divide error)
+    assert((0 until r.length).forall(r.isNullAt))
+  }
+
   test("attribution over the corpus: both roles cover the same journeys") {
     val rows = SparkEntry.queries("q_attribution")(spark, sf).collect()
     assert(rows.nonEmpty)
