@@ -30,6 +30,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
   }
 
+  test("growth report: every section emits, all frames hold their bounds") {
+    val sections = graft.examples.GrowthReportDemo.run(spark, sf)
+    val byName = sections.map(s => s.name -> s.rows).toMap
+    assert(sections.forall(_.rows > 0), s"empty section in $sections")
+    // each section's output is the bounded frame its design claims
+    assert(byName("funnel") == 3)                  // one row per step
+    assert(byName("funnel_latency") == 2)          // steps >= 2
+    assert(byName("session_paths") <= 5 + 25 + 125) // <=|types|^3 paths
+    assert(byName("attribution") <= 2 * 5)         // roles x types
+    assert(byName("experiment_lift") == 1)
+    assert(byName("rfm") <= 64)                    // 4^3 cells
+    assert(byName("basket_pairs") <= 20)           // top-k
+    assert(byName("repeat_purchase") == 1)
+  }
+
   test("retry: transient failures heal, attempts are logged") {
     var calls = 0
     val (res, attempts) = Retry.withRetry(maxAttempts = 3, initialBackoffMs = 1) {
