@@ -186,8 +186,9 @@ object Commerce {
     * in one order, with each pair's order count. The pair generation is
     * an orderkey self-join of the (order, part)-deduped frame — BOTH
     * sides shuffle on the same key, so Spark reuses one exchange, and
-    * the fan-out per order is basket-size-bounded (k² for k items, k≤7
-    * in a TPC-H-shaped book), never |lineitem|². The pair count agg is
+    * the fan-out per order is basket-size-bounded (k² for a k-item
+    * basket — 13 distinct parts max in the driver's book), never
+    * |lineitem|². The pair count agg is
     * data-bounded and the top-20 fuses to TakeOrderedAndProject
     * (per-partition heaps + a 20-row driver merge, no global sort). */
   val qBasketPairs = Q(

@@ -17,6 +17,53 @@ import org.apache.spark.sql.functions._
   */
 object EventAnalytics {
 
+  /** The ONE 30-minute gaps-and-islands sessionizer definition, as the
+    * DuckDB CTE pair every sessionizing oracle shares (q_session_stats,
+    * q_event_paths): a session breaks when the gap STRICTLY exceeds 30
+    * minutes; order within a user is (ts, event_id). Timestamps are
+    * micros-truncated up front — the repo-wide determinism contract
+    * (Q.scala): Spark reads the nanos-vintage parquet at micros, so the
+    * oracle must rank ties and compare gaps at the same precision or
+    * the engines diverge on sub-microsecond data (the q_event_transitions
+    * hazard). `carried` names extra event columns to keep on the rows
+    * (e.g. ", event_type"). */
+  private def sessionCtesSql(carried: String): String =
+    s"""flagged AS (
+       |  SELECT user_id, date_trunc('microseconds', ts) AS ts,
+       |         event_id$carried,
+       |         CASE WHEN date_trunc('microseconds', ts)
+       |                   - lag(date_trunc('microseconds', ts)) OVER w
+       |                   > INTERVAL '30 minutes'
+       |              OR lag(ts) OVER w IS NULL
+       |              THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id
+       |               ORDER BY date_trunc('microseconds', ts), event_id)),
+       |numbered AS (
+       |  SELECT user_id, ts, event_id$carried,
+       |         sum(new_session) OVER (PARTITION BY user_id
+       |                                ORDER BY ts, event_id
+       |                                ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM flagged)""".stripMargin
+
+  /** DataFrame twin of [[sessionCtesSql]]: appends `session_id` per
+    * (user, 30-min gaps-and-islands session). Spark's `ts` is already
+    * micros (Tables.events normalizes both parquet vintages), so no
+    * truncation is needed on this side. */
+  private def sessionized(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val lagTs = lag(col("ts"), 1).over(wUser)
+    ev.withColumn("new_session",
+        when(lagTs.isNull ||
+          col("ts") - lagTs > expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+      .withColumn("session_id",
+        sum("new_session").over(wUser.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .drop("new_session")
+  }
+
   /** Windowed ordered funnel view → click → purchase: each step must
     * happen strictly after the previous step's time and within 24 h of
     * it (the deadline is what keeps a long log from saturating the
@@ -357,18 +404,7 @@ object EventAnalytics {
     * rows at any corpus size. */
   val qEventPaths = Q(
     "q_event_paths",
-    """WITH flagged AS (
-      |  SELECT user_id, ts, event_id, event_type,
-      |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-      |                   > INTERVAL '30 minutes'
-      |              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-      |              THEN 1 ELSE 0 END AS new_session
-      |  FROM events),
-      |numbered AS (
-      |  SELECT user_id, ts, event_id, event_type,
-      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                                ROWS UNBOUNDED PRECEDING) AS session_id
-      |  FROM flagged),
+    s"""WITH ${sessionCtesSql(", event_type")},
       |ranked AS (
       |  SELECT user_id, session_id, event_type,
       |         row_number() OVER (PARTITION BY user_id, session_id
@@ -383,18 +419,9 @@ object EventAnalytics {
       |       round(CAST(sessions AS DOUBLE) / sum(sessions) OVER (), 4) AS share
       |FROM c ORDER BY sessions DESC, path""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val wUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val lagTs = lag(col("ts"), 1).over(wUser)
-    val numbered = Tables.events(s, d)
-      .withColumn("new_session",
-        when(lagTs.isNull ||
-          col("ts") - lagTs > expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
-      .withColumn("session_id",
-        sum("new_session").over(wUser.rowsBetween(
-          Window.unboundedPreceding, Window.currentRow)))
     val wSess = Window.partitionBy("user_id", "session_id")
       .orderBy("ts", "event_id")
-    val paths = numbered
+    val paths = sessionized(Tables.events(s, d))
       .withColumn("rn", row_number().over(wSess))
       .filter(col("rn") <= 3)
       .groupBy("user_id", "session_id")
@@ -424,11 +451,18 @@ object EventAnalytics {
     * doubling the log scan at 100 TB. Output is vocabulary-bounded. */
   val qAttribution = Q(
     "q_attribution",
-    """WITH fp AS (SELECT user_id, min(ts) AS pts FROM events
-      |            WHERE event_type = 'purchase' GROUP BY 1),
-      |pre AS (SELECT e.user_id, e.event_type, e.ts, e.event_id
+    """WITH fp AS (SELECT user_id,
+      |                   -- micros truncation BEFORE the min/compare/rank:
+      |                   -- Spark reads the nanos-vintage parquet at micros,
+      |                   -- so the oracle must pick and rank at the same
+      |                   -- precision (the q_event_transitions hazard)
+      |                   min(date_trunc('microseconds', ts)) AS pts
+      |            FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |pre AS (SELECT e.user_id, e.event_type,
+      |               date_trunc('microseconds', e.ts) AS ts, e.event_id
       |        FROM events e JOIN fp USING (user_id)
-      |        WHERE e.ts < fp.pts AND e.event_type <> 'purchase'),
+      |        WHERE date_trunc('microseconds', e.ts) < fp.pts
+      |          AND e.event_type <> 'purchase'),
       |r AS (SELECT user_id, event_type,
       |             row_number() OVER (PARTITION BY user_id
       |                                ORDER BY ts, event_id) AS rf,
@@ -568,18 +602,7 @@ object EventAnalytics {
     * session frame (≤ events rows, usually ≪), the output is 1 row. */
   val qSessionStats = Q(
     "q_session_stats",
-    """WITH flagged AS (
-      |  SELECT user_id, ts, event_id,
-      |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-      |                   > INTERVAL '30 minutes'
-      |              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-      |              THEN 1 ELSE 0 END AS new_session
-      |  FROM events),
-      |numbered AS (
-      |  SELECT user_id, ts,
-      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                                ROWS UNBOUNDED PRECEDING) AS session_id
-      |  FROM flagged),
+    s"""WITH ${sessionCtesSql("")},
       |g AS (SELECT user_id, session_id, count(*) AS n,
       |             date_diff('second', min(ts), max(ts)) AS dur
       |      FROM numbered GROUP BY 1, 2)

@@ -266,8 +266,9 @@ object DumpPlans {
       "pair generation is an l_orderkey SELF-JOIN of the (order, part)-" +
       "deduped frame: both sides need the same hashpartitioning" +
       "(l_orderkey), so the shuffle is planned once per side off one " +
-      "scan each; fan-out per order is basket-size-bounded (k², k≤7 " +
-      "in a TPC-H-shaped book), never |lineitem|². What to check: " +
+      "scan each; fan-out per order is basket-size-bounded (k² for a k-item " +
+      "basket; 13 distinct parts max in the driver's book), never " +
+      "|lineitem|². What to check: " +
       "SortMergeJoin (or BHJ at small SF) keyed l_orderkey with the " +
       "part_a < part_b predicate as a join condition (not a post-" +
       "filter over a cross product); the top-20 fuses to " +
