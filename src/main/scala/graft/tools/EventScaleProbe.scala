@@ -163,6 +163,20 @@ object EventScaleProbe {
     val asU = timeMin { activeUsersSketch(rd("ev4_users")) }
     println(f"ACTIVE_USERS_SKETCH 1x: $as1%.2f s")
     println(f"ACTIVE_USERS_SKETCH 4x users: $asU%.2f s (${asU / as1}%.1fx)")
+    // the crossover claim at 16x users: the exact path's cost is the
+    // (user, day) distinct + the 7-way expanded distinct (both grow
+    // with users), the sketch's daily state stays fixed-size — so the
+    // exact:sketch ratio must WIDEN from 4x to 16x
+    (0 until 4).map(i => rd("ev4_users")
+        .withColumn("user_id", col("user_id") + i * 1000000000L)
+        .withColumn("event_id", col("event_id") + i * 1000000000L))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/ev16_users")
+    val a16 = timeMin { activeUsers(rd("ev16_users")) }
+    val as16 = timeMin { activeUsersSketch(rd("ev16_users")) }
+    println(f"ACTIVE_USERS 16x users: $a16%.2f s " +
+      f"(exact:sketch ${a16 / as16}%.1fx, was ${aU / asU}%.1fx at 4x)")
+    println(f"ACTIVE_USERS_SKETCH 16x users: $as16%.2f s")
     val t1 = timeMin { transitions(ev1) }
     val tD = timeMin { transitions(rd("ev4_dense")) }
     val rowsT1 = transitions(ev1); val rowsTD = transitions(rd("ev4_dense"))
