@@ -15,6 +15,7 @@ object SparkEntry {
       graft.queries.TimeWindows.all ++
       graft.queries.EventAnalytics.all ++
       graft.queries.Commerce.all ++
+      graft.queries.Graphs.all ++
       graft.queries.Catalog.all ++
       graft.queries.Analytics.all ++
       graft.queries.Extensions.all ++

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Graph-analytics invariants on planted graphs where every metric is
+  * computable by hand, plus a formulation-equivalence check of the
+  * map-side basket pair expansion against the naive self-join edge
+  * derivation on the real corpus (the two derivations are independent —
+  * the oracle keeps the self-join, `Graphs.edges` keeps the expansion).
+  */
+class GraphsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  /** Writes baskets (orderkey -> parts) as a minimal lineitem.parquet in
+    * a temp sf-dir so the family's (spark, sfDir) entry points read it. */
+  private def plant(baskets: Seq[Seq[Long]]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_graph").toString
+    baskets.zipWithIndex
+      .flatMap { case (ps, o) => ps.map(p => (o.toLong, p)) }
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("triangle census on a planted triangle-plus-tail graph") {
+    // baskets {1,2,3} and {3,4}: edges (1,2)(1,3)(2,3)(3,4);
+    // deg = 2,2,3,1 -> wedges 1+1+3+0 = 5; one triangle;
+    // clustering = 3*1/5 = 0.6
+    val dir = plant(Seq(Seq(1L, 2L, 3L), Seq(3L, 4L)))
+    val r = SparkEntry.queries("q_graph_triangles")(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("nodes") == 4L)
+    assert(row.getAs[Long]("edges") == 4L)
+    assert(row.getAs[Long]("wedges") == 5L)
+    assert(row.getAs[Long]("triangles") == 1L)
+    assert(row.getAs[Double]("clustering_coef") == 0.6)
+  }
+
+  test("degree ranking on the planted graph is (3,3) first then ties by id") {
+    val dir = plant(Seq(Seq(1L, 2L, 3L), Seq(3L, 4L)))
+    val rows = SparkEntry.queries("q_graph_degree")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("degree")))
+    assert(rows.toSeq == Seq((3L, 3L), (1L, 2L), (2L, 2L), (4L, 1L)))
+  }
+
+  test("pagerank on a regular graph is the exact fixed point 1e12") {
+    // triangle {1,2,3}: every node's neighbor sum is 2*(r DIV 2) = r, so
+    // 0.15e12 + 17r DIV 20 = 1e12 at r = 1e12 — the integer iteration
+    // must hold the fixed point exactly (no rounding drift)
+    val dir = plant(Seq(Seq(1L, 2L, 3L)))
+    val rows = SparkEntry.queries("q_graph_pagerank")(spark, dir).collect()
+    assert(rows.length == 3)
+    rows.foreach(r => assert(r.getAs[Long]("rank_e12") == 1000000000000L))
+  }
+
+  test("pagerank mass concentrates on the hub of a star") {
+    // star 1-{2,3,4}: leaves' whole mass flows to the hub each round
+    val dir = plant(Seq(Seq(1L, 2L), Seq(1L, 3L), Seq(1L, 4L)))
+    val rows = SparkEntry.queries("q_graph_pagerank")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("rank_e12")))
+    val hub = rows.find(_._1 == 1L).get._2
+    rows.filter(_._1 != 1L).foreach { case (_, leaf) =>
+      assert(hub > leaf)
+      assert(leaf == rows.find(_._1 == 2L).get._2) // leaves identical
+    }
+  }
+
+  test("BFS hop histogram on a planted path graph") {
+    // path 1-2-3-4-5 from seed min(u)=1: exactly one node per hop 0..3
+    val dir = plant(Seq(Seq(1L, 2L), Seq(2L, 3L), Seq(3L, 4L), Seq(4L, 5L)))
+    val rows = SparkEntry.queries("q_graph_reach")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("hop"), r.getAs[Long]("nodes")))
+    assert(rows.toSeq == Seq((0L, 1L), (1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("BFS does not re-count already-visited nodes on a cycle") {
+    // triangle: hop0 = {1}, hop1 = {2,3}, hop2 = {} (all visited)
+    val dir = plant(Seq(Seq(1L, 2L, 3L)))
+    val rows = SparkEntry.queries("q_graph_reach")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("hop"), r.getAs[Long]("nodes")))
+    assert(rows.toSeq == Seq((0L, 1L), (1L, 2L)))
+  }
+
+  test("map-side pair expansion equals the self-join edge derivation (sf0.001)") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct()
+    val naive = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    val expanded = queries.Graphs.edgesForTest(spark, sf)
+    assert(expanded.count() == naive.count())
+    assert(expanded.except(naive).isEmpty && naive.except(expanded).isEmpty)
+  }
+
+  test("degree top-k fuses to TakeOrderedAndProject (no global sort)") {
+    val plan = SparkEntry.queries("q_graph_degree")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("Sort ["), s"unexpected global sort:\n$plan")
+  }
+}
