@@ -284,7 +284,33 @@ object DumpPlans {
       "100 TB. What to check: the customer frame appears as one " +
       "(checkpointed) scan, orders is read once; " +
       "BroadcastNestedLoopJoin (1-row build side) for the thresholds, " +
-      "score assignment map-side in codegen, final agg over ≤4³ cells."))
+      "score assignment map-side in codegen, final agg over ≤4³ cells."),
+    "q_graph_triangles" -> ("Triangle census via degree orientation " +
+      "(round 13). The oriented edge list is checkpointed once; the " +
+      "out-adjacency frame is NODE-sized in rows (20k at sf0.1) but " +
+      "its array payload is ~m longs, so the two probe joins resolve " +
+      "to edge-keyed SortMergeJoins in the FINAL adaptive plan (the " +
+      "~10MB build side sits at the broadcast threshold at sf0.1 and " +
+      "can never broadcast at scale — the shuffled shape IS the " +
+      "100 TB path; PlanProbe `final q_graph_triangles` shows the " +
+      "post-AQE strategies). The per-edge array_intersect then runs " +
+      "map-side — NO wedge materialization (the wedge-join twin " +
+      "shuffled ~36M wedge rows and measured 2.5x slower, " +
+      "BASELINE.md). What to check: no Generate/explode, no " +
+      "edge-edge join producing wedge rows, one 1-row final " +
+      "aggregate; hub skew is handled by the orientation itself " +
+      "(out-degree ≤ O(sqrt m), SCALING.md hub-skew row)."),
+    "q_graph_pagerank" -> ("PageRank, 3 exact-integer power " +
+      "iterations (round 13). Per iteration: the rank frame is " +
+      "NODE-sized, joins degree (node-sized) and then the 2.4M-row " +
+      "adjacency — AQE broadcasts the contribution side so the edge " +
+      "list NEVER shuffles for the join; one dst-keyed HashAggregate " +
+      "with partial sums behind it. All arithmetic is 64-bit integer " +
+      "(rank DIV degree contributions), so the result is " +
+      "bit-identical in any aggregation order. What to check: three " +
+      "BroadcastHashJoin+HashAggregate pairs over the same " +
+      "checkpointed adjacency scan; final top-20 fuses to " +
+      "TakeOrderedAndProject."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

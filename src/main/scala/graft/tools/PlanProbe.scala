@@ -25,6 +25,20 @@ object PlanProbe {
         val aqeOff = (1 to 3).map(_ => t(run())).min
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         println(f"=== q_cte_recursive min-of-3: AQE on $aqeOn%.2fs / off $aqeOff%.2fs")
+      case "final" =>
+        // post-execution ADAPTIVE plan for a registered key: the static
+        // explain shows SMJ for joins whose build side hides behind a
+        // checkpoint (unknown stats); AQE re-plans from actual shuffle
+        // sizes, and this is where that decision is observable
+        val key = args.lift(1).getOrElse("q_graph_triangles")
+        val sf = args.lift(2).getOrElse("/root/testdata/sf0.1")
+        val df = graft.SparkEntry.queries(key)(spark, sf)
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+        def n(p: String) = p.r.findAllIn(plan).length
+        println(s"=== $key final plan: BroadcastHashJoin=${n("BroadcastHashJoin")} " +
+          s"SortMergeJoin=${n("SortMergeJoin")} ShuffledHashJoin=${n("ShuffledHashJoin")} " +
+          s"BroadcastNestedLoop=${n("BroadcastNestedLoopJoin")}")
       case _ =>
         val docs = Tables.documents(spark, "/root/testdata/sf0.01")
         val sh = graft.functions.TextOps.shingleRows(docs, "doc_id", "text", 3)
