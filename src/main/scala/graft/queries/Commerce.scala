@@ -223,6 +223,69 @@ object Commerce {
       .limit(20)
   }
 
+  /** Association rules over the co-purchase baskets: support counts,
+    * directed confidence and lift for every part pair co-purchased in
+    * ≥ 2 orders (the 1-count tail is noise — ~99.7% of distinct pairs
+    * at sf0.1 — and admitting it would rank pure rarity), top-20 by
+    * lift. The basket frame is aggregated ONCE (checkpointed) and
+    * feeds all three statistics: pair counts via the map-side pair
+    * expansion (q_basket_pairs formulation), item order-counts via a
+    * basket explode, and the order total as a 1-row cross join — so
+    * lineitem is scanned exactly once. Confidence and lift are
+    * exact-integer 4dp half-up ((2a+b) DIV 2b — the LTV rounding
+    * trick), never a double divide: overflow headroom is
+    * 2·both·N·10⁴ < 2⁶³, i.e. both·N < 4.6e14 — at 100× this corpus
+    * (N≈15M) pairs can co-occur 3e7 times before the scale
+    * denominator must grow. Joins after the pair agg are
+    * vocabulary-sized (20k item counts) and broadcast. */
+  val qBasketLift = Q(
+    "q_basket_lift",
+    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2),
+      |n AS (SELECT count(DISTINCT l_orderkey) AS n FROM li),
+      |item AS (SELECT l_partkey, count(*) AS cnt FROM li GROUP BY 1),
+      |pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |                 count(*) AS both_orders
+      |          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |                             AND a.l_partkey < b.l_partkey
+      |          GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT part_a, part_b, both_orders,
+      |       CAST((2 * both_orders * 10000 * (SELECT n FROM n)
+      |             + ia.cnt * ib.cnt)
+      |            // (2 * ia.cnt * ib.cnt) AS DOUBLE) / 10000.0 AS lift,
+      |       CAST((2 * both_orders * 10000 + ia.cnt) // (2 * ia.cnt)
+      |            AS DOUBLE) / 10000.0 AS conf_a_to_b
+      |FROM pairs JOIN item ia ON ia.l_partkey = part_a
+      |           JOIN item ib ON ib.l_partkey = part_b
+      |ORDER BY lift DESC, part_a, part_b LIMIT 20""".stripMargin) { (s, d) =>
+    val baskets = Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("basket"))
+      .localCheckpoint(true)
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(basket, (x, i) ->
+          |  transform(slice(basket, i + 2, size(basket) - i - 1),
+          |            y -> struct(x AS part_a, y AS part_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.part_a"), col("p.part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("both_orders"))
+      .where(col("both_orders") >= 2)
+    val item = baskets.select(explode(col("basket")).as("part"))
+      .groupBy("part").agg(count(lit(1)).as("cnt"))
+    val n = baskets.agg(count(lit(1)).as("n"))
+    pairs
+      .join(item.select(col("part").as("part_a"), col("cnt").as("ca")), "part_a")
+      .join(item.select(col("part").as("part_b"), col("cnt").as("cb")), "part_b")
+      .crossJoin(n)
+      .select(col("part_a"), col("part_b"), col("both_orders"),
+        expr("CAST((2 * both_orders * 10000 * n + ca * cb) DIV " +
+          "(2 * ca * cb) AS DOUBLE) / 10000.0").as("lift"),
+        expr("CAST((2 * both_orders * 10000 + ca) DIV (2 * ca) " +
+          "AS DOUBLE) / 10000.0").as("conf_a_to_b"))
+      .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
   /** Repeat-purchase cadence: one summary row over the gaps (in days)
     * between a customer's consecutive orders — repeat customers, gap
     * count, exact p50/p90, and the mean gap (exact-integer 4dp half-up
@@ -264,5 +327,6 @@ object Commerce {
           "AS DOUBLE) / 10000.0").as("avg_gap_days"))
   }
 
-  val all: Seq[Q] = Seq(qCohortLtv, qRfm, qBasketPairs, qRepeatPurchase)
+  val all: Seq[Q] =
+    Seq(qCohortLtv, qRfm, qBasketPairs, qBasketLift, qRepeatPurchase)
 }

@@ -25,6 +25,21 @@ object PlanProbe {
         val aqeOff = (1 to 3).map(_ => t(run())).min
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         println(f"=== q_cte_recursive min-of-3: AQE on $aqeOn%.2fs / off $aqeOff%.2fs")
+      case "graphstages" =>
+        // where the graph keys' seconds go: edge derivation vs the
+        // per-key algorithmic tail
+        val sf = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        def t(body: => Unit): Double = {
+          val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+        }
+        def tmin(body: => Unit): Double = (1 to 3).map(_ => t(body)).min
+        println(f"edges (derive+checkpoint): ${
+          tmin(graft.queries.Graphs.edgesForTest(spark, sf).count())}%.2f s")
+        Seq("q_graph_degree", "q_graph_pagerank", "q_graph_reach",
+          "q_graph_triangles").foreach { k =>
+          println(f"$k full: ${
+            tmin(graft.SparkEntry.queries(k)(spark, sf).collect())}%.2f s")
+        }
       case "final" =>
         // post-execution ADAPTIVE plan for a registered key: the static
         // explain shows SMJ for joins whose build side hides behind a

@@ -87,6 +87,35 @@ class CommerceSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)))
   }
 
+  test("basket lift: planted rule is exact-integer 4dp, 1-count tail excluded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lift").toString
+    // o1 {1,2}, o2 {1,2}, o3 {1,2,3}, o4 {3,4}: N=4, cnt(1)=cnt(2)=3,
+    // cnt(3)=2; only (1,2) co-occurs >=2 (3 orders). lift = 3*4/(3*3)
+    // -> (240000+9) DIV 18 = 13333 -> 1.3333; conf(1->2) = 3/3 = 1.0
+    Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L),
+      (3L, 3L), (4L, 3L), (4L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = queries.Commerce.qBasketLift.run(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (1L, 2L, 3L))
+    assert(r.getDouble(3) == 1.3333)
+    assert(r.getDouble(4) == 1.0)
+  }
+
+  test("basket lift over the corpus: lift descending, confidence bounded") {
+    val rows = SparkEntry.queries("q_basket_lift")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 2L)
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+    }
+    val lifts = rows.map(_.getDouble(3))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
+  }
+
   test("basket pairs over the corpus: top-20, strict pair order, descending") {
     val rows = SparkEntry.queries("q_basket_pairs")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 20)

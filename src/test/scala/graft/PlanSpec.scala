@@ -303,4 +303,42 @@ class PlanSpec extends AnyFunSuite {
         l.contains("Window") && l.contains("windowspecdefinition()")),
       "expected no unpartitioned window")
   }
+
+  test("basket lift scans lineitem once via the checkpointed basket frame") {
+    val p = plan("q_basket_lift")
+    // all three statistics (pairs, item counts, order total) read the
+    // materialized basket RDD — a parquet scan in-plan would mean a
+    // consumer re-ran the scan+shuffle
+    assert(!p.contains("Scan parquet"),
+      "expected the checkpointed basket frame (no parquet re-scan)")
+    assert(p.contains("Generate"), "expected map-side explode expansion")
+    assert(p.contains("TakeOrderedAndProject"),
+      "expected top-20 heap fusion, not a global sort of the rule table")
+  }
+
+  test("graph triangles: no wedge materialization, no in-plan parquet scan") {
+    val p = plan("q_graph_triangles")
+    // the oriented edge list and degree frame are checkpointed; the
+    // census plan is probe joins + array_intersect — a Generate here
+    // would mean a wedge/pair explosion re-entered the plan
+    assert(!p.contains("Scan parquet"),
+      "expected checkpointed graph frames (no parquet re-scan)")
+    assert(!p.contains("Generate"),
+      "expected array_intersect probes, not a wedge explode")
+    assert(p.contains("array_intersect"),
+      "expected the per-edge intersection form")
+  }
+
+  test("graph pagerank: edge list never shuffles for the contribution join") {
+    val p = plan("q_graph_pagerank")
+    // each of the 3 iterations joins the NODE-sized contribution frame
+    // against the adjacency — AQE must broadcast the small side; a
+    // SortMergeJoin would mean the 2.4M-row edge list shuffled 3x
+    assert(p.contains("BroadcastHashJoin"),
+      "expected node-sized contribution broadcasts")
+    assert(!p.contains("SortMergeJoin"),
+      "expected no edge-list shuffle for the rank joins")
+    assert(p.contains("TakeOrderedAndProject"),
+      "expected top-20 heap fusion")
+  }
 }
