@@ -1,7 +1,7 @@
 package graft.examples
 
 import graft.GraftSession
-import graft.queries.{Commerce, EventAnalytics}
+import graft.queries.{Commerce, EventAnalytics, Graphs}
 import org.apache.spark.sql.SparkSession
 
 /** One-job "growth report" — the product/revenue analytics surface
@@ -18,7 +18,10 @@ import org.apache.spark.sql.SparkSession
   *   orders → monthly cohort LTV curve        (revenue)
   *          → RFM segmentation                (revenue)
   *          → basket co-occurrence top-20     (merchandising)
+  *          → association rules by lift       (merchandising)
   *          → repeat-purchase cadence         (revenue)
+  *   items  → co-purchase hub degree          (merchandising)
+  *          → PageRank product centrality     (merchandising)
   *
   * Every section is one registered `SparkEntry` key run verbatim — the
   * demo adds NOTHING the oracle hasn't hash-checked; what it
@@ -48,7 +51,10 @@ object GrowthReportDemo {
       "cohort_ltv" -> Commerce.qCohortLtv,
       "rfm" -> Commerce.qRfm,
       "basket_pairs" -> Commerce.qBasketPairs,
-      "repeat_purchase" -> Commerce.qRepeatPurchase)
+      "basket_lift" -> Commerce.qBasketLift,
+      "repeat_purchase" -> Commerce.qRepeatPurchase,
+      "graph_degree" -> Graphs.qGraphDegree,
+      "graph_pagerank" -> Graphs.qGraphPagerank)
     sections.map { case (name, q) =>
       Section(name, q.run(spark, sfDir).count())
     }

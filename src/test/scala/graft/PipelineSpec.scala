@@ -42,7 +42,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(byName("experiment_lift") == 1)
     assert(byName("rfm") <= 64)                    // 4^3 cells
     assert(byName("basket_pairs") <= 20)           // top-k
+    assert(byName("basket_lift") <= 20)            // top-k by lift
     assert(byName("repeat_purchase") == 1)
+    assert(byName("graph_degree") <= 20)           // top-k hubs
+    assert(byName("graph_pagerank") <= 20)         // top-k centrality
   }
 
   test("retry: transient failures heal, attempts are logged") {
