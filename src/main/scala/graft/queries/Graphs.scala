@@ -195,9 +195,13 @@ object Graphs {
     val es = e.agg(count(lit(1)).as("edges"))
     wed.crossJoin(es).crossJoin(tri)
       .select(col("nodes"), col("edges"), col("wedges"), col("triangles"),
-        // exact-integer 4dp half-up rounding of 3·tri/wedges
-        expr("CAST((6 * triangles * 10000 + wedges) DIV (2 * wedges) " +
-          "AS DOUBLE) / 10000.0").as("clustering_coef"))
+        // exact-integer 4dp half-up rounding of 3·tri/wedges; a
+        // wedgeless graph (disjoint edges — or no edges: sum() over
+        // empty leaves wedges NULL) has no defined coefficient
+        when(coalesce(col("wedges"), lit(0L)) === 0L, lit(null).cast("double"))
+          .otherwise(
+            expr("CAST((6 * triangles * 10000 + wedges) DIV (2 * wedges) " +
+              "AS DOUBLE) / 10000.0")).as("clustering_coef"))
   }
 
   /** BFS reachability from the minimum part key: how many nodes sit at
@@ -224,20 +228,26 @@ object Graphs {
     import s.implicits._
     val adj = symmetrize(edges(s, d)).localCheckpoint(true)
     // 1-row driver read — the seed is a scalar parameter of the scan,
-    // not a data-sized collect
-    val seed = adj.agg(min("src")).head().getLong(0)
-    var visited = Seq((seed, 0L)).toDF("node", "hop")
-    var frontier = Seq(seed).toDF("node")
-    for (h <- 1 to 3) {
-      val next = adj.join(frontier, adj("src") === frontier("node"))
-        .select(col("dst").as("node")).distinct()
-        .join(visited.select("node"), Seq("node"), "left_anti")
-        .localCheckpoint(true)
-      visited = visited.unionByName(
-        next.withColumn("hop", lit(h.toLong)))
-      frontier = next
+    // not a data-sized collect. An edgeless corpus has no seed: emit
+    // the empty histogram under the output schema (the convention the
+    // active-users family uses for an empty log)
+    val seedRow = adj.agg(min("src")).head()
+    if (seedRow.isNullAt(0)) Seq.empty[(Long, Long)].toDF("hop", "nodes")
+    else {
+      val seed = seedRow.getLong(0)
+      var visited = Seq((seed, 0L)).toDF("node", "hop")
+      var frontier = Seq(seed).toDF("node")
+      for (h <- 1 to 3) {
+        val next = adj.join(frontier, adj("src") === frontier("node"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited.select("node"), Seq("node"), "left_anti")
+          .localCheckpoint(true)
+        visited = visited.unionByName(
+          next.withColumn("hop", lit(h.toLong)))
+        frontier = next
+      }
+      visited.groupBy("hop").agg(count(lit(1)).as("nodes")).orderBy("hop")
     }
-    visited.groupBy("hop").agg(count(lit(1)).as("nodes")).orderBy("hop")
   }
 
   /** Test-only handle on the edge derivation (GraphsSpec equivalence). */

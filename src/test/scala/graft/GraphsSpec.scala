@@ -84,6 +84,29 @@ class GraphsSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((0L, 1L), (1L, 2L)))
   }
 
+  test("edgeless corpus: every graph key emits its empty/degenerate frame") {
+    // single-item baskets produce no pairs — an edgeless graph
+    val dir = plant(Seq(Seq(1L), Seq(2L)))
+    assert(SparkEntry.queries("q_graph_degree")(spark, dir).count() == 0)
+    assert(SparkEntry.queries("q_graph_pagerank")(spark, dir).count() == 0)
+    assert(SparkEntry.queries("q_graph_reach")(spark, dir).count() == 0)
+    val census = SparkEntry.queries("q_graph_triangles")(spark, dir).collect()
+    assert(census.length == 1)
+    assert(census.head.getAs[Long]("triangles") == 0L)
+    assert(census.head.isNullAt(census.head.fieldIndex("clustering_coef")))
+  }
+
+  test("wedgeless graph: census counts hold, coefficient is undefined") {
+    // two disjoint edges: 4 nodes, 2 edges, 0 wedges, 0 triangles
+    val dir = plant(Seq(Seq(1L, 2L), Seq(3L, 4L)))
+    val r = SparkEntry.queries("q_graph_triangles")(spark, dir).collect().head
+    assert(r.getAs[Long]("nodes") == 4L)
+    assert(r.getAs[Long]("edges") == 2L)
+    assert(r.getAs[Long]("wedges") == 0L)
+    assert(r.getAs[Long]("triangles") == 0L)
+    assert(r.isNullAt(r.fieldIndex("clustering_coef")))
+  }
+
   test("map-side pair expansion equals the self-join edge derivation (sf0.001)") {
     val li = Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_partkey").distinct()
