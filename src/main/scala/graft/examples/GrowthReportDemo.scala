@@ -22,6 +22,7 @@ import org.apache.spark.sql.SparkSession
   *          → repeat-purchase cadence         (revenue)
   *   items  → co-purchase hub degree          (merchandising)
   *          → PageRank product centrality     (merchandising)
+  *          → seasonal component histogram    (merchandising)
   *
   * Every section is one registered `SparkEntry` key run verbatim — the
   * demo adds NOTHING the oracle hasn't hash-checked; what it
@@ -54,7 +55,8 @@ object GrowthReportDemo {
       "basket_lift" -> Commerce.qBasketLift,
       "repeat_purchase" -> Commerce.qRepeatPurchase,
       "graph_degree" -> Graphs.qGraphDegree,
-      "graph_pagerank" -> Graphs.qGraphPagerank)
+      "graph_pagerank" -> Graphs.qGraphPagerank,
+      "graph_components" -> Graphs.qGraphComponents)
     sections.map { case (name, q) =>
       Section(name, q.run(spark, sfDir).count())
     }

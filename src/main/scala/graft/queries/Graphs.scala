@@ -250,10 +250,64 @@ object Graphs {
     }
   }
 
+  /** Connected components of the SEASONAL co-purchase graph (H1-1995
+    * shipments): the full-corpus graph is one dense component, but a
+    * merchandising view over a season is sparse — here ~650 edges /
+    * ~850 nodes / ~250 components at sf0.01 — and the component size
+    * histogram is the classic assortment-structure report. Spark side
+    * runs the O(log n) large-star/small-star contraction
+    * (graft.operators.ConnectedComponents — edge-keyed shuffles, no
+    * per-node adjacency materialization, the path that survives long
+    * chains AND 100 TB edge lists); the oracle labels components by
+    * recursive reachability + min — an independent mechanism. Output
+    * is the histogram (size, n_components): bounded by the largest
+    * component, never node-sized. The window filter is pushed into
+    * the parquet scan on both engines. */
+  val qGraphComponents = Q(
+    "q_graph_components",
+    """WITH RECURSIVE
+      |li AS (SELECT l_orderkey, l_partkey FROM lineitem
+      |       WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |         AND l_shipdate <  TIMESTAMP '1995-07-01 00:00:00'
+      |       GROUP BY 1, 2),
+      |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |                         AND a.l_partkey < b.l_partkey),
+      |edges AS (SELECT u AS a, v AS b FROM e
+      |          UNION ALL SELECT v, u FROM e),
+      |reach(src, node) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+      |  UNION
+      |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON e2.a = r.node),
+      |lbl AS (SELECT src, min(node) AS comp FROM reach GROUP BY 1),
+      |sizes AS (SELECT comp, count(*) AS component_size FROM lbl GROUP BY 1)
+      |SELECT component_size, count(*) AS n_components
+      |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >=
+          lit("1995-01-01 00:00:00").cast("timestamp_ntz") &&
+        col("l_shipdate") <
+          lit("1995-07-01 00:00:00").cast("timestamp_ntz"))
+    val e = li
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("basket"))
+      .select(explode(expr(
+        """flatten(transform(basket, (x, i) ->
+          |  transform(slice(basket, i + 2, size(basket) - i - 1),
+          |            y -> struct(x AS u, y AS v))))""".stripMargin)).as("p"))
+      .select(col("p.u"), col("p.v"))
+      .distinct()
+    graft.operators.ConnectedComponents.runStarContraction(e, "u", "v")
+      .groupBy(col("lbl")).agg(count(lit(1)).as("component_size"))
+      .groupBy("component_size").agg(count(lit(1)).as("n_components"))
+      .orderBy("component_size")
+  }
+
   /** Test-only handle on the edge derivation (GraphsSpec equivalence). */
   private[graft] def edgesForTest(s: SparkSession, d: String): DataFrame =
     edges(s, d)
 
   val all: Seq[Q] =
-    Seq(qGraphDegree, qGraphPagerank, qGraphTriangles, qGraphReach)
+    Seq(qGraphDegree, qGraphPagerank, qGraphTriangles, qGraphReach,
+      qGraphComponents)
 }

@@ -107,6 +107,26 @@ class GraphsSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("clustering_coef")))
   }
 
+  test("seasonal components: planted histogram, out-of-window baskets excluded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_comp").toString
+    val in = java.sql.Timestamp.valueOf("1995-02-01 00:00:00")
+    val out = java.sql.Timestamp.valueOf("1996-02-01 00:00:00")
+    // in-window: {1,2}, {3,4}, {5,6,7}, and {2,3} merges the first two
+    // into one 4-node component -> sizes {4, 3}; the out-of-window
+    // basket {8,9} must not appear
+    val rows = Seq(
+      (1L, 1L, in), (1L, 2L, in), (2L, 3L, in), (2L, 4L, in),
+      (3L, 5L, in), (3L, 6L, in), (3L, 7L, in), (4L, 2L, in), (4L, 3L, in),
+      (5L, 8L, out), (5L, 9L, out))
+    rows.toDF("l_orderkey", "l_partkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val hist = SparkEntry.queries("q_graph_components")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("component_size"),
+        r.getAs[Long]("n_components")))
+    assert(hist.toSeq == Seq((3L, 1L), (4L, 1L)))
+  }
+
   test("map-side pair expansion equals the self-join edge derivation (sf0.001)") {
     val li = Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_partkey").distinct()

@@ -46,6 +46,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(byName("repeat_purchase") == 1)
     assert(byName("graph_degree") <= 20)           // top-k hubs
     assert(byName("graph_pagerank") <= 20)         // top-k centrality
+    assert(byName("graph_components") >= 1)        // size histogram
   }
 
   test("retry: transient failures heal, attempts are logged") {
