@@ -206,18 +206,7 @@ object Commerce {
       |          GROUP BY 1, 2)
       |SELECT part_a, part_b, orders FROM pairs
       |ORDER BY orders DESC, part_a, part_b LIMIT 20""".stripMargin) { (s, d) =>
-    Tables.lineitem(s, d)
-      .groupBy("l_orderkey")
-      .agg(sort_array(collect_set(col("l_partkey"))).as("basket"))
-      // ordered pairs {(basket[i], basket[j]) : i < j}, generated
-      // map-side per order: for each element, pair it with every later
-      // element of the (sorted, distinct) basket
-      .select(explode(expr(
-        """flatten(transform(basket, (x, i) ->
-          |  transform(slice(basket, i + 2, size(basket) - i - 1),
-          |            y -> struct(x AS part_a, y AS part_b))))""".stripMargin))
-        .as("p"))
-      .select(col("p.part_a"), col("p.part_b"))
+    Baskets.pairs(Baskets.baskets(Tables.lineitem(s, d)), "part_a", "part_b")
       .groupBy("part_a", "part_b").agg(count(lit(1)).as("orders"))
       .orderBy(col("orders").desc, col("part_a"), col("part_b"))
       .limit(20)
@@ -257,17 +246,8 @@ object Commerce {
       |FROM pairs JOIN item ia ON ia.l_partkey = part_a
       |           JOIN item ib ON ib.l_partkey = part_b
       |ORDER BY lift DESC, part_a, part_b LIMIT 20""".stripMargin) { (s, d) =>
-    val baskets = Tables.lineitem(s, d)
-      .groupBy("l_orderkey")
-      .agg(sort_array(collect_set(col("l_partkey"))).as("basket"))
-      .localCheckpoint(true)
-    val pairs = baskets
-      .select(explode(expr(
-        """flatten(transform(basket, (x, i) ->
-          |  transform(slice(basket, i + 2, size(basket) - i - 1),
-          |            y -> struct(x AS part_a, y AS part_b))))""".stripMargin))
-        .as("p"))
-      .select(col("p.part_a"), col("p.part_b"))
+    val baskets = Baskets.baskets(Tables.lineitem(s, d)).localCheckpoint(true)
+    val pairs = Baskets.pairs(baskets, "part_a", "part_b")
       .groupBy("part_a", "part_b").agg(count(lit(1)).as("both_orders"))
       .where(col("both_orders") >= 2)
     val item = baskets.select(explode(col("basket")).as("part"))

@@ -46,18 +46,12 @@ object Graphs {
       |""".stripMargin
 
   /** Canonical (u < v) distinct co-purchase edges, map-side pair
-    * expansion per basket (see the object doc). Checkpointed: every
-    * query in the family reads it at least twice (symmetrization,
-    * degrees, probes) and the basket shuffle should run once. */
+    * expansion per basket (shared Baskets helper; see the object doc).
+    * Checkpointed: every query in the family reads it at least twice
+    * (symmetrization, degrees, probes) and the basket shuffle should
+    * run once. */
   private def edges(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy("l_orderkey")
-      .agg(sort_array(collect_set(col("l_partkey"))).as("basket"))
-      .select(explode(expr(
-        """flatten(transform(basket, (x, i) ->
-          |  transform(slice(basket, i + 2, size(basket) - i - 1),
-          |            y -> struct(x AS u, y AS v))))""".stripMargin)).as("p"))
-      .select(col("p.u"), col("p.v"))
+    Baskets.pairs(Baskets.baskets(Tables.lineitem(s, d)), "u", "v")
       .distinct()
       .localCheckpoint(true)
 
@@ -144,7 +138,8 @@ object Graphs {
     * out-degree is capped at O(sqrt(m)) by the orientation even on
     * hub-skewed graphs. The intersection form NEVER materializes the
     * wedge set (the sf0.1 co-purchase graph has ~36M oriented wedges
-    * vs 1.2M edges — the wedge-join twin measured 4x slower): the
+    * vs 1.2M edges — the wedge-join twin measured 2.5x slower,
+    * BASELINE.md): the
     * out-adjacency frame is NODE-sized (avg out-degree ≈ deg/2 longs
     * per row; AQE broadcasts it while it fits, shuffle-joins beyond),
     * and the per-edge `array_intersect` runs map-side in codegen with
@@ -222,7 +217,10 @@ object Graphs {
         |  SELECT a.dst, r.hop + 1 FROM r JOIN adj a ON a.src = r.node
         |  WHERE r.hop < 3
         |),
-        |mh AS (SELECT node, min(hop) AS hop FROM r GROUP BY 1)
+        |-- an edgeless corpus has a NULL seed row: drop it so the
+        |-- oracle matches the Spark side's empty-frame guard
+        |mh AS (SELECT node, min(hop) AS hop FROM r
+        |       WHERE node IS NOT NULL GROUP BY 1)
         |SELECT CAST(hop AS BIGINT) AS hop, count(*) AS nodes FROM mh
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     import s.implicits._
@@ -288,15 +286,12 @@ object Graphs {
           lit("1995-01-01 00:00:00").cast("timestamp_ntz") &&
         col("l_shipdate") <
           lit("1995-07-01 00:00:00").cast("timestamp_ntz"))
-    val e = li
-      .groupBy("l_orderkey")
-      .agg(sort_array(collect_set(col("l_partkey"))).as("basket"))
-      .select(explode(expr(
-        """flatten(transform(basket, (x, i) ->
-          |  transform(slice(basket, i + 2, size(basket) - i - 1),
-          |            y -> struct(x AS u, y AS v))))""".stripMargin)).as("p"))
-      .select(col("p.u"), col("p.v"))
+    // checkpointed: the contraction consumes its input twice (the
+    // iteration seed AND the isolated-node re-union), and the scan +
+    // basket shuffle must run once
+    val e = Baskets.pairs(Baskets.baskets(li), "u", "v")
       .distinct()
+      .localCheckpoint(true)
     graft.operators.ConnectedComponents.runStarContraction(e, "u", "v")
       .groupBy(col("lbl")).agg(count(lit(1)).as("component_size"))
       .groupBy("component_size").agg(count(lit(1)).as("n_components"))

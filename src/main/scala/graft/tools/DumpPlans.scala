@@ -287,17 +287,18 @@ object DumpPlans {
       "score assignment map-side in codegen, final agg over ≤4³ cells."),
     "q_graph_triangles" -> ("Triangle census via degree orientation " +
       "(round 13). The oriented edge list is checkpointed once; the " +
-      "out-adjacency frame is NODE-sized in rows (20k at sf0.1) but " +
-      "its array payload is ~m longs, so the two probe joins resolve " +
-      "to edge-keyed SortMergeJoins in the FINAL adaptive plan (the " +
-      "~10MB build side sits at the broadcast threshold at sf0.1 and " +
-      "can never broadcast at scale — the shuffled shape IS the " +
-      "100 TB path; PlanProbe `final q_graph_triangles` shows the " +
-      "post-AQE strategies). The per-edge array_intersect then runs " +
-      "map-side — NO wedge materialization (the wedge-join twin " +
-      "shuffled ~36M wedge rows and measured 2.5x slower, " +
-      "BASELINE.md). What to check: no Generate/explode, no " +
-      "edge-edge join producing wedge rows, one 1-row final " +
+      "out-adjacency frame is NODE-sized (20k rows / ~10MB at sf0.1) " +
+      "and AQE broadcasts it to BOTH probe joins in the final " +
+      "adaptive plan (PlanProbe `final q_graph_triangles`: " +
+      "BroadcastHashJoin=2, SortMergeJoin=0 — read the final subtree, " +
+      "not the == Initial Plan == section, which shows pre-AQE SMJs " +
+      "because the checkpoint hides stats). Past the broadcast " +
+      "threshold the same plan degrades to edge-keyed shuffled " +
+      "joins — the 100 TB path; either way the per-edge " +
+      "array_intersect runs map-side with NO wedge materialization " +
+      "(the wedge-join twin shuffled ~36M wedge rows and measured " +
+      "2.5x slower, BASELINE.md). What to check: no Generate/explode, " +
+      "no edge-edge join producing wedge rows, one 1-row final " +
       "aggregate; hub skew is handled by the orientation itself " +
       "(out-degree ≤ O(sqrt m), SCALING.md hub-skew row)."),
     "q_graph_pagerank" -> ("PageRank, 3 exact-integer power " +

@@ -49,7 +49,11 @@ object PlanProbe {
         val sf = args.lift(2).getOrElse("/root/testdata/sf0.1")
         val df = graft.SparkEntry.queries(key)(spark, sf)
         df.collect()
+        // AQE's toString prints the final plan AND a "== Initial Plan =="
+        // section (the PlanSpec-documented hazard) — count only the
+        // final subtree or initial-plan SMJs contaminate the report
         val plan = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
         def n(p: String) = p.r.findAllIn(plan).length
         println(s"=== $key final plan: BroadcastHashJoin=${n("BroadcastHashJoin")} " +
           s"SortMergeJoin=${n("SortMergeJoin")} ShuffledHashJoin=${n("ShuffledHashJoin")} " +
