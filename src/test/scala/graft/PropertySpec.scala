@@ -506,4 +506,29 @@ object PropertySpec extends Properties("graft") {
         got == expected
       }
     }
+
+  property("basket pair expansion equals the nested-loop pair reference") = {
+    // random order books: up to 6 orders, baskets of up to 8 parts with
+    // DUPLICATE lines allowed (the expansion must dedup per basket)
+    val bookGen = Gen.listOfN(6,
+      Gen.nonEmptyListOf(Gen.chooseNum(1L, 9L)).map(_.take(8)))
+    forAll(bookGen) { book =>
+      book.nonEmpty ==> {
+        import spark.implicits._
+        val li = book.zipWithIndex
+          .flatMap { case (ps, o) => ps.map(p => (o.toLong, p)) }
+          .toDF("l_orderkey", "l_partkey")
+        // reference: per order, distinct sorted parts, all i<j pairs,
+        // multiset across orders
+        val expected = book.map(_.distinct.sorted).flatMap(b =>
+          for (i <- b.indices; j <- i + 1 until b.size) yield (b(i), b(j)))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val got = queries.Baskets
+          .pairs(queries.Baskets.baskets(li), "a", "b").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        got == expected
+      }
+    }
+  }
 }
