@@ -127,6 +127,32 @@ class GraphsSpec extends AnyFunSuite {
     assert(hist.toSeq == Seq((3L, 1L), (4L, 1L)))
   }
 
+  test("k-core: planted K5-plus-tail peels to exactly the clique") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kcore").toString
+    val in = java.sql.Timestamp.valueOf("1995-06-01 00:00:00")
+    // one basket {1..5} = K5 (degrees 4), tail basket {5,6}: node 6
+    // (degree 1) peels in round 1, node 5 stays at degree 4
+    val rows =
+      (1L to 5L).map(p => (1L, p, in)) :+ (2L, 5L, in) :+ (2L, 6L, in)
+    rows.toDF("l_orderkey", "l_partkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val core = SparkEntry.queries("q_graph_kcore")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("core_degree")))
+    assert(core.toSeq == (1L to 5L).map(n => (n, 4L)))
+  }
+
+  test("k-core: sub-core planted graph peels to empty") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kcore0").toString
+    val in = java.sql.Timestamp.valueOf("1995-06-01 00:00:00")
+    // a triangle is a 2-core; with k=4 everything peels (cascade)
+    Seq((1L, 1L, in), (1L, 2L, in), (1L, 3L, in))
+      .toDF("l_orderkey", "l_partkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    assert(SparkEntry.queries("q_graph_kcore")(spark, dir).count() == 0)
+  }
+
   test("map-side pair expansion equals the self-join edge derivation (sf0.001)") {
     val li = Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_partkey").distinct()
