@@ -56,7 +56,11 @@ private[graft] object GateMemo {
     * a LogicalRDD over the materialized RDD — unpersist that RDD. Plans
     * of any other shape (defensive: nothing else is ever stored) are
     * left alone rather than risking a miss-shaped cast. */
-  private def unpersistCheckpoint(ds: Dataset[_]): Unit =
+  /** Frees a localCheckpoint's blocks. Shared with iterative operators
+    * (the k-core peel) that supersede a checkpointed frame each round —
+    * the unpersisted frame is DEAD (checkpoint truncated its lineage),
+    * so call this only once nothing will read it again. */
+  private[graft] def unpersistCheckpoint(ds: Dataset[_]): Unit =
     ds.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)

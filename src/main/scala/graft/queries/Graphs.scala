@@ -281,33 +281,44 @@ object Graphs {
       |sizes AS (SELECT comp, count(*) AS component_size FROM lbl GROUP BY 1)
       |SELECT component_size, count(*) AS n_components
       |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-    val li = Tables.lineitem(s, d)
-      .filter(col("l_shipdate") >=
-          lit("1995-01-01 00:00:00").cast("timestamp_ntz") &&
-        col("l_shipdate") <
-          lit("1995-07-01 00:00:00").cast("timestamp_ntz"))
-    // checkpointed: the contraction consumes its input twice (the
-    // iteration seed AND the isolated-node re-union), and the scan +
+    // checkpointed (windowedEdges): the contraction consumes its input
+    // twice (iteration seed AND isolated-node re-union), and the scan +
     // basket shuffle must run once
-    val e = Baskets.pairs(Baskets.baskets(li), "u", "v")
-      .distinct()
-      .localCheckpoint(true)
+    val e = windowedEdges(s, d, "1995-01-01 00:00:00", "1995-07-01 00:00:00")
     graft.operators.ConnectedComponents.runStarContraction(e, "u", "v")
       .groupBy(col("lbl")).agg(count(lit(1)).as("component_size"))
       .groupBy("component_size").agg(count(lit(1)).as("n_components"))
       .orderBy("component_size")
   }
 
+  /** Canonical distinct co-purchase edges restricted to a ship-date
+    * window, checkpointed — the seasonal twin of [[edges]], shared by
+    * the components and k-core keys (both iterate over the frame). */
+  private def windowedEdges(s: SparkSession, d: String,
+      lo: String, hi: String): DataFrame =
+    Baskets.pairs(Baskets.baskets(
+        Tables.lineitem(s, d).filter(
+          col("l_shipdate") >= lit(lo).cast("timestamp_ntz") &&
+            col("l_shipdate") < lit(hi).cast("timestamp_ntz"))), "u", "v")
+      .distinct()
+      .localCheckpoint(true)
+
   private val KcoreK = 4
+
+  /** Oracle chain length AND the Spark loop cap: a cascade needing more
+    * rounds would silently diverge between an exact-fixpoint engine and
+    * a fixed-chain oracle, so Spark FAILS LOUDLY past this cap instead
+    * (observed fixpoints: 5/6/7 rounds at sf0.001/0.01/0.1 — margin
+    * 2x+; extra oracle rounds are no-ops because peeling is monotone). */
+  private val KcoreMaxRounds = 16
 
   /** Oracle-side chained peel: each round recomputes degrees over the
     * surviving edges and drops sub-k nodes. MATERIALIZED is load-bearing
     * — each round references its predecessor ~4 times, and DuckDB's
     * default CTE inlining would expand the chain exponentially (the
-    * un-hinted form exhausts file handles re-opening the parquet). Ten
-    * rounds covers the fixpoint at every test scale (observed: 5/6/7
-    * rounds at sf0.001/0.01/0.1); extra rounds are no-ops because
-    * peeling is monotone. */
+    * un-hinted form exhausts file handles re-opening the parquet). The
+    * chain length is [[KcoreMaxRounds]] — the SAME bound the Spark loop
+    * enforces, so the engines can never silently disagree past it. */
   private val kcoreOracleSql: String = {
     val head =
       """WITH li AS MATERIALIZED (
@@ -319,7 +330,7 @@ object Graphs {
         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
         |                     AND a.l_partkey < b.l_partkey)""".stripMargin
-    val rounds = (1 to 10).map { i =>
+    val rounds = (1 to KcoreMaxRounds).map { i =>
       val p = s"e${i - 1}"
       s"""d$i AS MATERIALIZED (SELECT node, count(*) AS dg FROM
          |  (SELECT u AS node FROM $p UNION ALL SELECT v FROM $p) t GROUP BY 1),
@@ -329,10 +340,11 @@ object Graphs {
          |    AND v IN (SELECT node FROM k$i))""".stripMargin
     }
     (Seq(head) ++ rounds).mkString("", ",\n", ",\n") +
-      """core AS (SELECT node, count(*) AS core_degree FROM
-        |  (SELECT u AS node FROM e10 UNION ALL SELECT v FROM e10) t GROUP BY 1)
-        |SELECT node, core_degree FROM core
-        |ORDER BY core_degree DESC, node LIMIT 20""".stripMargin
+      s"""core AS (SELECT node, count(*) AS core_degree FROM
+         |  (SELECT u AS node FROM e$KcoreMaxRounds
+         |   UNION ALL SELECT v FROM e$KcoreMaxRounds) t GROUP BY 1)
+         |SELECT node, core_degree FROM core
+         |ORDER BY core_degree DESC, node LIMIT 20""".stripMargin
   }
 
   /** K-core decomposition of the 1995 co-purchase graph (k = 4): the
@@ -341,43 +353,42 @@ object Graphs {
     * is uniformly dense, so the seasonal year view is where a core is
     * non-trivial: 34 nodes at sf0.01, 261 at sf0.1, empty at sf0.001).
     * The k-core is ORDER-INDEPENDENT (unique fixpoint), so both
-    * engines converge to the same set. Spark peels to the ACTUAL
-    * fixpoint — per round one degree agg + two semi-joins, edges
-    * checkpointed so each round reads a materialized frame, round
-    * count observed ≤ 7 at every scale (capped at 15; the per-round
-    * driver read is a 1-scalar count, never data) — while the oracle
-    * runs a fixed 10-round chain. Output: top-20 core members by
-    * in-core degree. */
+    * engines converge to the same set. Spark peels to the fixpoint —
+    * per round one degree agg + two semi-joins, edges checkpointed so
+    * each round reads a materialized frame (and the superseded frame's
+    * blocks freed immediately), round count observed ≤ 7 at every
+    * scale; the per-round driver read is a 1-scalar count, never data.
+    * Both engines share the [[KcoreMaxRounds]] bound: the oracle chain
+    * is that long and Spark REFUSES (require) past it rather than
+    * silently diverging from a fixed-length oracle. Output: top-20
+    * core members by in-core degree. */
   val qGraphKcore = Q("q_graph_kcore", kcoreOracleSql) { (s, d) =>
-    val li = Tables.lineitem(s, d)
-      .filter(col("l_shipdate") >=
-          lit("1995-01-01 00:00:00").cast("timestamp_ntz") &&
-        col("l_shipdate") <
-          lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
-    var e = Baskets.pairs(Baskets.baskets(li), "u", "v")
-      .distinct()
-      .localCheckpoint(true)
+    var e = windowedEdges(s, d, "1995-01-01 00:00:00", "1996-01-01 00:00:00")
     var edgeCount = e.count()
     var stable = edgeCount == 0L
     var round = 0
-    while (!stable && round < 15) {
-      val deg = e.select(col("u").as("node"))
-        .unionByName(e.select(col("v").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("dg"))
-      val keep = deg.filter(col("dg") >= KcoreK).select("node")
+    while (!stable && round < KcoreMaxRounds) {
+      val deg = degrees(symmetrize(e))
+      val keep = deg.filter(col("degree") >= KcoreK).select("node")
       val ne = e
         .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
         .select("u", "v")
         .localCheckpoint(true)
       val nc = ne.count()
+      // the superseded round frame is dead — free its blocks now
+      // instead of waiting for the ContextCleaner
+      GateMemo.unpersistCheckpoint(e)
       stable = nc == edgeCount
       e = ne
       edgeCount = nc
       round += 1
     }
-    e.select(col("u").as("node")).unionByName(e.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("core_degree"))
+    require(stable,
+      s"k-core peel did not converge within $KcoreMaxRounds rounds — " +
+        "raise KcoreMaxRounds (oracle chain + Spark cap move together)")
+    degrees(symmetrize(e))
+      .select(col("node"), col("degree").as("core_degree"))
       .orderBy(col("core_degree").desc, col("node"))
       .limit(20)
   }

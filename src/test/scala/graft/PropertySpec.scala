@@ -508,10 +508,10 @@ object PropertySpec extends Properties("graft") {
     }
 
   property("basket pair expansion equals the nested-loop pair reference") = {
-    // random order books: up to 6 orders, baskets of up to 8 parts with
+    // random order books: 1-6 orders, baskets of up to 8 parts with
     // DUPLICATE lines allowed (the expansion must dedup per basket)
-    val bookGen = Gen.listOfN(6,
-      Gen.nonEmptyListOf(Gen.chooseNum(1L, 9L)).map(_.take(8)))
+    val bookGen = Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n,
+      Gen.nonEmptyListOf(Gen.chooseNum(1L, 9L)).map(_.take(8))))
     forAll(bookGen) { book =>
       book.nonEmpty ==> {
         import spark.implicits._
