@@ -42,7 +42,10 @@ object GraphScaleProbe {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+    // l_shipdate rides along so the seasonal keys (components, k-core)
+    // see their window in the amplified fixture
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_shipdate")
 
     // growth axis: 4 disjoint (order, part) id spaces — 4 independent
     // copies of the same graph
@@ -53,14 +56,17 @@ object GraphScaleProbe {
       .write.mode("overwrite").parquet(s"$out/x4/lineitem.parquet")
 
     // hub-skew axis: part 0 (the minimum id) joins every 10th basket
-    li.unionByName(
-        li.select(col("l_orderkey")).distinct()
+    // (2-col projection — the census doesn't read the ship date)
+    val li2 = li.select("l_orderkey", "l_partkey")
+    li2.unionByName(
+        li2.select(col("l_orderkey")).distinct()
           .where(col("l_orderkey") % 10 === 0)
           .withColumn("l_partkey", lit(0L)))
       .write.mode("overwrite").parquet(s"$out/hub/lineitem.parquet")
 
     val keys = Seq("q_graph_degree", "q_graph_pagerank",
-      "q_graph_triangles", "q_graph_reach")
+      "q_graph_triangles", "q_graph_reach",
+      "q_graph_components", "q_graph_kcore")
     println(f"${"key"}%-22s ${"base_s"}%8s ${"x4_s"}%8s ratio")
     keys.foreach { k =>
       val q = SparkEntry.queries(k)
