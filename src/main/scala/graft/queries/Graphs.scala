@@ -114,6 +114,14 @@ object Graphs {
         |ORDER BY rank_e12 DESC, node LIMIT 20""".stripMargin) { (s, d) =>
     val adj = symmetrize(edges(s, d))
     val deg = degrees(adj).localCheckpoint(true)
+    // the documented long-overflow headroom (object doc: a node's
+    // neighbor sum is bounded by total mass n·1e12, ×17 must stay under
+    // 2^63) — fail LOUDLY at the bound instead of overflowing silently;
+    // 1-row driver read, and deg is already checkpointed for the loop
+    val n = deg.count()
+    require(n < 540000L,
+      s"pagerank integer scale overflows past 540k nodes (graph has $n) — " +
+        "lower the 1e12 rank scale (oracle and Spark move together)")
     var r = deg.select(col("node"), lit(1000000000000L).as("r"))
     for (_ <- 1 to 3) {
       val contrib = r.join(deg, "node")
