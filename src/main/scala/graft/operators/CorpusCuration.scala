@@ -35,7 +35,11 @@ object CorpusCuration {
     // 1. first-seen-wins exact dedup: one hash agg keyed by text
     val deduped = nonNull.groupBy("text").agg(min("doc_id").as("doc_id"))
 
-    // 2. weighted quality score — identical expression to q_text_quality
+    // 2. weighted quality score — the same rational q_text_quality
+    // emits (that key now OUTPUTS it as exact-integer 4dp, the
+    // hash-compare contract); here the score is only RANKED/thresholded
+    // and the oracle replicates this double form verbatim, so the
+    // unrounded double stays adequate
     val ws = TextOps.tokens(col("text"))
     val nTok = size(ws).cast("double")
     val nTypes = size(array_distinct(ws)).cast("double")

@@ -1439,41 +1439,53 @@ object Extensions {
 
   /** Per-document quality scoring: token count, type-token ratio,
     * stopword ratio, average word length, and a weighted quality score —
-    * the standard pre-training corpus filters. */
+    * the standard pre-training corpus filters.
+    *
+    * Every ratio is 4dp half-up in EXACT INTEGER arithmetic
+    * ((2·num·10⁴ + den) DIV (2·den) over token/char counts) — the
+    * double formulation diverged between engines at sf0.1 on ~0.1% of
+    * rows: `round(double, 4)` resolves x.xxxx5 ties differently when
+    * one engine rounds the exact BigDecimal expansion and the other
+    * rounds a ×10⁴-scaled double. The weighted score's rational form is
+    * quality = (4·min(n,100)·n + 300·(t + n − s)) / (1000·n); integer
+    * overflow headroom is 2·num·10⁴ ≈ 2e7·n < 2⁶³ for any real doc. */
   val qTextQuality = Q(
     "q_text_quality",
-    s"""SELECT doc_id,
-       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
-       |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-       |        / len(string_split(text, ' ')), 4) AS ttr,
-       |  round(CAST(len(list_filter(string_split(text, ' '),
-       |        x -> list_contains(${markerList(enMarkers)}, x))) AS DOUBLE)
-       |        / len(string_split(text, ' ')), 4) AS stop_ratio,
-       |  round((length(text) - len(string_split(text, ' ')) + 1.0)
-       |        / len(string_split(text, ' ')), 4) AS avg_word_len,
-       |  round(0.4 * least(1.0, len(string_split(text, ' ')) / 100.0)
-       |      + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-       |               / len(string_split(text, ' ')))
-       |      + 0.3 * (1 - CAST(len(list_filter(string_split(text, ' '),
-       |               x -> list_contains(${markerList(enMarkers)}, x))) AS DOUBLE)
-       |               / len(string_split(text, ' '))), 4) AS quality
-       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    s"""SELECT doc_id, n AS n_tokens, t AS n_types,
+       |  CAST((2 * t * 10000 + n) // (2 * n) AS DOUBLE) / 10000.0 AS ttr,
+       |  CAST((2 * st * 10000 + n) // (2 * n) AS DOUBLE) / 10000.0
+       |    AS stop_ratio,
+       |  CAST((2 * (chars - n + 1) * 10000 + n) // (2 * n) AS DOUBLE)
+       |    / 10000.0 AS avg_word_len,
+       |  CAST((2 * (4 * least(n, 100) * n + 300 * (t + n - st)) * 10000
+       |        + 1000 * n) // (2000 * n) AS DOUBLE) / 10000.0 AS quality
+       |FROM (SELECT doc_id,
+       |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+       |        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS t,
+       |        CAST(len(list_filter(string_split(text, ' '),
+       |          x -> list_contains(${markerList(enMarkers)}, x))) AS BIGINT) AS st,
+       |        CAST(length(text) AS BIGINT) AS chars
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val ws = TextOps.tokens(col("text"))
-    val nTok = size(ws).cast("double")
-    val nTypes = size(array_distinct(ws)).cast("double")
-    val nStop = TextOps.markerHits(ws, enMarkers).cast("double")
     Tables.documents(s, d)
       .select(
         col("doc_id"),
-        size(ws).cast("bigint").as("n_tokens"),
-        size(array_distinct(ws)).cast("bigint").as("n_types"),
-        round(nTypes / nTok, 4).as("ttr"),
-        round(nStop / nTok, 4).as("stop_ratio"),
-        round((length(col("text")) - nTok + 1.0) / nTok, 4).as("avg_word_len"),
-        round(lit(0.4) * least(lit(1.0), nTok / 100.0)
-          + lit(0.3) * (nTypes / nTok)
-          + lit(0.3) * (lit(1) - nStop / nTok), 4).as("quality"))
+        size(ws).cast("bigint").as("n"),
+        size(array_distinct(ws)).cast("bigint").as("t"),
+        TextOps.markerHits(ws, enMarkers).cast("bigint").as("st"),
+        length(col("text")).cast("bigint").as("chars"))
+      .select(
+        col("doc_id"),
+        col("n").as("n_tokens"),
+        col("t").as("n_types"),
+        expr("CAST((2*t*10000 + n) DIV (2*n) AS DOUBLE) / 10000.0").as("ttr"),
+        expr("CAST((2*st*10000 + n) DIV (2*n) AS DOUBLE) / 10000.0")
+          .as("stop_ratio"),
+        expr("CAST((2*(chars - n + 1)*10000 + n) DIV (2*n) AS DOUBLE) / 10000.0")
+          .as("avg_word_len"),
+        expr("CAST((2*(4*least(n, 100)*n + 300*(t + n - st))*10000 " +
+          "+ 1000*n) DIV (2000*n) AS DOUBLE) / 10000.0").as("quality"))
       .orderBy("doc_id")
   }
 

@@ -158,15 +158,23 @@ object Relational {
     * neither side broadcasts at 100 TB); shuffle keyed on the join key. */
   val qJoinSortmerge = Q(
     "q_join_sortmerge",
+    // money summed as integer CENTS (the q_cohort_ltv trick): a raw
+    // double sum over ~150k rows per group wanders by whole ulps with
+    // aggregation order — at sf0.1 the engines legitimately disagreed
+    // past the 4dp rounding; cents sums are exact and the final single
+    // divide of an exact integer is the same double everywhere
     """SELECT o.o_orderpriority, count(*) AS n_lines,
-      |       round(sum(l.l_extendedprice), 4) AS sum_price
+      |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+      |            AS DOUBLE) / 100.0 AS sum_price
       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       |GROUP BY o.o_orderpriority
       |ORDER BY o.o_orderpriority""".stripMargin) { (s, d) =>
     li(s, d).hint("merge")
       .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n_lines"), round(sum("l_extendedprice"), 4).as("sum_price"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(round(col("l_extendedprice") * 100, 0).cast("bigint"))
+          .cast("double") / 100.0).as("sum_price"))
       .orderBy("o_orderpriority")
   }
 
