@@ -53,13 +53,12 @@ private[graft] object GateMemo {
     }
 
   /** Free a localCheckpointed frame's blocks: the checkpoint's plan is
-    * a LogicalRDD over the materialized RDD — unpersist that RDD. Plans
-    * of any other shape (defensive: nothing else is ever stored) are
-    * left alone rather than risking a miss-shaped cast. */
-  /** Frees a localCheckpoint's blocks. Shared with iterative operators
-    * (the k-core peel) that supersede a checkpointed frame each round —
-    * the unpersisted frame is DEAD (checkpoint truncated its lineage),
-    * so call this only once nothing will read it again. */
+    * a LogicalRDD over the materialized RDD — unpersist that RDD; plans
+    * of any other shape are left alone (defensive: nothing else is ever
+    * stored). Shared with iterative operators (the k-core peel, the
+    * graph family's end-of-key cleanup) that supersede a checkpointed
+    * frame — the unpersisted frame is DEAD (checkpoint truncated its
+    * lineage), so call this only once nothing will read it again. */
   private[graft] def unpersistCheckpoint(ds: Dataset[_]): Unit =
     ds.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
