@@ -87,6 +87,36 @@ object GraphScaleProbe {
         .agg(coalesce(sum(col("t")), lit(0L)))
         .head().getLong(0)
     }
+    // pagerank auto-scale axis (round-13 verdict item #3): 16 disjoint
+    // copies (~320k nodes at sf0.1 — scale stays 1e12) and a SYNTHETIC
+    // >540k-node graph (the former fail-loud refusal bound): a 600k-node
+    // cycle plus 9 hub parts with a triangular basket distribution
+    // (distinct hub degrees -> distinct ranks). Both fixture dirs are
+    // left on disk so `graft.Verify` + `tools/check.py` can hash-match
+    // the oracle top-20 on them (the run recorded in SCALING.md).
+    (0 until 16).map(i => li2
+        .withColumn("l_orderkey", col("l_orderkey") + i * 100000000L)
+        .withColumn("l_partkey", col("l_partkey") + i * 10000000L))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/x16/lineitem.parquet")
+    val bigN = 600000L
+    val ids = spark.range(bigN)
+    ids.select(col("id").as("l_orderkey"), col("id").as("l_partkey"))
+      .unionByName(ids.select(col("id").as("l_orderkey"),
+        ((col("id") + 1) % bigN).as("l_partkey")))
+      .unionByName(ids.select(col("id").as("l_orderkey"),
+        (lit(bigN) + floor((sqrt(lit(8.0) * (col("id") % 45) + 1) - 1) / 2)
+          .cast("long")).as("l_partkey")))
+      .write.mode("overwrite").parquet(s"$out/big/lineitem.parquet")
+    Seq("x16" -> s"$out/x16", "big" -> s"$out/big").foreach { case (tag, dirN) =>
+      val t = timeMin(SparkEntry.queries("q_graph_pagerank")(spark, dirN).collect())
+      val nodes = graft.queries.Graphs.edgesForTest(spark, dirN)
+        .select(explode(array(col("u"), col("v"))).as("n"))
+        .distinct().count()
+      println(f"pagerank auto-scale [$tag]: $nodes nodes, " +
+        f"scale=${graft.queries.Graphs.rankScale(nodes)}, $t%.2f s")
+    }
+
     val censusQ = SparkEntry.queries("q_graph_triangles")
     var degTri = 0L
     val tDeg = timeMin {

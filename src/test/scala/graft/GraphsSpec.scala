@@ -53,14 +53,14 @@ class GraphsSpec extends AnyFunSuite {
     val dir = plant(Seq(Seq(1L, 2L, 3L)))
     val rows = SparkEntry.queries("q_graph_pagerank")(spark, dir).collect()
     assert(rows.length == 3)
-    rows.foreach(r => assert(r.getAs[Long]("rank_e12") == 1000000000000L))
+    rows.foreach(r => assert(r.getAs[Long]("rank_scaled") == 1000000000000L))
   }
 
   test("pagerank mass concentrates on the hub of a star") {
     // star 1-{2,3,4}: leaves' whole mass flows to the hub each round
     val dir = plant(Seq(Seq(1L, 2L), Seq(1L, 3L), Seq(1L, 4L)))
     val rows = SparkEntry.queries("q_graph_pagerank")(spark, dir)
-      .collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("rank_e12")))
+      .collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("rank_scaled")))
     val hub = rows.find(_._1 == 1L).get._2
     rows.filter(_._1 != 1L).foreach { case (_, leaf) =>
       assert(hub > leaf)
@@ -167,9 +167,59 @@ class GraphsSpec extends AnyFunSuite {
   }
 
   test("degree top-k fuses to TakeOrderedAndProject (no global sort)") {
-    val plan = SparkEntry.queries("q_graph_degree")(spark, sf)
+    // the registered key returns a finished (materialized) frame whose
+    // plan is an RDD scan — pin the build's own lazy plan instead
+    val plan = queries.Graphs.lazyBuild("q_graph_degree", spark, sf)
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"))
     assert(!plan.contains("Sort ["), s"unexpected global sort:\n$plan")
+  }
+
+  test("uniform weights reproduce the unweighted pagerank exactly") {
+    // every basket pair below co-occurs exactly once, so w = 1
+    // everywhere and sw = degree: the weighted iteration's
+    // (r DIV sw) * w must reduce to rank DIV degree term-for-term
+    val dir = plant(Seq(Seq(1L, 2L, 3L), Seq(3L, 4L), Seq(4L, 5L)))
+    val un = SparkEntry.queries("q_graph_pagerank")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("rank_scaled")))
+    val wt = SparkEntry.queries("q_graph_pagerank_weighted")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("rank_scaled")))
+    assert(un.nonEmpty && un.toSeq == wt.toSeq)
+  }
+
+  test("weighted pagerank follows the strong tie; unweighted is symmetric") {
+    // path 1-2-3: pair (1,2) co-occurs in 9 orders, (2,3) in one.
+    // Unweighted, nodes 1 and 3 are structurally symmetric (equal
+    // ranks); weighted, node 2's mass flows 9:1 toward node 1 — the
+    // ranking merchandisers want. The 2-cycle 4-5 (weight 5) must hold
+    // the exact fixed point: (r DIV 5)*5 = r at r = scale (mod-5-free),
+    // so weights cancel inside a regular structure.
+    val baskets = Seq.fill(9)(Seq(1L, 2L)) ++ Seq(Seq(2L, 3L)) ++
+      Seq.fill(5)(Seq(4L, 5L))
+    val dir = plant(baskets)
+    def ranks(key: String) = SparkEntry.queries(key)(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("rank_scaled"))).toMap
+    val un = ranks("q_graph_pagerank")
+    val wt = ranks("q_graph_pagerank_weighted")
+    assert(un(1L) == un(3L))
+    assert(wt(1L) > wt(3L))
+    assert(wt(4L) == 1000000000000L && wt(5L) == 1000000000000L)
+  }
+
+  test("rank scale auto-sizes by digit count, capped at 1e12") {
+    import queries.Graphs.rankScale
+    assert(rankScale(0L) == 1000000000000L)
+    assert(rankScale(1L) == 1000000000000L)
+    assert(rankScale(540000L) == 1000000000000L) // cap ~1.004e12 -> 1e12
+    assert(rankScale(600000L) == 100000000000L)  // past the former refusal
+    assert(rankScale(6000000L) == 10000000000L)
+    // digit-count flooring: cap exactly at a power of 10 stays there
+    assert(rankScale(Long.MaxValue / (17L * 1000000000000L)) >= 10000000L)
+    // headroom invariant: 17 * n * scale never overflows
+    for (n <- Seq(1L, 540000L, 600000L, 54000000L, 1000000000L)) {
+      val sc = rankScale(n)
+      assert(BigInt(17) * BigInt(n) * BigInt(sc) < BigInt(Long.MaxValue))
+    }
   }
 }

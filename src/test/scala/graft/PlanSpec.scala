@@ -316,8 +316,16 @@ class PlanSpec extends AnyFunSuite {
       "expected top-20 heap fusion, not a global sort of the rule table")
   }
 
+  // the registered graph keys return finished (materialized) frames —
+  // their plan pins read the lazy build's own executed plan
+  private def graphPlan(name: String): String = {
+    val df = queries.Graphs.lazyBuild(name, spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
   test("graph triangles: no wedge materialization, no in-plan parquet scan") {
-    val p = plan("q_graph_triangles")
+    val p = graphPlan("q_graph_triangles")
     // the oriented edge list and degree frame are checkpointed; the
     // census plan is probe joins + array_intersect — a Generate here
     // would mean a wedge/pair explosion re-entered the plan
@@ -330,7 +338,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("graph pagerank: edge list never shuffles for the contribution join") {
-    val p = plan("q_graph_pagerank")
+    val p = graphPlan("q_graph_pagerank")
     // each of the 3 iterations joins the NODE-sized contribution frame
     // against the adjacency — AQE must broadcast the small side; a
     // SortMergeJoin would mean the 2.4M-row edge list shuffled 3x
