@@ -146,16 +146,30 @@ object Relations {
     * dispatch decision and again inside discover/sketchDiscover — pass
     * `rowHints` (from pipeline metadata, ANALYZE TABLE stats, or a prior
     * materialization) to skip the probe for those inputs; Catalyst's
-    * optimizer row-count statistic is used as a free second source when
-    * present. An over-estimate only pushes toward the sketch — the safe
-    * side — so coarse hints are fine. */
+    * optimizer row-count statistic is used as a free second source, but
+    * ONLY when the plan is row-count-preserving above its leaf (scan +
+    * projections) — a Filter/Join/Aggregate makes rowCount a CBO
+    * selectivity ESTIMATE, and an under-estimate would dispatch an
+    * oversized input to exact, the unsafe side (round-13 advice), so
+    * estimated plans fall through to count(). An over-estimate in a
+    * HINT only pushes toward the sketch — the safe side — so coarse
+    * hints are fine. */
   def discoverAuto(tables: Seq[(String, DataFrame)],
       minContainment: Double = 0.5, k: Int = 256,
       maxExactVolume: Long = 50L * 1000 * 1000,
       rowHints: Map[String, Long] = Map.empty): DataFrame = {
+    def statsRowCount(df: DataFrame): Option[Long] = {
+      val plan = df.queryExecution.optimizedPlan
+      val preservesRowCount = plan.collect { case p => p }.forall {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Project => true
+        case leaf if leaf.children.isEmpty => true
+        case _ => false
+      }
+      if (preservesRowCount) plan.stats.rowCount.map(_.toLong) else None
+    }
     def rowsOf(name: String, df: DataFrame): Long =
       rowHints.get(name)
-        .orElse(df.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong))
+        .orElse(statsRowCount(df))
         .getOrElse(df.count())
     val volume = tables.map { case (name, df) =>
       rowsOf(name, df) * math.max(1, idLikeColumns(df).size.toLong) }.sum

@@ -201,6 +201,68 @@ object Funnel {
         .groupBy("step").agg(coalesce(sum("n"), lit(0L)).as("users")))
   }
 
+  /** Coverage threshold for the one-scan dispatch: below this fraction
+    * of step-typed rows, the K type-pruned scans each skip most of the
+    * log, so K-scan's skew safety costs little extra I/O. At/above it,
+    * K scans re-read most of the log K times and the measured-2x
+    * one-scan plan wins (SCALING.md "One-scan vs K-scan funnel"). */
+  val DefaultOneScanMinCoverage: Double = 0.5
+
+  /** Per-user step-typed event bound for the one-scan dispatch: the
+    * fold buffers one (ts, type) struct per step-typed event of a user
+    * (~32 bytes each), so 100k events is single-digit MBs in one task —
+    * safe; a hotter user (bots, service accounts) keeps the K-scan
+    * plan, where a hot user is ONE aggregation cell per stage. */
+  val DefaultOneScanMaxUserEvents: Long = 100000L
+
+  /** [[runAutoWithPath]] without the path tag. */
+  def runAuto(events: DataFrame, steps: Seq[String], maxGap: String,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame =
+    runAutoWithPath(events, steps, maxGap, userCol, typeCol, tsCol)._1
+
+  /** Ordered funnel with measured-crossover dispatch (round-13 verdict
+    * item #4 — the `TimeSeriesFill.hourlyWithPath` pattern): pick
+    * [[runOneScan]] when the step types cover most of the log AND the
+    * hottest user's step-typed event count is bounded; keep [[run]]
+    * otherwise. Both formulations are hash-identical (FunnelSpec pins
+    * it; `q_gate_funnel_dispatch` re-pins across forced dispatches), so
+    * the dispatch can only change the plan, never the answer.
+    *
+    * Dispatch cost: two metadata aggregates, both cheap relative to
+    * either funnel plan — (1) the type histogram, a vocabulary-sized
+    * hash agg over the single pruned type column (decides coverage);
+    * (2) only when coverage already argues for one-scan, the per-user
+    * step-typed count bound — the same type-pruned scan + user-keyed
+    * hash agg the one-scan fold is about to shuffle anyway, minus the
+    * collect_list payload (decides skew safety).
+    *
+    * @return (result, path) with path "onescan" | "kscan" so the
+    *         dispatch contract is testable without plan reflection. */
+  def runAutoWithPath(events: DataFrame, steps: Seq[String], maxGap: String,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts",
+      minCoverage: Double = DefaultOneScanMinCoverage,
+      maxUserEvents: Long = DefaultOneScanMaxUserEvents): (DataFrame, String) = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct event types, got $steps")
+    // vocabulary-sized driver read (one row per event type)
+    val hist = events.groupBy(typeCol).agg(count(lit(1)).as("n"))
+      .collect().filterNot(_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = hist.valuesIterator.sum
+    val stepRows = steps.flatMap(hist.get).sum
+    val covered = total > 0L && stepRows.toDouble / total >= minCoverage
+    lazy val hottestUser = events.filter(col(typeCol).isin(steps: _*))
+      .groupBy(userCol).agg(count(lit(1)).as("n"))
+      .agg(coalesce(max("n"), lit(0L))).head().getLong(0)
+    if (covered && hottestUser <= maxUserEvents)
+      (runOneScan(events, steps, maxGap, userCol, typeCol, tsCol), "onescan")
+    else
+      (run(events, steps, maxGap, userCol, typeCol, tsCol), "kscan")
+  }
+
   /** One-scan ordered funnel — hash-identical to [[run]] (FunnelSpec
     * pins equality), shaped for logs where the funnel steps cover most
     * event types: ONE scan of the step-typed rows (IN-list pushed), ONE

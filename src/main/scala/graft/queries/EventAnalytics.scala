@@ -91,7 +91,11 @@ object EventAnalytics {
       |WINDOW w AS (ORDER BY step
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY step""".stripMargin) { (s, d) =>
-    graft.operators.Funnel.run(Tables.events(s, d),
+    // measured-crossover dispatch (round-14): the corpus' 3-of-5 step
+    // coverage takes the one-scan plan, a hot-user log stays K-scan —
+    // either way the output is the pinned K-scan hash
+    // (q_gate_funnel_dispatch re-proves equality across forced paths)
+    graft.operators.Funnel.runAuto(Tables.events(s, d),
       Seq("view", "click", "purchase"), maxGap = "24 hours")
   }
 
@@ -591,13 +595,18 @@ object EventAnalytics {
         "/ (ub - 1) / ub), 4) END AS z_score")
   }
 
-  /** Session-level engagement summary — the aggregate layer above
-    * q_stream_session's per-session rows: sessionize (same 30-minute
-    * session_window the streaming twin uses; the gaps-and-islands
-    * oracle equality is already pinned by q_stream_session's
-    * hash-match), then ONE global row of session count, exact p50/p90
-    * session duration (floored-second deltas of actual first/last
-    * event, engine-portable), and mean events per session. Scale: the
+  /** Session-level engagement summary — the aggregate layer above the
+    * per-session rows: sessionize with THE one batch sessionizer
+    * definition ([[sessionized]], shared with q_event_paths — round 14,
+    * on advice: the earlier `session_window` formulation breaks a
+    * session when the gap REACHES 30:00 while this oracle and the
+    * sibling keys break only when it strictly EXCEEDS it, a
+    * measure-zero divergence on micros data but a real one; the exact
+    * boundary is now spec-pinned), then ONE global row of session
+    * count, exact p50/p90 session duration (floored-second deltas of
+    * actual first/last event, engine-portable), and mean events per
+    * session. The streaming session keys keep `session_window` — their
+    * half-open semantics are their own oracles' contract. Scale: the
     * sessionize is one user-keyed shuffle; the percentile runs over the
     * session frame (≤ events rows, usually ≪), the output is 1 row. */
   val qSessionStats = Q(
@@ -613,8 +622,8 @@ object EventAnalytics {
       |FROM g""".stripMargin) { (s, d) =>
     def secs(c: org.apache.spark.sql.Column) =
       c.cast("timestamp").cast("long")
-    Tables.events(s, d)
-      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+    sessionized(Tables.events(s, d))
+      .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n"),
         (secs(max("ts")) - secs(min("ts"))).as("dur"))
       .agg(count(lit(1)).as("sessions"),
@@ -627,41 +636,43 @@ object EventAnalytics {
     * alerting layer on top of the resampled metrics: a bucket whose
     * hourly sum deviates from its trailing-24-bucket mean by more than
     * 3σ (population), after a 12-bucket warm-up. The DETERMINISM trick
-    * is the whole design: rolling mean/std over doubles would sum in
-    * engine-dependent order, so the already-4dp-rounded sums are scaled
-    * to integers (×100) and the 3σ test is evaluated in EXACT integer
-    * arithmetic — (n·x − S)² > 9·(n·Sq − S²) is algebraically
-    * (x − mean)² > 9·var with every term an integer window sum, so both
-    * engines compute bit-identical flags in any order. Scale shape: one
-    * hash agg + one series-partitioned window; integer headroom holds
-    * to scaled hourly sums ≈ 6×10⁸ (far past sf100 here) — widen to
-    * DECIMAL beyond that. */
+    * is the whole design: the hourly sum is an INTEGER-CENTS sum
+    * (`value` is 2-decimal money — per-row round(value·100) then a
+    * bigint sum, exact in any aggregation order; round 14, on advice —
+    * the earlier round-a-double-sum-then-scale path could flip a
+    * 5th-decimal tie and with it a 3σ flag), and the 3σ test is
+    * evaluated in EXACT integer arithmetic — (n·x − S)² > 9·(n·Sq − S²)
+    * is algebraically (x − mean)² > 9·var with every term an integer
+    * window sum, so both engines compute bit-identical flags in any
+    * order. The displayed `observed` is cents/100.0 — one IEEE divide
+    * of an exact integer, identical bits on both engines. Scale shape:
+    * one hash agg + one series-partitioned window; integer headroom
+    * holds to hourly cents sums ≈ 6×10⁸ (far past sf100 here) — widen
+    * to DECIMAL beyond that. */
   val qAnomalyZscore = Q(
     "q_anomaly_zscore",
     """WITH obs AS (SELECT event_type, date_trunc('hour', ts) AS h,
-      |                    round(sum(value), 4) AS sum_val
+      |                    sum(CAST(round(value * 100) AS BIGINT)) AS v
       |             FROM events GROUP BY 1, 2),
-      |x AS (SELECT event_type, h, sum_val,
-      |             CAST(round(sum_val * 100) AS BIGINT) AS v FROM obs),
-      |w AS (SELECT event_type, h, sum_val, v,
+      |w AS (SELECT event_type, h, v,
       |             count(*) OVER win AS n,
       |             sum(v) OVER win AS s,
       |             sum(v * v) OVER win AS sq
-      |      FROM x
+      |      FROM obs
       |      WINDOW win AS (PARTITION BY event_type ORDER BY h
       |                     ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
-      |SELECT event_type, CAST(h AS TIMESTAMP) AS hour, sum_val AS observed
+      |SELECT event_type, CAST(h AS TIMESTAMP) AS hour,
+      |       CAST(v AS DOUBLE) / 100.0 AS observed
       |FROM w
       |WHERE n >= 12 AND (n * v - s) * (n * v - s) > 9 * (n * sq - s * s)
       |ORDER BY event_type, hour""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val obs = Tables.events(s, d)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-      .agg(round(sum("value"), 4).as("sum_val"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("v"))
     val win = Window.partitionBy("event_type").orderBy("h")
       .rowsBetween(-23, Window.currentRow)
     val scored = obs
-      .withColumn("v", round(col("sum_val") * 100, 0).cast("bigint"))
       .withColumn("n", count(lit(1)).over(win))
       .withColumn("s", sum("v").over(win))
       .withColumn("sq", sum(col("v") * col("v")).over(win))
@@ -670,7 +681,7 @@ object EventAnalytics {
       .filter(col("n") >= 12 &&
         dev * dev > lit(9L) * (col("n") * col("sq") - col("s") * col("s")))
       .select(col("event_type"), col("h").as("hour"),
-        col("sum_val").as("observed"))
+        (col("v").cast("double") / 100.0).as("observed"))
       .orderBy("event_type", "hour")
   }
 

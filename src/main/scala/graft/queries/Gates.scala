@@ -1217,7 +1217,34 @@ object Gates {
     verdict(s, "q_gate_fill_dispatch", ok)
   }
 
+  /** Funnel-dispatch contract (round-13 verdict item #4 — the
+    * `q_gate_fill_dispatch` template): the step-heavy corpus shape
+    * (view/click/purchase ≈ 0.6 coverage of the log) must take the
+    * measured-2x ONE-SCAN plan; a hot-user shape (per-user bound forced
+    * to 1) and a low-coverage shape (threshold forced past 1.0) must
+    * each stay on the skew-safe K-SCAN plan; and all three dispatches
+    * must emit the identical K+1-row funnel. */
+  val qGateFunnelDispatch = Q(
+    "q_gate_funnel_dispatch", oracleFor("q_gate_funnel_dispatch")) { (s, d) =>
+    import graft.operators.Funnel
+    val ok = GateMemo.value(s, d, "gate_funnel_dispatch_ok") {
+      val ev = Tables.events(s, d)
+      val steps = Seq("view", "click", "purchase")
+      val (one, pOne) = Funnel.runAutoWithPath(ev, steps, "24 hours")
+      val (hot, pHot) = Funnel.runAutoWithPath(ev, steps, "24 hours",
+        maxUserEvents = 1L)
+      val (low, pLow) = Funnel.runAutoWithPath(ev, steps, "24 hours",
+        minCoverage = 1.1)
+      def rows(df: DataFrame): Seq[String] =
+        df.orderBy("step").collect().map(_.toString).toSeq
+      pOne == "onescan" && pHot == "kscan" && pLow == "kscan" &&
+        rows(one) == rows(hot) && rows(hot) == rows(low)
+    }
+    verdict(s, "q_gate_funnel_dispatch", ok)
+  }
+
   val all: Seq[Q] = Seq(
+    qGateFunnelDispatch,
     qGateFillDispatch, qGateActiveUsersSketch,
     qGateAnnQuantized, qGateAnnIvfQuantized, qGateDedupMinhash,
     qGateLangIdNgram, qGateApproxDistinct, qGateApproxPercentile,

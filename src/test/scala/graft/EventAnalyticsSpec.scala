@@ -198,6 +198,39 @@ class EventAnalyticsSpec extends AnyFunSuite {
       render(operators.Funnel.run(corpus, steps, "24 hours")))
   }
 
+  test("funnel auto-dispatch: coverage and skew thresholds pick the right plan") {
+    import spark.implicits._
+    // 3 step types + 1 noise type, one user with 3 step events: the
+    // planted log is 75% step-covered with a cold hottest user
+    val planted = Seq(
+      (1L, "view", ts("2024-01-01 00:00:00")),
+      (1L, "click", ts("2024-01-01 01:00:00")),
+      (1L, "purchase", ts("2024-01-01 02:00:00")),
+      (2L, "error", ts("2024-01-01 00:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val steps = Seq("view", "click", "purchase")
+    // step-heavy + bounded user -> one-scan
+    val (one, p1) = operators.Funnel.runAutoWithPath(planted, steps, "24 hours")
+    assert(p1 == "onescan")
+    // hot-user bound forced below the user's 3 step events -> K-scan
+    val (hot, p2) = operators.Funnel.runAutoWithPath(planted, steps, "24 hours",
+      maxUserEvents = 2L)
+    assert(p2 == "kscan")
+    // coverage threshold forced past 1.0 -> K-scan without paying the
+    // per-user probe
+    val (_, p3) = operators.Funnel.runAutoWithPath(planted, steps, "24 hours",
+      minCoverage = 1.1)
+    assert(p3 == "kscan")
+    def render(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    assert(render(one) == render(hot))
+    // empty log dispatches K-scan (coverage undefined) and stays empty-safe
+    val empty = planted.limit(0)
+    val (er, p4) = operators.Funnel.runAutoWithPath(empty, steps, "24 hours")
+    assert(p4 == "kscan")
+    assert(er.collect().forall(_.getLong(2) == 0L))
+  }
+
   test("retention cohort: offset-0 retention is 1.0 and users never exceed cohort size") {
     val rows = SparkEntry.queries("q_retention_cohort")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
@@ -347,6 +380,25 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 600.0, s"p50 was ${r.getDouble(1)}")
     assert(r.getDouble(2) == 1560.0, s"p90 was ${r.getDouble(2)}")
     assert(r.getDouble(3) == math.round(5.0 / 3 * 10000) / 10000.0)
+  }
+
+  test("session boundary: exactly-30:00 gap stays one session; +1µs splits") {
+    // THE sessionizer definition (EventAnalytics.sessionized, shared
+    // with the oracle CTEs and q_event_paths): a session breaks only
+    // when the gap STRICTLY exceeds 30 minutes — the measure-zero
+    // boundary the round-13 advice flagged as divergent under the old
+    // session_window formulation, pinned here on both sides of it
+    import spark.implicits._
+    def sessions(second: String): Long = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_sessb").toString
+      Seq((1L, 1L, "view", ts("2024-01-01 00:00:00")),
+          (2L, 1L, "view", ts(second)))
+        .toDF("event_id", "user_id", "event_type", "ts")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      queries.EventAnalytics.qSessionStats.run(spark, dir).head().getLong(0)
+    }
+    assert(sessions("2024-01-01 00:30:00") == 1L)
+    assert(sessions("2024-01-01 00:30:00.000001") == 2L)
   }
 
   test("anomaly z-score: planted spike flags, flat series and warm-up stay quiet") {
