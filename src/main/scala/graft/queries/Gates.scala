@@ -1243,7 +1243,145 @@ object Gates {
     verdict(s, "q_gate_funnel_dispatch", ok)
   }
 
+  /** Incremental co-purchase edge maintenance (round-13 verdict item
+    * #2): the day-2 graph story — the weighted edge list as a
+    * SnapshotStore artifact maintained from the order stream's CDC
+    * feed, never a per-query lineitem re-scan. The gate replays the
+    * corpus as a base commit plus two whole-order CDC batches into a
+    * lineitem store, drains the feed into the edge store
+    * (`GraphEdgeStore.maintainFromCdc`), and pins four contracts:
+    * (1) incremental edge set == full map-side rebuild, exactly;
+    * (2) replaying the drained feed is a NO-OP (store version
+    * untouched); (3) a whole-order CANCELLATION flows through as −1
+    * deltas — edges equal the rebuild without that order; (4) direct
+    * per-batchId re-ingest cannot double-count (the log-structured
+    * (u, v, ver) key absorbs at-least-once redelivery). */
+  val qGateGraphEdgesIncremental = Q(
+    "q_gate_graph_edges_incremental",
+    oracleFor("q_gate_graph_edges_incremental")) { (s, d) =>
+    import graft.streaming.{GraphEdgeStore, SnapshotStore, Streams}
+    val ok = GateMemo.value(s, d, "gate_graph_edges_incremental_ok") {
+      val work = "/root/repo/target/graph_edges_gate/" +
+        new java.io.File(d).getName
+      graft.LocalFs.rmrf(new java.io.File(work))
+      val liDir = s"$work/lineitem_store"
+      val cdcDir = s"$work/cdc"
+      val edgeDir = s"$work/edges"
+      val ckpt = s"$work/ckpt"
+      val keys = Seq("l_orderkey", "l_partkey")
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        .distinct().localCheckpoint(true)
+      val base = li.filter(col("l_orderkey") % 10 =!= 0)
+      val b1 = li.filter(col("l_orderkey") % 20 === 0)
+      val b2 = li.filter(
+        col("l_orderkey") % 10 === 0 && col("l_orderkey") % 20 =!= 0)
+      Streams.cdcBatch(s, liDir, cdcDir, base, keys)
+      Streams.cdcBatch(s, liDir, cdcDir, b1, keys)
+      Streams.cdcBatch(s, liDir, cdcDir, b2, keys)
+      GraphEdgeStore.maintainFromCdc(s, cdcDir, edgeDir, ckpt)
+      def sameEdges(a: DataFrame, b: DataFrame): Boolean =
+        a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty
+      val full = GraphEdgeStore.pairWeights(li)
+      val afterIngest = sameEdges(GraphEdgeStore.edges(s, edgeDir), full)
+      val vBefore = SnapshotStore.currentManifest(s, edgeDir).map(_.version)
+      GraphEdgeStore.maintainFromCdc(s, cdcDir, edgeDir, ckpt)
+      val replayNoop =
+        SnapshotStore.currentManifest(s, edgeDir).map(_.version) == vBefore
+      // cancel one whole %20==0 order end-to-end (1-row driver scalar)
+      val doomedK = b1.agg(min("l_orderkey")).head().getLong(0)
+      Streams.cdcDeleteBatch(s, liDir, cdcDir,
+        li.filter(col("l_orderkey") === doomedK), keys)
+      GraphEdgeStore.maintainFromCdc(s, cdcDir, edgeDir, ckpt)
+      val afterDelete = sameEdges(GraphEdgeStore.edges(s, edgeDir),
+        GraphEdgeStore.pairWeights(li.filter(col("l_orderkey") =!= doomedK)))
+      // per-batchId idempotence, driven directly: same delta, same ver
+      val extra = li.filter(col("l_orderkey") === doomedK)
+        .withColumn("change_type", lit("insert"))
+      GraphEdgeStore.ingestBatch(s, edgeDir, extra, 999L)
+      val e1 = GraphEdgeStore.edges(s, edgeDir).localCheckpoint(true)
+      GraphEdgeStore.ingestBatch(s, edgeDir, extra, 999L)
+      val idem = sameEdges(e1, GraphEdgeStore.edges(s, edgeDir))
+      full.count() > 0 && afterIngest && replayNoop && afterDelete && idem
+    }
+    verdict(s, "q_gate_graph_edges_incremental", ok)
+  }
+
+  /** Streaming graph-degree twin (round-13 verdict item #7): per-micro-
+    * batch degree/top-hub maintenance over the CDC edge feed — a
+    * node-sized degree store kept consistent with the edge store by
+    * [[GraphEdgeStore.ingestBatchWithDegrees]] (see its section comment
+    * for why the log-structured path beats node-keyed
+    * flatMapGroupsWithState state here). Pins: (1) after the base build
+    * plus two streamed CDC batches, the maintained degree frame equals
+    * the batch derivation from the full corpus EXACTLY (full-frame, not
+    * top-k) and [[GraphEdgeStore.topHubs]] equals `q_graph_degree`'s
+    * top-20 ordering; (2) replaying the drained feed is a version no-op
+    * on BOTH stores; (3) a whole-order cancellation streams through as
+    * degree decrements — frames equal the rebuild without that order,
+    * with zero-crossed neighbors dropped. (The crash between edge-merge
+    * and degree-merge, the subtle redelivery window, is pinned in
+    * GraphEdgeStoreSpec where the two merges can be driven separately.) */
+  val qGateStreamGraphDegree = Q(
+    "q_gate_stream_graph_degree",
+    oracleFor("q_gate_stream_graph_degree")) { (s, d) =>
+    import graft.streaming.{GraphEdgeStore, SnapshotStore, Streams}
+    val ok = GateMemo.value(s, d, "gate_stream_graph_degree_ok") {
+      val work = "/root/repo/target/stream_graph_degree_gate/" +
+        new java.io.File(d).getName
+      graft.LocalFs.rmrf(new java.io.File(work))
+      val liDir = s"$work/lineitem_store"
+      val cdcDir = s"$work/cdc"
+      val edgeDir = s"$work/edges"
+      val degDir = s"$work/degrees"
+      val ckpt = s"$work/ckpt"
+      val keys = Seq("l_orderkey", "l_partkey")
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        .distinct().localCheckpoint(true)
+      val base = li.filter(col("l_orderkey") % 10 =!= 0)
+      val b1 = li.filter(col("l_orderkey") % 20 === 0)
+      val b2 = li.filter(
+        col("l_orderkey") % 10 === 0 && col("l_orderkey") % 20 =!= 0)
+      Streams.cdcBatch(s, liDir, cdcDir, base, keys)
+      Streams.cdcBatch(s, liDir, cdcDir, b1, keys)
+      Streams.cdcBatch(s, liDir, cdcDir, b2, keys)
+      GraphEdgeStore.maintainFromCdc(s, cdcDir, edgeDir, ckpt,
+        degreeDir = Some(degDir))
+      def sameFrame(a: DataFrame, b: DataFrame): Boolean =
+        a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty
+      // batch twin: q_graph_degree's derivation from the full corpus
+      def batchDegrees(of: DataFrame): DataFrame = {
+        val e = GraphEdgeStore.pairWeights(of).select("u", "v")
+        e.select(col("u").as("node")).unionByName(e.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("degree"))
+      }
+      val streamedEq =
+        sameFrame(GraphEdgeStore.degrees(s, degDir), batchDegrees(li))
+      val hubsEq = GraphEdgeStore.topHubs(s, degDir).collect().toSeq ==
+        batchDegrees(li).orderBy(col("degree").desc, col("node"))
+          .limit(20).collect().toSeq
+      val vE = SnapshotStore.currentManifest(s, edgeDir).map(_.version)
+      val vD = SnapshotStore.currentManifest(s, degDir).map(_.version)
+      GraphEdgeStore.maintainFromCdc(s, cdcDir, edgeDir, ckpt,
+        degreeDir = Some(degDir))
+      val replayNoop =
+        SnapshotStore.currentManifest(s, edgeDir).map(_.version) == vE &&
+          SnapshotStore.currentManifest(s, degDir).map(_.version) == vD
+      // cancel one whole order; its zero-crossed neighbors lose a degree
+      val doomedK = b1.agg(min("l_orderkey")).head().getLong(0)
+      Streams.cdcDeleteBatch(s, liDir, cdcDir,
+        li.filter(col("l_orderkey") === doomedK), keys)
+      GraphEdgeStore.maintainFromCdc(s, cdcDir, edgeDir, ckpt,
+        degreeDir = Some(degDir))
+      val afterDelete = sameFrame(GraphEdgeStore.degrees(s, degDir),
+        batchDegrees(li.filter(col("l_orderkey") =!= doomedK)))
+      streamedEq && hubsEq && replayNoop && afterDelete
+    }
+    verdict(s, "q_gate_stream_graph_degree", ok)
+  }
+
   val all: Seq[Q] = Seq(
+    qGateStreamGraphDegree,
+    qGateGraphEdgesIncremental,
     qGateFunnelDispatch,
     qGateFillDispatch, qGateActiveUsersSketch,
     qGateAnnQuantized, qGateAnnIvfQuantized, qGateDedupMinhash,

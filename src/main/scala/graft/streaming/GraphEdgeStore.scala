@@ -1,0 +1,242 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Day-2 maintenance for the co-purchase graph (round-13 verdict item
+  * #2): the weighted edge list as a MAINTAINED artifact instead of a
+  * per-query scan. Every `q_graph_*` key re-derives its edges from
+  * lineitem live — the right call for exploratory queries at bench
+  * scale, but at 100 TB the raw order log dwarfs the edge list by
+  * orders of magnitude, and an analytics layer that re-shuffles the
+  * whole log per graph question is mis-designed. Here the edge list
+  * lives in a [[SnapshotStore]] and is maintained from the order
+  * stream's CDC feed ([[Streams.cdcSource]]): each micro-batch of new
+  * (or cancelled) orders contributes map-side basket pairs, merged as
+  * an additive upsert — so graph reads scan the edge-sized store, and
+  * only arriving data ever touches the lineitem-sized axis.
+  *
+  * LOG-STRUCTURED WEIGHTS — the exactly-once design: rows are
+  * (u, v, ver, w) keyed by ALL THREE. A batch's signed weight deltas
+  * land under its own `ver` (the streaming batch id; the full build
+  * under [[BaseVer]]), and the current weight is the per-(u, v) SUM
+  * over versions at read time. Replaying a batch (foreachBatch is
+  * at-least-once; a crash between merge and checkpoint re-delivers the
+  * same batchId) re-merges IDENTICAL rows under the same key — a no-op
+  * by [[SnapshotStore.merge]]'s replace-by-key contract — so weights
+  * can never double-count without any read-modify-write or offset
+  * marker (the marker-file design has an unfixable crash window
+  * between data commit and marker write; the version-in-the-key design
+  * has none). Store growth is one row per (touched pair, batch) —
+  * batch-bounded, not graph-bounded; fold the log periodically by
+  * rebuilding into a fresh store ([[build]]) and swapping dirs, the
+  * standard log-compaction answer.
+  *
+  * Basket atomicity contract: pair derivation needs WHOLE baskets, so
+  * each CDC batch must carry complete orders (an order split across
+  * two batches would miss its cross-batch pairs). Order commits are
+  * atomic upstream, and [[Streams.upsertSinkWithCdc]] logs one version
+  * per committed batch, so the feed satisfies this by construction;
+  * `update` rows are REFUSED loudly (a part swap needs its whole
+  * basket — replay it as delete + insert of the order).
+  *
+  * Scale shape: a batch's delta is the same map-side basket expansion
+  * `q_basket_pairs` measured linear-in-orders (SCALING.md), one
+  * (u, v)-keyed rollup, and one bucket-pruned merge; [[edges]] is one
+  * edge-sized scan + hash agg. Nothing lineitem-sized anywhere after
+  * the initial build.
+  */
+object GraphEdgeStore {
+
+  /** The full-rebuild base version; streaming batch ids are ≥ 0. */
+  val BaseVer: Long = -1L
+
+  private val Keys = Seq("u", "v", "ver")
+
+  /** Weighted canonical (u < v) co-purchase pairs of a lineitem-shaped
+    * frame: w = number of orders containing both parts (the
+    * `q_graph_pagerank_weighted` edge derivation, shared Baskets
+    * expansion — map-side, never an orderkey self-join). */
+  def pairWeights(li: DataFrame): DataFrame =
+    graft.queries.Baskets.pairs(
+        graft.queries.Baskets.baskets(li.select("l_orderkey", "l_partkey")),
+        "u", "v")
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+
+  /** Full build (or periodic log-fold rebuild): persist the whole
+    * corpus' pair weights under [[BaseVer]]. */
+  def build(spark: SparkSession, edgeDir: String, li: DataFrame,
+      numBuckets: Int = 16): Unit =
+    SnapshotStore.merge(spark, edgeDir,
+      pairWeights(li).withColumn("ver", lit(BaseVer)),
+      Keys, numBuckets)
+
+  /** One CDC batch's signed pair-weight delta (no version column):
+    * inserted orders' pairs count +1, deleted orders' pairs −1, a pair
+    * touched by both nets out (and drops from the delta entirely when
+    * it nets to zero). Deterministic in the batch frame, so every
+    * consumer action recomputes the identical delta. */
+  private def batchDelta(changes: DataFrame): DataFrame = {
+    val updates = changes.filter(col("change_type") === "update")
+    require(updates.isEmpty,
+      "update CDC rows are not supported by the edge store: a part swap " +
+        "needs its whole basket — replay it as delete + insert of the order")
+    def pairsOf(changeType: String) = pairWeights(
+      changes.filter(col("change_type") === changeType)
+        .select("l_orderkey", "l_partkey"))
+    pairsOf("insert")
+      .unionByName(pairsOf("delete").withColumn("w", -col("w")))
+      .groupBy("u", "v").agg(sum("w").as("w"))
+      .filter(col("w") =!= 0L)
+  }
+
+  /** Apply one CDC micro-batch of order changes as signed weight deltas
+    * under version `batchId`. Idempotent per batchId — see the object
+    * doc's exactly-once design. */
+  def ingestBatch(spark: SparkSession, edgeDir: String, changes: DataFrame,
+      batchId: Long, numBuckets: Int = 16): Unit = {
+    require(batchId >= 0L,
+      s"batchId must be >= 0 (got $batchId): $BaseVer is reserved for the base build")
+    val delta = batchDelta(changes).withColumn("ver", lit(batchId))
+    if (!delta.isEmpty)
+      SnapshotStore.merge(spark, edgeDir, delta, Keys, numBuckets)
+  }
+
+  // ---- streaming degree twin (round-14 verdict item #7) -------------
+  //
+  // Per-micro-batch degree / top-hub maintenance over the same CDC
+  // feed: a NODE-sized degree store kept exactly consistent with the
+  // edge store, so "who are the hubs right now" is a node-sized read
+  // instead of an edge-sized re-aggregation (let alone the
+  // lineitem-sized rebuild the batch key pays).
+  //
+  // WHY NOT flatMapGroupsWithState ON NODE STATE: the obvious streaming
+  // formulation keys the state store by node and carries each node's
+  // neighbor→weight map, but (a) that map IS the edge store's content,
+  // duplicated row-for-row into HDFS-backed state files whose replay
+  // semantics would need re-proving from scratch, (b) a hub node's
+  // state value is vocabulary-sized — the state store reads and
+  // rewrites the whole map to bump one neighbor, the exact per-key
+  // blowup the log-structured design avoids, and (c) basket pair
+  // expansion needs a per-order grouping FIRST, and Structured
+  // Streaming does not support a second stateful operator downstream of
+  // flatMapGroupsWithState. The degree twin therefore rides the same
+  // foreachBatch + versioned-key machinery already proven for weights.
+  //
+  // EXACTLY-ONCE ACROSS THE TWO MERGES: a batch commits the edge delta
+  // and then the degree delta — a crash between the two re-delivers the
+  // batch with the edge rows already committed. Degree deltas are
+  // therefore computed from the POST-MERGE version log with the
+  // batch's own version split out: old_w = Σw over ver ≠ batchId,
+  // new_w = Σw over all — both reconstructible bit-identically on
+  // redelivery no matter which merges landed, because the version key
+  // makes history immutable. A node's degree delta is the count of its
+  // incident pairs whose weight crossed zero in either direction.
+
+  /** Build edge AND degree stores from the full corpus (or as the
+    * periodic log-fold of both). */
+  def buildWithDegrees(spark: SparkSession, edgeDir: String,
+      degreeDir: String, li: DataFrame, numBuckets: Int = 16): Unit = {
+    val pw = pairWeights(li).localCheckpoint(true)
+    try {
+      SnapshotStore.merge(spark, edgeDir,
+        pw.withColumn("ver", lit(BaseVer)), Keys, numBuckets)
+      // every distinct pair contributes one neighbor to each endpoint
+      val d0 = pw.select(col("u").as("node"))
+        .unionByName(pw.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("dd"))
+        .withColumn("ver", lit(BaseVer))
+      SnapshotStore.merge(spark, degreeDir, d0, DegreeKeys, numBuckets)
+    } finally graft.queries.GateMemo.unpersistCheckpoint(pw)
+  }
+
+  private val DegreeKeys = Seq("node", "ver")
+
+  /** [[ingestBatch]] plus degree maintenance: merge the batch's edge
+    * delta, then derive each touched node's signed degree delta from
+    * the version log (see the section comment for why this is
+    * crash-window-safe) and merge it under the same `batchId`.
+    * Idempotent per batchId on BOTH stores. */
+  def ingestBatchWithDegrees(spark: SparkSession, edgeDir: String,
+      degreeDir: String, changes: DataFrame, batchId: Long,
+      numBuckets: Int = 16): Unit = {
+    require(batchId >= 0L,
+      s"batchId must be >= 0 (got $batchId): $BaseVer is reserved for the base build")
+    val delta = batchDelta(changes)
+    if (delta.isEmpty) return
+    SnapshotStore.merge(spark, edgeDir,
+      delta.withColumn("ver", lit(batchId)), Keys, numBuckets)
+    // pair-pruned log read: only the batch's pairs can cross zero
+    val crossings = SnapshotStore.read(spark, edgeDir)
+      .join(delta.select("u", "v"), Seq("u", "v"), "left_semi")
+      .groupBy("u", "v")
+      .agg(
+        sum(when(col("ver") =!= batchId, col("w")).otherwise(0L)).as("old_w"),
+        sum("w").as("new_w"))
+      .withColumn("dd",
+        when(col("new_w") > 0L, 1L).otherwise(0L)
+          - when(col("old_w") > 0L, 1L).otherwise(0L))
+      .filter(col("dd") =!= 0L)
+    val nodeDelta = crossings.select(col("u").as("node"), col("dd"))
+      .unionByName(crossings.select(col("v").as("node"), col("dd")))
+      .groupBy("node").agg(sum("dd").as("dd"))
+      .filter(col("dd") =!= 0L)
+      .withColumn("ver", lit(batchId))
+    if (!nodeDelta.isEmpty)
+      SnapshotStore.merge(spark, degreeDir, nodeDelta, DegreeKeys, numBuckets)
+  }
+
+  /** Current per-node co-purchase degree: node-sized version-log sum,
+    * isolated (degree-0) nodes dropped — the exact frame
+    * `q_graph_degree`'s batch derivation computes from scratch. */
+  def degrees(spark: SparkSession, degreeDir: String): DataFrame =
+    SnapshotStore.read(spark, degreeDir)
+      .groupBy("node").agg(sum("dd").as("degree"))
+      .filter(col("degree") > 0L)
+
+  /** Top-k hubs from the maintained degree store (q_graph_degree's
+    * ordering: degree desc, node asc tie-break — integer degrees make
+    * the cutoff deterministic). Fuses to TakeOrderedAndProject over the
+    * node-sized frame. */
+  def topHubs(spark: SparkSession, degreeDir: String, k: Int = 20): DataFrame =
+    degrees(spark, degreeDir)
+      .orderBy(col("degree").desc, col("node"))
+      .limit(k)
+
+  /** Drain the CDC feed into the edge store and return when caught up
+    * (Trigger.AvailableNow): the file-source checkpoint records which
+    * log versions are processed, so a re-run against a drained feed
+    * starts no batch at all (gate-pinned replay no-op), and a crashed
+    * run resumes at its last unprocessed file with [[ingestBatch]]'s
+    * per-batchId idempotence absorbing the re-delivery. */
+  def maintainFromCdc(spark: SparkSession, cdcDir: String, edgeDir: String,
+      checkpointDir: String, numBuckets: Int = 16,
+      degreeDir: Option[String] = None): Unit = {
+    val q = Streams.cdcSource(spark, cdcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          degreeDir match {
+            case Some(dd) => ingestBatchWithDegrees(batch.sparkSession,
+              edgeDir, dd, batch.toDF(), batchId, numBuckets)
+            case None => ingestBatch(batch.sparkSession, edgeDir,
+              batch.toDF(), batchId, numBuckets)
+          }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The current weighted edge list: per-(u, v) sum over the version
+    * log, fully-deleted edges dropped. One edge-sized scan + hash agg —
+    * the frame every `q_graph_*` plan consumes in place of its live
+    * lineitem derivation when the store is maintained. */
+  def edges(spark: SparkSession, edgeDir: String): DataFrame =
+    SnapshotStore.read(spark, edgeDir)
+      .groupBy("u", "v").agg(sum("w").as("w"))
+      .filter(col("w") > 0L)
+}

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computable contracts of the log-structured co-purchase edge
+  * store: signed delta maintenance, per-batchId idempotence, net-zero
+  * and fully-deleted edge handling, and the update-row refusal. The
+  * end-to-end CDC arrival path (lineitem store → feed → maintainFromCdc
+  * → rebuild equality, replay no-op) is driver-pinned by
+  * `q_gate_graph_edges_incremental`. */
+class GraphEdgeStoreSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import streaming.GraphEdgeStore
+
+  private def li(rows: (Long, Long)*) = {
+    import spark.implicits._
+    rows.toDF("l_orderkey", "l_partkey")
+  }
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_edgestore").toString
+
+  private def edgeSet(dir: String): Set[(Long, Long, Long)] =
+    GraphEdgeStore.edges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("build + edges reproduces the weighted pair derivation") {
+    val dir = freshDir()
+    // orders: 1:{10,20,30}, 2:{10,20} — pair (10,20) w=2, others w=1
+    val corpus = li((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L), (2L, 20L))
+    GraphEdgeStore.build(spark, dir, corpus)
+    assert(edgeSet(dir) ==
+      Set((10L, 20L, 2L), (10L, 30L, 1L), (20L, 30L, 1L)))
+  }
+
+  test("insert and delete deltas adjust weights; zeroed edges vanish") {
+    val dir = freshDir()
+    GraphEdgeStore.build(spark, dir, li((1L, 10L), (1L, 20L)))
+    // batch 0: insert order 3:{10,20} -> weight 2
+    GraphEdgeStore.ingestBatch(spark, dir,
+      li((3L, 10L), (3L, 20L)).withColumn("change_type", lit("insert")), 0L)
+    assert(edgeSet(dir) == Set((10L, 20L, 2L)))
+    // batch 1: cancel order 1 -> weight back to 1
+    GraphEdgeStore.ingestBatch(spark, dir,
+      li((1L, 10L), (1L, 20L)).withColumn("change_type", lit("delete")), 1L)
+    assert(edgeSet(dir) == Set((10L, 20L, 1L)))
+    // batch 2: cancel order 3 -> edge fully deleted, dropped from reads
+    GraphEdgeStore.ingestBatch(spark, dir,
+      li((3L, 10L), (3L, 20L)).withColumn("change_type", lit("delete")), 2L)
+    assert(edgeSet(dir).isEmpty)
+  }
+
+  test("a batch whose inserts and deletes net to zero writes nothing") {
+    val dir = freshDir()
+    GraphEdgeStore.build(spark, dir, li((1L, 10L), (1L, 20L)))
+    val v0 = streaming.SnapshotStore.currentManifest(spark, dir).map(_.version)
+    // order 5 arrives and order 1 cancels in one batch: pair (10,20)
+    // nets 0 — the delta frame is empty and no version is committed
+    GraphEdgeStore.ingestBatch(spark, dir,
+      li((5L, 10L), (5L, 20L)).withColumn("change_type", lit("insert"))
+        .unionByName(
+          li((1L, 10L), (1L, 20L)).withColumn("change_type", lit("delete"))),
+      0L)
+    assert(streaming.SnapshotStore.currentManifest(spark, dir)
+      .map(_.version) == v0)
+    assert(edgeSet(dir) == Set((10L, 20L, 1L)))
+  }
+
+  test("replaying a batchId is a no-op (log-structured version key)") {
+    val dir = freshDir()
+    GraphEdgeStore.build(spark, dir, li((1L, 10L), (1L, 20L)))
+    val batch = li((4L, 10L), (4L, 20L), (4L, 30L))
+      .withColumn("change_type", lit("insert"))
+    GraphEdgeStore.ingestBatch(spark, dir, batch, 7L)
+    val once = edgeSet(dir)
+    GraphEdgeStore.ingestBatch(spark, dir, batch, 7L)
+    assert(edgeSet(dir) == once)
+    assert(once == Set((10L, 20L, 2L), (10L, 30L, 1L), (20L, 30L, 1L)))
+  }
+
+  private def degSet(dir: String): Set[(Long, Long)] =
+    GraphEdgeStore.degrees(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("buildWithDegrees writes hand-computable degrees; topHubs orders them") {
+    val (eDir, dDir) = (freshDir(), freshDir())
+    // orders 1:{10,20,30}, 2:{10,20}, 3:{10,40}
+    // edges: 10-20(w2), 10-30, 20-30, 10-40 -> deg 10:3, 20:2, 30:2, 40:1
+    GraphEdgeStore.buildWithDegrees(spark, eDir, dDir,
+      li((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L), (2L, 20L), (3L, 10L), (3L, 40L)))
+    assert(degSet(dDir) == Set((10L, 3L), (20L, 2L), (30L, 2L), (40L, 1L)))
+    assert(GraphEdgeStore.topHubs(spark, dDir, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((10L, 3L), (20L, 2L), (30L, 2L))) // degree desc, node tie-break
+  }
+
+  test("degree deltas fire only on zero crossings, in both directions") {
+    val (eDir, dDir) = (freshDir(), freshDir())
+    GraphEdgeStore.buildWithDegrees(spark, eDir, dDir, li((1L, 10L), (1L, 20L)))
+    // batch 0: order 2:{10,20} re-strengthens the existing edge — weight
+    // 2 but NO crossing, so degrees are untouched (and no degree
+    // version is committed)
+    val v0 = streaming.SnapshotStore.currentManifest(spark, dDir).map(_.version)
+    GraphEdgeStore.ingestBatchWithDegrees(spark, eDir, dDir,
+      li((2L, 10L), (2L, 20L)).withColumn("change_type", lit("insert")), 0L)
+    assert(degSet(dDir) == Set((10L, 1L), (20L, 1L)))
+    assert(streaming.SnapshotStore.currentManifest(spark, dDir)
+      .map(_.version) == v0)
+    // batch 1: order 3:{10,30} crosses a NEW edge into existence
+    GraphEdgeStore.ingestBatchWithDegrees(spark, eDir, dDir,
+      li((3L, 10L), (3L, 30L)).withColumn("change_type", lit("insert")), 1L)
+    assert(degSet(dDir) == Set((10L, 2L), (20L, 1L), (30L, 1L)))
+    // batches 2+3: cancel orders 1 and 2 — edge 10-20 crosses to zero
+    // only at the SECOND delete; node 20 drops out entirely
+    GraphEdgeStore.ingestBatchWithDegrees(spark, eDir, dDir,
+      li((1L, 10L), (1L, 20L)).withColumn("change_type", lit("delete")), 2L)
+    assert(degSet(dDir) == Set((10L, 2L), (20L, 1L), (30L, 1L)))
+    GraphEdgeStore.ingestBatchWithDegrees(spark, eDir, dDir,
+      li((2L, 10L), (2L, 20L)).withColumn("change_type", lit("delete")), 3L)
+    assert(degSet(dDir) == Set((10L, 1L), (30L, 1L)))
+  }
+
+  test("crash between edge merge and degree merge replays exactly once") {
+    val (eDir, dDir) = (freshDir(), freshDir())
+    GraphEdgeStore.buildWithDegrees(spark, eDir, dDir, li((1L, 10L), (1L, 20L)))
+    val batch = li((4L, 10L), (4L, 30L)).withColumn("change_type", lit("insert"))
+    // simulate the crash window: the EDGE merge for batch 5 lands, the
+    // degree merge does not
+    GraphEdgeStore.ingestBatch(spark, eDir, batch, 5L)
+    assert(degSet(dDir) == Set((10L, 1L), (20L, 1L))) // degrees stale
+    // redelivery of batch 5 runs the full op: the edge merge is a no-op
+    // (version key) and old_w is reconstructed EXCLUDING ver=5, so the
+    // crossing is seen exactly once
+    GraphEdgeStore.ingestBatchWithDegrees(spark, eDir, dDir, batch, 5L)
+    assert(degSet(dDir) == Set((10L, 2L), (20L, 1L), (30L, 1L)))
+    // a second redelivery is a content no-op on both stores (the merge
+    // replaces the batch's version rows with identical rows; the
+    // FEED-level "no batch starts at all" no-op is the streaming
+    // checkpoint's job, gate-pinned by q_gate_stream_graph_degree)
+    val edgesBefore = edgeSet(eDir)
+    GraphEdgeStore.ingestBatchWithDegrees(spark, eDir, dDir, batch, 5L)
+    assert(degSet(dDir) == Set((10L, 2L), (20L, 1L), (30L, 1L)))
+    assert(edgeSet(eDir) == edgesBefore)
+  }
+
+  test("update CDC rows are refused with the replay guidance") {
+    val dir = freshDir()
+    GraphEdgeStore.build(spark, dir, li((1L, 10L), (1L, 20L)))
+    val e = intercept[IllegalArgumentException] {
+      GraphEdgeStore.ingestBatch(spark, dir,
+        li((1L, 10L)).withColumn("change_type", lit("update")), 0L)
+    }
+    assert(e.getMessage.contains("delete + insert"))
+  }
+}

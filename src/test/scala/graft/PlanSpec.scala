@@ -213,36 +213,43 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("funnel stages read type-pruned scans, never the whole log") {
-    // each funnel stage filters on its step's event_type BEFORE
+    // every funnel formulation filters on its step types BEFORE
     // aggregating/joining — at 100 TB the difference between "scan the
-    // purchase rows" and "scan the log three times" is the operator's
-    // entire cost, so the EqualTo(event_type, …) predicate must reach
-    // every parquet scan of the events table
-    val p = plan("q_funnel")
-    Seq("view", "click", "purchase").foreach { step =>
-      assert(p.contains(s"EqualTo(event_type,$step)"),
-        s"step '$step' filter not pushed to scan:\n" +
-          p.linesIterator.filter(_.contains("PushedFilters"))
+    // step-typed rows" and "scan the whole log (K times)" is the
+    // operator's entire cost. q_funnel auto-dispatches (round 14):
+    // this corpus' 3-of-5 step coverage deterministically takes the
+    // one-scan plan, whose point is ONE scan with the IN-list pushed
+    val steps = Seq("view", "click", "purchase")
+    val (dfAuto, path) = graft.operators.Funnel.runAutoWithPath(
+      Tables.events(spark, sf), steps, "24 hours")
+    assert(path == "onescan",
+      s"fixture coverage should dispatch one-scan, got '$path'")
+    dfAuto.collect()
+    val p = dfAuto.queryExecution.executedPlan.toString
+    assert(p.contains("In(event_type"),
+      "dispatched one-scan funnel must push the step IN-list:\n" +
+        p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    // the K-scan formulation (the hot-user / low-coverage dispatch
+    // target) must still push each step's OWN EqualTo to its scan
+    val dfK = graft.operators.Funnel.run(
+      Tables.events(spark, sf), steps, "24 hours")
+    dfK.collect()
+    val pK = dfK.queryExecution.executedPlan.toString
+    steps.foreach { step =>
+      assert(pK.contains(s"EqualTo(event_type,$step)"),
+        s"K-scan step '$step' filter not pushed to scan:\n" +
+          pK.linesIterator.filter(_.contains("PushedFilters"))
             .mkString("\n"))
     }
-    // the latency report rides the SAME frontier frames — prev-step
+    // the latency report rides the K-scan frontier frames — prev-step
     // carry must not cost the type pruning
     val pl = plan("q_funnel_latency")
-    Seq("view", "click", "purchase").foreach { step =>
+    steps.foreach { step =>
       assert(pl.contains(s"EqualTo(event_type,$step)"),
         s"latency step '$step' filter not pushed to scan:\n" +
           pl.linesIterator.filter(_.contains("PushedFilters"))
             .mkString("\n"))
     }
-    // the one-scan formulation reads the step-typed rows ONCE via a
-    // pushed IN-list (this is its whole point vs the K-scan plan)
-    val df1 = graft.operators.Funnel.runOneScan(Tables.events(spark, sf),
-      Seq("view", "click", "purchase"), "24 hours")
-    df1.collect()
-    val p1 = df1.queryExecution.executedPlan.toString
-    assert(p1.contains("In(event_type"),
-      "one-scan funnel must push the step IN-list:\n" +
-        p1.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
   }
 
   test("session paths: one user-keyed exchange feeds all three windows") {
