@@ -151,6 +151,57 @@ object Graphs {
     finish(res, spent)
   }
 
+  private def jaccardBuild(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val we = weightedEdges(s, d)
+    // per-part order count (the basket-set size) — vocabulary-sized,
+    // checkpointed because both join probes read it
+    val n = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val res = we.filter(col("w") >= 2)
+      .join(n.select(col("l_partkey").as("u"), col("n").as("nu")), "u")
+      .join(n.select(col("l_partkey").as("v"), col("n").as("nv")), "v")
+      .withColumn("den", col("nu") + col("nv") - col("w"))
+      .select(col("u"), col("v"), col("w").as("both_orders"),
+        expr("(20000 * w + den) DIV (2 * den)").as("jaccard_4dp"))
+      .orderBy(col("jaccard_4dp").desc, col("u"), col("v"))
+      .limit(20)
+    (res, Seq(we, n))
+  }
+
+  /** "Customers also bought": the top-20 most-similar part pairs by
+    * basket-set Jaccard — J(u,v) = |orders(u) ∩ orders(v)| /
+    * |orders(u) ∪ orders(v)| = w / (n_u + n_v − w), computed entirely
+    * from the weighted edge list plus the vocabulary-sized per-part
+    * order counts (this is the similarity the maintained
+    * [[graft.streaming.GraphEdgeStore]] serves without touching the
+    * order log: w is the stored edge weight, n is a node-sized
+    * maintained count). Support floor w ≥ 2 keeps singleton-part
+    * coincidences (J = 1 from two parts seen once, together) out of
+    * the ranking — the same floor `q_basket_lift` applies. Jaccard is
+    * emitted as an exact-integer 4dp half-up rational
+    * ((20000·w + den) DIV (2·den)), so both engines rank identically
+    * in any aggregation order; ties break on (u, v). Scale: pair
+    * frame is support-filtered edge-bounded, count joins are
+    * AQE-broadcast-able vocabulary frames, top-20 fuses to
+    * TakeOrderedAndProject. */
+  val qGraphJaccard = Q(
+    "q_graph_jaccard",
+    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2),
+      |n AS (SELECT l_partkey AS p, count(*) AS n FROM li GROUP BY 1),
+      |w AS (SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
+      |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |                         AND a.l_partkey < b.l_partkey
+      |      GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT u, v, w AS both_orders,
+      |       (20000 * w + (nu.n + nv.n - w)) // (2 * (nu.n + nv.n - w))
+      |         AS jaccard_4dp
+      |FROM w JOIN n nu ON w.u = nu.p JOIN n nv ON w.v = nv.p
+      |ORDER BY jaccard_4dp DESC, u, v LIMIT 20""".stripMargin) { (s, d) =>
+    val (res, spent) = jaccardBuild(s, d)
+    finish(res, spent)
+  }
+
   private def pagerankBuild(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     val e = edges(s, d)
     val adj = symmetrize(e)
@@ -581,6 +632,7 @@ object Graphs {
   private[graft] def lazyBuild(name: String, s: SparkSession, d: String): DataFrame =
     name match {
       case "q_graph_degree" => degreeBuild(s, d)._1
+      case "q_graph_jaccard" => jaccardBuild(s, d)._1
       case "q_graph_pagerank" => pagerankBuild(s, d)._1
       case "q_graph_pagerank_weighted" => pagerankWeightedBuild(s, d)._1
       case "q_graph_triangles" => trianglesBuild(s, d)._1
@@ -588,6 +640,6 @@ object Graphs {
     }
 
   val all: Seq[Q] =
-    Seq(qGraphDegree, qGraphPagerank, qGraphPagerankWeighted,
+    Seq(qGraphDegree, qGraphJaccard, qGraphPagerank, qGraphPagerankWeighted,
       qGraphTriangles, qGraphReach, qGraphComponents, qGraphKcore)
 }

@@ -46,6 +46,20 @@ class GraphsSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((3L, 3L), (1L, 2L), (2L, 2L), (4L, 1L)))
   }
 
+  test("jaccard similarity: planted baskets, support floor, half-up 4dp") {
+    // orders {1,2} {1,2} {1,2,3} {3,4} {3,4}:
+    //   n1=3 n2=3 n3=3 n4=2
+    //   (1,2) w=3 -> J = 3/(3+3-3) = 1.0000 -> 10000
+    //   (3,4) w=2 -> J = 2/(3+2-2) = 2/3    -> 6667 (half-up 4dp)
+    //   (1,3),(2,3) w=1 -> below the support floor, excluded
+    val dir = plant(Seq(Seq(1L, 2L), Seq(1L, 2L), Seq(1L, 2L, 3L),
+      Seq(3L, 4L), Seq(3L, 4L)))
+    val rows = SparkEntry.queries("q_graph_jaccard")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"),
+        r.getAs[Long]("both_orders"), r.getAs[Long]("jaccard_4dp")))
+    assert(rows.toSeq == Seq((1L, 2L, 3L, 10000L), (3L, 4L, 2L, 6667L)))
+  }
+
   test("pagerank on a regular graph is the exact fixed point 1e12") {
     // triangle {1,2,3}: every node's neighbor sum is 2*(r DIV 2) = r, so
     // 0.15e12 + 17r DIV 20 = 1e12 at r = 1e12 — the integer iteration
@@ -88,6 +102,7 @@ class GraphsSpec extends AnyFunSuite {
     // single-item baskets produce no pairs — an edgeless graph
     val dir = plant(Seq(Seq(1L), Seq(2L)))
     assert(SparkEntry.queries("q_graph_degree")(spark, dir).count() == 0)
+    assert(SparkEntry.queries("q_graph_jaccard")(spark, dir).count() == 0)
     assert(SparkEntry.queries("q_graph_pagerank")(spark, dir).count() == 0)
     assert(SparkEntry.queries("q_graph_reach")(spark, dir).count() == 0)
     val census = SparkEntry.queries("q_graph_triangles")(spark, dir).collect()
@@ -173,6 +188,20 @@ class GraphsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"))
     assert(!plan.contains("Sort ["), s"unexpected global sort:\n$plan")
+  }
+
+  test("jaccard top-k fuses to TakeOrderedAndProject; count joins don't SMJ") {
+    val df = queries.Graphs.lazyBuild("q_graph_jaccard", spark, sf)
+    df.collect() // AQE finalizes the join strategies
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    // the vocabulary-sized count frames must come in as broadcast
+    // probes of the support-filtered pair frame, not sort-merge
+    // exchanges (count the FINAL plan only — AQE's toString also
+    // prints the initial plan, where checkpoint-hidden stats show SMJ)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
+    assert(!finalPlan.contains("SortMergeJoin"), finalPlan)
   }
 
   test("uniform weights reproduce the unweighted pagerank exactly") {
