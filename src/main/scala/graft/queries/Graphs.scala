@@ -268,6 +268,76 @@ object Graphs {
     finish(res, spent)
   }
 
+  private def pprBuild(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val e = edges(s, d)
+    val adj = symmetrize(e)
+    val deg = degrees(adj).localCheckpoint(true)
+    val scale = rankScale(deg.count())
+    val damp = 3L * scale / 20L
+    // the teleport target: the top hub (max degree, id tie-break) — a
+    // 1-row checkpointed frame, UNIONED into every iteration rather
+    // than CASE-added on the contribution side, because on sparse rank
+    // frontiers the seed may receive no in-contributions at all and a
+    // dst-side CASE would silently drop its teleport mass
+    val tele = deg.orderBy(col("degree").desc, col("node")).limit(1)
+      .select(col("node"), lit(damp).as("r")).localCheckpoint(true)
+    var r = tele.select(col("node"), lit(scale).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = r.join(deg, "node")
+        .select(col("node").as("src"), expr("r DIV degree").as("c"))
+      r = adj.join(contrib, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(expr("(17 * sum(c)) DIV 20").as("r"))
+        .unionByName(tele)
+        .groupBy("node").agg(sum("r").as("r"))
+    }
+    (r.select(col("node"), col("r").as("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("node"))
+      .limit(20), Seq(e, deg, tele))
+  }
+
+  /** Personalized PageRank from the top co-purchase hub — the "related
+    * to this product" ranking: teleport mass goes ONLY to the seed
+    * (3/20 of scale per iteration, the same damping split as
+    * [[qGraphPagerank]]), so rank decays with random-walk distance
+    * from the seed instead of spreading to global centrality. Exact
+    * integer arithmetic on the shared [[rankScale]]; the rank frame is
+    * FRONTIER-sized (only nodes within t hops of the seed after t
+    * iterations carry rank — at 100 TB that is the seed's
+    * neighborhood, not the node universe), each iteration one
+    * node-frame join against the checkpointed edge list + one
+    * dst-keyed rollup, the same round-dominated shape the
+    * GraphScaleProbe measured sub-linear. Unreached nodes hold zero
+    * mass and are absent on both engines. */
+  val qGraphPpr = Q(
+    "q_graph_ppr",
+    edgeCtes +
+      s""",
+        |${rankScaleSql("deg")},
+        |seed AS (SELECT node FROM deg ORDER BY degree DESC, node LIMIT 1),
+        |t AS (SELECT node, (3 * (SELECT scale FROM sc)) // 20 AS r FROM seed),
+        |p0 AS (SELECT node, (SELECT scale FROM sc) AS r FROM seed),
+        |c1 AS (SELECT a.dst AS node, (17 * sum(p.r // d.degree)) // 20 AS r
+        |       FROM adj a JOIN p0 p ON p.node = a.src
+        |                  JOIN deg d ON d.node = a.src GROUP BY 1),
+        |p1 AS (SELECT node, sum(r) AS r FROM
+        |       (SELECT * FROM c1 UNION ALL SELECT * FROM t) GROUP BY 1),
+        |c2 AS (SELECT a.dst AS node, (17 * sum(p.r // d.degree)) // 20 AS r
+        |       FROM adj a JOIN p1 p ON p.node = a.src
+        |                  JOIN deg d ON d.node = a.src GROUP BY 1),
+        |p2 AS (SELECT node, sum(r) AS r FROM
+        |       (SELECT * FROM c2 UNION ALL SELECT * FROM t) GROUP BY 1),
+        |c3 AS (SELECT a.dst AS node, (17 * sum(p.r // d.degree)) // 20 AS r
+        |       FROM adj a JOIN p2 p ON p.node = a.src
+        |                  JOIN deg d ON d.node = a.src GROUP BY 1),
+        |p3 AS (SELECT node, sum(r) AS r FROM
+        |       (SELECT * FROM c3 UNION ALL SELECT * FROM t) GROUP BY 1)
+        |SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM p3
+        |ORDER BY rank_scaled DESC, node LIMIT 20""".stripMargin) { (s, d) =>
+    val (res, spent) = pprBuild(s, d)
+    finish(res, spent)
+  }
+
   private def pagerankWeightedBuild(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     val ew = weightedEdges(s, d)
     val adjw = ew.select(col("u").as("src"), col("v").as("dst"), col("w"))
@@ -633,6 +703,7 @@ object Graphs {
     name match {
       case "q_graph_degree" => degreeBuild(s, d)._1
       case "q_graph_jaccard" => jaccardBuild(s, d)._1
+      case "q_graph_ppr" => pprBuild(s, d)._1
       case "q_graph_pagerank" => pagerankBuild(s, d)._1
       case "q_graph_pagerank_weighted" => pagerankWeightedBuild(s, d)._1
       case "q_graph_triangles" => trianglesBuild(s, d)._1
@@ -641,5 +712,5 @@ object Graphs {
 
   val all: Seq[Q] =
     Seq(qGraphDegree, qGraphJaccard, qGraphPagerank, qGraphPagerankWeighted,
-      qGraphTriangles, qGraphReach, qGraphComponents, qGraphKcore)
+      qGraphPpr, qGraphTriangles, qGraphReach, qGraphComponents, qGraphKcore)
 }

@@ -60,6 +60,34 @@ class GraphsSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, 2L, 3L, 10000L), (3L, 4L, 2L, 6667L)))
   }
 
+  test("ppr is LOCAL: a component unreachable from the seed holds zero mass") {
+    // star {0,1,2,3} (hub 0, max degree -> the seed) plus a disjoint
+    // edge {10,11}: global pagerank ranks all 6 nodes; personalized
+    // pagerank's teleport pins the walk to the seed's component
+    val dir = plant(Seq(Seq(0L, 1L), Seq(0L, 2L), Seq(0L, 3L),
+      Seq(10L, 11L)))
+    val ppr = SparkEntry.queries("q_graph_ppr")(spark, dir)
+      .collect().map(_.getAs[Long]("node")).toSet
+    assert(ppr == Set(0L, 1L, 2L, 3L))
+    val global = SparkEntry.queries("q_graph_pagerank")(spark, dir)
+      .collect().map(_.getAs[Long]("node")).toSet
+    assert(global == Set(0L, 1L, 2L, 3L, 10L, 11L))
+  }
+
+  test("ppr exact integer trajectory on a single edge") {
+    // {1,2}: deg 1 each, seed = 1 (degree tie broken by node id);
+    // scale 1e12, damp 1.5e11. By hand:
+    //   it1: r1 = tele = 1.5e11;           r2 = 17*1e12/20    = 8.5e11
+    //   it2: r1 = 17*8.5e11/20 + 1.5e11 = 872_500_000_000
+    //        r2 = 17*1.5e11/20          = 127_500_000_000
+    //   it3: r1 = 17*127.5e9/20 + 1.5e11 = 258_375_000_000
+    //        r2 = 17*872.5e9/20          = 741_625_000_000
+    val dir = plant(Seq(Seq(1L, 2L)))
+    val rows = SparkEntry.queries("q_graph_ppr")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("rank_scaled")))
+    assert(rows.toSeq == Seq((2L, 741625000000L), (1L, 258375000000L)))
+  }
+
   test("pagerank on a regular graph is the exact fixed point 1e12") {
     // triangle {1,2,3}: every node's neighbor sum is 2*(r DIV 2) = r, so
     // 0.15e12 + 17r DIV 20 = 1e12 at r = 1e12 — the integer iteration
@@ -104,6 +132,7 @@ class GraphsSpec extends AnyFunSuite {
     assert(SparkEntry.queries("q_graph_degree")(spark, dir).count() == 0)
     assert(SparkEntry.queries("q_graph_jaccard")(spark, dir).count() == 0)
     assert(SparkEntry.queries("q_graph_pagerank")(spark, dir).count() == 0)
+    assert(SparkEntry.queries("q_graph_ppr")(spark, dir).count() == 0)
     assert(SparkEntry.queries("q_graph_reach")(spark, dir).count() == 0)
     val census = SparkEntry.queries("q_graph_triangles")(spark, dir).collect()
     assert(census.length == 1)
