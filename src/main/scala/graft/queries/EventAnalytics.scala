@@ -666,10 +666,23 @@ object EventAnalytics {
       |FROM w
       |WHERE n >= 12 AND (n * v - s) * (n * v - s) > 9 * (n * sq - s * s)
       |ORDER BY event_type, hour""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val obs = Tables.events(s, d)
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+    zscoreFlags(hourlyCells(Tables.events(s, d))).orderBy("event_type", "hour")
+  }
+
+  /** Hourly integer-cents value cells per event type — the additive
+    * state both the batch key and the streaming sink
+    * ([[graft.streaming.Streams.hourlyCellSink]]) maintain. */
+  private[graft] def hourlyCells(events: org.apache.spark.sql.DataFrame) =
+    events.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
       .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("v"))
+
+  /** The 24-hour rolling 3-sigma scorer over hourly cells
+    * (event_type, h, v): all-integer stats (n, Σv, Σv²) so the flag
+    * threshold is exact on both engines and across batch/streamed cell
+    * sources. Shared by `q_anomaly_zscore` and the streamed-store
+    * reader `q_gate_stream_anomaly` pins against it. */
+  private[graft] def zscoreFlags(obs: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy("event_type").orderBy("h")
       .rowsBetween(-23, Window.currentRow)
     val scored = obs
@@ -682,7 +695,6 @@ object EventAnalytics {
         dev * dev > lit(9L) * (col("n") * col("sq") - col("s") * col("s")))
       .select(col("event_type"), col("h").as("hour"),
         (col("v").cast("double") / 100.0).as("observed"))
-      .orderBy("event_type", "hour")
   }
 
   /** Hourly resample of per-type value sums onto a dense spine with

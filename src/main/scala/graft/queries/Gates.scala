@@ -1379,7 +1379,78 @@ object Gates {
     verdict(s, "q_gate_stream_graph_degree", ok)
   }
 
+  /** Streaming anomaly twin: the hourly integer-cents cells behind
+    * `q_anomaly_zscore` maintained as streaming aggregation state and
+    * upserted per micro-batch into a SnapshotStore
+    * ([[graft.streaming.Streams.hourlyCellSink]]) — update mode emits
+    * each touched cell's new TOTAL, so replay rewrites identical rows
+    * and the sink is exactly-once with no version log. Pins:
+    * (1) LATE-UPDATE convergence — the corpus is split even/odd by
+    * event id, so nearly every hour cell is written in batch 1 and
+    * then re-written with a bigger total in batch 2 (an arrival
+    * pattern watermarked windows would drop), and the scored store
+    * equals the batch key's flags EXACTLY; (2) replaying the drained
+    * feed is a store-version no-op (file-source checkpoint); (3)
+    * non-vacuity — flags exist and the two batches genuinely share
+    * hours. */
+  val qGateStreamAnomaly = Q(
+    "q_gate_stream_anomaly", oracleFor("q_gate_stream_anomaly")) { (s, d) =>
+    import graft.streaming.{SnapshotStore, Streams}
+    val ok = GateMemo.value(s, d, "gate_stream_anomaly_ok") {
+      val work = new java.io.File(
+        "/root/repo/target/stream_anomaly_gate/" + new java.io.File(d).getName)
+      graft.LocalFs.rmrf(work)
+      val landing = new java.io.File(work, "landing"); landing.mkdirs()
+      val storeDir = s"$work/cells"
+      val ckpt = s"$work/ckpt"
+      val corpus = Tables.events(s, d)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .localCheckpoint(true)
+      val b1 = corpus.filter(col("event_id") % 2 === 0)
+      val b2 = corpus.filter(col("event_id") % 2 =!= 0)
+      def land(df: DataFrame, name: String): Unit = {
+        val tmp = new java.io.File(work, s"tmp_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val part = tmp.listFiles().find(f =>
+          f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file under $tmp"))
+        require(part.renameTo(new java.io.File(landing, name)),
+          s"landing rename failed for $name")
+        graft.LocalFs.rmrf(tmp)
+      }
+      def drain(): Unit = {
+        val stream = s.readStream.schema(corpus.schema).parquet(landing.getPath)
+        val q = Streams.hourlyCellSink(stream, storeDir, ckpt)
+        try q.processAllAvailable() finally q.stop()
+      }
+      land(b1, "b1.parquet"); drain()
+      land(b2, "b2.parquet"); drain()
+      val streamedFlags = EventAnalytics.zscoreFlags(
+        SnapshotStore.read(s, storeDir).select("event_type", "h", "v"))
+        .localCheckpoint(true)
+      val batchFlags = EventAnalytics.zscoreFlags(
+        EventAnalytics.hourlyCells(corpus)).localCheckpoint(true)
+      val parity = streamedFlags.count() == batchFlags.count() &&
+        streamedFlags.except(batchFlags).isEmpty &&
+        batchFlags.except(streamedFlags).isEmpty
+      val vBefore = SnapshotStore.currentManifest(s, storeDir).map(_.version)
+      drain() // drained feed: the file-source checkpoint starts no batch
+      val replayNoop =
+        SnapshotStore.currentManifest(s, storeDir).map(_.version) == vBefore
+      // non-vacuity: anomalies exist, and the even/odd split really does
+      // make batch 2 re-write hour cells batch 1 already committed
+      val sharedHours = EventAnalytics.hourlyCells(b1)
+        .select("event_type", "h")
+        .join(EventAnalytics.hourlyCells(b2).select("event_type", "h"),
+          Seq("event_type", "h"), "left_semi")
+        .count()
+      batchFlags.count() > 0 && sharedHours > 0 && parity && replayNoop
+    }
+    verdict(s, "q_gate_stream_anomaly", ok)
+  }
+
   val all: Seq[Q] = Seq(
+    qGateStreamAnomaly,
     qGateStreamGraphDegree,
     qGateGraphEdgesIncremental,
     qGateFunnelDispatch,

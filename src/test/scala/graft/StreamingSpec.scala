@@ -39,6 +39,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("hourly cell sink: late straggler updates a closed hour; replay is a version no-op") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val work = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_cells").toString)
+    val landing = new java.io.File(work, "landing"); landing.mkdirs()
+    val store = s"$work/cells"; val ckpt = s"$work/ckpt"
+    def frame(rows: Seq[(String, String, Double)]) = rows
+      .toDF("event_type", "tss", "value")
+      .select(col("event_type"), to_timestamp(col("tss")).as("ts"), col("value"))
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = new java.io.File(work, s"tmp_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      assert(part.renameTo(new java.io.File(landing, name)))
+    }
+    val schema = frame(Nil).schema
+    def drain(): Unit = {
+      val q = Streams.hourlyCellSink(
+        spark.readStream.schema(schema).parquet(landing.getPath), store, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    land(frame(Seq(("view", "2024-01-01 05:10:00", 1.25),
+      ("view", "2024-01-01 05:40:00", 2.00))), "b1.parquet")
+    drain()
+    def cells() = graft.streaming.SnapshotStore.read(spark, store)
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("h").toString, r.getAs[Long]("v"))).toSet
+    assert(cells() == Set(("view", "2024-01-01 05:00:00.0", 325L)))
+    // batch 2: a straggler for the already-committed 05:00 hour plus a
+    // fresh hour — the closed cell's total must move, not be dropped
+    land(frame(Seq(("view", "2024-01-01 05:55:00", 0.75),
+      ("click", "2024-01-01 09:00:00", 1.00))), "b2.parquet")
+    drain()
+    assert(cells() == Set(("view", "2024-01-01 05:00:00.0", 400L),
+      ("click", "2024-01-01 09:00:00.0", 100L)))
+    val v = graft.streaming.SnapshotStore.currentManifest(spark, store).map(_.version)
+    drain() // drained feed: checkpoint starts no batch, no new version
+    assert(graft.streaming.SnapshotStore.currentManifest(spark, store)
+      .map(_.version) == v)
+  }
+
   test("flatMapGroupsWithState per-user stats match batch aggregation") {
     import org.apache.spark.sql.functions._
     val events = Streams.eventsStream(spark, sf)
