@@ -338,6 +338,83 @@ object Graphs {
     finish(res, spent)
   }
 
+  private def pprBatchBuild(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges(s, d)
+    val adj = symmetrize(e)
+    val deg = degrees(adj).localCheckpoint(true)
+    val scale = rankScale(deg.count())
+    val damp = 3L * scale / 20L
+    val tele = deg.orderBy(col("degree").desc, col("node")).limit(5)
+      .select(col("node").as("seed"), col("node"), lit(damp).as("r"))
+      .localCheckpoint(true)
+    var r = tele.select(col("seed"), col("node"), lit(scale).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = r.join(deg, "node")
+        .select(col("seed"), col("node").as("src"), expr("r DIV degree").as("c"))
+      r = adj.join(contrib, "src")
+        .groupBy(col("seed"), col("dst").as("node"))
+        .agg(expr("(17 * sum(c)) DIV 20").as("r"))
+        .unionByName(tele)
+        .groupBy("seed", "node").agg(sum("r").as("r"))
+    }
+    val w = Window.partitionBy("seed").orderBy(col("r").desc, col("node"))
+    (r.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("seed"), col("node"), col("r").as("rank_scaled"))
+      .orderBy(col("seed"), col("rank_scaled").desc, col("node")),
+      Seq(e, deg, tele))
+  }
+
+  /** Batched personalized PageRank — "related products" for the top-5
+    * hubs computed in ONE iteration pipeline: rank frames carry a
+    * `seed` key, so each iteration's edge join + dst rollup serves ALL
+    * personalization targets at once instead of re-running the walk
+    * per seed. This is the batch-serving shape that matters at 100 TB:
+    * the expensive axis (the edge list) is traversed 3 times total, no
+    * matter how many seeds ride the frame — contribution frames grow
+    * by seeds × frontier, the same bounded rows-per-seed the
+    * single-seed key carries, and adding a seed costs a frame row, not
+    * a pipeline run. Per-seed top-5 cuts through Catalyst's
+    * WindowGroupLimit (rank pushdown — per-partition heaps, no global
+    * sort of the rank frame). Same union-teleport + exact-integer
+    * machinery as [[qGraphPpr]]. */
+  val qGraphPprBatch = Q(
+    "q_graph_ppr_batch",
+    edgeCtes +
+      s""",
+        |${rankScaleSql("deg")},
+        |seeds AS (SELECT node AS seed FROM deg
+        |          ORDER BY degree DESC, node LIMIT 5),
+        |t AS (SELECT seed, seed AS node,
+        |             (3 * (SELECT scale FROM sc)) // 20 AS r FROM seeds),
+        |p0 AS (SELECT seed, seed AS node, (SELECT scale FROM sc) AS r
+        |       FROM seeds),
+        |c1 AS (SELECT p.seed, a.dst AS node,
+        |              (17 * sum(p.r // d.degree)) // 20 AS r
+        |       FROM adj a JOIN p0 p ON p.node = a.src
+        |                  JOIN deg d ON d.node = a.src GROUP BY 1, 2),
+        |p1 AS (SELECT seed, node, sum(r) AS r FROM
+        |       (SELECT * FROM c1 UNION ALL SELECT * FROM t) GROUP BY 1, 2),
+        |c2 AS (SELECT p.seed, a.dst AS node,
+        |              (17 * sum(p.r // d.degree)) // 20 AS r
+        |       FROM adj a JOIN p1 p ON p.node = a.src
+        |                  JOIN deg d ON d.node = a.src GROUP BY 1, 2),
+        |p2 AS (SELECT seed, node, sum(r) AS r FROM
+        |       (SELECT * FROM c2 UNION ALL SELECT * FROM t) GROUP BY 1, 2),
+        |c3 AS (SELECT p.seed, a.dst AS node,
+        |              (17 * sum(p.r // d.degree)) // 20 AS r
+        |       FROM adj a JOIN p2 p ON p.node = a.src
+        |                  JOIN deg d ON d.node = a.src GROUP BY 1, 2),
+        |p3 AS (SELECT seed, node, sum(r) AS r FROM
+        |       (SELECT * FROM c3 UNION ALL SELECT * FROM t) GROUP BY 1, 2)
+        |SELECT seed, node, CAST(r AS BIGINT) AS rank_scaled FROM p3
+        |QUALIFY row_number() OVER (PARTITION BY seed
+        |                           ORDER BY r DESC, node) <= 5
+        |ORDER BY seed, rank_scaled DESC, node""".stripMargin) { (s, d) =>
+    val (res, spent) = pprBatchBuild(s, d)
+    finish(res, spent)
+  }
+
   private def pagerankWeightedBuild(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     val ew = weightedEdges(s, d)
     val adjw = ew.select(col("u").as("src"), col("v").as("dst"), col("w"))
@@ -704,6 +781,7 @@ object Graphs {
       case "q_graph_degree" => degreeBuild(s, d)._1
       case "q_graph_jaccard" => jaccardBuild(s, d)._1
       case "q_graph_ppr" => pprBuild(s, d)._1
+      case "q_graph_ppr_batch" => pprBatchBuild(s, d)._1
       case "q_graph_pagerank" => pagerankBuild(s, d)._1
       case "q_graph_pagerank_weighted" => pagerankWeightedBuild(s, d)._1
       case "q_graph_triangles" => trianglesBuild(s, d)._1
@@ -712,5 +790,6 @@ object Graphs {
 
   val all: Seq[Q] =
     Seq(qGraphDegree, qGraphJaccard, qGraphPagerank, qGraphPagerankWeighted,
-      qGraphPpr, qGraphTriangles, qGraphReach, qGraphComponents, qGraphKcore)
+      qGraphPpr, qGraphPprBatch, qGraphTriangles, qGraphReach,
+      qGraphComponents, qGraphKcore)
 }

@@ -64,8 +64,8 @@ object GraphScaleProbe {
           .withColumn("l_partkey", lit(0L)))
       .write.mode("overwrite").parquet(s"$out/hub/lineitem.parquet")
 
-    val keys = Seq("q_graph_degree", "q_graph_pagerank",
-      "q_graph_triangles", "q_graph_reach",
+    val keys = Seq("q_graph_degree", "q_graph_jaccard", "q_graph_pagerank",
+      "q_graph_ppr", "q_graph_triangles", "q_graph_reach",
       "q_graph_components", "q_graph_kcore")
     println(f"${"key"}%-22s ${"base_s"}%8s ${"x4_s"}%8s ratio")
     keys.foreach { k =>

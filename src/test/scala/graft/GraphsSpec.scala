@@ -88,6 +88,40 @@ class GraphsSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((2L, 741625000000L), (1L, 258375000000L)))
   }
 
+  test("batched ppr: the shared seed reproduces the single-seed walk exactly") {
+    // q_graph_ppr seeds at the top hub; that hub is also the batch
+    // key's first seed — batching must not change any per-seed value
+    val single = SparkEntry.queries("q_graph_ppr")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("rank_scaled")))
+      .take(5).toSeq
+    val batch = SparkEntry.queries("q_graph_ppr_batch")(spark, sf).collect()
+    // the single-seed key's seed: the top hub by (degree desc, id) —
+    // q_graph_degree's first row (batch output is ordered by seed ID,
+    // so its head is the smallest seed, not the hub)
+    val topSeed = SparkEntry.queries("q_graph_degree")(spark, sf)
+      .collect().head.getAs[Long]("node")
+    val batchTop = batch.filter(_.getAs[Long]("seed") == topSeed)
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("rank_scaled"))).toSeq
+    assert(batchTop == single)
+    // 5 distinct seeds, 5 rows each
+    assert(batch.map(_.getAs[Long]("seed")).distinct.length == 5)
+    assert(batch.length == 25)
+  }
+
+  test("batched ppr stays component-local per seed") {
+    // 6 nodes; top-5 by (degree desc, id) = {0,1,2,3,10} — seed 10's
+    // walk must stay inside {10,11} while the star seeds stay in the star
+    val dir = plant(Seq(Seq(0L, 1L), Seq(0L, 2L), Seq(0L, 3L),
+      Seq(10L, 11L)))
+    val rows = SparkEntry.queries("q_graph_ppr_batch")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("seed"), r.getAs[Long]("node")))
+    val bySeed = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(bySeed.keySet == Set(0L, 1L, 2L, 3L, 10L))
+    assert(bySeed(10L).subsetOf(Set(10L, 11L)))
+    Seq(0L, 1L, 2L, 3L).foreach(sd =>
+      assert(bySeed(sd).subsetOf(Set(0L, 1L, 2L, 3L)), s"seed $sd leaked"))
+  }
+
   test("pagerank on a regular graph is the exact fixed point 1e12") {
     // triangle {1,2,3}: every node's neighbor sum is 2*(r DIV 2) = r, so
     // 0.15e12 + 17r DIV 20 = 1e12 at r = 1e12 — the integer iteration
@@ -133,6 +167,7 @@ class GraphsSpec extends AnyFunSuite {
     assert(SparkEntry.queries("q_graph_jaccard")(spark, dir).count() == 0)
     assert(SparkEntry.queries("q_graph_pagerank")(spark, dir).count() == 0)
     assert(SparkEntry.queries("q_graph_ppr")(spark, dir).count() == 0)
+    assert(SparkEntry.queries("q_graph_ppr_batch")(spark, dir).count() == 0)
     assert(SparkEntry.queries("q_graph_reach")(spark, dir).count() == 0)
     val census = SparkEntry.queries("q_graph_triangles")(spark, dir).collect()
     assert(census.length == 1)
