@@ -1449,7 +1449,71 @@ object Gates {
     verdict(s, "q_gate_stream_anomaly", ok)
   }
 
+  /** The maintained artifacts SERVE the similarity surface (round 14):
+    * with the edge store AND the per-part order-count store maintained
+    * from the same CDC feed, `q_graph_jaccard`'s exact top-20 is
+    * computable from vocabulary-sized artifacts alone — no order-log
+    * scan. Pins: (1) store-served Jaccard == the live key's frame
+    * EXACTLY after the corpus arrives via base + two CDC batches;
+    * (2) a whole-order cancellation moves BOTH stores and the served
+    * top-20 still equals the live computation on the reduced corpus;
+    * (3) replaying the drained feed is a version no-op on both stores. */
+  val qGateStoreJaccard = Q(
+    "q_gate_store_jaccard", oracleFor("q_gate_store_jaccard")) { (s, d) =>
+    import graft.streaming.{GraphEdgeStore, SnapshotStore, Streams}
+    val ok = GateMemo.value(s, d, "gate_store_jaccard_ok") {
+      val work = "/root/repo/target/store_jaccard_gate/" +
+        new java.io.File(d).getName
+      graft.LocalFs.rmrf(new java.io.File(work))
+      val liDir = s"$work/lineitem_store"
+      val cdcDir = s"$work/cdc"
+      val edgeDir = s"$work/edges"
+      val cntDir = s"$work/counts"
+      val ckpt = s"$work/ckpt"
+      val keys = Seq("l_orderkey", "l_partkey")
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        .distinct().localCheckpoint(true)
+      val base = li.filter(col("l_orderkey") % 10 =!= 0)
+      val b1 = li.filter(col("l_orderkey") % 20 === 0)
+      val b2 = li.filter(
+        col("l_orderkey") % 10 === 0 && col("l_orderkey") % 20 =!= 0)
+      Streams.cdcBatch(s, liDir, cdcDir, base, keys)
+      Streams.cdcBatch(s, liDir, cdcDir, b1, keys)
+      Streams.cdcBatch(s, liDir, cdcDir, b2, keys)
+      def drain(): Unit = GraphEdgeStore.maintainFromCdc(s, cdcDir, edgeDir,
+        ckpt, countsDir = Some(cntDir))
+      drain()
+      def served(): Seq[String] = Graphs.jaccardFrom(
+          GraphEdgeStore.edges(s, edgeDir).select("u", "v", "w"),
+          GraphEdgeStore.partCounts(s, cntDir))
+        .collect().map(_.toString).toSeq
+      def live(of: DataFrame): Seq[String] = Graphs.jaccardFrom(
+          graft.queries.Baskets.pairs(
+              graft.queries.Baskets.baskets(of), "u", "v")
+            .groupBy("u", "v").agg(count(lit(1)).as("w")),
+          of.distinct().groupBy(col("l_partkey"))
+            .agg(count(lit(1)).as("n")))
+        .collect().map(_.toString).toSeq
+      val parity = served() == live(li)
+      val vE = SnapshotStore.currentManifest(s, edgeDir).map(_.version)
+      val vC = SnapshotStore.currentManifest(s, cntDir).map(_.version)
+      drain()
+      val replayNoop =
+        SnapshotStore.currentManifest(s, edgeDir).map(_.version) == vE &&
+          SnapshotStore.currentManifest(s, cntDir).map(_.version) == vC
+      val doomedK = b1.agg(min("l_orderkey")).head().getLong(0)
+      Streams.cdcDeleteBatch(s, liDir, cdcDir,
+        li.filter(col("l_orderkey") === doomedK), keys)
+      drain()
+      val afterDelete =
+        served() == live(li.filter(col("l_orderkey") =!= doomedK))
+      served().nonEmpty && parity && replayNoop && afterDelete
+    }
+    verdict(s, "q_gate_store_jaccard", ok)
+  }
+
   val all: Seq[Q] = Seq(
+    qGateStoreJaccard,
     qGateStreamAnomaly,
     qGateStreamGraphDegree,
     qGateGraphEdgesIncremental,

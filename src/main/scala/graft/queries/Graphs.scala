@@ -151,14 +151,13 @@ object Graphs {
     finish(res, spent)
   }
 
-  private def jaccardBuild(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
-    val we = weightedEdges(s, d)
-    // per-part order count (the basket-set size) — vocabulary-sized,
-    // checkpointed because both join probes read it
-    val n = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
-      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
-    val res = we.filter(col("w") >= 2)
+  /** Top-20 Jaccard pairs from a weighted edge frame (u, v, w) plus a
+    * per-part order-count frame (l_partkey, n) — shared by the live
+    * key and the maintained-artifact path
+    * (`q_gate_store_jaccard` serves the IDENTICAL frame from a
+    * GraphEdgeStore + count store, no order-log scan). */
+  private[graft] def jaccardFrom(we: DataFrame, n: DataFrame): DataFrame =
+    we.filter(col("w") >= 2)
       .join(n.select(col("l_partkey").as("u"), col("n").as("nu")), "u")
       .join(n.select(col("l_partkey").as("v"), col("n").as("nv")), "v")
       .withColumn("den", col("nu") + col("nv") - col("w"))
@@ -166,7 +165,15 @@ object Graphs {
         expr("(20000 * w + den) DIV (2 * den)").as("jaccard_4dp"))
       .orderBy(col("jaccard_4dp").desc, col("u"), col("v"))
       .limit(20)
-    (res, Seq(we, n))
+
+  private def jaccardBuild(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val we = weightedEdges(s, d)
+    // per-part order count (the basket-set size) — vocabulary-sized,
+    // checkpointed because both join probes read it
+    val n = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    (jaccardFrom(we, n), Seq(we, n))
   }
 
   /** "Customers also bought": the top-20 most-similar part pairs by

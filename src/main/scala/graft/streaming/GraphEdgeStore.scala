@@ -204,6 +204,57 @@ object GraphEdgeStore {
       .orderBy(col("degree").desc, col("node"))
       .limit(k)
 
+  // ---- per-part order-count store (round 14) ------------------------
+  //
+  // The third maintained artifact of the co-purchase family: n(p) =
+  // number of orders containing part p — the basket-set size the
+  // Jaccard similarity needs alongside the edge weights
+  // (J = w / (n_u + n_v − w), `Graphs.jaccardFrom`). With edges AND
+  // counts maintained, the entire similarity surface is served from
+  // vocabulary-sized artifacts; the order log is touched only by
+  // arriving batches. Same log-structured (key, ver) design as the
+  // edge store; the delta is batch-deterministic (inserted (order,
+  // part) keys count +1 per part, deleted −1), so replay re-merges
+  // identical rows — no crash-window subtlety here at all (unlike
+  // degrees, nothing depends on post-merge state).
+
+  private val CountKeys = Seq("l_partkey", "ver")
+
+  /** Full build of the per-part order-count store. */
+  def buildCounts(spark: SparkSession, countsDir: String, li: DataFrame,
+      numBuckets: Int = 16): Unit =
+    SnapshotStore.merge(spark, countsDir,
+      li.select("l_orderkey", "l_partkey").distinct()
+        .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+        .withColumn("ver", lit(BaseVer)),
+      CountKeys, numBuckets)
+
+  /** One CDC batch's signed per-part order-count delta, merged under
+    * `batchId`. Idempotent per batchId. */
+  def ingestCountsBatch(spark: SparkSession, countsDir: String,
+      changes: DataFrame, batchId: Long, numBuckets: Int = 16): Unit = {
+    require(batchId >= 0L,
+      s"batchId must be >= 0 (got $batchId): $BaseVer is reserved for the base build")
+    def perPart(changeType: String, sign: Int) =
+      changes.filter(col("change_type") === changeType)
+        .select("l_orderkey", "l_partkey").distinct()
+        .groupBy("l_partkey").agg((count(lit(1)) * sign).as("n"))
+    val delta = perPart("insert", 1).unionByName(perPart("delete", -1))
+      .groupBy("l_partkey").agg(sum("n").as("n"))
+      .filter(col("n") =!= 0L)
+      .withColumn("ver", lit(batchId))
+    if (!delta.isEmpty)
+      SnapshotStore.merge(spark, countsDir, delta, CountKeys, numBuckets)
+  }
+
+  /** Current per-part order counts: vocabulary-sized version-log sum,
+    * parts no longer in any order dropped — the exact (l_partkey, n)
+    * frame `Graphs.jaccardFrom` consumes. */
+  def partCounts(spark: SparkSession, countsDir: String): DataFrame =
+    SnapshotStore.read(spark, countsDir)
+      .groupBy("l_partkey").agg(sum("n").as("n"))
+      .filter(col("n") > 0L)
+
   /** Drain the CDC feed into the edge store and return when caught up
     * (Trigger.AvailableNow): the file-source checkpoint records which
     * log versions are processed, so a re-run against a drained feed
@@ -212,7 +263,8 @@ object GraphEdgeStore {
     * per-batchId idempotence absorbing the re-delivery. */
   def maintainFromCdc(spark: SparkSession, cdcDir: String, edgeDir: String,
       checkpointDir: String, numBuckets: Int = 16,
-      degreeDir: Option[String] = None): Unit = {
+      degreeDir: Option[String] = None,
+      countsDir: Option[String] = None): Unit = {
     val q = Streams.cdcSource(spark, cdcDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -225,6 +277,8 @@ object GraphEdgeStore {
             case None => ingestBatch(batch.sparkSession, edgeDir,
               batch.toDF(), batchId, numBuckets)
           }
+          countsDir.foreach(cd => ingestCountsBatch(batch.sparkSession,
+            cd, batch.toDF(), batchId, numBuckets))
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -144,6 +144,47 @@ class GraphEdgeStoreSpec extends AnyFunSuite {
     assert(edgeSet(eDir) == edgesBefore)
   }
 
+  test("count store: build, signed deltas, idempotence, vanished parts") {
+    val cDir = freshDir() + "/counts"
+    // orders 1:{10,20}, 2:{10} -> n(10)=2, n(20)=1
+    GraphEdgeStore.buildCounts(spark, cDir, li((1L, 10L), (1L, 20L), (2L, 10L)))
+    def counts(): Set[(Long, Long)] =
+      GraphEdgeStore.partCounts(spark, cDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(counts() == Set((10L, 2L), (20L, 1L)))
+    // insert order 3:{20,30}; delete order 2:{10}
+    val batch = li((3L, 20L), (3L, 30L)).withColumn("change_type", lit("insert"))
+      .unionByName(li((2L, 10L)).withColumn("change_type", lit("delete")))
+    GraphEdgeStore.ingestCountsBatch(spark, cDir, batch, 0L)
+    assert(counts() == Set((10L, 1L), (20L, 2L), (30L, 1L)))
+    // replay the same batchId: identical rows under the same version key
+    GraphEdgeStore.ingestCountsBatch(spark, cDir, batch, 0L)
+    assert(counts() == Set((10L, 1L), (20L, 2L), (30L, 1L)))
+    // delete the last order containing part 10: it leaves the frame
+    GraphEdgeStore.ingestCountsBatch(spark, cDir,
+      li((1L, 10L), (1L, 20L)).withColumn("change_type", lit("delete")), 1L)
+    assert(counts() == Set((20L, 1L), (30L, 1L)))
+  }
+
+  test("jaccard served from the stores equals the live derivation") {
+    val base = freshDir()
+    val eDir = s"$base/edges"; val cDir = s"$base/counts"
+    // orders: 1:{10,20}, 2:{10,20}, 3:{10,20,30}, 4:{30,40}, 5:{30,40}
+    // (the GraphsSpec planted fixture): (10,20) w=3 J=10000,
+    // (30,40) w=2 J=6667, w=1 pairs support-filtered
+    val corpus = li((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L), (3L, 30L), (4L, 30L), (4L, 40L),
+      (5L, 30L), (5L, 40L))
+    GraphEdgeStore.build(spark, eDir, corpus)
+    GraphEdgeStore.buildCounts(spark, cDir, corpus)
+    val served = graft.queries.Graphs.jaccardFrom(
+        GraphEdgeStore.edges(spark, eDir).select("u", "v", "w"),
+        GraphEdgeStore.partCounts(spark, cDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("both_orders"), r.getAs[Long]("jaccard_4dp"))).toSeq
+    assert(served == Seq((10L, 20L, 3L, 10000L), (30L, 40L, 2L, 6667L)))
+  }
+
   test("update CDC rows are refused with the replay guidance") {
     val dir = freshDir()
     GraphEdgeStore.build(spark, dir, li((1L, 10L), (1L, 20L)))
