@@ -307,6 +307,48 @@ object Commerce {
           "AS DOUBLE) / 10000.0").as("avg_gap_days"))
   }
 
+  /** Top weekly movers: the 20 (part, week) cells with the highest
+    * week-over-week revenue growth vs the part's previous OBSERVED
+    * week. Revenue is summed in integer cents (the family's money
+    * stance — never a double sum), growth is an exact-integer 4dp
+    * half-up ratio, and the `prev ≥ 10000` floor ($100) keeps tiny
+    * denominators from dominating the ranking. Scale: the weekly cell
+    * frame is vocabulary × calendar bounded; the lag window partitions
+    * by part (no global window), and the top-20 fuses to
+    * TakeOrderedAndProject. */
+  val qTrending = Q(
+    "q_trending",
+    """WITH wk AS (SELECT l_partkey,
+      |                   CAST(date_trunc('week', l_shipdate) AS DATE) AS w,
+      |                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |                     AS cents
+      |            FROM lineitem GROUP BY 1, 2),
+      |g AS (SELECT l_partkey, w, cents,
+      |             lag(cents) OVER (PARTITION BY l_partkey ORDER BY w) AS prev
+      |      FROM wk)
+      |SELECT l_partkey, strftime(w, '%Y-%m-%d') AS week,
+      |       round(cents / 100.0, 2) AS revenue,
+      |       CAST((20000 * cents + prev) // (2 * prev) AS BIGINT) AS growth_4dp
+      |FROM g WHERE prev >= 10000
+      |ORDER BY growth_4dp DESC, l_partkey, week LIMIT 20""".stripMargin) {
+    (s, d) =>
+    val wk = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"),
+        date_trunc("week", col("l_shipdate")).cast("date").as("w"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("bigint"))
+        .as("cents"))
+    val win = Window.partitionBy("l_partkey").orderBy("w")
+    wk.withColumn("prev", lag("cents", 1).over(win))
+      .filter(col("prev") >= 10000L)
+      .select(col("l_partkey"),
+        date_format(col("w"), "yyyy-MM-dd").as("week"),
+        round(col("cents").cast("double") / 100.0, 2).as("revenue"),
+        expr("(20000 * cents + prev) DIV (2 * prev)").as("growth_4dp"))
+      .orderBy(col("growth_4dp").desc, col("l_partkey"), col("week"))
+      .limit(20)
+  }
+
   val all: Seq[Q] =
-    Seq(qCohortLtv, qRfm, qBasketPairs, qBasketLift, qRepeatPurchase)
+    Seq(qCohortLtv, qRfm, qBasketPairs, qBasketLift, qRepeatPurchase,
+      qTrending)
 }

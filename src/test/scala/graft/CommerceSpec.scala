@@ -124,6 +124,27 @@ class CommerceSpec extends AnyFunSuite {
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("trending: planted week-over-week growth, floor excludes small prev") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_trend").toString
+    // part 1: week of 2024-01-01 → $150, week of 2024-01-08 → $300
+    //   growth = 300/150 = 2.0 → 20000 (4dp)
+    // part 2: prev week $50 < the $100 floor → excluded
+    // single-week parts have no prev → excluded
+    Seq(
+      (1L, 1L, 150.0, ts("2024-01-02 00:00:00")),
+      (2L, 1L, 300.0, ts("2024-01-09 00:00:00")),
+      (3L, 2L, 50.0, ts("2024-01-02 00:00:00")),
+      (4L, 2L, 500.0, ts("2024-01-09 00:00:00")),
+      (5L, 3L, 900.0, ts("2024-01-02 00:00:00")))
+      .toDF("l_orderkey", "l_partkey", "l_extendedprice", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = queries.Commerce.qTrending.run(spark, dir).collect()
+      .map(r => (r.getAs[Long]("l_partkey"), r.getAs[String]("week"),
+        r.getAs[Double]("revenue"), r.getAs[Long]("growth_4dp")))
+    assert(out.toSeq == Seq((1L, "2024-01-08", 300.0, 20000L)))
+  }
+
   test("repeat purchase: planted cadence summary") {
     // c1 orders on days 0/10/20 → gaps {10, 10}; c2 orders once → none
     val dir = plantOrders(Seq(
