@@ -1656,7 +1656,46 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** Fuzzy string matching — the entity-resolution primitive near-dup
+    * doesn't cover (edit distance tolerates transposed/substituted
+    * CHARACTERS where shingle/minhash similarity needs shared token
+    * runs): all part-name pairs within Levenshtein distance 3.
+    * Scale shape: the match runs on the DISTINCT-name VOCABULARY
+    * (catalog-bounded, never row-bounded), and the quadratic is cut by
+    * a LOSSLESS length-band block — edit distance ≥ length difference,
+    * so a pair can only qualify inside the ±3 band. The band is an
+    * EQUI-join: each name anchors at its own length and probes its
+    * ±3 bucket range via a 7-way explode, so Spark hash-partitions by
+    * (length bucket) instead of planning a nested-loop range join;
+    * each qualifying pair meets exactly once (the anchor length is a
+    * single value) and the a < b orientation filter keeps one copy.
+    * Levenshtein runs only inside bands (codegen'd built-in — both
+    * engines compute the identical classic DP). */
+  val qFuzzyMatch = Q(
+    "q_fuzzy_match",
+    """WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+      |SELECT a.name AS name_a, b.name AS name_b,
+      |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist
+      |FROM names a JOIN names b
+      |  ON a.name < b.name AND abs(length(a.name) - length(b.name)) <= 3
+      |WHERE levenshtein(a.name, b.name) <= 3
+      |ORDER BY edit_dist, name_a, name_b""".stripMargin) { (s, d) =>
+    val names = Tables.part(s, d).select(col("p_name").as("name")).distinct()
+      .withColumn("len", length(col("name")))
+    val anchors = names.select(col("name").as("name_a"), col("len").as("bucket"))
+    val probes = names.select(col("name").as("name_b"),
+      explode(sequence(col("len") - 3, col("len") + 3)).as("bucket"))
+    anchors.join(probes, "bucket")
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("edit_dist",
+        levenshtein(col("name_a"), col("name_b")).cast("bigint"))
+      .filter(col("edit_dist") <= 3)
+      .select("name_a", "name_b", "edit_dist")
+      .orderBy("edit_dist", "name_a", "name_b")
+  }
+
   val all: Seq[Q] = Seq(
+    qFuzzyMatch,
     qDedupExact, qNeardup, qDedupCluster, qDedupClusterStar, qDedupCanonical,
     qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupEmbedAnn, qDedupEmbedIncremental,

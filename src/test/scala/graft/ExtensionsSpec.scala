@@ -99,6 +99,24 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally LocalFs.rmrf(dir)
   }
 
+  test("fuzzy match: planted distances, band is lossless, duplicates collapse") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzzy").toString
+    // kitten↔sitting d=3 (len diff 1), flaw↔lawn d=2, ab↔flaw and
+    // ab↔lawn d=3 (2 inserts + 1 sub); flaw↔kitten d=6 (in band but
+    // over threshold); "abcdefghij"↔"ab" len diff 8 — outside the
+    // band, and d=8 > 3 anyway (edit distance ≥ length diff is WHY
+    // the band is lossless); dup rows dedupe first
+    Seq((1L, "kitten"), (2L, "sitting"), (3L, "flaw"), (4L, "lawn"),
+      (5L, "abcdefghij"), (6L, "ab"), (7L, "kitten"))
+      .toDF("p_partkey", "p_name")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val out = SparkEntry.queries("q_fuzzy_match")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(("flaw", "lawn", 2L), ("ab", "flaw", 3L),
+      ("ab", "lawn", 3L), ("kitten", "sitting", 3L)))
+  }
+
   test("exact dedup keeps every distinct text once") {
     val docs = Tables.documents(spark, sf)
     val deduped = SparkEntry.queries("q_dedup_exact")(spark, sf)
