@@ -86,3 +86,64 @@ object CumSum {
       .drop(vName)
   }
 }
+
+/** Distributed EXCLUSIVE running maximum — the max-monoid sibling of
+  * [[CumSum]] (same two-pass parallel scan, same single range
+  * exchange, same no-global-window stance): `outCol` = max of
+  * `valueCol` over all rows STRICTLY BEFORE this one in `orderCols`
+  * order, `Long.MinValue` for the first row. Exclusive (pass 2 emits
+  * the running state BEFORE folding the row) because the consumer —
+  * the skyline operator — asks "does anything earlier beat me", a
+  * question the inclusive form cannot answer once the row's own value
+  * enters the max. The order must be TOTAL for well-defined positions,
+  * same as CumSum. */
+object CumMax {
+
+  /** Adds `outCol` (bigint) = exclusive running max of `valueCol` over
+    * `orderCols`. NULL values don't advance the max. */
+  def runningMaxExclusive(df: DataFrame, valueCol: String, outCol: String,
+      orderCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType}
+    df.schema(valueCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"CumMax.runningMaxExclusive reads '$valueCol' as bigint; $other " +
+          "input would truncate silently — round/cast to an integral type first")
+    }
+    val vName = Iterator.from(0).map(i => s"__cummax_v$i")
+      .find(n => !df.columns.contains(n)).get
+    val withV = df.drop(outCol).withColumn(vName, col(valueCol).cast("bigint"))
+    val parted = withV
+      .repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .localCheckpoint(true)
+    val vIdx = parted.schema.fieldIndex(vName)
+    val maxSchema = StructType(Seq(
+      StructField("pid", LongType), StructField("m", LongType)))
+    val partMaxes = parted.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId().toLong
+      var acc = Long.MinValue
+      it.foreach(r => if (!r.isNullAt(vIdx)) acc = math.max(acc, r.getLong(vIdx)))
+      Iterator.single(Row(pid, acc))
+    }(Encoders.row(maxSchema))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val nParts = parted.rdd.getNumPartitions
+    val offsets = new Array[Long](math.max(nParts, 1))
+    var acc = Long.MinValue
+    (0 until nParts).foreach { p =>
+      offsets(p) = acc
+      acc = math.max(acc, partMaxes.getOrElse(p, Long.MinValue))
+    }
+    val outSchema = StructType(
+      parted.schema.fields :+ StructField(outCol, LongType, nullable = false))
+    parted.mapPartitions { it =>
+      var run = offsets(TaskContext.getPartitionId())
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ run) // exclusive: emit BEFORE fold
+        if (!r.isNullAt(vIdx)) run = math.max(run, r.getLong(vIdx))
+        out
+      }
+    }(Encoders.row(outSchema))
+      .drop(vName)
+  }
+}

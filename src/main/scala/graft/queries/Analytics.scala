@@ -242,10 +242,46 @@ object Analytics {
       .orderBy("z", "o_orderkey")
   }
 
+  /** 2-D Pareto frontier (skyline): parts where no other part is
+    * cheaper-or-equal AND larger-or-equal with one strict — the
+    * "cheapest per capability" query. The naive formulation is an
+    * all-pairs NOT EXISTS (|parts|² — the oracle keeps it, so the
+    * frontier is independently derived); the Spark plan is the
+    * O(n log n) monotone-frontier algorithm made distributed:
+    * group to per-price max size (vocabulary-sized at any corpus),
+    * then one [[graft.operators.CumMax]] exclusive running max over
+    * price order (two narrow passes + ONE range exchange — never a
+    * global-ORDER window, never a self-join), and a row survives iff
+    * it holds its price's max size AND strictly beats everything
+    * cheaper. Equal (price, size) ties all survive on both engines
+    * (neither dominates the other). */
+  val qSkyline = Q(
+    "q_skyline",
+    """WITH p AS (SELECT p_partkey, p_name, p_retailprice,
+      |                  CAST(p_size AS BIGINT) AS p_size FROM part)
+      |SELECT p_partkey, p_name, p_retailprice, p_size
+      |FROM p a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p b
+      |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+      |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+      |ORDER BY p_retailprice, p_partkey""".stripMargin) { (s, d) =>
+    val pp = Tables.part(s, d).select(col("p_partkey"), col("p_name"),
+      col("p_retailprice"), col("p_size").cast("bigint").as("p_size"))
+    val grouped = pp.groupBy("p_retailprice").agg(max("p_size").as("t"))
+    val withM = graft.operators.CumMax.runningMaxExclusive(
+      grouped, "t", "m", Seq(col("p_retailprice")))
+    pp.join(withM, "p_retailprice")
+      .filter(col("p_size") === col("t") && col("p_size") > col("m"))
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"),
+        col("p_size"))
+      .orderBy("p_retailprice", "p_partkey")
+  }
+
   val all: Seq[Q] =
     Seq(qPivot, qAggStats, qAggPercentile, qAggApproxPercentile,
       qCteRecursive, qUnpivot, qAggHistogram, qAggArgmax, qAggCountmin,
-      qAggApproxTopk, qZorder)
+      qAggApproxTopk, qZorder, qSkyline)
 }
 
 /** Iterative fixpoint evaluation — the programmatic recursion API for

@@ -703,6 +703,43 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaOp == viaWindow)
   }
 
+  test("exclusive running max equals the exclusive window; partition-invariant") {
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        (col("o_orderkey") % 97).cast("bigint").as("v"))
+    def maxes(df: org.apache.spark.sql.DataFrame) = graft.operators.CumMax
+      .runningMaxExclusive(df, "v", "m", Seq(col("o_orderkey").asc))
+      .select("o_orderkey", "m").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaOp = maxes(o)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("o_orderkey")
+      .rowsBetween(Long.MinValue, -1)
+    val viaWindow = o
+      .withColumn("m", coalesce(max("v").over(w), lit(Long.MinValue)))
+      .select("o_orderkey", "m").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaOp == viaWindow)
+    assert(maxes(o.repartition(3)) == maxes(o.repartition(17)))
+  }
+
+  test("skyline: planted frontier with equal-price and equal-point ties") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sky").toString
+    // (10.0, 5) frontier; (10.0, 5) duplicate point — BOTH survive
+    // (neither strictly dominates); (10.0, 3) dominated by same-price
+    // larger; (12.0, 5) dominated by cheaper equal-size; (15.0, 9)
+    // frontier; (20.0, 9) dominated; (25.0, 12) frontier
+    Seq((1L, "a", 10.0, 5), (2L, "b", 10.0, 5), (3L, "c", 10.0, 3),
+      (4L, "d", 12.0, 5), (5L, "e", 15.0, 9), (6L, "f", 20.0, 9),
+      (7L, "g", 25.0, 12))
+      .toDF("p_partkey", "p_name", "p_retailprice", "p_size")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val out = SparkEntry.queries("q_skyline")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getLong(3))).toSeq
+    assert(out == Seq((1L, 10.0, 5L), (2L, 10.0, 5L), (5L, 15.0, 9L),
+      (7L, 25.0, 12L)))
+  }
+
   test("running total is invariant to the input's partitioning") {
     val o = Tables.orders(spark, sf)
       .select(col("o_orderkey"), lit(1L).as("v"))
