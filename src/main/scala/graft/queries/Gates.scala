@@ -1512,7 +1512,71 @@ object Gates {
     verdict(s, "q_gate_store_jaccard", ok)
   }
 
+  /** SCD2 dimension history (round 14): the CDC log rendered as
+    * type-2 validity intervals (`Streams.scd2` — one key-partitioned
+    * lead() window; deletes close intervals without opening one) must
+    * agree with the store's OWN time travel at EVERY committed
+    * version: for each v, interval membership at v == readAt(v), on a
+    * history that exercises insert, overlapping update (changed and
+    * unchanged rows), and delete. Also pins: the current view (null
+    * valid_to) == the live read, and interval bookkeeping is
+    * well-formed (no key has two open intervals; each closed interval's
+    * valid_to == the next interval's or the delete's version). */
+  val qGateScd2 = Q(
+    "q_gate_scd2", oracleFor("q_gate_scd2")) { (s, d) =>
+    import graft.streaming.{SnapshotStore, Streams}
+    val ok = GateMemo.value(s, d, "gate_scd2_ok") {
+      val work = "/root/repo/target/scd2_gate/" + new java.io.File(d).getName
+      graft.LocalFs.rmrf(new java.io.File(work))
+      val dimDir = s"$work/dim"; val cdcDir = s"$work/cdc"
+      val keys = Seq("l_orderkey", "l_partkey")
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_quantity")
+        .groupBy("l_orderkey", "l_partkey")
+        .agg(sum("l_quantity").as("qty")).localCheckpoint(true)
+      // v1: 80% of keys; v2: the rest; v3: bump qty on ~10% of keys;
+      // v4: delete the %7==0 keys — every DML kind in the history
+      val versions = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def committed(): Long =
+        SnapshotStore.currentManifest(s, dimDir).map(_.version).get
+      Streams.cdcBatch(s, dimDir, cdcDir,
+        li.filter(col("l_orderkey") % 5 =!= 0), keys, retainHistory = true)
+      versions += committed()
+      Streams.cdcBatch(s, dimDir, cdcDir,
+        li.filter(col("l_orderkey") % 5 === 0), keys, retainHistory = true)
+      versions += committed()
+      Streams.cdcUpdateBatch(s, dimDir, cdcDir, keys,
+        Map("qty" -> (col("qty") + 100L)), col("l_orderkey") % 10 === 3,
+        retainHistory = true)
+      versions += committed()
+      Streams.cdcDeleteBatch(s, dimDir, cdcDir,
+        li.filter(col("l_orderkey") % 7 === 0), keys, retainHistory = true)
+      versions += committed()
+      val hist = Streams.scd2(s, cdcDir, keys).localCheckpoint(true)
+      def same(a: DataFrame, b: DataFrame): Boolean =
+        a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty
+      val timeTravelParity = versions.forall { v =>
+        same(Streams.scd2At(hist, v),
+          SnapshotStore.readAt(s, dimDir, v).select(
+            col("l_orderkey"), col("l_partkey"), col("qty")))
+      }
+      val currentParity = same(
+        Streams.scd2At(hist, versions.last),
+        SnapshotStore.read(s, dimDir)
+          .select("l_orderkey", "l_partkey", "qty"))
+      val openPerKey = hist.filter(col("valid_to").isNull)
+        .groupBy("l_orderkey", "l_partkey").count()
+        .agg(coalesce(max("count"), lit(0L))).head().getLong(0) <= 1L
+      // the update batch really split histories: some key has 2 rows
+      val hasChain = hist.groupBy("l_orderkey", "l_partkey").count()
+        .filter(col("count") >= 2).count() > 0
+      timeTravelParity && currentParity && openPerKey && hasChain
+    }
+    verdict(s, "q_gate_scd2", ok)
+  }
+
   val all: Seq[Q] = Seq(
+    qGateScd2,
     qGateStoreJaccard,
     qGateStreamAnomaly,
     qGateStreamGraphDegree,

@@ -81,6 +81,37 @@ class StreamingSpec extends AnyFunSuite {
       .map(_.version) == v)
   }
 
+  test("scd2: planted lifecycle — insert opens, update chains, delete closes") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_scd2").toString
+    val dim = s"$work/dim"; val cdc = s"$work/cdc"
+    val keys = Seq("id")
+    def batch(rows: Seq[(Long, String)]): Long = {
+      Streams.cdcBatch(spark, dim, cdc, rows.toDF("id", "v"), keys,
+        retainHistory = true)
+      graft.streaming.SnapshotStore.currentManifest(spark, dim).get.version
+    }
+    val v1 = batch(Seq((1L, "a"), (2L, "x")))   // both open at v1
+    val v2 = batch(Seq((1L, "b")))              // key 1 chains: [v1,v2) then [v2,…)
+    Streams.cdcDeleteBatch(spark, dim, cdc, Seq((2L, "x")).toDF("id", "v"),
+      keys, retainHistory = true)               // key 2 closes at v3, no new row
+    val v3 = graft.streaming.SnapshotStore.currentManifest(spark, dim).get.version
+    val hist = Streams.scd2(spark, cdc, keys).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"),
+        r.getAs[Long]("valid_from"),
+        Option(r.getAs[java.lang.Long]("valid_to")).map(_.toLong)))
+      .toSet
+    assert(hist == Set(
+      (1L, "a", v1, Some(v2)), (1L, "b", v2, None),
+      (2L, "x", v1, Some(v3))))
+    // point-in-time membership at each version
+    def at(v: Long) = Streams.scd2At(Streams.scd2(spark, cdc, keys), v)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(at(v1) == Set((1L, "a"), (2L, "x")))
+    assert(at(v2) == Set((1L, "b"), (2L, "x")))
+    assert(at(v3) == Set((1L, "b")))
+  }
+
   test("flatMapGroupsWithState per-user stats match batch aggregation") {
     import org.apache.spark.sql.functions._
     val events = Streams.eventsStream(spark, sf)
