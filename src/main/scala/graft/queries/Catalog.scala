@@ -1434,7 +1434,56 @@ object Catalog {
         min("doc_id").as("min_id"), max("doc_id").as("max_id"))
   }
 
+  /** The three profiled tables and their columns — shared between the
+    * Spark melt and the generated oracle so both enumerate the same
+    * ordered-pair space. */
+  private val FdTables: Seq[(String, Seq[String])] = Seq(
+    "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "region" -> Seq("r_regionkey", "r_name"),
+    "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+      "p_retailprice"))
+
+  /** Functional-dependency discovery (normalization/denormalization
+    * hints for the catalog): A → B holds iff every A value maps to one
+    * B value, i.e. count(distinct A) == count(distinct (A, B)). The
+    * Spark side is the relations family's melt design — ONE scan per
+    * table, each row fanning out its K·(K−1) ordered column pairs
+    * map-side (K is schema-bounded, a constant ≤ 16 here, never a
+    * data axis), then one pair-keyed distinct rollup; the oracle
+    * enumerates the same pairs as per-pair grouped counts (independent
+    * derivation). Values melt as strings (type-erased, exact
+    * cardinalities); the profiled tables are null-free, which keeps
+    * the two engines' distinct-vs-null conventions out of play. */
+  val qProfileFd = Q(
+    "q_profile_fd",
+    FdTables.flatMap { case (tbl, cols) =>
+      for (a <- cols; b <- cols if a != b) yield
+        s"""SELECT '$tbl' AS tbl, '$a' AS determinant, '$b' AS dependent,
+           |  count(DISTINCT $a) AS det_card,
+           |  count(DISTINCT ($a, $b)) AS pair_card FROM $tbl""".stripMargin
+    }.mkString("SELECT tbl, determinant, dependent FROM (\n",
+      "\nUNION ALL\n",
+      "\n) WHERE det_card = pair_card ORDER BY tbl, determinant, dependent")) {
+    (s, d) =>
+    FdTables.map { case (tbl, cols) =>
+      val structs = array((for (a <- cols; b <- cols if a != b) yield
+        struct(lit(a).as("determinant"), lit(b).as("dependent"),
+          col(a).cast("string").as("det_val"),
+          col(b).cast("string").as("dep_val"))): _*)
+      Tables.load(s, d, tbl)
+        .select(explode(structs).as("p")).select(col("p.*"))
+        .groupBy("determinant", "dependent")
+        .agg(countDistinct("det_val").as("det_card"),
+          countDistinct("det_val", "dep_val").as("pair_card"))
+        .withColumn("tbl", lit(tbl))
+    }.reduce(_ unionByName _)
+      .filter(col("det_card") === col("pair_card"))
+      .select("tbl", "determinant", "dependent")
+      .orderBy("tbl", "determinant", "dependent")
+  }
+
   val all: Seq[Q] = Seq(
+    qProfileFd,
     qProfileTypes, qProfileSemantic, qQualityNulls, qQualityOutliers,
     qQualityCardinality, qQualityExpectations, qProfileDrift, qDdlSynthesis,
     qEtlTransform, qEtlTransformSql, qEtlQuarantine, qCsvScan, qJsonScan, qSchemaEvolution, qSnapshotTimetravel, qSnapshotChanges, qSnapshotDelete, qSnapshotUpdate, qSnapshotCompact, qCdcView, qLineage,

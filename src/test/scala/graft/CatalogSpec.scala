@@ -677,4 +677,31 @@ class CatalogSpec extends AnyFunSuite {
     val ddl = graft.catalog.Ddl.fromProfile("t_empty", pe)
     assert(ddl.contains("id") && ddl.contains("name"), ddl)
   }
+
+  test("fd discovery: planted non-key dependency found, near-miss rejected") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fd").toString
+    // part: p_brand -> p_type holds (acme->widget, bolt->gear);
+    // p_type -> p_brand FAILS (widget maps to acme AND zeta);
+    // p_partkey (key) determines everything
+    Seq((1L, "a", "acme", "widget", 1, 1.0), (2L, "b", "acme", "widget", 2, 2.0),
+      (3L, "c", "bolt", "gear", 3, 3.0), (4L, "d", "zeta", "widget", 4, 4.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq((0L, "alpha", 0L)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((0L, "r0")).toDF("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    val fds = SparkEntry.queries("q_profile_fd")(spark, dir).collect()
+      .filter(_.getString(0) == "part")
+      .map(r => (r.getString(1), r.getString(2))).toSet
+    assert(fds.contains(("p_brand", "p_type")))
+    assert(!fds.contains(("p_type", "p_brand")))
+    // the key column determines every other column
+    Seq("p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .foreach(c => assert(fds.contains(("p_partkey", c)), c))
+    // p_name is also unique here -> determines everything (sanity that
+    // non-planted directions still follow the cardinality rule)
+    assert(fds.contains(("p_name", "p_size")))
+  }
 }
