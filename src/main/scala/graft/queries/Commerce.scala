@@ -348,7 +348,52 @@ object Commerce {
       .limit(20)
   }
 
+  /** Acquisition-channel revenue — the cross-domain key joining the
+    * behavioral log to the order book: each user's acquisition channel
+    * is their FIRST event's type (min_by over (ts, event_id) — one
+    * map-side-combined hash agg, the q_attribution pick, no window
+    * sort), and the channel report rolls up the users' order counts
+    * and integer-cents revenue. Scale: the channel map is
+    * user-vocabulary-sized and the order rollup customer-sized — the
+    * join is between two bounded aggregates (AQE broadcasts the
+    * smaller), the event log and order book are each scanned ONCE,
+    * and the output is channel-vocabulary-bounded. Left join keeps
+    * channels whose users never purchased (buyers/orders = 0). */
+  val qChannelRevenue = Q(
+    "q_channel_revenue",
+    """WITH ft AS (
+      |  SELECT user_id, event_type FROM (
+      |    SELECT user_id, event_type,
+      |      row_number() OVER (PARTITION BY user_id
+      |        ORDER BY date_trunc('microseconds', ts), event_id) AS rn
+      |    FROM events) WHERE rn = 1),
+      |o AS (SELECT o_custkey, count(*) AS n_orders,
+      |             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      |      FROM orders GROUP BY 1)
+      |SELECT ft.event_type AS channel,
+      |       count(*) AS users,
+      |       count(o.o_custkey) AS buyers,
+      |       CAST(coalesce(sum(o.n_orders), 0) AS BIGINT) AS orders,
+      |       round(coalesce(sum(o.cents), 0) / 100.0, 2) AS revenue
+      |FROM ft LEFT JOIN o ON o.o_custkey = ft.user_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val ft = Tables.events(s, d).groupBy("user_id")
+      .agg(min_by(col("event_type"), struct(col("ts"), col("event_id")))
+        .as("channel"))
+    val o = Tables.orders(s, d).groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100, 0).cast("bigint")).as("cents"))
+    ft.join(o, ft("user_id") === o("o_custkey"), "left")
+      .groupBy("channel").agg(
+        count(lit(1)).as("users"),
+        count(col("o_custkey")).as("buyers"),
+        coalesce(sum("n_orders"), lit(0L)).as("orders"),
+        round(coalesce(sum("cents"), lit(0L)).cast("double") / 100.0, 2)
+          .as("revenue"))
+      .orderBy("channel")
+  }
+
   val all: Seq[Q] =
     Seq(qCohortLtv, qRfm, qBasketPairs, qBasketLift, qRepeatPurchase,
-      qTrending)
+      qTrending, qChannelRevenue)
 }

@@ -145,6 +145,34 @@ class CommerceSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, "2024-01-08", 300.0, 20000L)))
   }
 
+  test("channel revenue: planted first-touch, non-buyer channel, tie by event_id") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_chan").toString
+    // user 1: first event view -> buys $10 + $20; user 2: first click,
+    // never buys; user 3: two events at the SAME ts — event_id 30
+    // ("signup") beats 31 ("error"), and user 3 buys $5
+    Seq(
+      (10L, ts("2024-01-01 08:00:00"), 1L, "view", 0.0, "{}"),
+      (11L, ts("2024-01-01 09:00:00"), 1L, "click", 0.0, "{}"),
+      (20L, ts("2024-01-02 08:00:00"), 2L, "click", 0.0, "{}"),
+      (30L, ts("2024-01-03 08:00:00"), 3L, "signup", 0.0, "{}"),
+      (31L, ts("2024-01-03 08:00:00"), 3L, "error", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Seq((100L, 1L, 10.0, ts("2024-01-05 00:00:00")),
+      (101L, 1L, 20.0, ts("2024-01-06 00:00:00")),
+      (102L, 3L, 5.0, ts("2024-01-07 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q_channel_revenue")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(out == Seq(
+      ("click", 1L, 0L, 0L, 0.0),
+      ("signup", 1L, 1L, 1L, 5.0),
+      ("view", 1L, 1L, 2L, 30.0)))
+  }
+
   test("repeat purchase: planted cadence summary") {
     // c1 orders on days 0/10/20 → gaps {10, 10}; c2 orders once → none
     val dir = plantOrders(Seq(
