@@ -209,6 +209,59 @@ object Graphs {
     finish(res, spent)
   }
 
+  private def linkPredictBuild(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val e2 = weightedEdges(s, d).filter(col("w") >= 2)
+      .select("u", "v").localCheckpoint(true)
+    // per-center sorted neighbor set: the wedge expansion is the SAME
+    // map-side Baskets.pairs the edge derivation uses, applied to
+    // adjacency "baskets" — fan-out deg(c)² per center, on the
+    // support-filtered graph where the w ≥ 2 floor has already removed
+    // the one-off co-occurrence noise that makes raw co-purchase
+    // adjacency hub-dense (the same densifier control q_graph_jaccard
+    // and q_basket_lift apply; a residual hub center would cap or
+    // TF-IDF-downweight exactly like the near-dup df cap)
+    val nbrs = symmetrize(e2).groupBy(col("src"))
+      .agg(sort_array(collect_set(col("dst"))).as("basket"))
+    val wedges = Baskets.pairs(nbrs, "a", "b")
+      .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+    val cand = wedges.join(
+      e2.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"),
+      "left_anti")
+    (cand.select(col("a").as("u"), col("b").as("v"),
+        col("cn").as("common_neighbors"))
+      .orderBy(col("common_neighbors").desc, col("u"), col("v"))
+      .limit(20), Seq(e2))
+  }
+
+  /** Link prediction over the support-filtered co-purchase graph:
+    * the top-20 part pairs that are NOT (repeatedly) bought together
+    * but share the most common repeated-co-purchase neighbors — the
+    * classic common-neighbors score, i.e. "bundles that should
+    * exist". Wedge pairs enumerate map-side per center from sorted
+    * neighbor sets (the Baskets.pairs expansion), counts roll up in
+    * one pair-keyed agg, existing edges leave via LEFT ANTI, and the
+    * top-20 fuses to TakeOrderedAndProject. The oracle derives wedges
+    * independently (adjacency self-join on the center). */
+  val qGraphLinkPredict = Q(
+    "q_graph_link_predict",
+    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2),
+      |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+      |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |                         AND a.l_partkey < b.l_partkey
+      |      GROUP BY 1, 2 HAVING count(*) >= 2),
+      |adj AS (SELECT u AS c, v AS n FROM e UNION ALL SELECT v, u FROM e),
+      |wedge AS (SELECT x.n AS a, y.n AS b, count(*) AS cn
+      |          FROM adj x JOIN adj y ON x.c = y.c AND x.n < y.n
+      |          GROUP BY 1, 2),
+      |cand AS (SELECT w.a, w.b, w.cn FROM wedge w
+      |         LEFT JOIN e ON e.u = w.a AND e.v = w.b
+      |         WHERE e.u IS NULL)
+      |SELECT a AS u, b AS v, cn AS common_neighbors FROM cand
+      |ORDER BY cn DESC, a, b LIMIT 20""".stripMargin) { (s, d) =>
+    val (res, spent) = linkPredictBuild(s, d)
+    finish(res, spent)
+  }
+
   private def pagerankBuild(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     val e = edges(s, d)
     val adj = symmetrize(e)
@@ -796,7 +849,7 @@ object Graphs {
     }
 
   val all: Seq[Q] =
-    Seq(qGraphDegree, qGraphJaccard, qGraphPagerank, qGraphPagerankWeighted,
-      qGraphPpr, qGraphPprBatch, qGraphTriangles, qGraphReach,
-      qGraphComponents, qGraphKcore)
+    Seq(qGraphDegree, qGraphJaccard, qGraphLinkPredict, qGraphPagerank,
+      qGraphPagerankWeighted, qGraphPpr, qGraphPprBatch, qGraphTriangles,
+      qGraphReach, qGraphComponents, qGraphKcore)
 }

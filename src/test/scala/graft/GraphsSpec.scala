@@ -88,6 +88,18 @@ class GraphsSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((2L, 741625000000L), (1L, 258375000000L)))
   }
 
+  test("link prediction: planted wedge predicted, existing edge excluded") {
+    // repeated pairs: (1,2)x2, (2,3)x2 -> support-filtered edges;
+    // (1,3) co-occurs only ONCE -> not an edge, and the 1-2-3 wedge
+    // makes it the predicted link with cn=1; (1,2) itself is an edge
+    // so it must NOT appear even though it has a common neighbor path
+    val dir = plant(Seq(Seq(1L, 2L), Seq(1L, 2L), Seq(2L, 3L), Seq(2L, 3L),
+      Seq(1L, 3L)))
+    val out = SparkEntry.queries("q_graph_link_predict")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 3L, 1L)))
+  }
+
   test("batched ppr: the shared seed reproduces the single-seed walk exactly") {
     // q_graph_ppr seeds at the top hub; that hub is also the batch
     // key's first seed — batching must not change any per-seed value
@@ -165,6 +177,7 @@ class GraphsSpec extends AnyFunSuite {
     val dir = plant(Seq(Seq(1L), Seq(2L)))
     assert(SparkEntry.queries("q_graph_degree")(spark, dir).count() == 0)
     assert(SparkEntry.queries("q_graph_jaccard")(spark, dir).count() == 0)
+    assert(SparkEntry.queries("q_graph_link_predict")(spark, dir).count() == 0)
     assert(SparkEntry.queries("q_graph_pagerank")(spark, dir).count() == 0)
     assert(SparkEntry.queries("q_graph_ppr")(spark, dir).count() == 0)
     assert(SparkEntry.queries("q_graph_ppr_batch")(spark, dir).count() == 0)
