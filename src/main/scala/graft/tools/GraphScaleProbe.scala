@@ -65,7 +65,8 @@ object GraphScaleProbe {
       .write.mode("overwrite").parquet(s"$out/hub/lineitem.parquet")
 
     val keys = Seq("q_graph_degree", "q_graph_jaccard", "q_graph_pagerank",
-      "q_graph_ppr", "q_graph_triangles", "q_graph_reach",
+      "q_graph_ppr", "q_graph_ppr_batch", "q_graph_link_predict",
+      "q_graph_triangles", "q_graph_reach",
       "q_graph_components", "q_graph_kcore")
     println(f"${"key"}%-22s ${"base_s"}%8s ${"x4_s"}%8s ratio")
     keys.foreach { k =>
