@@ -842,6 +842,7 @@ object Graphs {
       case "q_graph_jaccard" => jaccardBuild(s, d)._1
       case "q_graph_ppr" => pprBuild(s, d)._1
       case "q_graph_ppr_batch" => pprBatchBuild(s, d)._1
+      case "q_graph_link_predict" => linkPredictBuild(s, d)._1
       case "q_graph_pagerank" => pagerankBuild(s, d)._1
       case "q_graph_pagerank_weighted" => pagerankWeightedBuild(s, d)._1
       case "q_graph_triangles" => trianglesBuild(s, d)._1

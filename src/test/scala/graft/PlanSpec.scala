@@ -344,6 +344,29 @@ class PlanSpec extends AnyFunSuite {
       "expected the per-edge intersection form")
   }
 
+  test("link prediction: anti-join broadcasts the edge list, top-20 fuses") {
+    val p = graphPlan("q_graph_link_predict")
+    // the NOT-an-edge filter must come in as a broadcast anti probe of
+    // the wedge rollup, and the top-20 as a heap, not a global sort
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin") &&
+      finalPlan.contains("LeftAnti"), finalPlan)
+    assert(finalPlan.contains("TakeOrderedAndProject"))
+  }
+
+  test("channel revenue: two bounded aggregates meet in a broadcast join") {
+    val df = SparkEntry.queries("q_channel_revenue")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // user-vocabulary channel map × customer order rollup — neither
+    // side is log-sized, AQE must broadcast rather than SMJ
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // both pre-join aggregates are map-side partial
+    assert("partial_min_by|partial_count".r.findFirstIn(p).isDefined, p)
+  }
+
   test("graph pagerank: edge list never shuffles for the contribution join") {
     val p = graphPlan("q_graph_pagerank")
     // each of the 3 iterations joins the NODE-sized contribution frame
