@@ -209,28 +209,36 @@ object Graphs {
     finish(res, spent)
   }
 
-  private def linkPredictBuild(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
-    val e2 = weightedEdges(s, d).filter(col("w") >= 2)
-      .select("u", "v").localCheckpoint(true)
-    // per-center sorted neighbor set: the wedge expansion is the SAME
-    // map-side Baskets.pairs the edge derivation uses, applied to
-    // adjacency "baskets" — fan-out deg(c)² per center, on the
-    // support-filtered graph where the w ≥ 2 floor has already removed
-    // the one-off co-occurrence noise that makes raw co-purchase
-    // adjacency hub-dense (the same densifier control q_graph_jaccard
-    // and q_basket_lift apply; a residual hub center would cap or
-    // TF-IDF-downweight exactly like the near-dup df cap)
+  /** Common-neighbors top-20 over a support-filtered (u, v) edge frame
+    * — shared by the registered key (live lineitem derivation) and the
+    * maintained-artifact path (GraphServingDemo serves the identical
+    * frame from a GraphEdgeStore). Per-center sorted neighbor set: the
+    * wedge expansion is the SAME map-side Baskets.pairs the edge
+    * derivation uses, applied to adjacency "baskets" — fan-out
+    * deg(c)² per center, on the support-filtered graph where the
+    * w ≥ 2 floor has already removed the one-off co-occurrence noise
+    * that makes raw co-purchase adjacency hub-dense (the same
+    * densifier control q_graph_jaccard and q_basket_lift apply; a
+    * residual hub center would cap or TF-IDF-downweight exactly like
+    * the near-dup df cap). */
+  private[graft] def linkPredictFrom(e2: DataFrame): DataFrame = {
     val nbrs = symmetrize(e2).groupBy(col("src"))
       .agg(sort_array(collect_set(col("dst"))).as("basket"))
     val wedges = Baskets.pairs(nbrs, "a", "b")
       .groupBy("a", "b").agg(count(lit(1)).as("cn"))
-    val cand = wedges.join(
-      e2.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"),
-      "left_anti")
-    (cand.select(col("a").as("u"), col("b").as("v"),
+    wedges.join(
+        e2.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"),
+        "left_anti")
+      .select(col("a").as("u"), col("b").as("v"),
         col("cn").as("common_neighbors"))
       .orderBy(col("common_neighbors").desc, col("u"), col("v"))
-      .limit(20), Seq(e2))
+      .limit(20)
+  }
+
+  private def linkPredictBuild(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val e2 = weightedEdges(s, d).filter(col("w") >= 2)
+      .select("u", "v").localCheckpoint(true)
+    (linkPredictFrom(e2), Seq(e2))
   }
 
   /** Link prediction over the support-filtered co-purchase graph:

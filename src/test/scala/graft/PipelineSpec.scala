@@ -196,6 +196,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.toDF().filter("level = 'warning'").count() == 1)
   }
 
+  test("graph serving demo: artifacts serve exactly, replay no-op, cancellation nets out") {
+    val root = "/root/repo/target/graph_serving_demo_test"
+    LocalFs.rmrf(new java.io.File(root))
+    val (days, fin) = graft.examples.GraphServingDemo.run(spark, sf, root)
+    assert(days.map(_.day) == Seq("day0", "day1", "day2"))
+    days.foreach { d =>
+      assert(d.hubsEqualBatch, s"${d.day}: hub watch diverged from live")
+      assert(d.jaccardServedEqualsLive, s"${d.day}: served jaccard diverged")
+      assert(d.linkPredictServedEqualsLive,
+        s"${d.day}: served link prediction diverged")
+      assert(d.storeEdges > 0, s"${d.day}: empty edge store")
+    }
+    // day-1 arrivals grew the store; day-2 delete+insert moved it again
+    assert(days(1).storeEdges > days(0).storeEdges)
+    assert(days(2).storeEdges != days(1).storeEdges)
+    assert(fin.replayNoopAllStores, s"replay moved a store version: $fin")
+    assert(fin.cancellationNetsOut, s"cancellation did not net out: $fin")
+  }
+
   test("incremental ingest demo: exactly-once corpus, re-crawl refused, vacuum reclaims") {
     val root = "/root/repo/target/incremental_demo_test"
     LocalFs.rmrf(new java.io.File(root))
