@@ -503,6 +503,51 @@ object EventAnalytics {
       .orderBy("touch", "event_type")
   }
 
+  /** Linear multi-touch attribution — the position-agnostic companion
+    * of [[qAttribution]]'s first/last picks: every touch in the
+    * journey before the user's first purchase earns an equal share of
+    * that conversion's credit. Credit is EXACT-INTEGER 1e-4 units:
+    * each touch gets 10000 DIV n and the remainder (10000 MOD n) goes
+    * to the FIRST touch, so per-journey credit sums to exactly 10000
+    * and the report conserves total mass = 10000 × journeys in any
+    * aggregation order on any engine (spec-pinned). No window: the
+    * first touch is a min(struct(ts, event_id)) hash agg compared back
+    * on the journey frame — one user-keyed agg + one user-keyed join,
+    * output channel-vocabulary-bounded. */
+  val qAttributionLinear = Q(
+    "q_attribution_linear",
+    """WITH fp AS (SELECT user_id,
+      |                   min(date_trunc('microseconds', ts)) AS pts
+      |            FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |pre AS (SELECT e.user_id, e.event_type,
+      |               date_trunc('microseconds', e.ts) AS ts, e.event_id
+      |        FROM events e JOIN fp USING (user_id)
+      |        WHERE date_trunc('microseconds', e.ts) < fp.pts
+      |          AND e.event_type <> 'purchase'),
+      |j AS (SELECT user_id, count(*) AS n FROM pre GROUP BY 1),
+      |r AS (SELECT p.user_id, p.event_type, j.n,
+      |             row_number() OVER (PARTITION BY p.user_id
+      |                                ORDER BY p.ts, p.event_id) AS rf
+      |      FROM pre p JOIN j USING (user_id))
+      |SELECT event_type,
+      |       CAST(sum(10000 // n + CASE WHEN rf = 1 THEN 10000 % n
+      |                             ELSE 0 END) AS BIGINT) AS credit_1e4
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("ts").as("pts"))
+    val pre = ev.join(fp, "user_id")
+      .filter(col("ts") < col("pts") && col("event_type") =!= "purchase")
+    val j = pre.groupBy("user_id").agg(count(lit(1)).as("n"),
+      min(struct(col("ts"), col("event_id"))).as("firstkey"))
+    pre.join(j, "user_id")
+      .withColumn("credit", expr("10000 DIV n") +
+        when(struct(col("ts"), col("event_id")) === col("firstkey"),
+          expr("10000 % n")).otherwise(lit(0L)))
+      .groupBy("event_type").agg(sum("credit").as("credit_1e4"))
+      .orderBy("event_type")
+  }
+
   /** Deterministic A/B experiment readout: users are assigned to arms
     * by the PORTABLE key mixer (`Catalog.portableHashSql` — the
     * q_split_train_eval property applied to experimentation:
@@ -725,6 +770,7 @@ object EventAnalytics {
 
   val all: Seq[Q] = Seq(qFunnel, qFunnelLatency, qFunnelUnordered,
     qRetentionCohort, qRetentionWeekly, qActiveUsers, qActiveUsersSketch,
-    qEventTransitions, qEventPaths, qAttribution, qExperimentLift,
+    qEventTransitions, qEventPaths, qAttribution, qAttributionLinear,
+    qExperimentLift,
     qSessionStats, qAnomalyZscore, qTimeseriesFill)
 }

@@ -231,6 +231,39 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(er.collect().forall(_.getLong(2) == 0L))
   }
 
+  test("linear attribution: remainder to first touch, mass exactly conserved") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_linattr").toString
+    // user 1: view, click, view before purchase — n=3: each touch gets
+    // 3333, remainder 1 to the FIRST view -> view 6667, click 3333;
+    // user 2: single error touch -> 10000; user 3: purchase with no
+    // prior touches -> no journey, no credit
+    Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 01:00:00"), 1L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-01 02:00:00"), 1L, "view", 0.0, "{}"),
+      (4L, ts("2024-01-01 03:00:00"), 1L, "purchase", 0.0, "{}"),
+      (5L, ts("2024-01-02 00:00:00"), 2L, "error", 0.0, "{}"),
+      (6L, ts("2024-01-02 01:00:00"), 2L, "purchase", 0.0, "{}"),
+      (7L, ts("2024-01-03 00:00:00"), 3L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_attribution_linear")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("click", 3333L), ("error", 10000L), ("view", 6667L)))
+    assert(out.map(_._2).sum == 20000L) // 2 journeys x 10000, exactly
+    // corpus-wide conservation: total credit == 10000 x journey count
+    val corpus = SparkEntry.queries("q_attribution_linear")(spark, sf)
+      .agg(sum("credit_1e4")).head().getLong(0)
+    val ev = Tables.events(spark, sf)
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("ts").as("pts"))
+    val journeys = ev.join(fp, "user_id")
+      .filter(col("ts") < col("pts") && col("event_type") =!= "purchase")
+      .select("user_id").distinct().count()
+    assert(corpus == 10000L * journeys, s"$corpus != 10000 x $journeys")
+  }
+
   test("retention cohort: offset-0 retention is 1.0 and users never exceed cohort size") {
     val rows = SparkEntry.queries("q_retention_cohort")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
