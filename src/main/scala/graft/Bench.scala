@@ -115,5 +115,16 @@ object Bench {
       s""""errors":${errors.mkString("[", ",", "]")},"queries":${jmap(slowest)},""" +
       s""""detail":${js(detailFile)},"sf":${js(sfDir)}}""")
     spark.stop()
+    // A capture with failing keys/gates is NOT a benchmark — it is a
+    // correctness incident (round-14: a clean local capture masked 3
+    // gate failures the driver's capture of identical code surfaced).
+    // Exit non-zero so no wrapper can record a red capture as a
+    // baseline; the JSON line above still carries the error list for
+    // diagnosis.
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] FAILED keys/gates: ${errors.mkString(", ")}" +
+        " — capture is unrecordable (exit 1)")
+      sys.exit(1)
+    }
   }
 }

@@ -100,9 +100,16 @@ object CumSum {
 object CumMax {
 
   /** Adds `outCol` (bigint) = exclusive running max of `valueCol` over
-    * `orderCols`. NULL values don't advance the max. */
+    * `orderCols`. NULL values don't advance the max.
+    *
+    * Checkpoint hygiene: both passes replay the internal
+    * range-partitioned checkpoint, so it cannot be freed here — it is
+    * returned as `_2` for the CALLER to release (via
+    * `GateMemo.unpersistCheckpoint`) once the result is materialized,
+    * the same finish/spent pattern the graph keys use. A caller that
+    * drops `_2` re-creates the round-14 leak qSkyline had. */
   def runningMaxExclusive(df: DataFrame, valueCol: String, outCol: String,
-      orderCols: Seq[Column]): DataFrame = {
+      orderCols: Seq[Column]): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType}
     df.schema(valueCol).dataType match {
       case ByteType | ShortType | IntegerType | LongType => ()
@@ -136,7 +143,7 @@ object CumMax {
     }
     val outSchema = StructType(
       parted.schema.fields :+ StructField(outCol, LongType, nullable = false))
-    parted.mapPartitions { it =>
+    val out = parted.mapPartitions { it =>
       var run = offsets(TaskContext.getPartitionId())
       it.map { r =>
         val out = Row.fromSeq(r.toSeq :+ run) // exclusive: emit BEFORE fold
@@ -145,5 +152,6 @@ object CumMax {
       }
     }(Encoders.row(outSchema))
       .drop(vName)
+    (out, parted)
   }
 }

@@ -215,6 +215,34 @@ object Funnel {
     * plan, where a hot user is ONE aggregation cell per stage. */
   val DefaultOneScanMaxUserEvents: Long = 100000L
 
+  /** Session-scoped dispatch-metadata memo (round-15 ADVICE): the type
+    * histogram and the per-steps hottest-user bound are pure functions
+    * of the IMMUTABLE input plan, so repeated funnel calls over the
+    * same frame (every `q_funnel` invocation re-dispatches) must not
+    * pay up to two extra full scans each. Keyed by
+    * `Dataset.semanticHash` + session UUID — a hash collision could at
+    * worst flip the DISPATCH, never the answer (both funnel
+    * formulations are hash-identical, `q_gate_funnel_dispatch`-pinned).
+    * Access-ordered and capped so a long-lived service cannot
+    * accumulate entries; compute runs OUTSIDE the lock (a duplicate
+    * computation under a race beats holding a lock across a Spark
+    * action). */
+  private object DispatchMemo {
+    private val cap = 256
+    private val m = new java.util.LinkedHashMap[Any, Any](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Any, Any]): Boolean = size() > cap
+    }
+    def cached[A](key: Any)(compute: => A): A =
+      m.synchronized(Option(m.get(key))) match {
+        case Some(v) => v.asInstanceOf[A]
+        case None =>
+          val v = compute
+          m.synchronized(m.put(key, v))
+          v
+      }
+  }
+
   /** [[runAutoWithPath]] without the path tag. */
   def runAuto(events: DataFrame, steps: Seq[String], maxGap: String,
       userCol: String = "user_id", typeCol: String = "event_type",
@@ -247,16 +275,24 @@ object Funnel {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size,
       s"funnel steps must be distinct event types, got $steps")
-    // vocabulary-sized driver read (one row per event type)
-    val hist = events.groupBy(typeCol).agg(count(lit(1)).as("n"))
-      .collect().filterNot(_.isNullAt(0))
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val planKey =
+      (System.identityHashCode(events.sparkSession), events.semanticHash())
+    // vocabulary-sized driver read (one row per event type), memoized
+    // per (session, plan, typeCol)
+    val hist = DispatchMemo.cached(("hist", planKey, typeCol)) {
+      events.groupBy(typeCol).agg(count(lit(1)).as("n"))
+        .collect().filterNot(_.isNullAt(0))
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
     val total = hist.valuesIterator.sum
     val stepRows = steps.flatMap(hist.get).sum
     val covered = total > 0L && stepRows.toDouble / total >= minCoverage
-    lazy val hottestUser = events.filter(col(typeCol).isin(steps: _*))
-      .groupBy(userCol).agg(count(lit(1)).as("n"))
-      .agg(coalesce(max("n"), lit(0L))).head().getLong(0)
+    lazy val hottestUser =
+      DispatchMemo.cached(("hot", planKey, steps, userCol, typeCol)) {
+        events.filter(col(typeCol).isin(steps: _*))
+          .groupBy(userCol).agg(count(lit(1)).as("n"))
+          .agg(coalesce(max("n"), lit(0L))).head().getLong(0)
+      }
     if (covered && hottestUser <= maxUserEvents)
       (runOneScan(events, steps, maxGap, userCol, typeCol, tsCol), "onescan")
     else

@@ -269,13 +269,20 @@ object Analytics {
     val pp = Tables.part(s, d).select(col("p_partkey"), col("p_name"),
       col("p_retailprice"), col("p_size").cast("bigint").as("p_size"))
     val grouped = pp.groupBy("p_retailprice").agg(max("p_size").as("t"))
-    val withM = graft.operators.CumMax.runningMaxExclusive(
+    val (withM, spent) = graft.operators.CumMax.runningMaxExclusive(
       grouped, "t", "m", Seq(col("p_retailprice")))
-    pp.join(withM, "p_retailprice")
+    // checkpoint hygiene (finish/spent pattern): the frontier is bounded
+    // by the price vocabulary — materialize it, then free CumMax's
+    // range-partitioned checkpoint instead of leaking it to the
+    // ContextCleaner
+    val res = pp.join(withM, "p_retailprice")
       .filter(col("p_size") === col("t") && col("p_size") > col("m"))
       .select(col("p_partkey"), col("p_name"), col("p_retailprice"),
         col("p_size"))
       .orderBy("p_retailprice", "p_partkey")
+      .localCheckpoint(true)
+    GateMemo.unpersistCheckpoint(spent)
+    res
   }
 
   val all: Seq[Q] =

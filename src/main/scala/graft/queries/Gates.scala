@@ -1512,6 +1512,77 @@ object Gates {
     verdict(s, "q_gate_store_jaccard", ok)
   }
 
+  /** Rank serving from the maintained edge store (round-15 verdict item
+    * #4 — the payoff the store exists for): with the co-purchase edge
+    * store maintained from the CDC feed, BOTH PageRank variants are
+    * computable from the edge-sized artifact alone — the order log is
+    * never rescanned for a rank read. Pins: (1) store-served unweighted
+    * AND weighted PageRank == the live keys' frames EXACTLY after the
+    * corpus arrives via base + two CDC batches (the store's weighted
+    * (u, v, w) frame IS `weightedEdges`; its (u, v) projection IS
+    * `edges`); (2) a whole-order cancellation moves the store and the
+    * served weighted ranks still equal the live computation on the
+    * reduced corpus; (3) replaying the drained feed is a store-version
+    * no-op. */
+  val qGateStorePagerank = Q(
+    "q_gate_store_pagerank", oracleFor("q_gate_store_pagerank")) { (s, d) =>
+    import graft.streaming.{GraphEdgeStore, SnapshotStore, Streams}
+    val ok = GateMemo.value(s, d, "gate_store_pagerank_ok") {
+      val work = "/root/repo/target/store_pagerank_gate/" +
+        new java.io.File(d).getName
+      graft.LocalFs.rmrf(new java.io.File(work))
+      val liDir = s"$work/lineitem_store"
+      val cdcDir = s"$work/cdc"
+      val edgeDir = s"$work/edges"
+      val ckpt = s"$work/ckpt"
+      val keys = Seq("l_orderkey", "l_partkey")
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        .distinct().localCheckpoint(true)
+      val base = li.filter(col("l_orderkey") % 10 =!= 0)
+      val b1 = li.filter(col("l_orderkey") % 20 === 0)
+      val b2 = li.filter(
+        col("l_orderkey") % 10 === 0 && col("l_orderkey") % 20 =!= 0)
+      Streams.cdcBatch(s, liDir, cdcDir, base, keys)
+      Streams.cdcBatch(s, liDir, cdcDir, b1, keys)
+      Streams.cdcBatch(s, liDir, cdcDir, b2, keys)
+      def drain(): Unit =
+        GraphEdgeStore.maintainFromCdc(s, cdcDir, edgeDir, ckpt)
+      drain()
+      def rows(df: DataFrame): Seq[String] =
+        df.collect().map(_.toString).toSeq
+      def servedUnweighted(): Seq[String] = rows(Graphs.pagerankFrom(
+        GraphEdgeStore.edges(s, edgeDir).select("u", "v")))
+      def servedWeighted(): Seq[String] = rows(Graphs.pagerankWeightedFrom(
+        GraphEdgeStore.edges(s, edgeDir).select("u", "v", "w")))
+      def liveWeightedEdges(of: DataFrame): DataFrame =
+        graft.queries.Baskets.pairs(
+            graft.queries.Baskets.baskets(of), "u", "v")
+          .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      def liveUnweighted(of: DataFrame): Seq[String] =
+        rows(Graphs.pagerankFrom(liveWeightedEdges(of).select("u", "v")))
+      def liveWeighted(of: DataFrame): Seq[String] =
+        rows(Graphs.pagerankWeightedFrom(liveWeightedEdges(of)))
+      val parity = servedUnweighted() == liveUnweighted(li) &&
+        servedWeighted() == liveWeighted(li)
+      val vE = SnapshotStore.currentManifest(s, edgeDir).map(_.version)
+      drain()
+      val replayNoop =
+        SnapshotStore.currentManifest(s, edgeDir).map(_.version) == vE
+      val doomedK = b1.agg(min("l_orderkey")).head().getLong(0)
+      Streams.cdcDeleteBatch(s, liDir, cdcDir,
+        li.filter(col("l_orderkey") === doomedK), keys)
+      drain()
+      // the weighted path subsumes the unweighted one post-delete (the
+      // store's w column drives both; uniform-weight equivalence is
+      // GraphsSpec-pinned) — one variant keeps the gate's rank-run
+      // count at 6 instead of 8
+      val afterDelete = servedWeighted() ==
+        liveWeighted(li.filter(col("l_orderkey") =!= doomedK))
+      servedWeighted().nonEmpty && parity && replayNoop && afterDelete
+    }
+    verdict(s, "q_gate_store_pagerank", ok)
+  }
+
   /** SCD2 dimension history (round 14): the CDC log rendered as
     * type-2 validity intervals (`Streams.scd2` — one key-partitioned
     * lead() window; deletes close intervals without opening one) must
@@ -1577,7 +1648,7 @@ object Gates {
 
   val all: Seq[Q] = Seq(
     qGateScd2,
-    qGateStoreJaccard,
+    qGateStoreJaccard, qGateStorePagerank,
     qGateStreamAnomaly,
     qGateStreamGraphDegree,
     qGateGraphEdgesIncremental,

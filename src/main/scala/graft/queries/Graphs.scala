@@ -270,8 +270,13 @@ object Graphs {
     finish(res, spent)
   }
 
-  private def pagerankBuild(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
-    val e = edges(s, d)
+  /** PageRank iteration core over an ALREADY-DERIVED canonical edge
+    * frame (u, v) — the seam shared by the live key (edges from the
+    * order log) and the maintained-artifact path
+    * (`q_gate_store_pagerank` feeds [[graft.streaming.GraphEdgeStore]]
+    * edges: rank serving with the order log never rescanned). Returns
+    * the lazy top-20 plus the checkpointed degree frame to free. */
+  private def pagerankCore(e: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val adj = symmetrize(e)
     val deg = degrees(adj).localCheckpoint(true)
     // 1-row driver read: the node count sizes the shared rank scale
@@ -289,7 +294,20 @@ object Graphs {
     }
     (r.select(col("node"), col("r").as("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("node"))
-      .limit(20), Seq(e, deg))
+      .limit(20), Seq(deg))
+  }
+
+  private def pagerankBuild(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val e = edges(s, d)
+    val (res, spent) = pagerankCore(e)
+    (res, e +: spent)
+  }
+
+  /** Finished PageRank top-20 from a caller-supplied (u, v) edge frame
+    * — the store-served entry point. */
+  private[graft] def pagerankFrom(e: DataFrame): DataFrame = {
+    val (res, spent) = pagerankCore(e)
+    finish(res, spent)
   }
 
   /** PageRank centrality, 3 power iterations at damping 0.85, on
@@ -483,8 +501,10 @@ object Graphs {
     finish(res, spent)
   }
 
-  private def pagerankWeightedBuild(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
-    val ew = weightedEdges(s, d)
+  /** Weighted-PageRank core over an ALREADY-DERIVED weighted edge frame
+    * (u, v, w) — same store-serving seam as [[pagerankCore]]; the
+    * GraphEdgeStore's maintained weights are exactly this frame. */
+  private def pagerankWeightedCore(ew: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val adjw = ew.select(col("u").as("src"), col("v").as("dst"), col("w"))
       .unionByName(ew.select(col("v").as("src"), col("u").as("dst"), col("w")))
     val strength = adjw.groupBy(col("src").as("node"))
@@ -506,7 +526,20 @@ object Graphs {
     }
     (r.select(col("node"), col("r").as("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("node"))
-      .limit(20), Seq(ew, strength))
+      .limit(20), Seq(strength))
+  }
+
+  private def pagerankWeightedBuild(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val ew = weightedEdges(s, d)
+    val (res, spent) = pagerankWeightedCore(ew)
+    (res, ew +: spent)
+  }
+
+  /** Finished weighted-PageRank top-20 from a caller-supplied (u, v, w)
+    * frame — the store-served entry point. */
+  private[graft] def pagerankWeightedFrom(ew: DataFrame): DataFrame = {
+    val (res, spent) = pagerankWeightedCore(ew)
+    finish(res, spent)
   }
 
   /** Co-occurrence-WEIGHTED PageRank — the ranking merchandisers use:

@@ -707,10 +707,14 @@ class ExtensionsSpec extends AnyFunSuite {
     val o = Tables.orders(spark, sf)
       .select(col("o_orderkey"),
         (col("o_orderkey") % 97).cast("bigint").as("v"))
-    def maxes(df: org.apache.spark.sql.DataFrame) = graft.operators.CumMax
-      .runningMaxExclusive(df, "v", "m", Seq(col("o_orderkey").asc))
-      .select("o_orderkey", "m").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def maxes(df: org.apache.spark.sql.DataFrame) = {
+      val (withM, spent) = graft.operators.CumMax
+        .runningMaxExclusive(df, "v", "m", Seq(col("o_orderkey").asc))
+      val out = withM.select("o_orderkey", "m").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spent.unpersist()
+      out
+    }
     val viaOp = maxes(o)
     val w = org.apache.spark.sql.expressions.Window.orderBy("o_orderkey")
       .rowsBetween(Long.MinValue, -1)

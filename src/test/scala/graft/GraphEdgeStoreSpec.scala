@@ -185,6 +185,72 @@ class GraphEdgeStoreSpec extends AnyFunSuite {
     assert(served == Seq((10L, 20L, 3L, 10000L), (30L, 40L, 2L, 6667L)))
   }
 
+  test("a version split across many files is ingested as ONE atomic batch") {
+    // THE round-14 regression: the retired file-stream drain
+    // (cdcSource, maxFilesPerTrigger=16) cut micro-batches on file
+    // boundaries, so a CDC version spanning >16 part files split an
+    // order's basket across two batches and lost every cross-fragment
+    // pair (562k of 1.196M edges at sf0.1/local[32]). This fixture
+    // forces that exact geometry — ONE order whose version is 24 files
+    // — and pins incremental == rebuild, which only a version-atomic
+    // drain can satisfy.
+    import spark.implicits._
+    val base = freshDir()
+    val cdcDir = s"$base/cdc"; val eDir = s"$base/edges"
+    val cDir = s"$base/counts"; val dDir = s"$base/degrees"
+    val ckpt = s"$base/ckpt"
+    val order = (1 to 24).map(p => (1L, p.toLong))
+    order.toDF("l_orderkey", "l_partkey")
+      .withColumn("change_type", lit("insert"))
+      .repartition(24) // one row per file: 24 files > any per-trigger cap
+      .write.parquet(s"$cdcDir/__version=1")
+    val nFiles = new java.io.File(s"$cdcDir/__version=1")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles > 16, s"fixture must exceed the old 16-file cap, got $nFiles")
+    GraphEdgeStore.maintainFromCdc(spark, cdcDir, eDir, ckpt,
+      degreeDir = Some(dDir), countsDir = Some(cDir))
+    // all C(24,2)=276 pairs of the single basket, each weight 1 — a
+    // split drain would produce only the within-fragment subsets
+    val edges = edgeSet(eDir)
+    assert(edges.size == 276 && edges.forall(_._3 == 1L))
+    assert(degSet(dDir).size == 24 && degSet(dDir).forall(_._2 == 23L))
+    assert(GraphEdgeStore.partCounts(spark, cDir).collect()
+      .forall(_.getLong(1) == 1L))
+    // replay of the drained feed: watermark makes it a store-version no-op
+    def vOf(dir: String) =
+      streaming.SnapshotStore.currentManifest(spark, dir).map(_.version)
+    val (vE, vD, vC) = (vOf(eDir), vOf(dDir), vOf(cDir))
+    GraphEdgeStore.maintainFromCdc(spark, cdcDir, eDir, ckpt,
+      degreeDir = Some(dDir), countsDir = Some(cDir))
+    assert(vOf(eDir) == vE && vOf(dDir) == vD && vOf(cDir) == vC)
+    // crash-window simulation: lose the watermark entirely — the full
+    // re-drain re-merges identical rows under the same version keys
+    // (content no-op on all three stores)
+    assert(new java.io.File(s"$ckpt/_version_watermark").delete())
+    GraphEdgeStore.maintainFromCdc(spark, cdcDir, eDir, ckpt,
+      degreeDir = Some(dDir), countsDir = Some(cDir))
+    assert(edgeSet(eDir) == edges)
+    assert(degSet(dDir).size == 24 && degSet(dDir).forall(_._2 == 23L))
+  }
+
+  test("a retired file-stream checkpoint dir is refused, not resumed") {
+    val base = freshDir()
+    val cdcDir = s"$base/cdc"; val eDir = s"$base/edges"
+    val ckpt = s"$base/ckpt"
+    import spark.implicits._
+    Seq((1L, 10L)).toDF("l_orderkey", "l_partkey")
+      .withColumn("change_type", lit("insert"))
+      .write.parquet(s"$cdcDir/__version=1")
+    // the old drain's streaming checkpoint layout: an offsets/ dir whose
+    // batch ids are micro-batch ordinals, not CDC versions — resuming it
+    // at version granularity would double-count under new keys
+    assert(new java.io.File(s"$ckpt/offsets").mkdirs())
+    val e = intercept[IllegalArgumentException] {
+      GraphEdgeStore.maintainFromCdc(spark, cdcDir, eDir, ckpt)
+    }
+    assert(e.getMessage.contains("fresh checkpoint dir"))
+  }
+
   test("update CDC rows are refused with the replay guidance") {
     val dir = freshDir()
     GraphEdgeStore.build(spark, dir, li((1L, 10L), (1L, 20L)))

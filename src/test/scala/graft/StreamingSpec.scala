@@ -391,6 +391,84 @@ class StreamingSpec extends AnyFunSuite {
     assert(feed.filter($"__version" === 1).count() == 2)
   }
 
+  test("readCdcLog: plan node count flat in version depth on the fast path") {
+    // round-15 verdict item #6: a V-version log must NOT build a
+    // V-branch union plan when no version widened a type — SCD2 over a
+    // 1,000-version log would otherwise carry 1,000 scan branches.
+    import spark.implicits._
+    val cdc = new java.io.File("/root/repo/target/cdclog_depth")
+    LocalFs.rmrf(cdc)
+    // 8 versions, stable schema except v5 ADDS a column (null-filled by
+    // the scan under the union schema — still the fast path; only a
+    // type WIDENING forces per-version alignment)
+    (1 to 8).foreach { v =>
+      val base = Seq((v.toLong, s"r$v")).toDF("k", "change_type")
+      val df = if (v == 5)
+        base.withColumn("new_extra",
+          org.apache.spark.sql.functions.lit(42))
+      else base
+      df.write.parquet(s"${cdc.getAbsolutePath}/__version=$v")
+    }
+    val feed = graft.streaming.Streams.readCdcLog(spark, cdc.getAbsolutePath)
+    val leaves = feed.queryExecution.executedPlan.collectLeaves().size
+    assert(leaves == 1, s"expected ONE multi-dir scan, got $leaves leaves:\n" +
+      feed.queryExecution.executedPlan.treeString)
+    assert(feed.count() == 8)
+    assert(feed.filter($"__version" === 5).head.getAs[Int]("new_extra") == 42)
+    assert(feed.filter($"__version" === 4).head.isNullAt(
+      feed.columns.indexOf("new_extra")), "pre-add versions null-fill")
+    // a type-WIDENED log (k: int in v9 vs long elsewhere) must fall back
+    // to per-version alignment — the vectorized reader refuses
+    // cross-type reads — and still produce the reconciled column
+    Seq((9, "r9")).toDF("k", "change_type")
+      .write.parquet(s"${cdc.getAbsolutePath}/__version=9")
+    val widened = graft.streaming.Streams.readCdcLog(spark, cdc.getAbsolutePath)
+    assert(widened.schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(widened.queryExecution.executedPlan.collectLeaves().size == 9,
+      "a widened log pays per-version branches (correctness over plan shape)")
+    assert(widened.filter($"__version" === 9).head.getAs[Long]("k") == 9L)
+    assert(widened.count() == 9)
+  }
+
+  test("IVM deltas are per-row additive: a mid-version split cannot change totals") {
+    // round-15 verdict item #2: pin the contract that makes
+    // cdcCountDeltas/cdcSumDeltas safe under ANY cdcSource micro-batch
+    // boundary (including a version split mid-batch, which breaks
+    // co-occurrence consumers): per-group totals from per-fragment
+    // deltas, summed, equal the unsplit computation for every way the
+    // rows are partitioned.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum}
+    val changes = Seq(
+      ("insert", null.asInstanceOf[String], "a", null.asInstanceOf[java.lang.Double], java.lang.Double.valueOf(5.0)),
+      ("insert", null.asInstanceOf[String], "b", null.asInstanceOf[java.lang.Double], java.lang.Double.valueOf(2.0)),
+      ("update", "a", "b", java.lang.Double.valueOf(5.0), java.lang.Double.valueOf(7.0)),
+      ("delete", "b", null.asInstanceOf[String], java.lang.Double.valueOf(2.0), null.asInstanceOf[java.lang.Double]))
+      .toDF("change_type", "old_g", "new_g", "old_v", "new_v")
+    def totals(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Double)] =
+      graft.streaming.Streams.cdcCountDeltas(df, "g")
+        .groupBy("g").agg(sum("delta").as("n"))
+        .join(graft.streaming.Streams.cdcSumDeltas(df, "g", "v")
+          .groupBy("g").agg(sum("delta").as("sv")), Seq("g"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+    val whole = totals(changes)
+    assert(whole == Map("a" -> (0L, 0.0), "b" -> (1L, 7.0)))
+    // split the 4 rows every possible contiguous way (incl. the
+    // update row isolated from the rows it "pairs" with) and re-sum
+    (1 to 3).foreach { cut =>
+      val frag1 = changes.limit(cut)
+      val frag2 = changes.exceptAll(frag1)
+      val merged = (totals(frag1).toSeq ++ totals(frag2).toSeq)
+        .groupBy(_._1).view.mapValues(vs =>
+          (vs.map(_._2._1).sum, vs.map(_._2._2).sum)).toMap
+      assert(merged.filter { case (_, (n, s)) => n != 0L || s != 0.0 } ==
+        whole.filter { case (_, (n, s)) => n != 0L || s != 0.0 },
+        s"split at $cut diverged")
+    }
+  }
+
   test("cdcCountDeltas: delete subtracts, group-preserving update nets zero") {
     import spark.implicits._
     val changes = Seq(
