@@ -43,7 +43,8 @@ object GraphServingDemo {
 
   final case class FinalReport(
       replayNoopAllStores: Boolean, // drained-feed re-drain: no version moves
-      cancellationNetsOut: Boolean) // day-2 delete+insert == reduced corpus
+      cancellationNetsOut: Boolean, // day-2 delete+insert == reduced corpus
+      foldReclaimedRows: Boolean)   // day-3 log-fold shrank every store's raw log
 
   private def sameRows(a: DataFrame, b: DataFrame): Boolean =
     a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty
@@ -129,7 +130,31 @@ object GraphServingDemo {
     val netsOut = sameRows(GraphEdgeStore.edges(spark, edgeDir),
       liveWeighted(corpus2))
 
-    (Seq(r0, r1, r2), FinalReport(replayNoop, netsOut))
+    // day 3: compaction window — fold each store's version log into a
+    // fresh BaseVer base (the log-structured design's periodic
+    // maintenance). The raw logs shrink; every served surface must be
+    // bit-identical, because the fold changes REPRESENTATION, not state.
+    def rawRows(): Seq[Long] = Seq(edgeDir, degDir, cntDir)
+      .map(dr => SnapshotStore.read(spark, dr).count())
+    val rowsBefore = rawRows()
+    GraphEdgeStore.foldEdges(spark, edgeDir)
+    GraphEdgeStore.foldDegrees(spark, degDir)
+    GraphEdgeStore.foldCounts(spark, cntDir)
+    val rowsAfter = rawRows()
+    val foldReclaimed = rowsAfter.zip(rowsBefore).forall { case (a, b) =>
+      a <= b } && rowsAfter.sum < rowsBefore.sum
+    val r3 = serve("day3_folded", corpus2)
+
+    // day 4: the compacted store is a normal store — fresh arrivals
+    // (new orders over a new part range, so the edge set genuinely
+    // grows) drain against it and serving stays exact
+    val day4 = day2.withColumn("l_orderkey", col("l_orderkey") + 100000000L)
+      .withColumn("l_partkey", col("l_partkey") + 10000000L)
+    Streams.cdcBatch(spark, liDir, cdcDir, day4, keys)
+    drain()
+    val r4 = serve("day4", corpus2.unionByName(day4))
+
+    (Seq(r0, r1, r2, r3, r4), FinalReport(replayNoop, netsOut, foldReclaimed))
   }
 
   def main(args: Array[String]): Unit = {

@@ -338,9 +338,15 @@ object GraphEdgeStore {
       s"$checkpointDir holds a retired file-stream checkpoint; its batch " +
         "ids are not CDC versions — rebuild the store with a fresh " +
         "checkpoint dir instead of resuming it at version granularity")
-    val last = readWatermark(spark, checkpointDir)
+    // skip floor = MAX(drain watermark, every target store's
+    // folded-through marker): a folded version's rows are gone, so a
+    // lost watermark must not let it re-merge (see the fold section) —
+    // while unfolded versions above the floor still replay idempotently
+    val floor = (readWatermark(spark, checkpointDir).toSeq ++
+      (Seq(edgeDir) ++ degreeDir ++ countsDir)
+        .flatMap(d => readFoldedThrough(spark, d))).maxOption
     Streams.listCdcVersions(spark, cdcDir)
-      .filter(v => last.forall(v > _))
+      .filter(v => floor.forall(v > _))
       .foreach { v =>
         val batch = Streams.readCdcVersion(spark, cdcDir, v)
         degreeDir match {
@@ -362,4 +368,109 @@ object GraphEdgeStore {
     SnapshotStore.read(spark, edgeDir)
       .groupBy("u", "v").agg(sum("w").as("w"))
       .filter(col("w") > 0L)
+
+  // ---- log-fold compaction (round 15) --------------------------------
+  //
+  // Store growth is one row per (touched key, version) — batch-bounded
+  // per ingest but unbounded over the store's lifetime, and every read
+  // re-sums the whole log. The fold reads the CURRENT summed state,
+  // rebuilds a fresh store holding it under [[BaseVer]] alone, and
+  // swaps directories — the log-compaction answer the object doc
+  // promised, now an operation. Keys whose net value is ≤ 0 (fully
+  // cancelled edges/nodes/parts) are physically dropped, matching what
+  // the read views already hide.
+  //
+  // EXACTLY-ONCE INTERACTION: folded version rows are GONE, so a drain
+  // whose watermark file was lost must NOT re-merge a folded version —
+  // pre-fold that replay re-merged identical rows (a no-op); post-fold
+  // it would DOUBLE COUNT. The fold therefore records the highest
+  // folded version in a `_folded_through` file inside the new store
+  // dir, and [[maintainFromCdc]]'s skip floor is the MAX of its
+  // watermark and every target store's marker. Versions at or below
+  // the marker were by construction already ingested (the log being
+  // folded IS the record of what was ingested); versions above it
+  // replay idempotently exactly as before.
+  //
+  // CRASH PROTOCOL (data-first, destructive-last): the fresh store is
+  // fully built in `<dir>__fold_stage` — marker included — BEFORE the
+  // two renames (live -> `<dir>__fold_old`, stage -> live) and the
+  // delete of the old dir. A crash before the first rename leaves the
+  // live store untouched (stage garbage is overwritten by the next
+  // fold); between the renames the COMPLETE stage dir still exists
+  // under its stage name (recovery: rename it to the live name); after
+  // the second rename only the dead `__fold_old` remains, swept here on
+  // the next fold.
+
+  private def foldedThroughPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_folded_through")
+
+  /** Highest CDC version folded into `dir`'s base, if it was ever
+    * folded. [[BaseVer]] markers (a fold of a never-ingested store)
+    * floor nothing. */
+  private[graft] def readFoldedThrough(spark: SparkSession,
+      dir: String): Option[Long] = {
+    val p = foldedThroughPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Fold one store's version log into a fresh BaseVer-only base and
+    * swap it in. `keys` are the logical keys (without `ver`);
+    * `valueCol` is the additive measure. */
+  private def foldStore(spark: SparkSession, dir: String,
+      keys: Seq[String], valueCol: String, numBuckets: Int): Unit = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(SnapshotStore.currentManifest(spark, dir).nonEmpty,
+      s"cannot fold $dir: no committed store")
+    val stage = new org.apache.hadoop.fs.Path(dir + "__fold_stage")
+    val old = new org.apache.hadoop.fs.Path(dir + "__fold_old")
+    // sweep a previous fold's leftovers (crashed stage, swept-late old)
+    Seq(stage, old).foreach(p => if (fs.exists(p)) fs.delete(p, true))
+    val log = SnapshotStore.read(spark, dir)
+    // the marker floors replay, so it must cover every folded version
+    val through = log.agg(max("ver")).head().getLong(0)
+    // materialize the summed state BEFORE any destructive step — the
+    // stage write below is the only reader of the old dir after this
+    val summed = log.groupBy(keys.map(col): _*)
+      .agg(sum(valueCol).as(valueCol))
+      .filter(col(valueCol) > 0L)
+      .withColumn("ver", lit(BaseVer))
+      .localCheckpoint(true)
+    try {
+      SnapshotStore.merge(spark, stage.toString, summed,
+        keys :+ "ver", numBuckets)
+      val out = fs.create(foldedThroughPath(stage.toString), true)
+      try out.write(through.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(base, old))
+        throw new java.io.IOException(s"fold swap failed: $base -> $old")
+      if (!fs.rename(stage, base))
+        throw new java.io.IOException(
+          s"fold swap failed: $stage -> $base (complete store is at $stage)")
+      fs.delete(old, true)
+    } finally graft.queries.GateMemo.unpersistCheckpoint(summed)
+  }
+
+  /** Fold the edge store's version log (see the section comment). */
+  def foldEdges(spark: SparkSession, edgeDir: String,
+      numBuckets: Int = 16): Unit =
+    foldStore(spark, edgeDir, Seq("u", "v"), "w", numBuckets)
+
+  /** Fold the degree store's version log. */
+  def foldDegrees(spark: SparkSession, degreeDir: String,
+      numBuckets: Int = 16): Unit =
+    foldStore(spark, degreeDir, Seq("node"), "dd", numBuckets)
+
+  /** Fold the per-part order-count store's version log. */
+  def foldCounts(spark: SparkSession, countsDir: String,
+      numBuckets: Int = 16): Unit =
+    foldStore(spark, countsDir, Seq("l_partkey"), "n", numBuckets)
 }

@@ -251,6 +251,72 @@ class GraphEdgeStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("fresh checkpoint dir"))
   }
 
+  test("log-fold compacts the version log and floors replay after watermark loss") {
+    import spark.implicits._
+    val base = freshDir()
+    val cdcDir = s"$base/cdc"; val eDir = s"$base/edges"
+    val ckpt = s"$base/ckpt"
+    def ver(v: Int, rows: Seq[(Long, Long)], ct: String = "insert"): Unit =
+      rows.toDF("l_orderkey", "l_partkey")
+        .withColumn("change_type", lit(ct))
+        .write.parquet(s"$cdcDir/__version=$v")
+    GraphEdgeStore.build(spark, eDir, li((1L, 10L), (1L, 20L)))
+    ver(1, Seq((2L, 10L), (2L, 20L)))           // strengthens 10-20 to 2
+    ver(2, Seq((1L, 10L), (1L, 20L)), "delete") // cancels order 1 -> 1
+    GraphEdgeStore.maintainFromCdc(spark, cdcDir, eDir, ckpt)
+    assert(edgeSet(eDir) == Set((10L, 20L, 1L)))
+    def rawRows(): Long = streaming.SnapshotStore.read(spark, eDir).count()
+    assert(rawRows() == 3, "pre-fold: base row + two version deltas")
+    GraphEdgeStore.foldEdges(spark, eDir)
+    assert(rawRows() == 1, "fold collapses the log to current state")
+    assert(edgeSet(eDir) == Set((10L, 20L, 1L)), "served view unchanged")
+    assert(GraphEdgeStore.readFoldedThrough(spark, eDir).contains(2L))
+    // THE hazard the marker closes: pre-fold, a lost watermark replayed
+    // folded versions as identical-row no-ops; post-fold their rows are
+    // GONE and a replay would double count — the folded-through floor
+    // must skip them
+    assert(new java.io.File(s"$ckpt/_version_watermark").delete())
+    GraphEdgeStore.maintainFromCdc(spark, cdcDir, eDir, ckpt)
+    assert(edgeSet(eDir) == Set((10L, 20L, 1L)),
+      "folded versions must not re-merge")
+    // life continues: a post-fold version drains and reads correctly
+    ver(3, Seq((3L, 10L), (3L, 30L)))
+    GraphEdgeStore.maintainFromCdc(spark, cdcDir, eDir, ckpt)
+    assert(edgeSet(eDir) == Set((10L, 20L, 1L), (10L, 30L, 1L)))
+    // and a second fold folds the new tail too
+    GraphEdgeStore.foldEdges(spark, eDir)
+    assert(rawRows() == 2)
+    assert(GraphEdgeStore.readFoldedThrough(spark, eDir).contains(3L))
+  }
+
+  test("fold preserves the degree and count views; cancelled keys vanish physically") {
+    val b = freshDir()
+    val eDir = s"$b/edges"; val dDir = s"$b/degrees"; val cDir = s"$b/counts"
+    val corpus = li((1L, 10L), (1L, 20L), (2L, 10L), (2L, 30L))
+    GraphEdgeStore.buildWithDegrees(spark, eDir, dDir, corpus)
+    GraphEdgeStore.buildCounts(spark, cDir, corpus)
+    // cancel order 2: edge 10-30 crosses to zero, part 30 vanishes
+    val del = li((2L, 10L), (2L, 30L)).withColumn("change_type", lit("delete"))
+    GraphEdgeStore.ingestBatchWithDegrees(spark, eDir, dDir, del, 0L)
+    GraphEdgeStore.ingestCountsBatch(spark, cDir, del, 0L)
+    val (d0, c0) = (degSet(dDir),
+      GraphEdgeStore.partCounts(spark, cDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    GraphEdgeStore.foldDegrees(spark, dDir)
+    GraphEdgeStore.foldCounts(spark, cDir)
+    assert(degSet(dDir) == d0 && d0 == Set((10L, 1L), (20L, 1L)))
+    assert(GraphEdgeStore.partCounts(spark, cDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == c0)
+    // the cancelled part/node is physically gone, not just view-hidden
+    assert(streaming.SnapshotStore.read(spark, dDir)
+      .filter(org.apache.spark.sql.functions.col("node") === 30L).count() == 0)
+    assert(streaming.SnapshotStore.read(spark, cDir)
+      .filter(org.apache.spark.sql.functions.col("l_partkey") === 30L)
+      .count() == 0)
+    assert(GraphEdgeStore.readFoldedThrough(spark, dDir).contains(0L))
+    assert(GraphEdgeStore.readFoldedThrough(spark, cDir).contains(0L))
+  }
+
   test("update CDC rows are refused with the replay guidance") {
     val dir = freshDir()
     GraphEdgeStore.build(spark, dir, li((1L, 10L), (1L, 20L)))

@@ -200,7 +200,8 @@ class PipelineSpec extends AnyFunSuite {
     val root = "/root/repo/target/graph_serving_demo_test"
     LocalFs.rmrf(new java.io.File(root))
     val (days, fin) = graft.examples.GraphServingDemo.run(spark, sf, root)
-    assert(days.map(_.day) == Seq("day0", "day1", "day2"))
+    assert(days.map(_.day) ==
+      Seq("day0", "day1", "day2", "day3_folded", "day4"))
     days.foreach { d =>
       assert(d.hubsEqualBatch, s"${d.day}: hub watch diverged from live")
       assert(d.jaccardServedEqualsLive, s"${d.day}: served jaccard diverged")
@@ -208,11 +209,17 @@ class PipelineSpec extends AnyFunSuite {
         s"${d.day}: served link prediction diverged")
       assert(d.storeEdges > 0, s"${d.day}: empty edge store")
     }
-    // day-1 arrivals grew the store; day-2 delete+insert moved it again
+    // day-1 arrivals grew the store; day-2 delete+insert moved it again;
+    // the day-3 fold changed representation only; day-4 arrivals grew
+    // the compacted store
     assert(days(1).storeEdges > days(0).storeEdges)
     assert(days(2).storeEdges != days(1).storeEdges)
+    assert(days(3).storeEdges == days(2).storeEdges,
+      "a fold must not move the served state")
+    assert(days(4).storeEdges > days(3).storeEdges)
     assert(fin.replayNoopAllStores, s"replay moved a store version: $fin")
     assert(fin.cancellationNetsOut, s"cancellation did not net out: $fin")
+    assert(fin.foldReclaimedRows, s"fold reclaimed no raw log rows: $fin")
   }
 
   test("incremental ingest demo: exactly-once corpus, re-crawl refused, vacuum reclaims") {
