@@ -36,7 +36,17 @@ object CumSum {
 
   /** Adds `outCol` (bigint) = running total of `valueCol` over
     * `orderCols`, replacing any pre-existing `outCol` (withColumn
-    * semantics). Output rows = input rows. */
+    * semantics). Output rows = input rows.
+    *
+    * Checkpoint ownership: both passes replay an internal
+    * range-partitioned checkpoint that the RETURNED FRAME depends on,
+    * so it cannot be freed here and is reclaimed by the ContextCleaner
+    * when the result is GC'd. Unlike [[CumMax.runningMaxExclusive]]
+    * (whose one consumer has a bounded output and frees eagerly via the
+    * spent-return pattern), every runningTotal consumer emits a
+    * corpus-sized frame — eagerly materializing it just to free the
+    * checkpoint would double the block footprint, the cure costing more
+    * than the leak. */
   def runningTotal(df: DataFrame, valueCol: String, outCol: String,
       orderCols: Seq[Column]): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType}

@@ -328,6 +328,13 @@ object GraphEdgeStore {
       checkpointDir: String, numBuckets: Int = 16,
       degreeDir: Option[String] = None,
       countsDir: Option[String] = None): Unit = {
+    // SINGLE-WRITER CONTRACT (same as every SnapshotStore writer): one
+    // drain (or fold) at a time per store. Two concurrent drains would
+    // interleave merge versions and race the watermark write; the
+    // design makes every interleaving CONTENT-safe (version-keyed
+    // idempotence), but manifest versions and gate replay-no-op
+    // verdicts assume a single writer — schedule drains and folds
+    // accordingly.
     // refuse a checkpoint dir from the retired file-stream drain: its
     // batch ids were micro-batch ordinals, not versions — resuming it
     // at version granularity would merge the same rows under NEW keys
@@ -422,13 +429,17 @@ object GraphEdgeStore {
 
   /** Fold one store's version log into a fresh BaseVer-only base and
     * swap it in. `keys` are the logical keys (without `ver`);
-    * `valueCol` is the additive measure. */
+    * `valueCol` is the additive measure. The folded store keeps the
+    * LIVE store's bucket count (from its manifest) — a fold must never
+    * silently re-bucket, or the next ingest's bucket-count validation
+    * would refuse the store its own maintainer built. */
   private def foldStore(spark: SparkSession, dir: String,
-      keys: Seq[String], valueCol: String, numBuckets: Int): Unit = {
+      keys: Seq[String], valueCol: String): Unit = {
     val base = new org.apache.hadoop.fs.Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(SnapshotStore.currentManifest(spark, dir).nonEmpty,
-      s"cannot fold $dir: no committed store")
+    val manifest = SnapshotStore.currentManifest(spark, dir)
+    require(manifest.nonEmpty, s"cannot fold $dir: no committed store")
+    val numBuckets = manifest.get.numBuckets
     val stage = new org.apache.hadoop.fs.Path(dir + "__fold_stage")
     val old = new org.apache.hadoop.fs.Path(dir + "__fold_old")
     // sweep a previous fold's leftovers (crashed stage, swept-late old)
@@ -460,17 +471,14 @@ object GraphEdgeStore {
   }
 
   /** Fold the edge store's version log (see the section comment). */
-  def foldEdges(spark: SparkSession, edgeDir: String,
-      numBuckets: Int = 16): Unit =
-    foldStore(spark, edgeDir, Seq("u", "v"), "w", numBuckets)
+  def foldEdges(spark: SparkSession, edgeDir: String): Unit =
+    foldStore(spark, edgeDir, Seq("u", "v"), "w")
 
   /** Fold the degree store's version log. */
-  def foldDegrees(spark: SparkSession, degreeDir: String,
-      numBuckets: Int = 16): Unit =
-    foldStore(spark, degreeDir, Seq("node"), "dd", numBuckets)
+  def foldDegrees(spark: SparkSession, degreeDir: String): Unit =
+    foldStore(spark, degreeDir, Seq("node"), "dd")
 
   /** Fold the per-part order-count store's version log. */
-  def foldCounts(spark: SparkSession, countsDir: String,
-      numBuckets: Int = 16): Unit =
-    foldStore(spark, countsDir, Seq("l_partkey"), "n", numBuckets)
+  def foldCounts(spark: SparkSession, countsDir: String): Unit =
+    foldStore(spark, countsDir, Seq("l_partkey"), "n")
 }

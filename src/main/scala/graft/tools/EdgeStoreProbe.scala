@@ -60,9 +60,19 @@ object EdgeStoreProbe {
       val edges = GraphEdgeStore.edges(spark, edgeDir).count()
       val versions = SnapshotStore.currentManifest(spark, edgeDir)
         .map(_.version).getOrElse(-1L)
+      // log-fold (round 15): edge-SIZED — reads the store's version log
+      // and rewrites current sums, never the corpus. Compare to
+      // `rebuild`, which shuffles the lineitem-sized axis: the fold is
+      // the cheap periodic maintenance, the rebuild the expensive one.
+      val rawBefore = SnapshotStore.read(spark, edgeDir).count()
+      val tFold = time(GraphEdgeStore.foldEdges(spark, edgeDir))
+      val rawAfter = SnapshotStore.read(spark, edgeDir).count()
+      val tReadFolded = timeMin(GraphEdgeStore.edges(spark, edgeDir).count())
       println(f"$tag: lineitem=$rows%d edges=$edges%d " +
         f"rebuild=$tBuild%.2fs batch5pct=$tBatch%.2fs " +
-        f"read=$tRead%.2fs live_derive=$tLive%.2fs versions=$versions%d")
+        f"read=$tRead%.2fs live_derive=$tLive%.2fs versions=$versions%d " +
+        f"fold=$tFold%.2fs rawrows=$rawBefore%d->$rawAfter%d " +
+        f"read_folded=$tReadFolded%.2fs")
     }
 
     probe("x1", 1)

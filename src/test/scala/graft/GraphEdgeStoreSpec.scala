@@ -317,6 +317,21 @@ class GraphEdgeStoreSpec extends AnyFunSuite {
     assert(GraphEdgeStore.readFoldedThrough(spark, cDir).contains(0L))
   }
 
+  test("fold inherits the live store's bucket count") {
+    // a fold that silently re-bucketed would make the store refuse its
+    // own maintainer's next ingest (merge validates bucket count)
+    val dir = freshDir()
+    GraphEdgeStore.build(spark, dir, li((1L, 10L), (1L, 20L)), numBuckets = 4)
+    GraphEdgeStore.ingestBatch(spark, dir,
+      li((2L, 10L), (2L, 20L)).withColumn("change_type", lit("insert")),
+      0L, numBuckets = 4)
+    GraphEdgeStore.foldEdges(spark, dir)
+    GraphEdgeStore.ingestBatch(spark, dir,
+      li((3L, 10L), (3L, 30L)).withColumn("change_type", lit("insert")),
+      1L, numBuckets = 4)
+    assert(edgeSet(dir) == Set((10L, 20L, 2L), (10L, 30L, 1L)))
+  }
+
   test("update CDC rows are refused with the replay guidance") {
     val dir = freshDir()
     GraphEdgeStore.build(spark, dir, li((1L, 10L), (1L, 20L)))
