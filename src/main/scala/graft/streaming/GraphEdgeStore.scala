@@ -445,8 +445,12 @@ object GraphEdgeStore {
     // sweep a previous fold's leftovers (crashed stage, swept-late old)
     Seq(stage, old).foreach(p => if (fs.exists(p)) fs.delete(p, true))
     val log = SnapshotStore.read(spark, dir)
-    // the marker floors replay, so it must cover every folded version
-    val through = log.agg(max("ver")).head().getLong(0)
+    // the marker floors replay, so it must cover every folded version;
+    // an EMPTY committed store (every delta netted away) has nothing to
+    // fold and no version to floor — return, don't NPE on max(NULL)
+    val throughRow = log.agg(max("ver")).head()
+    if (throughRow.isNullAt(0)) return
+    val through = throughRow.getLong(0)
     // materialize the summed state BEFORE any destructive step — the
     // stage write below is the only reader of the old dir after this
     val summed = log.groupBy(keys.map(col): _*)

@@ -208,13 +208,17 @@ object DumpPlans {
       "lookup-join pruning is pinned in LayoutSpec instead — the key's " +
       "returned frame is checkpoint-pinned, so its plan is an RDD scan " +
       "by design.)"),
-    "q_funnel" -> ("Windowed ordered funnel (round 12). What to check: " +
-      "THREE type-pruned scans of events — each stage's " +
-      "EqualTo(event_type, …) in PushedFilters, so at 100 TB the " +
-      "operator reads the view/click/purchase rows, never the log per " +
-      "stage; every frontier join and aggregation keys on user_id (the " +
-      "same exchange key end to end); the conversion window runs over " +
-      "the K-row step summary, not the data."),
+    "q_funnel" -> ("Ordered funnel under the round-14 measured-crossover " +
+      "dispatch (memoized metadata since round 15). On this corpus the " +
+      "step types cover most of the log, so the dispatch picks the " +
+      "ONE-SCAN plan: a single In(event_type, …)-pushed scan of events, " +
+      "ONE user_id exchange, and the per-user time-ordered fold " +
+      "(aggregate over the sorted step-typed structs) filling each " +
+      "step's slot — the conversion window then runs over the K-row " +
+      "step summary. What to check: exactly one events scan with the " +
+      "IN-list in PushedFilters, no second exchange. (Low-coverage " +
+      "corpora keep the K-scan plan — three type-pruned scans, pinned " +
+      "hash-identical by q_gate_funnel_dispatch.)"),
     "q_funnel_latency" -> ("Funnel step latency (round 13). Same frontier " +
       "frames as q_funnel with the prev-step time carried on the row — " +
       "so the plan shows the SAME three type-pruned scans and user_id " +
@@ -322,8 +326,14 @@ object DumpPlans {
     sb.append("Generated by `graft.tools.DumpPlans` (sf0.01, local[4], AQE on).\n")
     sb.append("PlanSpec asserts the load-bearing properties on every test run;\n")
     sb.append("this file is the human-readable copy.\n")
+    // graph keys return a finish()-materialized RDD scan (checkpoint
+    // hygiene) — dump the LAZY build's plan instead, the real compute
+    // the commentary describes (same seam PlanSpec pins through)
+    val lazyGraphKeys = Set("q_graph_triangles", "q_graph_pagerank")
     commentary.foreach { case (name, why) =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val df =
+        if (lazyGraphKeys(name)) graft.queries.Graphs.lazyBuild(name, spark, sfDir)
+        else SparkEntry.queries(name)(spark, sfDir)
       val formatted = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       sb.append(s"\n## $name\n\n$why\n\n```\n$formatted```\n")
