@@ -1583,6 +1583,81 @@ object Gates {
     verdict(s, "q_gate_store_pagerank", ok)
   }
 
+  /** Full-text serving from maintained artifacts (round 15 — the BM25
+    * twin of the edge-store family): postings (word, doc, tf) + doc
+    * lengths maintained from a documents CDC feed by
+    * [[graft.streaming.TextIndexStore]], so search reads term-pruned
+    * index rows instead of re-tokenizing the corpus per query. Pins:
+    * (1) store-served BM25 == the live `q_text_search` computation
+    * EXACTLY (same terms, same rounding/tie-break) after the corpus
+    * arrives via base + two CDC batches; (2) an in-place text UPDATE
+    * flows through as −old +new deltas (the contrast with the basket
+    * store, which must refuse updates — a document is ONE row, so
+    * per-row additivity makes updates safe) and parity holds against
+    * the mutated corpus; (3) whole-doc deletions drop their postings
+    * and parity holds on the reduced corpus; (4) replaying the drained
+    * feed is a store-version no-op on both artifacts. */
+  val qGateStoreTextSearch = Q(
+    "q_gate_store_text_search",
+    oracleFor("q_gate_store_text_search")) { (s, d) =>
+    import graft.streaming.{SnapshotStore, Streams, TextIndexStore}
+    val ok = GateMemo.value(s, d, "gate_store_text_search_ok") {
+      val work = "/root/repo/target/store_text_gate/" +
+        new java.io.File(d).getName
+      graft.LocalFs.rmrf(new java.io.File(work))
+      val docDir = s"$work/doc_store"
+      val cdcDir = s"$work/cdc"
+      val postDir = s"$work/postings"
+      val lenDir = s"$work/doclens"
+      val ckpt = s"$work/ckpt"
+      val keys = Seq("doc_id")
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+        .localCheckpoint(true)
+      val base = docs.filter(col("doc_id") % 10 =!= 0)
+      val b1 = docs.filter(col("doc_id") % 20 === 0)
+      val b2 = docs.filter(
+        col("doc_id") % 10 === 0 && col("doc_id") % 20 =!= 0)
+      Streams.cdcBatch(s, docDir, cdcDir, base, keys)
+      Streams.cdcBatch(s, docDir, cdcDir, b1, keys)
+      Streams.cdcBatch(s, docDir, cdcDir, b2, keys)
+      def drain(): Unit = TextIndexStore.maintainFromCdc(
+        s, cdcDir, postDir, lenDir, ckpt)
+      drain()
+      val terms = Seq("vector", "stream", "window") // q_text_search's
+      def served(): Seq[String] =
+        TextIndexStore.search(s, postDir, lenDir, terms, topK = 20)
+          .collect().map(_.toString).toSeq
+      def live(of: DataFrame): Seq[String] =
+        graft.operators.TextSearch.bm25(of, "doc_id", "text", terms,
+          topK = 20).collect().map(_.toString).toSeq
+      val parity = served() == live(docs)
+      // in-place text update: append a query term to ~5% of docs — the
+      // feed carries update rows and the index moves −old +new
+      Streams.cdcUpdateBatch(s, docDir, cdcDir, keys,
+        Map("text" -> concat(col("text"), lit(" window"))),
+        col("doc_id") % 19 === 0)
+      drain()
+      val mutated = docs.withColumn("text",
+        when(col("doc_id") % 19 === 0, concat(col("text"), lit(" window")))
+          .otherwise(col("text")))
+      val afterUpdate = served() == live(mutated)
+      val vP = SnapshotStore.currentManifest(s, postDir).map(_.version)
+      val vL = SnapshotStore.currentManifest(s, lenDir).map(_.version)
+      drain()
+      val replayNoop =
+        SnapshotStore.currentManifest(s, postDir).map(_.version) == vP &&
+          SnapshotStore.currentManifest(s, lenDir).map(_.version) == vL
+      // whole-doc deletions: the %20==0 slice leaves the corpus
+      Streams.cdcDeleteBatch(s, docDir, cdcDir,
+        b1.select("doc_id"), keys)
+      drain()
+      val afterDelete =
+        served() == live(mutated.filter(col("doc_id") % 20 =!= 0))
+      served().nonEmpty && parity && afterUpdate && replayNoop && afterDelete
+    }
+    verdict(s, "q_gate_store_text_search", ok)
+  }
+
   /** SCD2 dimension history (round 14): the CDC log rendered as
     * type-2 validity intervals (`Streams.scd2` — one key-partitioned
     * lead() window; deletes close intervals without opening one) must
@@ -1648,7 +1723,7 @@ object Gates {
 
   val all: Seq[Q] = Seq(
     qGateScd2,
-    qGateStoreJaccard, qGateStorePagerank,
+    qGateStoreJaccard, qGateStorePagerank, qGateStoreTextSearch,
     qGateStreamAnomaly,
     qGateStreamGraphDegree,
     qGateGraphEdgesIncremental,

@@ -280,40 +280,6 @@ object GraphEdgeStore {
   // a content no-op. The watermark below only SKIPS work; losing it is
   // always safe.
 
-  private def watermarkPath(checkpointDir: String) =
-    new org.apache.hadoop.fs.Path(checkpointDir, "_version_watermark")
-
-  /** Last fully-ingested CDC version, if any. */
-  private def readWatermark(spark: SparkSession,
-      checkpointDir: String): Option[Long] = {
-    val p = watermarkPath(checkpointDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-      finally in.close()
-    }
-  }
-
-  /** Record version `v` as fully ingested (tmp + rename; a crash
-    * anywhere here leaves either the old watermark or none — both just
-    * re-drain idempotently). */
-  private def writeWatermark(spark: SparkSession, checkpointDir: String,
-      v: Long): Unit = {
-    val p = watermarkPath(checkpointDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(p.getParent)
-    val tmp = new org.apache.hadoop.fs.Path(p.getParent, "_version_watermark.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"watermark write failed at $p")
-  }
-
   /** Drain the CDC feed into the edge store and return when caught up.
     * One ingest per COMMITTED VERSION (batchId = the version), read
     * whole via [[Streams.readCdcVersion]] — the only granularity that
@@ -335,36 +301,22 @@ object GraphEdgeStore {
     // idempotence), but manifest versions and gate replay-no-op
     // verdicts assume a single writer — schedule drains and folds
     // accordingly.
-    // refuse a checkpoint dir from the retired file-stream drain: its
-    // batch ids were micro-batch ordinals, not versions — resuming it
-    // at version granularity would merge the same rows under NEW keys
-    // (double count). Rebuild the store (or point at a fresh dir).
-    val legacy = new org.apache.hadoop.fs.Path(checkpointDir, "offsets")
-    val fs = legacy.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(!fs.exists(legacy),
-      s"$checkpointDir holds a retired file-stream checkpoint; its batch " +
-        "ids are not CDC versions — rebuild the store with a fresh " +
-        "checkpoint dir instead of resuming it at version granularity")
-    // skip floor = MAX(drain watermark, every target store's
-    // folded-through marker): a folded version's rows are gone, so a
-    // lost watermark must not let it re-merge (see the fold section) —
-    // while unfolded versions above the floor still replay idempotently
-    val floor = (readWatermark(spark, checkpointDir).toSeq ++
-      (Seq(edgeDir) ++ degreeDir ++ countsDir)
-        .flatMap(d => readFoldedThrough(spark, d))).maxOption
-    Streams.listCdcVersions(spark, cdcDir)
-      .filter(v => floor.forall(v > _))
-      .foreach { v =>
-        val batch = Streams.readCdcVersion(spark, cdcDir, v)
-        degreeDir match {
-          case Some(dd) =>
-            ingestBatchWithDegrees(spark, edgeDir, dd, batch, v, numBuckets)
-          case None => ingestBatch(spark, edgeDir, batch, v, numBuckets)
-        }
-        countsDir.foreach(cd =>
-          ingestCountsBatch(spark, cd, batch, v, numBuckets))
-        writeWatermark(spark, checkpointDir, v)
+    //
+    // Extra skip floors: every target store's folded-through marker — a
+    // folded version's rows are gone, so a lost watermark must not let
+    // it re-merge (see the fold section); unfolded versions above the
+    // floor still replay idempotently.
+    val floors = (Seq(edgeDir) ++ degreeDir ++ countsDir)
+      .flatMap(d => readFoldedThrough(spark, d))
+    VersionDrain.drain(spark, cdcDir, checkpointDir, floors) { (batch, v) =>
+      degreeDir match {
+        case Some(dd) =>
+          ingestBatchWithDegrees(spark, edgeDir, dd, batch, v, numBuckets)
+        case None => ingestBatch(spark, edgeDir, batch, v, numBuckets)
       }
+      countsDir.foreach(cd =>
+        ingestCountsBatch(spark, cd, batch, v, numBuckets))
+    }
   }
 
   /** The current weighted edge list: per-(u, v) sum over the version

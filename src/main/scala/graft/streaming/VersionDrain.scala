@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared VERSION-GRANULARITY CDC drain (round 15) — the consumption
+  * protocol both maintained-artifact families ride
+  * ([[GraphEdgeStore]] for co-purchase graph stores,
+  * [[TextIndexStore]] for the BM25 index): iterate committed CDC
+  * versions past a watermark, hand each WHOLE version to the caller's
+  * ingest with `batchId = version`, and advance the watermark after the
+  * ingest commits.
+  *
+  * Why version granularity is the only safe batching for multi-row
+  * atomicity, and why the watermark may be lost without harm (ingest
+  * must be idempotent per version — version-in-key merges), is
+  * documented at [[GraphEdgeStore]] and [[Streams.cdcSource]]; this
+  * object is just the mechanism, factored so the two stores cannot
+  * drift apart in replay semantics.
+  *
+  * `extraFloors` lets a caller raise the skip floor above the
+  * watermark — e.g. [[GraphEdgeStore]] passes each store's
+  * `_folded_through` marker, because a folded version's rows are gone
+  * and a replay would double-count rather than no-op. */
+private[graft] object VersionDrain {
+
+  private def watermarkPath(checkpointDir: String) =
+    new org.apache.hadoop.fs.Path(checkpointDir, "_version_watermark")
+
+  /** Last fully-ingested CDC version, if any. */
+  private[graft] def readWatermark(spark: SparkSession,
+      checkpointDir: String): Option[Long] = {
+    val p = watermarkPath(checkpointDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Record version `v` as fully ingested (tmp + rename; a crash
+    * anywhere here leaves either the old watermark or none — both just
+    * re-drain idempotently). */
+  private def writeWatermark(spark: SparkSession, checkpointDir: String,
+      v: Long): Unit = {
+    val p = watermarkPath(checkpointDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      "_version_watermark.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"watermark write failed at $p")
+  }
+
+  /** Drain committed versions > max(watermark, extraFloors) through
+    * `ingest(wholeVersionFrame, version)`, advancing the watermark per
+    * version. Refuses a checkpoint dir left by a retired file-stream
+    * drain (its batch ids were micro-batch ordinals, not versions —
+    * resuming it at version granularity would double-count). */
+  def drain(spark: SparkSession, cdcDir: String, checkpointDir: String,
+      extraFloors: Seq[Long] = Seq.empty)(
+      ingest: (DataFrame, Long) => Unit): Unit = {
+    val legacy = new org.apache.hadoop.fs.Path(checkpointDir, "offsets")
+    val fs = legacy.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(legacy),
+      s"$checkpointDir holds a retired file-stream checkpoint; its batch " +
+        "ids are not CDC versions — rebuild the store with a fresh " +
+        "checkpoint dir instead of resuming it at version granularity")
+    val floor =
+      (readWatermark(spark, checkpointDir).toSeq ++ extraFloors).maxOption
+    Streams.listCdcVersions(spark, cdcDir)
+      .filter(v => floor.forall(v > _))
+      .foreach { v =>
+        ingest(Streams.readCdcVersion(spark, cdcDir, v), v)
+        writeWatermark(spark, checkpointDir, v)
+      }
+  }
+}

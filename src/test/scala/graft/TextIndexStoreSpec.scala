@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computable contracts of the log-structured BM25 index store:
+  * signed tf/length deltas (insert, delete, and the in-place UPDATE the
+  * basket store must refuse), per-batchId idempotence, vanished-term
+  * handling, and served-search equality with the live BM25. The
+  * end-to-end CDC arrival path is driver-pinned by
+  * `q_gate_store_text_search`. */
+class TextIndexStoreSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import streaming.TextIndexStore
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_textindex").toString
+
+  private def postingSet(dir: String): Set[(String, Long, Long)] =
+    TextIndexStore.postings(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def lenMap(dir: String): Map[Long, Long] =
+    TextIndexStore.docLens(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("build writes hand-computable postings and lengths") {
+    val b = freshDir(); val p = s"$b/post"; val l = s"$b/len"
+    TextIndexStore.build(spark, p, l,
+      docs((1L, "a b a"), (2L, "b c")))
+    assert(postingSet(p) == Set(("a", 1L, 2L), ("b", 1L, 1L),
+      ("b", 2L, 1L), ("c", 2L, 1L)))
+    assert(lenMap(l) == Map(1L -> 3L, 2L -> 2L))
+  }
+
+  test("insert, delete, and IN-PLACE UPDATE deltas move the index exactly") {
+    val b = freshDir(); val p = s"$b/post"; val l = s"$b/len"
+    TextIndexStore.build(spark, p, l, docs((1L, "a b")))
+    // batch 0: insert doc 2
+    TextIndexStore.ingestBatch(spark, p, l,
+      docs((2L, "b c")).select(col("doc_id"),
+        lit("insert").as("change_type"),
+        lit(null).cast("string").as("old_text"),
+        col("text").as("new_text")), 0L)
+    assert(postingSet(p) == Set(("a", 1L, 1L), ("b", 1L, 1L),
+      ("b", 2L, 1L), ("c", 2L, 1L)))
+    assert(lenMap(l) == Map(1L -> 2L, 2L -> 2L))
+    // batch 1: UPDATE doc 1 "a b" -> "b b c" (the op the basket store
+    // refuses): a drops out, b gains a count, c appears, length 2 -> 3
+    TextIndexStore.ingestBatch(spark, p, l,
+      docs((1L, "ignored")).select(col("doc_id"),
+        lit("update").as("change_type"),
+        lit("a b").as("old_text"), lit("b b c").as("new_text")), 1L)
+    assert(postingSet(p) == Set(("b", 1L, 2L), ("c", 1L, 1L),
+      ("b", 2L, 1L), ("c", 2L, 1L)))
+    assert(lenMap(l) == Map(1L -> 3L, 2L -> 2L))
+    // batch 2: delete doc 2 — its postings and length vanish from reads
+    TextIndexStore.ingestBatch(spark, p, l,
+      docs((2L, "ignored")).select(col("doc_id"),
+        lit("delete").as("change_type"),
+        lit("b c").as("old_text"), lit(null).cast("string").as("new_text")),
+      2L)
+    assert(postingSet(p) == Set(("b", 1L, 2L), ("c", 1L, 1L)))
+    assert(lenMap(l) == Map(1L -> 3L))
+  }
+
+  test("a length-preserving update nets zero doclen rows; replay is a no-op") {
+    val b = freshDir(); val p = s"$b/post"; val l = s"$b/len"
+    TextIndexStore.build(spark, p, l, docs((1L, "a b")))
+    val vL0 = streaming.SnapshotStore.currentManifest(spark, l).map(_.version)
+    val batch = docs((1L, "ignored")).select(col("doc_id"),
+      lit("update").as("change_type"),
+      lit("a b").as("old_text"), lit("a c").as("new_text"))
+    TextIndexStore.ingestBatch(spark, p, l, batch, 0L)
+    // same length (2 -> 2): no doclen version committed
+    assert(streaming.SnapshotStore.currentManifest(spark, l)
+      .map(_.version) == vL0)
+    assert(postingSet(p) == Set(("a", 1L, 1L), ("c", 1L, 1L)))
+    // replaying the same batchId re-merges identical rows — content no-op
+    val once = postingSet(p)
+    TextIndexStore.ingestBatch(spark, p, l, batch, 0L)
+    assert(postingSet(p) == once && lenMap(l) == Map(1L -> 2L))
+  }
+
+  test("served search equals the live BM25 on a planted corpus") {
+    val b = freshDir(); val p = s"$b/post"; val l = s"$b/len"
+    val corpus = docs(
+      (1L, "spark streams window data"),
+      (2L, "window window functions"),
+      (3L, "batch data only"),
+      (4L, "stream and window processing stream"))
+    TextIndexStore.build(spark, p, l, corpus)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    val served = rows(TextIndexStore.search(spark, p, l,
+      Seq("window", "stream"), topK = 3))
+    val live = rows(graft.operators.TextSearch.bm25(corpus, "doc_id",
+      "text", Seq("window", "stream"), topK = 3))
+    assert(served == live && served.nonEmpty)
+    // conjunctive mode parities too (doc 3 has neither, docs 1,2 lack
+    // "stream" as an exact token: only doc 4 has both)
+    val servedAll = rows(TextIndexStore.search(spark, p, l,
+      Seq("window", "stream"), topK = 3, requireAll = true))
+    val liveAll = rows(graft.operators.TextSearch.bm25(corpus, "doc_id",
+      "text", Seq("window", "stream"), topK = 3, requireAll = true))
+    assert(servedAll == liveAll && servedAll.map(_.split(",")(0))
+      .forall(_.contains("4")))
+  }
+}
