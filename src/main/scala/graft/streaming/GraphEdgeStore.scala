@@ -360,81 +360,22 @@ object GraphEdgeStore {
   // the second rename only the dead `__fold_old` remains, swept here on
   // the next fold.
 
-  private def foldedThroughPath(dir: String) =
-    new org.apache.hadoop.fs.Path(dir, "_folded_through")
-
   /** Highest CDC version folded into `dir`'s base, if it was ever
-    * folded. [[BaseVer]] markers (a fold of a never-ingested store)
-    * floor nothing. */
+    * folded ([[VersionDrain.readFoldedThrough]]). */
   private[graft] def readFoldedThrough(spark: SparkSession,
-      dir: String): Option[Long] = {
-    val p = foldedThroughPath(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-      finally in.close()
-    }
-  }
+      dir: String): Option[Long] =
+    VersionDrain.readFoldedThrough(spark, dir)
 
-  /** Fold one store's version log into a fresh BaseVer-only base and
-    * swap it in. `keys` are the logical keys (without `ver`);
-    * `valueCol` is the additive measure. The folded store keeps the
-    * LIVE store's bucket count (from its manifest) — a fold must never
-    * silently re-bucket, or the next ingest's bucket-count validation
-    * would refuse the store its own maintainer built. */
-  private def foldStore(spark: SparkSession, dir: String,
-      keys: Seq[String], valueCol: String): Unit = {
-    val base = new org.apache.hadoop.fs.Path(dir)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val manifest = SnapshotStore.currentManifest(spark, dir)
-    require(manifest.nonEmpty, s"cannot fold $dir: no committed store")
-    val numBuckets = manifest.get.numBuckets
-    val stage = new org.apache.hadoop.fs.Path(dir + "__fold_stage")
-    val old = new org.apache.hadoop.fs.Path(dir + "__fold_old")
-    // sweep a previous fold's leftovers (crashed stage, swept-late old)
-    Seq(stage, old).foreach(p => if (fs.exists(p)) fs.delete(p, true))
-    val log = SnapshotStore.read(spark, dir)
-    // the marker floors replay, so it must cover every folded version;
-    // an EMPTY committed store (every delta netted away) has nothing to
-    // fold and no version to floor — return, don't NPE on max(NULL)
-    val throughRow = log.agg(max("ver")).head()
-    if (throughRow.isNullAt(0)) return
-    val through = throughRow.getLong(0)
-    // materialize the summed state BEFORE any destructive step — the
-    // stage write below is the only reader of the old dir after this
-    val summed = log.groupBy(keys.map(col): _*)
-      .agg(sum(valueCol).as(valueCol))
-      .filter(col(valueCol) > 0L)
-      .withColumn("ver", lit(BaseVer))
-      .localCheckpoint(true)
-    try {
-      SnapshotStore.merge(spark, stage.toString, summed,
-        keys :+ "ver", numBuckets)
-      val out = fs.create(foldedThroughPath(stage.toString), true)
-      try out.write(through.toString.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      if (!fs.rename(base, old))
-        throw new java.io.IOException(s"fold swap failed: $base -> $old")
-      if (!fs.rename(stage, base))
-        throw new java.io.IOException(
-          s"fold swap failed: $stage -> $base (complete store is at $stage)")
-      fs.delete(old, true)
-    } finally graft.queries.GateMemo.unpersistCheckpoint(summed)
-  }
-
-  /** Fold the edge store's version log (see the section comment). */
+  /** Fold the edge store's version log (see the section comment;
+    * mechanism shared via [[VersionDrain.foldStore]]). */
   def foldEdges(spark: SparkSession, edgeDir: String): Unit =
-    foldStore(spark, edgeDir, Seq("u", "v"), "w")
+    VersionDrain.foldStore(spark, edgeDir, Seq("u", "v"), "w", BaseVer)
 
   /** Fold the degree store's version log. */
   def foldDegrees(spark: SparkSession, degreeDir: String): Unit =
-    foldStore(spark, degreeDir, Seq("node"), "dd")
+    VersionDrain.foldStore(spark, degreeDir, Seq("node"), "dd", BaseVer)
 
   /** Fold the per-part order-count store's version log. */
   def foldCounts(spark: SparkSession, countsDir: String): Unit =
-    foldStore(spark, countsDir, Seq("l_partkey"), "n")
+    VersionDrain.foldStore(spark, countsDir, Seq("l_partkey"), "n", BaseVer)
 }

@@ -115,10 +115,31 @@ object TextIndexStore {
     * idempotent replay, legacy-checkpoint refusal). */
   def maintainFromCdc(spark: SparkSession, cdcDir: String,
       postingsDir: String, doclenDir: String, checkpointDir: String,
-      idCol: String = "doc_id", numBuckets: Int = 16): Unit =
-    VersionDrain.drain(spark, cdcDir, checkpointDir) { (batch, v) =>
+      idCol: String = "doc_id", numBuckets: Int = 16): Unit = {
+    // folded-through markers floor the drain exactly as in the graph
+    // family: a folded version's rows are gone, so a lost watermark
+    // must not let it re-merge
+    val floors = Seq(postingsDir, doclenDir)
+      .flatMap(d => VersionDrain.readFoldedThrough(spark, d))
+    VersionDrain.drain(spark, cdcDir, checkpointDir, floors) { (batch, v) =>
       ingestBatch(spark, postingsDir, doclenDir, batch, v, idCol, numBuckets)
     }
+  }
+
+  /** Fold the postings log into a fresh base (shared
+    * [[VersionDrain.foldStore]] mechanism: stage-then-swap, bucket
+    * inheritance, `_folded_through` replay floor — the drain reads the
+    * marker from both stores, so a watermark loss after a fold cannot
+    * double-merge the folded prefix). Fold BOTH stores of a pair in the
+    * same maintenance window: they share one drain checkpoint, and the
+    * floor is the max over both markers. */
+  def foldPostings(spark: SparkSession, postingsDir: String): Unit =
+    VersionDrain.foldStore(spark, postingsDir, Seq("word", "doc_id"),
+      "tf", BaseVer)
+
+  /** Fold the doc-length log (see [[foldPostings]]'s pairing note). */
+  def foldDocLens(spark: SparkSession, doclenDir: String): Unit =
+    VersionDrain.foldStore(spark, doclenDir, Seq("doc_id"), "dl", BaseVer)
 
   /** Live postings: per-(word, doc) version-log sum, vanished terms
     * dropped. */

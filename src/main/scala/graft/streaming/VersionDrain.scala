@@ -23,6 +23,71 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * and a replay would double-count rather than no-op. */
 private[graft] object VersionDrain {
 
+  // ---- log-fold compaction, shared mechanism --------------------------
+  // (History and hazards documented at [[GraphEdgeStore]]'s fold
+  // section: stage-then-swap crash protocol, the `_folded_through`
+  // marker that must floor any replay because folded version rows are
+  // GONE, bucket-count inheritance from the live manifest.)
+
+  private def foldedThroughPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_folded_through")
+
+  /** Highest CDC version folded into `dir`'s base, if ever folded. */
+  private[graft] def readFoldedThrough(spark: SparkSession,
+      dir: String): Option[Long] = {
+    val p = foldedThroughPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Fold one store's version log into a fresh BaseVer-only base and
+    * swap it in. `keys` are the logical keys (without `ver`); `valueCol`
+    * the additive measure; `baseVer` the store family's base sentinel.
+    * Keys whose net value is ≤ 0 are physically dropped. */
+  private[graft] def foldStore(spark: SparkSession, dir: String,
+      keys: Seq[String], valueCol: String, baseVer: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, max, sum}
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = SnapshotStore.currentManifest(spark, dir)
+    require(manifest.nonEmpty, s"cannot fold $dir: no committed store")
+    val numBuckets = manifest.get.numBuckets
+    val stage = new org.apache.hadoop.fs.Path(dir + "__fold_stage")
+    val old = new org.apache.hadoop.fs.Path(dir + "__fold_old")
+    Seq(stage, old).foreach(p => if (fs.exists(p)) fs.delete(p, true))
+    val log = SnapshotStore.read(spark, dir)
+    // marker must cover every folded version; an EMPTY committed store
+    // has nothing to fold and no version to floor
+    val throughRow = log.agg(max("ver")).head()
+    if (throughRow.isNullAt(0)) return
+    val through = throughRow.getLong(0)
+    val summed = log.groupBy(keys.map(col): _*)
+      .agg(sum(valueCol).as(valueCol))
+      .filter(col(valueCol) > 0L)
+      .withColumn("ver", lit(baseVer))
+      .localCheckpoint(true)
+    try {
+      SnapshotStore.merge(spark, stage.toString, summed,
+        keys :+ "ver", numBuckets)
+      val out = fs.create(foldedThroughPath(stage.toString), true)
+      try out.write(through.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(base, old))
+        throw new java.io.IOException(s"fold swap failed: $base -> $old")
+      if (!fs.rename(stage, base))
+        throw new java.io.IOException(
+          s"fold swap failed: $stage -> $base (complete store is at $stage)")
+      fs.delete(old, true)
+    } finally graft.queries.GateMemo.unpersistCheckpoint(summed)
+  }
+
   private def watermarkPath(checkpointDir: String) =
     new org.apache.hadoop.fs.Path(checkpointDir, "_version_watermark")
 

@@ -87,6 +87,39 @@ class TextIndexStoreSpec extends AnyFunSuite {
     assert(postingSet(p) == once && lenMap(l) == Map(1L -> 2L))
   }
 
+  test("fold compacts both artifact logs; views and replay floor survive") {
+    import spark.implicits._
+    val b = freshDir()
+    val cdcDir = s"$b/cdc"; val p = s"$b/post"; val l = s"$b/len"
+    val ckpt = s"$b/ckpt"
+    def ver(v: Int, rows: Seq[(Long, String, String, String)]): Unit =
+      rows.toDF("doc_id", "change_type", "old_text", "new_text")
+        .write.parquet(s"$cdcDir/__version=$v")
+    TextIndexStore.build(spark, p, l, docs((1L, "a b")))
+    ver(1, Seq((2L, "insert", null, "b c")))
+    ver(2, Seq((1L, "update", "a b", "b b")))
+    TextIndexStore.maintainFromCdc(spark, cdcDir, p, l, ckpt)
+    val before = (postingSet(p), lenMap(l))
+    assert(before._1 == Set(("b", 1L, 2L), ("b", 2L, 1L), ("c", 2L, 1L)))
+    def rawRows(dir: String): Long =
+      streaming.SnapshotStore.read(spark, dir).count()
+    val (rp, rl) = (rawRows(p), rawRows(l))
+    TextIndexStore.foldPostings(spark, p)
+    TextIndexStore.foldDocLens(spark, l)
+    assert(rawRows(p) < rp, "postings fold must reclaim version rows")
+    assert(rawRows(l) <= rl)
+    assert((postingSet(p), lenMap(l)) == before, "views unchanged by fold")
+    // watermark loss after a fold: folded versions must not re-merge
+    assert(new java.io.File(s"$ckpt/_version_watermark").delete())
+    TextIndexStore.maintainFromCdc(spark, cdcDir, p, l, ckpt)
+    assert((postingSet(p), lenMap(l)) == before,
+      "folded versions must not double-count on re-drain")
+    // life continues post-fold
+    ver(3, Seq((3L, "insert", null, "c")))
+    TextIndexStore.maintainFromCdc(spark, cdcDir, p, l, ckpt)
+    assert(postingSet(p).contains(("c", 3L, 1L)) && lenMap(l)(3L) == 1L)
+  }
+
   test("served search equals the live BM25 on a planted corpus") {
     val b = freshDir(); val p = s"$b/post"; val l = s"$b/len"
     val corpus = docs(
