@@ -252,6 +252,54 @@ object Catalog {
       ("nation", Tables.nation(s, d), Seq())))
   }
 
+  /** Null/corruption repair by group-typical imputation (the reference's
+    * self-healing promise, README.md:3-5, applied at ROW level — quality
+    * keys only COUNT violations; this one repairs them): negative
+    * account balances are the planted upstream corruption (the classic
+    * sentinel-value bug), nulled out and imputed with the customer's
+    * market segment's typical balance. Everything runs in exact integer
+    * cents (the q_anomaly_zscore convention): the fill is
+    * floor(Σcents / n) over the segment's CLEAN rows, so both engines
+    * agree bit-for-bit with no double-mean drift. The repaired value
+    * rides a `was_repaired` flag for downstream lineage/audit.
+    *
+    * Scale shape: segment stats are a vocabulary-sized aggregate
+    * (partial-agged map-side, 5 rows here) broadcast back over the
+    * table, so the repair itself is pure map-side — the window
+    * formulation (`avg OVER (PARTITION BY segment)`) would instead
+    * shuffle the ENTIRE table by segment (5 hot partitions at 100 TB);
+    * two scans + a broadcast beat one scan + a full exchange at any
+    * scale where the table outweighs the page cache. */
+  val qImpute = Q(
+    "q_impute",
+    """WITH c AS (SELECT c_custkey, c_mktsegment,
+      |                  CASE WHEN c_acctbal < 0 THEN NULL
+      |                       ELSE CAST(round(c_acctbal * 100) AS BIGINT)
+      |                  END AS bal_cents
+      |           FROM customer),
+      |f AS (SELECT c_mktsegment,
+      |             CAST(sum(bal_cents) // count(bal_cents) AS BIGINT) AS fill
+      |      FROM c WHERE bal_cents IS NOT NULL GROUP BY 1)
+      |SELECT c.c_custkey, c.c_mktsegment,
+      |       coalesce(c.bal_cents, f.fill) AS bal_cents,
+      |       c.bal_cents IS NULL AS was_repaired
+      |FROM c JOIN f USING (c_mktsegment)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d).select(
+      col("c_custkey"), col("c_mktsegment"),
+      when(col("c_acctbal") < 0, lit(null))
+        .otherwise(round(col("c_acctbal") * 100, 0).cast("bigint"))
+        .as("bal_cents"))
+    val fills = c.filter(col("bal_cents").isNotNull)
+      .groupBy("c_mktsegment")
+      .agg(expr("sum(bal_cents) DIV count(bal_cents)").as("fill"))
+    c.join(broadcast(fills), Seq("c_mktsegment"))
+      .select(col("c_custkey"), col("c_mktsegment"),
+        coalesce(col("bal_cents"), col("fill")).as("bal_cents"),
+        col("bal_cents").isNull.as("was_repaired"))
+      .orderBy("c_custkey")
+  }
+
   /** DDL synthesis (P6): the generator is deterministic over the fixed
     * driver schemas, so the three statements are HARDCODED literals in a
     * golden VALUES oracle (upgraded from rows-only, round 7) — if
@@ -1485,7 +1533,8 @@ object Catalog {
   val all: Seq[Q] = Seq(
     qProfileFd,
     qProfileTypes, qProfileSemantic, qQualityNulls, qQualityOutliers,
-    qQualityCardinality, qQualityExpectations, qProfileDrift, qDdlSynthesis,
+    qQualityCardinality, qQualityExpectations, qImpute, qProfileDrift,
+    qDdlSynthesis,
     qEtlTransform, qEtlTransformSql, qEtlQuarantine, qCsvScan, qJsonScan, qSchemaEvolution, qSnapshotTimetravel, qSnapshotChanges, qSnapshotDelete, qSnapshotUpdate, qSnapshotCompact, qCdcView, qLineage,
     qLoadRoundtrip, qParquetScan, qUdafProfile,
     qSinkCsvRoundtrip, qSinkJsonRoundtrip, qSinkOrcRoundtrip, qSinkAvroRoundtrip, qSinkPartitioned, qUpsert,

@@ -1694,8 +1694,82 @@ object Extensions {
       .orderBy("edit_dist", "name_a", "name_b")
   }
 
+  /** End-to-end entity resolution (golden record): the three fuzzy
+    * pieces the registry already proves separately — banded-blocking
+    * edit-distance pairs (q_fuzzy_match), transitive closure
+    * (q_dedup_cluster's ConnectedComponents), canonical selection
+    * (q_dedup_canonical) — composed into the workload data teams
+    * actually run: resolve name variants into entities and emit one
+    * golden record per entity. Domain: part-name variants at edit
+    * distance ≤ 2; each resolved entity reports its canonical name
+    * (cluster minimum — deterministic), its member variants, how many
+    * part rows it covers, and the repaired golden attribute (minimum
+    * price, exact integer cents). Unmatched names are singletons and
+    * never enter the pair graph, so the output is bounded by the MATCH
+    * count, not the corpus.
+    *
+    * Scale shape: blocking is the q_fuzzy_match length-band equi-join
+    * over the DISTINCT name vocabulary (never the row count);
+    * clustering is min-label/star-contraction auto-dispatch over the
+    * pair-bounded edge list (strings are labels — least() needs only
+    * an ordering); the golden-attribute pass joins the row-sized table
+    * against the match-bounded label frame BROADCAST, so it stays one
+    * map-side scan at any corpus size. Oracle: recursive reachability
+    * closure over an independently derived pair set. */
+  val qEntityResolution = Q(
+    "q_entity_resolution",
+    """WITH RECURSIVE names AS (SELECT DISTINCT p_name AS name FROM part),
+      |p AS (SELECT a.name AS u, b.name AS v
+      |      FROM names a JOIN names b
+      |        ON a.name < b.name AND abs(length(a.name) - length(b.name)) <= 2
+      |      WHERE levenshtein(a.name, b.name) <= 2),
+      |edges AS (SELECT u AS a, v AS b FROM p UNION ALL SELECT v, u FROM p),
+      |reach(src, node) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node),
+      |lbl AS (SELECT src AS name, min(node) AS canonical FROM reach GROUP BY 1),
+      |agg AS (SELECT canonical AS canonical_name, count(*) AS n_names,
+      |               string_agg(name, '|' ORDER BY name) AS members
+      |        FROM lbl GROUP BY 1),
+      |g AS (SELECT l.canonical AS canonical_name, count(*) AS n_parts,
+      |             min(CAST(round(pp.p_retailprice * 100) AS BIGINT))
+      |               AS min_price_cents
+      |      FROM part pp JOIN lbl l ON pp.p_name = l.name GROUP BY 1)
+      |SELECT a.canonical_name, a.n_names, g.n_parts, g.min_price_cents,
+      |       a.members
+      |FROM agg a JOIN g USING (canonical_name)
+      |ORDER BY canonical_name""".stripMargin) { (s, d) =>
+    val names = Tables.part(s, d).select(col("p_name").as("name")).distinct()
+      .withColumn("len", length(col("name")))
+    val anchors = names.select(col("name").as("name_a"),
+      col("len").as("bucket"))
+    val probes = names.select(col("name").as("name_b"),
+      explode(sequence(col("len") - 2, col("len") + 2)).as("bucket"))
+    val pairs = anchors.join(probes, "bucket")
+      .filter(col("name_a") < col("name_b"))
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 2)
+      .select("name_a", "name_b")
+    val labels = graft.operators.ConnectedComponents
+      .auto(pairs, "name_a", "name_b")
+    val clusters = labels.groupBy(col("lbl").as("canonical_name"))
+      .agg(count(lit(1)).as("n_names"),
+        array_join(array_sort(collect_list(col("node"))), "|").as("members"))
+    val golden = Tables.part(s, d)
+      .join(broadcast(labels.select(col("node").as("p_name"), col("lbl"))),
+        Seq("p_name"))
+      .groupBy(col("lbl").as("canonical_name"))
+      .agg(count(lit(1)).as("n_parts"),
+        min(round(col("p_retailprice") * 100, 0).cast("bigint"))
+          .as("min_price_cents"))
+    clusters.join(golden, "canonical_name")
+      .select("canonical_name", "n_names", "n_parts", "min_price_cents",
+        "members")
+      .orderBy("canonical_name")
+  }
+
   val all: Seq[Q] = Seq(
-    qFuzzyMatch,
+    qFuzzyMatch, qEntityResolution,
     qDedupExact, qNeardup, qDedupCluster, qDedupClusterStar, qDedupCanonical,
     qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qDedupEmbedAnn, qDedupEmbedIncremental,

@@ -1583,6 +1583,86 @@ object Gates {
     verdict(s, "q_gate_store_pagerank", ok)
   }
 
+  /** Neighborhood analytics served from the maintained edge store
+    * (round 15 — completes the graph-serving family alongside
+    * jaccard/pagerank/degree): the triangle census and common-neighbors
+    * link prediction both need only the canonical edge frame, so with
+    * the store maintained from the CDC feed neither ever rescans the
+    * order log. Both ride the same adjacency-intersection machinery —
+    * one gate pins the pair. Pins: (1) store-served triangle census ==
+    * the live `q_graph_triangles` frame EXACTLY, and store-served link
+    * prediction (w ≥ 2 support filter applied to the store's weights)
+    * == the live `q_graph_link_predict` frame EXACTLY, after the
+    * corpus arrives via base + two CDC batches; (2) a whole-order
+    * cancellation moves the store and both served frames still equal
+    * the live computation on the reduced corpus; (3) replaying the
+    * drained feed is a store-version no-op. */
+  val qGateStoreTriangles = Q(
+    "q_gate_store_triangles", oracleFor("q_gate_store_triangles")) { (s, d) =>
+    import graft.streaming.{GraphEdgeStore, SnapshotStore, Streams}
+    val ok = GateMemo.value(s, d, "gate_store_triangles_ok") {
+      val work = "/root/repo/target/store_triangles_gate/" +
+        new java.io.File(d).getName
+      graft.LocalFs.rmrf(new java.io.File(work))
+      val liDir = s"$work/lineitem_store"
+      val cdcDir = s"$work/cdc"
+      val edgeDir = s"$work/edges"
+      val ckpt = s"$work/ckpt"
+      val keys = Seq("l_orderkey", "l_partkey")
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        .distinct().localCheckpoint(true)
+      val base = li.filter(col("l_orderkey") % 10 =!= 0)
+      val b1 = li.filter(col("l_orderkey") % 20 === 0)
+      val b2 = li.filter(
+        col("l_orderkey") % 10 === 0 && col("l_orderkey") % 20 =!= 0)
+      Streams.cdcBatch(s, liDir, cdcDir, base, keys)
+      Streams.cdcBatch(s, liDir, cdcDir, b1, keys)
+      Streams.cdcBatch(s, liDir, cdcDir, b2, keys)
+      def drain(): Unit =
+        GraphEdgeStore.maintainFromCdc(s, cdcDir, edgeDir, ckpt)
+      drain()
+      def census(e: DataFrame): Seq[String] = {
+        val (res, spent) = Graphs.trianglesFrom(e)
+        val rows = res.collect().map(_.toString).toSeq
+        spent.foreach(GateMemo.unpersistCheckpoint)
+        rows
+      }
+      def storeEdges(): DataFrame =
+        GraphEdgeStore.edges(s, edgeDir).localCheckpoint(true)
+      def liveWeightedEdges(of: DataFrame): DataFrame =
+        graft.queries.Baskets.pairs(
+            graft.queries.Baskets.baskets(of), "u", "v")
+          .groupBy("u", "v").agg(count(lit(1)).as("w"))
+          .localCheckpoint(true)
+      def parityOn(of: DataFrame): Boolean = {
+        val se = storeEdges()
+        val le = liveWeightedEdges(of)
+        val triangles = census(se.select("u", "v")) ==
+          census(le.select("u", "v"))
+        val links = Graphs.linkPredictFrom(
+            se.filter(col("w") >= 2).select("u", "v"))
+          .collect().map(_.toString).toSeq ==
+          Graphs.linkPredictFrom(
+            le.filter(col("w") >= 2).select("u", "v"))
+            .collect().map(_.toString).toSeq
+        Seq(se, le).foreach(GateMemo.unpersistCheckpoint)
+        triangles && links
+      }
+      val parity = parityOn(li)
+      val vE = SnapshotStore.currentManifest(s, edgeDir).map(_.version)
+      drain()
+      val replayNoop =
+        SnapshotStore.currentManifest(s, edgeDir).map(_.version) == vE
+      val doomedK = b1.agg(min("l_orderkey")).head().getLong(0)
+      Streams.cdcDeleteBatch(s, liDir, cdcDir,
+        li.filter(col("l_orderkey") === doomedK), keys)
+      drain()
+      val afterDelete = parityOn(li.filter(col("l_orderkey") =!= doomedK))
+      parity && replayNoop && afterDelete
+    }
+    verdict(s, "q_gate_store_triangles", ok)
+  }
+
   /** Full-text serving from maintained artifacts (round 15 — the BM25
     * twin of the edge-store family): postings (word, doc, tf) + doc
     * lengths maintained from a documents CDC feed by
@@ -1723,7 +1803,8 @@ object Gates {
 
   val all: Seq[Q] = Seq(
     qGateScd2,
-    qGateStoreJaccard, qGateStorePagerank, qGateStoreTextSearch,
+    qGateStoreJaccard, qGateStorePagerank, qGateStoreTriangles,
+    qGateStoreTextSearch,
     qGateStreamAnomaly,
     qGateStreamGraphDegree,
     qGateGraphEdgesIncremental,

@@ -590,6 +590,17 @@ object Graphs {
 
   private def trianglesBuild(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     val e = edges(s, d)
+    val (res, spent) = trianglesFrom(e)
+    (res, e +: spent)
+  }
+
+  /** Triangle census over an ALREADY-DERIVED canonical (u, v) edge
+    * frame — the seam shared by the live key and the maintained-
+    * artifact path (`q_gate_store_triangles` feeds
+    * [[graft.streaming.GraphEdgeStore]] edges: neighborhood analytics
+    * with the order log never rescanned). Returns the lazy census row
+    * plus the checkpointed intermediates to free. */
+  private[graft] def trianglesFrom(e: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val deg = degrees(symmetrize(e)).localCheckpoint(true)
     // orient each edge low→high in (degree, id) order
     val du = deg.select(col("node").as("u"), col("degree").as("du"))
@@ -626,7 +637,7 @@ object Graphs {
           .otherwise(
             expr("CAST((6 * triangles * 10000 + wedges) DIV (2 * wedges) " +
               "AS DOUBLE) / 10000.0")).as("clustering_coef")),
-      Seq(e, deg, oriented))
+      Seq(deg, oriented))
   }
 
   /** Global triangle census: node/edge/wedge/triangle counts and the

@@ -306,8 +306,13 @@ object GraphEdgeStore {
     // folded version's rows are gone, so a lost watermark must not let
     // it re-merge (see the fold section); unfolded versions above the
     // floor still replay idempotently.
-    val floors = (Seq(edgeDir) ++ degreeDir ++ countsDir)
-      .flatMap(d => readFoldedThrough(spark, d))
+    val dirs = Seq(edgeDir) ++ degreeDir ++ countsDir
+    // self-heal any store whose last fold crashed mid-swap BEFORE
+    // reading its fold floor: a drain against the missing-live state
+    // would otherwise silently rebuild a fresh store without the
+    // folded history ([[VersionDrain.recoverFold]])
+    dirs.foreach(d => VersionDrain.recoverFold(spark, d))
+    val floors = dirs.flatMap(d => readFoldedThrough(spark, d))
     VersionDrain.drain(spark, cdcDir, checkpointDir, floors) { (batch, v) =>
       degreeDir match {
         case Some(dd) =>
@@ -356,9 +361,11 @@ object GraphEdgeStore {
   // delete of the old dir. A crash before the first rename leaves the
   // live store untouched (stage garbage is overwritten by the next
   // fold); between the renames the COMPLETE stage dir still exists
-  // under its stage name (recovery: rename it to the live name); after
-  // the second rename only the dead `__fold_old` remains, swept here on
-  // the next fold.
+  // under its stage name, and [[VersionDrain.recoverFold]] — called by
+  // every subsequent fold AND drain — completes the swap automatically
+  // (round 15: the protocol's one manual recovery step, now code);
+  // after the second rename only the dead `__fold_old` remains, swept
+  // on the next fold/drain.
 
   /** Highest CDC version folded into `dir`'s base, if it was ever
     * folded ([[VersionDrain.readFoldedThrough]]). */

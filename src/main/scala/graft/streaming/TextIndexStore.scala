@@ -118,9 +118,11 @@ object TextIndexStore {
       idCol: String = "doc_id", numBuckets: Int = 16): Unit = {
     // folded-through markers floor the drain exactly as in the graph
     // family: a folded version's rows are gone, so a lost watermark
-    // must not let it re-merge
-    val floors = Seq(postingsDir, doclenDir)
-      .flatMap(d => VersionDrain.readFoldedThrough(spark, d))
+    // must not let it re-merge; recover a crashed fold swap first so
+    // the floor (and the store itself) is readable
+    val dirs = Seq(postingsDir, doclenDir)
+    dirs.foreach(d => VersionDrain.recoverFold(spark, d))
+    val floors = dirs.flatMap(d => VersionDrain.readFoldedThrough(spark, d))
     VersionDrain.drain(spark, cdcDir, checkpointDir, floors) { (batch, v) =>
       ingestBatch(spark, postingsDir, doclenDir, batch, v, idCol, numBuckets)
     }

@@ -46,6 +46,47 @@ private[graft] object VersionDrain {
     }
   }
 
+  /** SELF-HEAL a store whose fold crashed between the two swap renames
+    * (the one protocol window where the live dir is absent): the
+    * COMPLETE folded store — manifest and `_folded_through` marker were
+    * written into the stage dir BEFORE any rename — still exists under
+    * `<dir>__fold_stage`, so recovery is the rename the crashed fold
+    * never reached, plus sweeping the dead `<dir>__fold_old`. Returns
+    * true when a crashed swap was completed. Safe to call anytime:
+    * with a healthy live store it only sweeps leftover `__fold_old`
+    * debris (a crash after the second rename but before the old-dir
+    * delete); it never touches an INCOMPLETE stage (no manifest or no
+    * marker — that crash window leaves the live store intact, and the
+    * next fold overwrites the partial stage). Every fold and every
+    * drain calls this first, so the protocol's single manual step in
+    * the round-15 design ("recovery: rename it to the live name") is
+    * now automatic — a store can always be read after any
+    * single-crash history. Single-writer contract applies (same as
+    * [[foldStore]]). */
+  private[graft] def recoverFold(spark: SparkSession, dir: String): Boolean = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(dir + "__fold_stage")
+    val old = new org.apache.hadoop.fs.Path(dir + "__fold_old")
+    val liveOk = SnapshotStore.currentManifest(spark, dir).nonEmpty
+    val recovered =
+      if (!liveOk &&
+          SnapshotStore.currentManifest(spark, stage.toString).nonEmpty &&
+          fs.exists(foldedThroughPath(stage.toString))) {
+        // a manifest-less live husk cannot arise from the fold protocol
+        // (directory renames are atomic) but must not block the rename
+        if (fs.exists(base)) fs.delete(base, true)
+        if (!fs.rename(stage, base))
+          throw new java.io.IOException(
+            s"fold recovery failed: $stage -> $base")
+        true
+      } else false
+    if (fs.exists(old) &&
+        SnapshotStore.currentManifest(spark, dir).nonEmpty)
+      fs.delete(old, true)
+    recovered
+  }
+
   /** Fold one store's version log into a fresh BaseVer-only base and
     * swap it in. `keys` are the logical keys (without `ver`); `valueCol`
     * the additive measure; `baseVer` the store family's base sentinel.
@@ -53,6 +94,7 @@ private[graft] object VersionDrain {
   private[graft] def foldStore(spark: SparkSession, dir: String,
       keys: Seq[String], valueCol: String, baseVer: Long): Unit = {
     import org.apache.spark.sql.functions.{col, lit, max, sum}
+    recoverFold(spark, dir) // complete a crashed predecessor's swap first
     val base = new org.apache.hadoop.fs.Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifest = SnapshotStore.currentManifest(spark, dir)

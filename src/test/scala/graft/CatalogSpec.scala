@@ -704,4 +704,33 @@ class CatalogSpec extends AnyFunSuite {
     // non-planted directions still follow the cardinality rule)
     assert(fds.contains(("p_name", "p_size")))
   }
+
+  test("q_impute repairs corrupt balances with the segment floor-mean, flags them, leaves clean rows") {
+    import org.apache.spark.sql.functions._
+    val sf = SparkTestSession.sf
+    val cust = Tables.customer(spark, sf)
+    val out = SparkEntry.queries("q_impute")(spark, sf).collect()
+    assert(out.length == cust.count(), "row-preserving repair")
+    assert(out.forall(!_.isNullAt(2)), "every balance repaired (no all-corrupt segment)")
+    val nCorrupt = cust.filter(col("c_acctbal") < 0).count()
+    assert(nCorrupt > 0, "fixture must contain corrupt rows")
+    assert(out.count(_.getBoolean(3)) == nCorrupt)
+    // independent fill derivation: floor(sum cents / n) over clean rows
+    val fills = cust.filter(col("c_acctbal") >= 0)
+      .groupBy("c_mktsegment")
+      .agg(expr(
+        "sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) DIV count(1)").as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val clean = cust.select(col("c_custkey"),
+        round(col("c_acctbal") * 100, 0).cast("bigint").as("cents"),
+        (col("c_acctbal") < 0).as("corrupt"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    out.foreach { r =>
+      val (cents, corrupt) = clean(r.getLong(0))
+      if (corrupt) assert(r.getLong(2) == fills(r.getString(1)),
+        s"repaired value must be the segment fill for ${r.getLong(0)}")
+      else assert(r.getLong(2) == cents,
+        s"clean value must pass through untouched for ${r.getLong(0)}")
+    }
+  }
 }

@@ -942,4 +942,41 @@ class ExtensionsSpec extends AnyFunSuite {
         s"rule at column $i is degenerate: $passed/${rows.length}")
     }
   }
+
+  test("q_entity_resolution: clusters are transitive closures of d<=2 pairs with min-canonical golden records") {
+    val rows = SparkEntry.queries("q_entity_resolution")(spark, sf).collect()
+    assert(rows.nonEmpty, "expected name variants in testdata")
+    val memberToCanonical = rows.flatMap { r =>
+      val canonical = r.getString(0)
+      val members = r.getString(4).split('|').toSeq
+      assert(members.size == r.getLong(1), s"n_names mismatch: $r")
+      assert(members.size >= 2, s"singleton cluster leaked: $r")
+      assert(members == members.sorted, s"members not sorted: $r")
+      assert(canonical == members.min, s"canonical must be cluster min: $r")
+      assert(r.getLong(2) >= r.getLong(1), s"n_parts < n_names: $r")
+      members.map(_ -> canonical)
+    }.toMap
+    // no name in two clusters (flatMap->toMap would mask it; check sizes)
+    assert(memberToCanonical.size ==
+      rows.map(_.getLong(1)).sum, "a name appears in two clusters")
+    // independent pair derivation: every d<=2 pair must land in ONE cluster
+    val names = Tables.part(spark, sf).select("p_name").distinct()
+      .collect().map(_.getString(0))
+    for (a <- names; b <- names if a < b) {
+      val d = levenshteinDist(a, b)
+      if (d <= 2)
+        assert(memberToCanonical.get(a).exists(memberToCanonical.get(b).contains),
+          s"pair ($a, $b) at distance $d split across clusters")
+    }
+  }
+
+  private def levenshteinDist(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
 }

@@ -289,6 +289,56 @@ class GraphEdgeStoreSpec extends AnyFunSuite {
     assert(GraphEdgeStore.readFoldedThrough(spark, eDir).contains(3L))
   }
 
+  test("a fold crash between the swap renames self-heals on the next drain") {
+    import spark.implicits._
+    val base = freshDir()
+    val cdcDir = s"$base/cdc"; val eDir = s"$base/edges"
+    val ckpt = s"$base/ckpt"
+    def ver(v: Int, rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("l_orderkey", "l_partkey")
+        .withColumn("change_type", lit("insert"))
+        .write.parquet(s"$cdcDir/__version=$v")
+    GraphEdgeStore.build(spark, eDir, li((1L, 10L), (1L, 20L)))
+    ver(1, Seq((2L, 10L), (2L, 20L)))
+    GraphEdgeStore.maintainFromCdc(spark, cdcDir, eDir, ckpt)
+    GraphEdgeStore.foldEdges(spark, eDir)
+    assert(edgeSet(eDir) == Set((10L, 20L, 2L)))
+    // reconstruct the exact between-renames crash state: the completed
+    // fold's live dir IS what the stage held at the crash (manifest and
+    // _folded_through marker were written before any rename) — move it
+    // back under the stage name, and plant a __fold_old husk standing
+    // in for the pre-fold live dir that rename #1 moved aside
+    val live = new java.io.File(eDir)
+    val stage = new java.io.File(eDir + "__fold_stage")
+    val old = new java.io.File(eDir + "__fold_old")
+    assert(live.renameTo(stage))
+    assert(old.mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(old, "junk").toPath, "pre-fold husk")
+    // the live dir is GONE — the hazard recoverFold closes is the next
+    // drain silently rebuilding a fresh store without the folded
+    // history; instead it must complete the crashed swap FIRST
+    ver(2, Seq((3L, 10L), (3L, 30L)))
+    GraphEdgeStore.maintainFromCdc(spark, cdcDir, eDir, ckpt)
+    assert(edgeSet(eDir) == Set((10L, 20L, 2L), (10L, 30L, 1L)),
+      "recovered store must serve the folded history plus the new version")
+    assert(!stage.exists, "stage renamed to live")
+    assert(!old.exists, "dead pre-fold dir swept")
+    assert(GraphEdgeStore.readFoldedThrough(spark, eDir).contains(1L),
+      "folded-through marker survives recovery")
+    // and the recovered floor still guards a lost watermark: folded v1
+    // must not re-merge, unfolded v2 replays as an idempotent no-op
+    assert(new java.io.File(s"$ckpt/_version_watermark").delete())
+    GraphEdgeStore.maintainFromCdc(spark, cdcDir, eDir, ckpt)
+    assert(edgeSet(eDir) == Set((10L, 20L, 2L), (10L, 30L, 1L)))
+    // a healthy store with only __fold_old debris (crash after rename
+    // #2, before the old delete): the next fold sweeps it and works
+    assert(old.mkdirs())
+    GraphEdgeStore.foldEdges(spark, eDir)
+    assert(!old.exists, "debris swept by the next fold")
+    assert(edgeSet(eDir) == Set((10L, 20L, 2L), (10L, 30L, 1L)))
+  }
+
   test("fold preserves the degree and count views; cancelled keys vanish physically") {
     val b = freshDir()
     val eDir = s"$b/edges"; val dDir = s"$b/degrees"; val cDir = s"$b/counts"
