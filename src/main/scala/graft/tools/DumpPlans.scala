@@ -50,6 +50,11 @@ object DumpPlans {
       "collapses double-meets. With k grown ∝ corpus (fixed cell size), " +
       "pair work is m²·cellsize·n/2 — linear in n; recall vs the exact " +
       "twin is gated >= 0.95 in q_gate_dedup_embed_ann."),
+    "q_impute" -> ("Row-level repair by group-typical imputation. What to " +
+      "check: the segment stats side collapses to a vocabulary-sized " +
+      "HashAggregate that BroadcastHashJoins back over the table — the " +
+      "repair itself is map-side; there must be NO SortMergeJoin and no " +
+      "exchange of the full table by segment (5 hot partitions at 100 TB)."),
     "q_stream_tumbling" -> ("Tumbling window aggregation: hash agg keyed on " +
       "(window, type) with partial aggregation; lifts to readStream unchanged " +
       "(graft.streaming.Streams)."),

@@ -34,6 +34,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("NestedLoop"), p.linesIterator.take(12).mkString("\n"))
   }
 
+  test("impute repair is map-side: group stats broadcast, table never shuffles") {
+    val p = plan("q_impute")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(20).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"),
+      "repair must not shuffle the full table by segment")
+  }
+
+  test("entity resolution: golden-attribute pass broadcasts the label frame") {
+    val p = plan("q_entity_resolution")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(20).mkString("\n"))
+  }
+
   // whole-stage-codegen spans print as "*(n)" stage markers
   private val codegenSpan = """\*\(\d+\)""".r
 
