@@ -1,0 +1,283 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.SnapshotStore
+
+/** Incremental ENTITY RESOLUTION — the day-2 half of
+  * `q_entity_resolution`: arriving name batches are resolved against
+  * everything ever ingested WITHOUT re-blocking the historical
+  * vocabulary or relabeling historical clusters. Completes the
+  * maintained-artifact family's coverage of the fuzzy surface (exact
+  * dedup, near-dup bands, embedding cells, graph edges, BM25 postings —
+  * and now entity clusters).
+  *
+  * THE HARD PART a naive design gets wrong: a new edge can MERGE two
+  * existing clusters, and rewriting every member's label is
+  * affected-cluster-MEMBER-bounded — a hub cluster at corpus scale
+  * makes one tiny batch pay a giant relabel. This design never
+  * relabels history. It is distributed union-find with lazy path
+  * compression:
+  *
+  *   - `labels` (SnapshotStore, key = name): name → the root assigned
+  *     AT INGEST TIME. One row per name ever seen; rows are written
+  *     ONCE and never rewritten by later merges.
+  *   - `fwd` (SnapshotStore, key = src): a FORWARDING table — when a
+  *     batch merges components whose previous roots were r₁..rₖ with
+  *     new root m, it writes (rᵢ → m) for rᵢ ≠ m. Row count is
+  *     bounded by CLUSTER MERGES EVER, not members — vocabulary-scale
+  *     tiny.
+  *   - resolution = follow the forwarding chain: every fwd row points
+  *     STRICTLY DOWN (m is its component's minimum, so dst < src
+  *     lexicographically), so chains are acyclic and strictly
+  *     decreasing — the follow loop provably terminates. Chains grow
+  *     only when merges cascade across batches; a periodic fold (read
+  *     `resolved()`, rewrite labels with final roots, start an empty
+  *     fwd) is the path-compression analog of the graph stores'
+  *     log-fold, and reads stay correct without it.
+  *   - `name_index`: append-only parquet partitioned by name LENGTH —
+  *     the banded-blocking index. A batch name of length L reads only
+  *     the [L−maxDist, L+maxDist] partitions (edit distance ≥ length
+  *     difference, the q_fuzzy_match lossless band), so candidate
+  *     lookup is band-pruned, never vocabulary-scan.
+  *
+  * Per-batch cost: band-pruned index read + pair-bounded levenshtein +
+  * a merge-graph CC over (batch names ∪ matched roots) — affected
+  * components only — + batch-bounded label rows + merge-bounded fwd
+  * rows. Nothing is member-bounded.
+  *
+  * CRASH / REPLAY (at-least-once ingest contract, same stance as
+  * [[IncrementalNearDup]]): the index append lands FIRST — index rows
+  * without labels are ignored by the lookup (inner join against
+  * labels), while labels without index rows would be permanently
+  * invisible to future batches, so the conservative order is
+  * index-first. A replayed batch self-matches against its own indexed
+  * names, resolves them to the first attempt's root m, and recomputes
+  * the identical label rows (min over the component ∪ {m} = m) and an
+  * empty fwd delta — a content no-op through the stores'
+  * replace-by-key merges. Duplicate index appends collapse in the
+  * lookup's distinct.
+  */
+object IncrementalEntityResolution {
+
+  private def idxDir(erDir: String) = s"$erDir/name_index"
+  private def labelsDir(erDir: String) = s"$erDir/labels"
+  private def fwdDir(erDir: String) = s"$erDir/fwd"
+
+  private def fsOf(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** maxDist is pinned at first ingest (a different band width would
+    * silently miss cross-batch pairs — stored wins, mismatch fails). */
+  private def pinMaxDist(spark: SparkSession, erDir: String,
+      maxDist: Int): Int = {
+    val (fs, _) = fsOf(spark, erDir)
+    val marker = new org.apache.hadoop.fs.Path(erDir, "_maxdist")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val stored =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+        finally in.close()
+      require(stored == maxDist,
+        s"ER index at $erDir was built with maxDist=$stored; ingest called " +
+          s"with $maxDist — a different band width would silently miss pairs")
+      stored
+    } else {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(erDir))
+      val out = fs.create(marker, true)
+      try out.write(maxDist.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      maxDist
+    }
+  }
+
+  private def hasIndex(spark: SparkSession, erDir: String): Boolean = {
+    val (fs, _) = fsOf(spark, erDir)
+    val p = new org.apache.hadoop.fs.Path(idxDir(erDir))
+    fs.exists(p) && fs.globStatus(
+      new org.apache.hadoop.fs.Path(p, "len=*")).nonEmpty
+  }
+
+  private def emptyPairs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String)].toDF("name", "root")
+  }
+
+  private def readLabels(spark: SparkSession, erDir: String): DataFrame =
+    if (SnapshotStore.currentManifest(spark, labelsDir(erDir)).isEmpty)
+      emptyPairs(spark)
+    else SnapshotStore.read(spark, labelsDir(erDir)).select("name", "root")
+
+  private def readFwd(spark: SparkSession, erDir: String): DataFrame =
+    if (SnapshotStore.currentManifest(spark, fwdDir(erDir)).isEmpty)
+      emptyPairs(spark).select(col("name").as("src"), col("root").as("dst"))
+    else SnapshotStore.read(spark, fwdDir(erDir)).select("src", "dst")
+
+  /** Follow the forwarding chain for `frame`'s `rootCol` values:
+    * returns `frame` with `rootCol` replaced by its fully-resolved
+    * root. Terminates because every fwd row points strictly down
+    * (dst < src); rounds = longest chain, which only cross-batch merge
+    * cascades grow (and a fold resets to ≤ 1). The fwd frame is
+    * vocabulary-merge-bounded — AQE broadcasts the probe join. */
+  private def follow(frame: DataFrame, rootCol: String,
+      fwd: DataFrame, maxIter: Int = 64): DataFrame = {
+    val f = fwd.select(col("src").as("__fsrc"), col("dst").as("__fdst"))
+    var cur = frame
+    var moved = true
+    var i = 0
+    while (moved && i < maxIter) {
+      val step = cur.join(f, cur(rootCol) === col("__fsrc"), "left")
+        .select(cur.columns.filter(_ != rootCol).map(cur(_)) :+
+          coalesce(col("__fdst"), cur(rootCol)).as(rootCol) :+
+          col("__fdst").isNotNull.as("__moved"): _*)
+        .localCheckpoint(true)
+      moved = step.filter(col("__moved")).limit(1).count() > 0
+      val prev = cur
+      cur = step.drop("__moved")
+      if (prev ne frame) graft.queries.GateMemo.unpersistCheckpoint(prev)
+      i += 1
+    }
+    if (moved) throw new IllegalStateException(
+      s"forwarding chain exceeded $maxIter hops — impossible for " +
+        "strictly-decreasing fwd rows unless the store was hand-edited")
+    cur
+  }
+
+  /** Banded candidate pairs between `left` (col `a`) and `right`
+    * (col `b`): levenshtein ≤ maxDist realized as the lossless
+    * length-band equi-join (q_fuzzy_match mechanics). */
+  private def bandJoin(left: DataFrame, right: DataFrame,
+      maxDist: Int): DataFrame = {
+    val anchors = left.select(col("a"), length(col("a")).as("bucket"))
+    val probes = right.select(col("b"),
+      explode(sequence(length(col("b")) - maxDist,
+        length(col("b")) + maxDist)).as("bucket"))
+    anchors.join(probes, "bucket")
+      .filter(levenshtein(col("a"), col("b")) <= maxDist)
+      .select("a", "b")
+  }
+
+  /** Ingest one batch of names: index them, match them against history
+    * through the band-pruned index, merge affected components, and
+    * write batch-bounded labels + merge-bounded forwarding rows. */
+  def ingest(spark: SparkSession, erDir: String, batch: DataFrame,
+      nameCol: String, maxDist: Int = 2, numBuckets: Int = 16): Unit = {
+    import spark.implicits._
+    val md = pinMaxDist(spark, erDir, maxDist)
+    val names = batch.select(col(nameCol).as("name")).distinct()
+      .filter(col("name").isNotNull)
+      .localCheckpoint(true)
+    try {
+      // 1. index FIRST (see the object doc's crash-order argument)
+      names.withColumn("len", length(col("name")))
+        .write.mode("append").partitionBy("len").parquet(idxDir(erDir))
+      // 2. band-pruned history lookup: only the batch's ±md length
+      //    partitions are read (length vocabulary is tiny — a driver
+      //    list, not a data-sized collect)
+      val lens = names.select(length(col("name")).as("l")).distinct()
+        .collect().map(_.getInt(0))
+      val needed = lens.flatMap(l => (l - md) to (l + md)).distinct.toSeq
+      val hist = spark.read.parquet(idxDir(erDir))
+        .filter(col("len").isin(needed: _*))
+        .select(col("name")).distinct()
+      // 3. history matches resolve to their CURRENT roots (labels are
+      //    ingest-time roots; fwd closes later merges). Inner join:
+      //    index rows without labels are crash residue, skipped until
+      //    the replay that labels them.
+      val labels0 = readLabels(spark, erDir)
+      val fwd0 = readFwd(spark, erDir).localCheckpoint(true)
+      val bh = bandJoin(
+        names.select(col("name").as("a")),
+        hist.select(col("name").as("b")), md)
+        .join(labels0.withColumnRenamed("name", "b"), "b")
+        .select(col("a").as("n"), col("root"))
+        .localCheckpoint(true)
+      // resolve matched ingest-time roots to their CURRENT roots:
+      // follow() rewrites the column in place, so carry the original
+      // alongside for the join back
+      val rootsBoth = follow(
+          bh.select(col("root").as("orig"), col("root")).distinct(),
+          "root", fwd0)
+        .select(col("orig"), col("root").as("cur"))
+      val bhEdges = bh.join(rootsBoth, bh("root") === rootsBoth("orig"))
+        .select(col("n").as("a"), col("cur").as("b"))
+      // 4. in-batch pairs (canonical a < b)
+      val bb = bandJoin(names.select(col("name").as("a")),
+          names.select(col("name").as("b")), md)
+        .filter(col("a") < col("b"))
+      // 5. merge graph over batch names ∪ resolved roots — affected
+      //    components only; strings are labels (least() just orders)
+      val edges = bb.unionByName(bhEdges.select("a", "b")).distinct()
+        .localCheckpoint(true)
+      val cc = ConnectedComponents.auto(edges, "a", "b")
+      val batchLabels = names
+        .join(cc.withColumnRenamed("node", "name"), Seq("name"), "left")
+        .select(col("name"), coalesce(col("lbl"), col("name")).as("root"))
+      SnapshotStore.merge(spark, labelsDir(erDir), batchLabels,
+        Seq("name"), numBuckets)
+      // 6. forwarding rows for previous roots the batch merged away
+      val fwdRows = rootsBoth.select(col("cur").as("node")).distinct()
+        .join(cc, "node")
+        .filter(col("node") =!= col("lbl"))
+        .select(col("node").as("src"), col("lbl").as("dst"))
+      if (!fwdRows.isEmpty)
+        SnapshotStore.merge(spark, fwdDir(erDir), fwdRows,
+          Seq("src"), numBuckets)
+      Seq(edges, fwd0, bh).foreach(graft.queries.GateMemo.unpersistCheckpoint)
+    } finally graft.queries.GateMemo.unpersistCheckpoint(names)
+  }
+
+  /** Every name ever ingested with its fully-resolved root — the frame
+    * a full `q_entity_resolution`-style rebuild computes from scratch.
+    * One labels scan + chain-length broadcast probes. */
+  def resolved(spark: SparkSession, erDir: String): DataFrame = {
+    val fwd = readFwd(spark, erDir)
+    follow(readLabels(spark, erDir), "root", fwd)
+  }
+
+  /** Longest forwarding chain — the read-amplification gauge a fold
+    * resets (0 = no merges pending compaction). */
+  def chainDepth(spark: SparkSession, erDir: String): Int = {
+    val fwd = readFwd(spark, erDir).localCheckpoint(true)
+    val f = fwd.select(col("src").as("__fsrc"), col("dst").as("__fdst"))
+    try {
+      var depth = 0
+      var frontier = fwd.select(col("src"), col("dst").as("cur"))
+      var more = frontier.limit(1).count() > 0
+      while (more) {
+        depth += 1
+        frontier = frontier.join(f, frontier("cur") === col("__fsrc"))
+          .select(col("src"), col("__fdst").as("cur"))
+          .localCheckpoint(true)
+        more = frontier.limit(1).count() > 0
+        if (depth > 64) throw new IllegalStateException(
+          "forwarding chain exceeded 64 hops — see follow()'s invariant")
+      }
+      depth
+    } finally graft.queries.GateMemo.unpersistCheckpoint(fwd)
+  }
+
+  /** Path-compression fold: rewrite every label with its resolved root
+    * and drop all forwarding rows (chains reset to 0). Labels-scan
+    * bounded — the union-find analog of the graph stores' log-fold,
+    * with the same stage-then-swap discipline handled by the
+    * SnapshotStore merge (labels) and a directory swap (fwd). */
+  def fold(spark: SparkSession, erDir: String, numBuckets: Int = 16): Unit = {
+    val res = resolved(spark, erDir).localCheckpoint(true)
+    try {
+      SnapshotStore.merge(spark, labelsDir(erDir), res,
+        Seq("name"), numBuckets)
+      // fwd rows are now redundant: every label IS its resolved root.
+      // Dropping the store is safe at any crash point — a surviving fwd
+      // dir only re-forwards roots the labels no longer hold (src rows
+      // that no label references resolve nothing).
+      val (fs, _) = fsOf(spark, erDir)
+      fs.delete(new org.apache.hadoop.fs.Path(fwdDir(erDir)), true)
+    } finally graft.queries.GateMemo.unpersistCheckpoint(res)
+  }
+}

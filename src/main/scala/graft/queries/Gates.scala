@@ -1663,6 +1663,74 @@ object Gates {
     verdict(s, "q_gate_store_triangles", ok)
   }
 
+  /** Incremental entity resolution (round 15 — the day-2 half of
+    * `q_entity_resolution`, distributed union-find with lazy path
+    * compression in [[graft.operators.IncrementalEntityResolution]]):
+    * arriving name batches resolve against history through a
+    * band-pruned length-partitioned index, cluster merges write a
+    * FORWARDING row instead of relabeling members, and resolution
+    * follows the strictly-decreasing chain. The batch order here is
+    * chosen to FORCE cross-batch cascades: the base carries the
+    * singleton vocabulary plus `new`/`old` variants (no pairs — `new`
+    * and `old` are distance 3), the `red` batch merges them (red–old
+    * and red–new are ≤ 2), and the `cold` batch — each cluster's
+    * eventual minimum — re-roots every merged cluster, so `old`'s
+    * resolution is a real 2-hop chain. Pins: (1) resolved() == a full
+    * from-scratch rebuild (banded pairs + CC + singletons) over the
+    * whole vocabulary; (2) the cascade really happened (chainDepth
+    * ≥ 2); (3) replaying the last batch is a content no-op on labels,
+    * forwarding, and resolution; (4) the path-compression fold resets
+    * chainDepth to 0 with resolution unchanged. */
+  val qGateErIncremental = Q(
+    "q_gate_er_incremental", oracleFor("q_gate_er_incremental")) { (s, d) =>
+    import graft.operators.IncrementalEntityResolution
+    val ok = GateMemo.value(s, d, "gate_er_incremental_ok") {
+      val work = "/root/repo/target/er_incremental_gate/" +
+        new java.io.File(d).getName
+      graft.LocalFs.rmrf(new java.io.File(work))
+      val erDir = s"$work/er"
+      val names = Tables.part(s, d).select(col("p_name").as("name"))
+        .distinct().localCheckpoint(true)
+      val firstWord = split(col("name"), " ").getItem(0)
+      val base = names.filter(!firstWord.isin("red", "cold"))
+      val b1 = names.filter(firstWord === "red")
+      val b2 = names.filter(firstWord === "cold")
+      def ing(b: DataFrame): Unit =
+        IncrementalEntityResolution.ingest(s, erDir, b, "name")
+      ing(base); ing(b1); ing(b2)
+      def resolvedRows(): Seq[String] =
+        IncrementalEntityResolution.resolved(s, erDir)
+          .collect().map(_.toString).sorted.toSeq
+      // full from-scratch rebuild: banded pairs over the whole
+      // vocabulary + connected components + singletons-as-themselves
+      val anchors = names.select(col("name").as("a"),
+        length(col("name")).as("bucket"))
+      val probes = names.select(col("name").as("b"),
+        explode(sequence(length(col("name")) - 2,
+          length(col("name")) + 2)).as("bucket"))
+      val pairs = anchors.join(probes, "bucket")
+        .filter(col("a") < col("b"))
+        .filter(levenshtein(col("a"), col("b")) <= 2)
+        .select("a", "b")
+      val cc = graft.operators.ConnectedComponents.auto(pairs, "a", "b")
+      val full = names
+        .join(cc.withColumnRenamed("node", "name"), Seq("name"), "left")
+        .select(col("name"), coalesce(col("lbl"), col("name")).as("root"))
+        .collect().map(_.toString).sorted.toSeq
+      val parity = resolvedRows() == full
+      val cascaded = IncrementalEntityResolution.chainDepth(s, erDir) >= 2
+      val before = resolvedRows()
+      ing(b2) // replay the last batch
+      val replayNoop = resolvedRows() == before &&
+        IncrementalEntityResolution.chainDepth(s, erDir) >= 2
+      IncrementalEntityResolution.fold(s, erDir)
+      val folded = IncrementalEntityResolution.chainDepth(s, erDir) == 0 &&
+        resolvedRows() == before
+      parity && cascaded && replayNoop && folded
+    }
+    verdict(s, "q_gate_er_incremental", ok)
+  }
+
   /** Full-text serving from maintained artifacts (round 15 — the BM25
     * twin of the edge-store family): postings (word, doc, tf) + doc
     * lengths maintained from a documents CDC feed by
@@ -1804,7 +1872,7 @@ object Gates {
   val all: Seq[Q] = Seq(
     qGateScd2,
     qGateStoreJaccard, qGateStorePagerank, qGateStoreTriangles,
-    qGateStoreTextSearch,
+    qGateStoreTextSearch, qGateErIncremental,
     qGateStreamAnomaly,
     qGateStreamGraphDegree,
     qGateGraphEdgesIncremental,

@@ -62,6 +62,30 @@ object Round15Probe {
     val c1 = SparkEntry.queries("q_entity_resolution")(spark, sf).count()
     val c4 = SparkEntry.queries("q_entity_resolution")(spark, s"$out/x4").count()
     println(s"er clusters: base=$c1 x4=$c4")
+
+    // day-2 axis: the SAME arriving batch ingested against 1x vs 4x
+    // history — the claim under test is that batch cost is flat in
+    // history size (band-pruned lookups + merge-bounded writes), while
+    // a from-scratch rebuild is vocabulary-bounded by construction.
+    // (At probe scale fixed protocol costs dominate both paths — the
+    // RATIO across history sizes is the signal, not the absolute.)
+    import graft.operators.IncrementalEntityResolution
+    val vocab4 = spark.read.parquet(s"$out/x4/part.parquet")
+      .select(col("p_name").as("name")).distinct().localCheckpoint(true)
+    val batch = vocab4.filter(substring(col("name"), 1, 1) === "c"
+      && col("name").endsWith("aaa"))
+    def ingestAgainst(hist: org.apache.spark.sql.DataFrame,
+        dir: String): Double = {
+      IncrementalEntityResolution.ingest(spark, dir, hist, "name")
+      time(IncrementalEntityResolution.ingest(spark, dir, batch, "name"))
+    }
+    val hist1 = vocab4.filter(col("name").endsWith("aaa")).exceptAll(batch)
+    val hist4 = vocab4.exceptAll(batch)
+    val t1 = ingestAgainst(hist1, s"$out/er1")
+    val t4 = ingestAgainst(hist4, s"$out/er4")
+    println(f"er day-2 batch vs history size: 1x=$t1%.2f s 4x=$t4%.2f s " +
+      f"ratio=${t4 / t1}%.2fx (resolved rows at 4x=" +
+      s"${IncrementalEntityResolution.resolved(spark, s"$out/er4").count()})")
     spark.stop()
   }
 }
