@@ -275,8 +275,19 @@ object Funnel {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size,
       s"funnel steps must be distinct event types, got $steps")
-    val planKey =
-      (System.identityHashCode(events.sparkSession), events.semanticHash())
+    // semanticHash alone is NOT data-sensitive: a fresh read of the same
+    // path canonicalizes identically, so a growing events directory
+    // would reuse day-old dispatch metadata and the skew-safety bound
+    // (maxUserEvents) would be judged on stale data. Fold the physical
+    // file inventory into the key — appends and overwrites change the
+    // leaf-file set (already cached in the plan's FileIndex, so this is
+    // a driver metadata read, not a scan). Non-file sources hash to the
+    // empty set: in-memory frames are immutable, so the plan hash alone
+    // is sufficient there.
+    val fileKey = scala.util.hashing.MurmurHash3
+      .orderedHash(events.inputFiles.sorted)
+    val planKey = (System.identityHashCode(events.sparkSession),
+      events.semanticHash(), fileKey)
     // vocabulary-sized driver read (one row per event type), memoized
     // per (session, plan, typeCol)
     val hist = DispatchMemo.cached(("hist", planKey, typeCol)) {

@@ -21,8 +21,9 @@ import graft.streaming.SnapshotStore
   * compression:
   *
   *   - `labels` (SnapshotStore, key = name): name → the root assigned
-  *     AT INGEST TIME. One row per name ever seen; rows are written
-  *     ONCE and never rewritten by later merges.
+  *     AT INGEST TIME. One row per name ever seen; later merges never
+  *     rewrite other names' rows (a RE-ARRIVING name's own row may
+  *     compact forward — see the replay paragraph).
   *   - `fwd` (SnapshotStore, key = src): a FORWARDING table — when a
   *     batch merges components whose previous roots were r₁..rₖ with
   *     new root m, it writes (rᵢ → m) for rᵢ ≠ m. Row count is
@@ -53,11 +54,15 @@ import graft.streaming.SnapshotStore
   * labels), while labels without index rows would be permanently
   * invisible to future batches, so the conservative order is
   * index-first. A replayed batch self-matches against its own indexed
-  * names, resolves them to the first attempt's root m, and recomputes
-  * the identical label rows (min over the component ∪ {m} = m) and an
-  * empty fwd delta — a content no-op through the stores'
-  * replace-by-key merges. Duplicate index appends collapse in the
-  * lookup's distinct.
+  * names, resolves them to the CURRENT root m, and recomputes label
+  * rows (min over the component ∪ {m} = m) and an empty fwd delta.
+  * For the latest batch this is an exact content no-op (gate-pinned);
+  * replaying an OLDER batch after further merges rewrites that batch's
+  * own label rows from their ingest-time root to the current root —
+  * i.e. it acts as incidental path compression, which preserves every
+  * invariant (resolution unchanged, roots still self-labeled, chains
+  * still strictly decreasing) without being byte-identical history.
+  * Duplicate index appends collapse in the lookup's distinct.
   */
 object IncrementalEntityResolution {
 
@@ -96,13 +101,6 @@ object IncrementalEntityResolution {
     }
   }
 
-  private def hasIndex(spark: SparkSession, erDir: String): Boolean = {
-    val (fs, _) = fsOf(spark, erDir)
-    val p = new org.apache.hadoop.fs.Path(idxDir(erDir))
-    fs.exists(p) && fs.globStatus(
-      new org.apache.hadoop.fs.Path(p, "len=*")).nonEmpty
-  }
-
   private def emptyPairs(spark: SparkSession): DataFrame = {
     import spark.implicits._
     Seq.empty[(String, String)].toDF("name", "root")
@@ -125,9 +123,20 @@ object IncrementalEntityResolution {
     * cascades grow (and a fold resets to ≤ 1). The fwd frame is
     * vocabulary-merge-bounded — AQE broadcasts the probe join. */
   private def follow(frame: DataFrame, rootCol: String,
-      fwd: DataFrame, maxIter: Int = 64): DataFrame = {
+      fwd: DataFrame, maxIter: Int = 64): DataFrame =
+    followCore(frame, rootCol, fwd, maxIter)._1
+
+  /** Like [[follow]] but also returns the CHECKPOINT backing the result
+    * (when any hop happened) so internal callers can free it once the
+    * result is consumed — unpersisting a projection over a checkpoint is
+    * a silent no-op, so the raw checkpointed frame must travel
+    * alongside (the finish/spent pattern). Intermediate hop checkpoints
+    * are freed here as soon as the next hop materializes. */
+  private def followCore(frame: DataFrame, rootCol: String,
+      fwd: DataFrame, maxIter: Int = 64): (DataFrame, Option[DataFrame]) = {
     val f = fwd.select(col("src").as("__fsrc"), col("dst").as("__fdst"))
     var cur = frame
+    var curCk: Option[DataFrame] = None
     var moved = true
     var i = 0
     while (moved && i < maxIter) {
@@ -137,30 +146,22 @@ object IncrementalEntityResolution {
           col("__fdst").isNotNull.as("__moved"): _*)
         .localCheckpoint(true)
       moved = step.filter(col("__moved")).limit(1).count() > 0
-      val prev = cur
+      curCk.foreach(graft.queries.GateMemo.unpersistCheckpoint)
+      curCk = Some(step)
       cur = step.drop("__moved")
-      if (prev ne frame) graft.queries.GateMemo.unpersistCheckpoint(prev)
       i += 1
     }
     if (moved) throw new IllegalStateException(
       s"forwarding chain exceeded $maxIter hops — impossible for " +
         "strictly-decreasing fwd rows unless the store was hand-edited")
-    cur
+    (cur, curCk)
   }
 
   /** Banded candidate pairs between `left` (col `a`) and `right`
-    * (col `b`): levenshtein ≤ maxDist realized as the lossless
-    * length-band equi-join (q_fuzzy_match mechanics). */
+    * (col `b`) — the shared [[FuzzyBlocking]] length-band equi-join. */
   private def bandJoin(left: DataFrame, right: DataFrame,
-      maxDist: Int): DataFrame = {
-    val anchors = left.select(col("a"), length(col("a")).as("bucket"))
-    val probes = right.select(col("b"),
-      explode(sequence(length(col("b")) - maxDist,
-        length(col("b")) + maxDist)).as("bucket"))
-    anchors.join(probes, "bucket")
-      .filter(levenshtein(col("a"), col("b")) <= maxDist)
-      .select("a", "b")
-  }
+      maxDist: Int): DataFrame =
+    FuzzyBlocking.bandedPairs(left, right, maxDist).select("a", "b")
 
   /** Ingest one batch of names: index them, match them against history
     * through the band-pruned index, merge affected components, and
@@ -200,10 +201,12 @@ object IncrementalEntityResolution {
       // resolve matched ingest-time roots to their CURRENT roots:
       // follow() rewrites the column in place, so carry the original
       // alongside for the join back
-      val rootsBoth = follow(
-          bh.select(col("root").as("orig"), col("root")).distinct(),
-          "root", fwd0)
-        .select(col("orig"), col("root").as("cur"))
+      val (followed, followCk) = followCore(
+        bh.select(col("root").as("orig"), col("root")).distinct(),
+        "root", fwd0)
+      val rootsBoth = followed.select(col("orig"), col("root").as("cur"))
+        .localCheckpoint(true)
+      followCk.foreach(graft.queries.GateMemo.unpersistCheckpoint)
       val bhEdges = bh.join(rootsBoth, bh("root") === rootsBoth("orig"))
         .select(col("n").as("a"), col("cur").as("b"))
       // 4. in-batch pairs (canonical a < b)
@@ -228,7 +231,8 @@ object IncrementalEntityResolution {
       if (!fwdRows.isEmpty)
         SnapshotStore.merge(spark, fwdDir(erDir), fwdRows,
           Seq("src"), numBuckets)
-      Seq(edges, fwd0, bh).foreach(graft.queries.GateMemo.unpersistCheckpoint)
+      Seq(edges, fwd0, bh, rootsBoth)
+        .foreach(graft.queries.GateMemo.unpersistCheckpoint)
     } finally graft.queries.GateMemo.unpersistCheckpoint(names)
   }
 
@@ -248,16 +252,21 @@ object IncrementalEntityResolution {
     try {
       var depth = 0
       var frontier = fwd.select(col("src"), col("dst").as("cur"))
+      var frontierCk: Option[DataFrame] = None
       var more = frontier.limit(1).count() > 0
       while (more) {
         depth += 1
-        frontier = frontier.join(f, frontier("cur") === col("__fsrc"))
+        val next = frontier.join(f, frontier("cur") === col("__fsrc"))
           .select(col("src"), col("__fdst").as("cur"))
           .localCheckpoint(true)
+        frontierCk.foreach(graft.queries.GateMemo.unpersistCheckpoint)
+        frontierCk = Some(next)
+        frontier = next
         more = frontier.limit(1).count() > 0
         if (depth > 64) throw new IllegalStateException(
           "forwarding chain exceeded 64 hops — see follow()'s invariant")
       }
+      frontierCk.foreach(graft.queries.GateMemo.unpersistCheckpoint)
       depth
     } finally graft.queries.GateMemo.unpersistCheckpoint(fwd)
   }
@@ -268,6 +277,9 @@ object IncrementalEntityResolution {
     * with the same stage-then-swap discipline handled by the
     * SnapshotStore merge (labels) and a directory swap (fwd). */
   def fold(spark: SparkSession, erDir: String, numBuckets: Int = 16): Unit = {
+    // a store that was never ingested has nothing to compact (and an
+    // empty merge would create a hollow labels snapshot)
+    if (SnapshotStore.currentManifest(spark, labelsDir(erDir)).isEmpty) return
     val res = resolved(spark, erDir).localCheckpoint(true)
     try {
       SnapshotStore.merge(spark, labelsDir(erDir), res,

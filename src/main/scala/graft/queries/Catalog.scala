@@ -269,7 +269,12 @@ object Catalog {
     * formulation (`avg OVER (PARTITION BY segment)`) would instead
     * shuffle the ENTIRE table by segment (5 hot partitions at 100 TB);
     * two scans + a broadcast beat one scan + a full exchange at any
-    * scale where the table outweighs the page cache. */
+    * scale where the table outweighs the page cache.
+    *
+    * Repair is ROW-PRESERVING even when a segment has no donor rows
+    * (every row corrupt): the fill join is LEFT, so such rows come
+    * through flagged with a NULL balance — "could not repair" is an
+    * auditable state, never a silently dropped customer. */
   val qImpute = Q(
     "q_impute",
     """WITH c AS (SELECT c_custkey, c_mktsegment,
@@ -283,7 +288,7 @@ object Catalog {
       |SELECT c.c_custkey, c.c_mktsegment,
       |       coalesce(c.bal_cents, f.fill) AS bal_cents,
       |       c.bal_cents IS NULL AS was_repaired
-      |FROM c JOIN f USING (c_mktsegment)
+      |FROM c LEFT JOIN f USING (c_mktsegment)
       |ORDER BY c_custkey""".stripMargin) { (s, d) =>
     val c = Tables.customer(s, d).select(
       col("c_custkey"), col("c_mktsegment"),
@@ -293,7 +298,7 @@ object Catalog {
     val fills = c.filter(col("bal_cents").isNotNull)
       .groupBy("c_mktsegment")
       .agg(expr("sum(bal_cents) DIV count(bal_cents)").as("fill"))
-    c.join(broadcast(fills), Seq("c_mktsegment"))
+    c.join(broadcast(fills), Seq("c_mktsegment"), "left")
       .select(col("c_custkey"), col("c_mktsegment"),
         coalesce(col("bal_cents"), col("fill")).as("bal_cents"),
         col("bal_cents").isNull.as("was_repaired"))

@@ -1681,16 +1681,11 @@ object Extensions {
       |WHERE levenshtein(a.name, b.name) <= 3
       |ORDER BY edit_dist, name_a, name_b""".stripMargin) { (s, d) =>
     val names = Tables.part(s, d).select(col("p_name").as("name")).distinct()
-      .withColumn("len", length(col("name")))
-    val anchors = names.select(col("name").as("name_a"), col("len").as("bucket"))
-    val probes = names.select(col("name").as("name_b"),
-      explode(sequence(col("len") - 3, col("len") + 3)).as("bucket"))
-    anchors.join(probes, "bucket")
-      .filter(col("name_a") < col("name_b"))
-      .withColumn("edit_dist",
-        levenshtein(col("name_a"), col("name_b")).cast("bigint"))
-      .filter(col("edit_dist") <= 3)
-      .select("name_a", "name_b", "edit_dist")
+    graft.operators.FuzzyBlocking.bandedPairs(
+        names.select(col("name").as("a")),
+        names.select(col("name").as("b")), 3)
+      .filter(col("a") < col("b"))
+      .select(col("a").as("name_a"), col("b").as("name_b"), col("edit_dist"))
       .orderBy("edit_dist", "name_a", "name_b")
   }
 
@@ -1741,15 +1736,11 @@ object Extensions {
       |FROM agg a JOIN g USING (canonical_name)
       |ORDER BY canonical_name""".stripMargin) { (s, d) =>
     val names = Tables.part(s, d).select(col("p_name").as("name")).distinct()
-      .withColumn("len", length(col("name")))
-    val anchors = names.select(col("name").as("name_a"),
-      col("len").as("bucket"))
-    val probes = names.select(col("name").as("name_b"),
-      explode(sequence(col("len") - 2, col("len") + 2)).as("bucket"))
-    val pairs = anchors.join(probes, "bucket")
-      .filter(col("name_a") < col("name_b"))
-      .filter(levenshtein(col("name_a"), col("name_b")) <= 2)
-      .select("name_a", "name_b")
+    val pairs = graft.operators.FuzzyBlocking.bandedPairs(
+        names.select(col("name").as("a")),
+        names.select(col("name").as("b")), 2)
+      .filter(col("a") < col("b"))
+      .select(col("a").as("name_a"), col("b").as("name_b"))
     val labels = graft.operators.ConnectedComponents
       .auto(pairs, "name_a", "name_b")
     val clusters = labels.groupBy(col("lbl").as("canonical_name"))

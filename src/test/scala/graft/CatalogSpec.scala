@@ -733,4 +733,25 @@ class CatalogSpec extends AnyFunSuite {
         s"clean value must pass through untouched for ${r.getLong(0)}")
     }
   }
+
+  test("q_impute keeps (flagged, unrepaired) rows of a segment with no donor") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("imputefix").toString
+    Seq(
+      (1L, "a", 0L, 10.0, "CLEAN"),   // donor segment
+      (2L, "b", 0L, -5.0, "CLEAN"),   // repairable from row 1
+      (3L, "c", 0L, -7.0, "DOOMED"),  // whole segment corrupt
+      (4L, "d", 0L, -9.0, "DOOMED"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = SparkEntry.queries("q_impute")(spark, dir).collect()
+    assert(out.length == 4, "no-donor rows must not be dropped")
+    val byKey = out.map(r => r.getLong(0) -> r).toMap
+    assert(byKey(1L).getLong(2) == 1000L && !byKey(1L).getBoolean(3))
+    assert(byKey(2L).getLong(2) == 1000L && byKey(2L).getBoolean(3))
+    Seq(3L, 4L).foreach { k =>
+      assert(byKey(k).isNullAt(2), s"$k: unrepairable stays NULL, not dropped")
+      assert(byKey(k).getBoolean(3), s"$k: flagged")
+    }
+  }
 }
