@@ -293,7 +293,8 @@ object GraphEdgeStore {
   def maintainFromCdc(spark: SparkSession, cdcDir: String, edgeDir: String,
       checkpointDir: String, numBuckets: Int = 16,
       degreeDir: Option[String] = None,
-      countsDir: Option[String] = None): Unit = {
+      countsDir: Option[String] = None,
+      autoFoldDepth: Option[Int] = None): Unit = {
     // SINGLE-WRITER CONTRACT (same as every SnapshotStore writer): one
     // drain (or fold) at a time per store. Two concurrent drains would
     // interleave merge versions and race the watermark write; the
@@ -322,7 +323,25 @@ object GraphEdgeStore {
       countsDir.foreach(cd =>
         ingestCountsBatch(spark, cd, batch, v, numBuckets))
     }
+    // self-triggering compaction (round 15): with a depth budget the
+    // drain leaves every store's read amplification bounded — a fold
+    // every ~depth batches, no operational runbook. Runs AFTER the
+    // drain (folding mid-drain would churn the floor per version).
+    autoFoldDepth.foreach { depth =>
+      VersionDrain.foldIfDeep(spark, edgeDir, Seq("u", "v"), "w",
+        BaseVer, depth)
+      degreeDir.foreach(dd => VersionDrain.foldIfDeep(spark, dd,
+        Seq("node"), "dd", BaseVer, depth))
+      countsDir.foreach(cd => VersionDrain.foldIfDeep(spark, cd,
+        Seq("l_partkey"), "n", BaseVer, depth))
+    }
   }
+
+  /** Version-log depth of a store (slices above the folded base) — the
+    * read-amplification gauge [[maintainFromCdc]]'s `autoFoldDepth`
+    * budget bounds. */
+  def logDepth(spark: SparkSession, dir: String): Long =
+    VersionDrain.logDepth(spark, dir, BaseVer)
 
   /** The current weighted edge list: per-(u, v) sum over the version
     * log, fully-deleted edges dropped. One edge-sized scan + hash agg —

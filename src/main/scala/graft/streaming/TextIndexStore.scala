@@ -115,7 +115,8 @@ object TextIndexStore {
     * idempotent replay, legacy-checkpoint refusal). */
   def maintainFromCdc(spark: SparkSession, cdcDir: String,
       postingsDir: String, doclenDir: String, checkpointDir: String,
-      idCol: String = "doc_id", numBuckets: Int = 16): Unit = {
+      idCol: String = "doc_id", numBuckets: Int = 16,
+      autoFoldDepth: Option[Int] = None): Unit = {
     // folded-through markers floor the drain exactly as in the graph
     // family: a folded version's rows are gone, so a lost watermark
     // must not let it re-merge; recover a crashed fold swap first so
@@ -126,7 +127,21 @@ object TextIndexStore {
     VersionDrain.drain(spark, cdcDir, checkpointDir, floors) { (batch, v) =>
       ingestBatch(spark, postingsDir, doclenDir, batch, v, idCol, numBuckets)
     }
+    // self-triggering compaction — same policy as the graph stores
+    // (GraphEdgeStore.maintainFromCdc): read amplification bounded at
+    // ~depth slices for one amortized rebuild per depth batches
+    autoFoldDepth.foreach { depth =>
+      VersionDrain.foldIfDeep(spark, postingsDir, Seq("word", "doc_id"),
+        "tf", BaseVer, depth)
+      VersionDrain.foldIfDeep(spark, doclenDir, Seq("doc_id"), "dl",
+        BaseVer, depth)
+    }
   }
+
+  /** Version-log depth (slices above the folded base) — the gauge the
+    * `autoFoldDepth` budget bounds. */
+  def logDepth(spark: SparkSession, dir: String): Long =
+    VersionDrain.logDepth(spark, dir, BaseVer)
 
   /** Fold the postings log into a fresh base (shared
     * [[VersionDrain.foldStore]] mechanism: stage-then-swap, bucket

@@ -130,6 +130,35 @@ private[graft] object VersionDrain {
     } finally graft.queries.GateMemo.unpersistCheckpoint(summed)
   }
 
+  /** Number of version slices in the store's log above its base — the
+    * read-amplification gauge the fold resets to 0 (every read re-sums
+    * the whole log, so depth is the per-read overhead multiplier). */
+  private[graft] def logDepth(spark: SparkSession, dir: String,
+      baseVer: Long): Long = {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    if (SnapshotStore.currentManifest(spark, dir).isEmpty) 0L
+    else SnapshotStore.read(spark, dir)
+      .filter(col("ver") =!= baseVer)
+      .agg(countDistinct("ver")).head().getLong(0)
+  }
+
+  /** Depth-triggered fold: compact when the version log exceeds
+    * `maxDepth` slices, otherwise a gauge read and nothing else.
+    * Returns true when a fold ran. This is the self-triggering
+    * maintenance policy — callers drop it after their drain and the
+    * store keeps its own read amplification bounded, no runbook: cost
+    * is one store-sized rebuild every ~maxDepth batches (amortized
+    * 1/maxDepth of a rebuild per batch), in exchange for every read
+    * summing at most maxDepth+1 slices. */
+  private[graft] def foldIfDeep(spark: SparkSession, dir: String,
+      keys: Seq[String], valueCol: String, baseVer: Long,
+      maxDepth: Int): Boolean = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val deep = logDepth(spark, dir, baseVer) > maxDepth
+    if (deep) foldStore(spark, dir, keys, valueCol, baseVer)
+    deep
+  }
+
   private def watermarkPath(checkpointDir: String) =
     new org.apache.hadoop.fs.Path(checkpointDir, "_version_watermark")
 

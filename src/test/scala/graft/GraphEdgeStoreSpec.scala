@@ -289,6 +289,35 @@ class GraphEdgeStoreSpec extends AnyFunSuite {
     assert(GraphEdgeStore.readFoldedThrough(spark, eDir).contains(3L))
   }
 
+  test("autoFoldDepth keeps the version log bounded across drains") {
+    import spark.implicits._
+    val base = freshDir()
+    val cdcDir = s"$base/cdc"; val eDir = s"$base/edges"
+    val ckpt = s"$base/ckpt"
+    def ver(v: Int, rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("l_orderkey", "l_partkey")
+        .withColumn("change_type", lit("insert"))
+        .write.parquet(s"$cdcDir/__version=$v")
+    def drain(): Unit = GraphEdgeStore.maintainFromCdc(
+      spark, cdcDir, eDir, ckpt, autoFoldDepth = Some(2))
+    GraphEdgeStore.build(spark, eDir, li((1L, 10L), (1L, 20L)))
+    ver(1, Seq((2L, 10L), (2L, 20L))); drain()
+    ver(2, Seq((3L, 10L), (3L, 20L))); drain()
+    assert(GraphEdgeStore.logDepth(spark, eDir) == 2,
+      "at the budget: no fold yet")
+    assert(GraphEdgeStore.readFoldedThrough(spark, eDir).isEmpty)
+    ver(3, Seq((4L, 10L), (4L, 30L))); drain()
+    assert(GraphEdgeStore.logDepth(spark, eDir) == 0,
+      "over the budget: the drain folded its own log")
+    assert(GraphEdgeStore.readFoldedThrough(spark, eDir).contains(3L))
+    assert(edgeSet(eDir) == Set((10L, 20L, 3L), (10L, 30L, 1L)),
+      "served content unchanged by the auto-fold")
+    // and the folded floor still guards a lost watermark
+    assert(new java.io.File(s"$ckpt/_version_watermark").delete())
+    drain()
+    assert(edgeSet(eDir) == Set((10L, 20L, 3L), (10L, 30L, 1L)))
+  }
+
   test("a fold crash between the swap renames self-heals on the next drain") {
     import spark.implicits._
     val base = freshDir()

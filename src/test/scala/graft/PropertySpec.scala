@@ -531,4 +531,51 @@ object PropertySpec extends Properties("graft") {
       }
     }
   }
+
+  property("incremental ER == union-find rebuild under ANY batch split") = {
+    // tiny {a,b}-alphabet names make near pairs dense, so random splits
+    // regularly force the cross-batch cluster merges (forwarding rows,
+    // cascades) that are the operator's hard path
+    val nameGen = Gen.chooseNum(2, 5)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString))
+    val caseGen = for {
+      names <- Gen.listOfN(8, nameGen).map(_.distinct)
+      cuts <- Gen.listOfN(names.size, Gen.chooseNum(0, 2))
+    } yield (names, cuts)
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    forAll(caseGen) { case (names, cuts) =>
+      names.nonEmpty ==> {
+        import spark.implicits._
+        // reference: driver-side union-find over all lev<=2 pairs
+        val parent = scala.collection.mutable.Map(names.map(n => n -> n): _*)
+        def find(x: String): String =
+          if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+        for (a <- names; b <- names if a < b && lev(a, b) <= 2) {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) {
+            val m = if (ra < rb) ra else rb
+            parent(if (ra < rb) rb else ra) = m
+          }
+        }
+        val expected = names.map(n => n -> find(n)).toMap
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_er_prop").toString
+        names.zip(cuts).groupBy(_._2).toSeq.sortBy(_._1).foreach {
+          case (_, group) =>
+            operators.IncrementalEntityResolution.ingest(
+              spark, dir, group.map(_._1).toDF("name"), "name")
+        }
+        val got = operators.IncrementalEntityResolution.resolved(spark, dir)
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        got == expected
+      }
+    }
+  }
 }
