@@ -157,11 +157,14 @@ object IncrementalEntityResolution {
     (cur, curCk)
   }
 
-  /** Banded candidate pairs between `left` (col `a`) and `right`
-    * (col `b`) — the shared [[FuzzyBlocking]] length-band equi-join. */
+  /** Candidate pairs between `left` (col `a`) and `right` (col `b`) —
+    * the shared [[FuzzyBlocking]] auto-dispatch (banded for spread
+    * lengths, pigeonhole segments once a band would hold thousands:
+    * the batch-vs-history lookup hits exactly that regime on
+    * fixed-width vocabularies). */
   private def bandJoin(left: DataFrame, right: DataFrame,
       maxDist: Int): DataFrame =
-    FuzzyBlocking.bandedPairs(left, right, maxDist).select("a", "b")
+    FuzzyBlocking.pairs(left, right, maxDist).select("a", "b")
 
   /** Ingest one batch of names: index them, match them against history
     * through the band-pruned index, merge affected components, and

@@ -1681,7 +1681,7 @@ object Extensions {
       |WHERE levenshtein(a.name, b.name) <= 3
       |ORDER BY edit_dist, name_a, name_b""".stripMargin) { (s, d) =>
     val names = Tables.part(s, d).select(col("p_name").as("name")).distinct()
-    graft.operators.FuzzyBlocking.bandedPairs(
+    graft.operators.FuzzyBlocking.pairs(
         names.select(col("name").as("a")),
         names.select(col("name").as("b")), 3)
       .filter(col("a") < col("b"))
@@ -1736,7 +1736,7 @@ object Extensions {
       |FROM agg a JOIN g USING (canonical_name)
       |ORDER BY canonical_name""".stripMargin) { (s, d) =>
     val names = Tables.part(s, d).select(col("p_name").as("name")).distinct()
-    val pairs = graft.operators.FuzzyBlocking.bandedPairs(
+    val pairs = graft.operators.FuzzyBlocking.pairs(
         names.select(col("name").as("a")),
         names.select(col("name").as("b")), 2)
       .filter(col("a") < col("b"))

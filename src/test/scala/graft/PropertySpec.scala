@@ -532,6 +532,38 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  property("pigeonhole segment blocking finds exactly the true lev<=2 pair set") = {
+    // short {a,b,c} strings of length 1-7: dense near pairs, plus the
+    // short-name fallback path (len < maxDist+1) and asymmetric-length
+    // pairs (indels) — the alignment-shift cases the position window
+    // must cover
+    val nameGen = Gen.chooseNum(1, 7)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    forAll(Gen.listOfN(12, nameGen).map(_.distinct)) { names =>
+      names.nonEmpty ==> {
+        import spark.implicits._
+        val expected = (for (x <- names; y <- names if x < y && lev(x, y) <= 2)
+          yield (x, y)).toSet
+        val df = names.toDF("n")
+        val got = operators.FuzzyBlocking.segmentPairs(
+            df.select(org.apache.spark.sql.functions.col("n").as("a")),
+            df.select(org.apache.spark.sql.functions.col("n").as("b")), 2)
+          .filter(org.apache.spark.sql.functions.col("a") <
+            org.apache.spark.sql.functions.col("b"))
+          .collect().map(r => (r.getString(0), r.getString(1))).toSet
+        got == expected
+      }
+    }
+  }
+
   property("incremental ER == union-find rebuild under ANY batch split") = {
     // tiny {a,b}-alphabet names make near pairs dense, so random splits
     // regularly force the cross-batch cluster merges (forwarding rows,
