@@ -41,7 +41,15 @@ import graft.streaming.SnapshotStore
   *     the banded-blocking index. A batch name of length L reads only
   *     the [L−maxDist, L+maxDist] partitions (edit distance ≥ length
   *     difference, the q_fuzzy_match lossless band), so candidate
-  *     lookup is band-pruned, never vocabulary-scan.
+  *     lookup is band-pruned, never vocabulary-scan. Within the pruned
+  *     read, the candidate JOIN auto-dispatches via
+  *     [[FuzzyBlocking.pairs]] — a fixed-width vocabulary (where the
+  *     length prune degenerates to one partition) flips to pigeonhole
+  *     segment blocking, so compute stays linear even when the prune
+  *     reads most of the index; the residual I/O is vocabulary-sized,
+  *     which at any corpus scale is dwarfed by the corpus itself (a
+  *     segment-hash-bucketed index layout would prune that too, the
+  *     documented next notch if vocabulary I/O ever dominates a batch).
   *
   * Per-batch cost: band-pruned index read + pair-bounded levenshtein +
   * a merge-graph CC over (batch names ∪ matched roots) — affected

@@ -970,6 +970,21 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("segment blocking plans as a hash equi-join on segment content, never a nested loop") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => f"name-$i%04d").toDF("n")
+    val pairs = operators.FuzzyBlocking.segmentPairs(
+      df.select(col("n").as("a")), df.select(col("n").as("b")), 2)
+    pairs.collect()
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"),
+      plan.linesIterator.take(15).mkString("\n"))
+    // adjacent numeric ids differ by 1-2 substitutions: the planted
+    // uniform-length pair set must actually be found
+    val got = pairs.filter(col("a") < col("b")).count()
+    assert(got > 0, "uniform-length vocabulary must still yield pairs")
+  }
+
   private def levenshteinDist(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
