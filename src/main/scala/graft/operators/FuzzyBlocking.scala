@@ -134,19 +134,29 @@ object FuzzyBlocking {
     * bounded by distinct lengths — tens of rows), the
     * `Funnel.runAuto` measured-crossover pattern; both formulations
     * return the identical pair set (PropertySpec-pinned), so dispatch
-    * can only change the plan, never the answer. */
+    * can only change the plan, never the answer.
+    *
+    * EAGER: the two dispatch aggregates run Spark jobs when this frame
+    * is BUILT, not when it is first consumed (same stance as
+    * `Funnel.runAuto`'s measured dispatch — the histogram read is the
+    * price of picking the right plan). Null names are dropped here
+    * (a null can never satisfy `levenshtein ≤ d`, and the histogram's
+    * driver read would NPE on a null length), so callers need not
+    * pre-filter. */
   def pairs(left: DataFrame, right: DataFrame, maxDist: Int,
       segmentThreshold: Long = DefaultSegmentThreshold): DataFrame = {
-    val rightHist = right.groupBy(length(col("b")).as("l"))
+    val l = left.filter(col("a").isNotNull)
+    val r = right.filter(col("b").isNotNull)
+    val rightHist = r.groupBy(length(col("b")).as("l"))
       .agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val leftLens = left.select(length(col("a")).as("l")).distinct()
+      .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+    val leftLens = l.select(length(col("a")).as("l")).distinct()
       .collect().map(_.getInt(0))
-    val maxWindow = leftLens.foldLeft(0L) { (m, l) =>
+    val maxWindow = leftLens.foldLeft(0L) { (m, len) =>
       math.max(m,
-        ((l - maxDist) to (l + maxDist)).map(rightHist.getOrElse(_, 0L)).sum)
+        ((len - maxDist) to (len + maxDist)).map(rightHist.getOrElse(_, 0L)).sum)
     }
-    if (maxWindow > segmentThreshold) segmentPairs(left, right, maxDist)
-    else bandedPairs(left, right, maxDist)
+    if (maxWindow > segmentThreshold) segmentPairs(l, r, maxDist)
+    else bandedPairs(l, r, maxDist)
   }
 }

@@ -37,7 +37,10 @@ import graft.streaming.SnapshotStore
   *     `resolved()`, rewrite labels with final roots, start an empty
   *     fwd) is the path-compression analog of the graph stores'
   *     log-fold, and reads stay correct without it.
-  *   - `name_index`: append-only parquet partitioned by name LENGTH —
+  *   - `name_index`: parquet partitioned by name LENGTH, append-only
+  *     between folds (a fold rewrites it from the deduped labels key
+  *     set — stage-then-swap — so replay-duplicated appends cannot
+  *     amplify read I/O forever) —
   *     the banded-blocking index. A batch name of length L reads only
   *     the [L−maxDist, L+maxDist] partitions (edit distance ≥ length
   *     difference, the q_fuzzy_match lossless band), so candidate
@@ -131,22 +134,34 @@ object IncrementalEntityResolution {
     * cascades grow (and a fold resets to ≤ 1). The fwd frame is
     * vocabulary-merge-bounded — AQE broadcasts the probe join. */
   private def follow(frame: DataFrame, rootCol: String,
-      fwd: DataFrame, maxIter: Int = 64): DataFrame =
-    followCore(frame, rootCol, fwd, maxIter)._1
+      fwd: DataFrame): DataFrame =
+    followCore(frame, rootCol, fwd)._1
 
   /** Like [[follow]] but also returns the CHECKPOINT backing the result
     * (when any hop happened) so internal callers can free it once the
     * result is consumed — unpersisting a projection over a checkpoint is
     * a silent no-op, so the raw checkpointed frame must travel
     * alongside (the finish/spent pattern). Intermediate hop checkpoints
-    * are freed here as soon as the next hop materializes. */
+    * are freed here as soon as the next hop materializes.
+    *
+    * The iteration bound is DERIVED, not a constant: a chain visits each
+    * fwd row at most once (roots strictly decrease, so no row repeats),
+    * so `fwd.count() + 1` hops is a hard ceiling for any WELL-FORMED
+    * store no matter how many cross-batch cascades accumulated between
+    * folds. (A fixed cap here once made ~cap legal cascades
+    * unrecoverable through the public API — every cascade grows the
+    * longest chain by one, and resolved()/ingest()/fold() all follow
+    * chains.) Exceeding the derived bound is only possible if the store
+    * holds a CYCLE, which the strictly-decreasing write invariant rules
+    * out — the error says so instead of misdiagnosing a legal state. */
   private def followCore(frame: DataFrame, rootCol: String,
-      fwd: DataFrame, maxIter: Int = 64): (DataFrame, Option[DataFrame]) = {
+      fwd: DataFrame): (DataFrame, Option[DataFrame]) = {
     val f = fwd.select(col("src").as("__fsrc"), col("dst").as("__fdst"))
+    val maxIter = fwd.count() + 1
     var cur = frame
     var curCk: Option[DataFrame] = None
     var moved = true
-    var i = 0
+    var i = 0L
     while (moved && i < maxIter) {
       val step = cur.join(f, cur(rootCol) === col("__fsrc"), "left")
         .select(cur.columns.filter(_ != rootCol).map(cur(_)) :+
@@ -160,8 +175,9 @@ object IncrementalEntityResolution {
       i += 1
     }
     if (moved) throw new IllegalStateException(
-      s"forwarding chain exceeded $maxIter hops — impossible for " +
-        "strictly-decreasing fwd rows unless the store was hand-edited")
+      s"forwarding chain still moving after $maxIter hops (= fwd rows " +
+        "+ 1): the fwd store holds a cycle, which the strictly-" +
+        "decreasing dst < src write invariant rules out — store corrupted")
     (cur, curCk)
   }
 
@@ -176,10 +192,24 @@ object IncrementalEntityResolution {
 
   /** Ingest one batch of names: index them, match them against history
     * through the band-pruned index, merge affected components, and
-    * write batch-bounded labels + merge-bounded forwarding rows. */
+    * write batch-bounded labels + merge-bounded forwarding rows.
+    *
+    * `autoFoldDepth` is the self-triggering maintenance policy the
+    * other maintained artifacts carry (`VersionDrain.foldIfDeep`): when
+    * a batch's merges push the longest forwarding chain PAST the
+    * budget, the ingest folds its own store before returning — read
+    * amplification stays bounded at ~budget broadcast probes per
+    * resolution with no runbook, for one labels-scan rebuild every
+    * ~budget cascading batches. The gauge runs only on batches that
+    * actually wrote forwarding rows (merge-free batches cannot deepen a
+    * chain). */
   def ingest(spark: SparkSession, erDir: String, batch: DataFrame,
-      nameCol: String, maxDist: Int = 2, numBuckets: Int = 16): Unit = {
+      nameCol: String, maxDist: Int = 2, numBuckets: Int = 16,
+      autoFoldDepth: Option[Int] = None): Unit = {
     import spark.implicits._
+    autoFoldDepth.foreach(d => require(d >= 1,
+      s"autoFoldDepth must be >= 1, got $d"))
+    recoverIndexSwap(spark, erDir)
     val md = pinMaxDist(spark, erDir, maxDist)
     val names = batch.select(col(nameCol).as("name")).distinct()
       .filter(col("name").isNotNull)
@@ -239,11 +269,15 @@ object IncrementalEntityResolution {
         .join(cc, "node")
         .filter(col("node") =!= col("lbl"))
         .select(col("node").as("src"), col("lbl").as("dst"))
-      if (!fwdRows.isEmpty)
+      val merged = !fwdRows.isEmpty
+      if (merged)
         SnapshotStore.merge(spark, fwdDir(erDir), fwdRows,
           Seq("src"), numBuckets)
       Seq(edges, fwd0, bh, rootsBoth)
         .foreach(graft.queries.GateMemo.unpersistCheckpoint)
+      if (merged) autoFoldDepth.foreach { budget =>
+        if (chainDepth(spark, erDir) > budget) fold(spark, erDir, numBuckets)
+      }
     } finally graft.queries.GateMemo.unpersistCheckpoint(names)
   }
 
@@ -253,6 +287,41 @@ object IncrementalEntityResolution {
   def resolved(spark: SparkSession, erDir: String): DataFrame = {
     val fwd = readFwd(spark, erDir)
     follow(readLabels(spark, erDir), "root", fwd)
+  }
+
+  /** Golden records served from the maintained ER artifacts — the exact
+    * frame `q_entity_resolution` computes live from scratch
+    * (canonical_name, n_names, n_parts, min_price_cents, members), with
+    * the blocking/clustering work NEVER re-run: cluster membership
+    * comes from [[resolved]] (one labels scan + chain-bounded broadcast
+    * probes), restricted to multi-member clusters (the live key's pair
+    * graph covers exactly the names with ≥ 1 match — a singleton
+    * resolves to itself and never enters it). `source` (the row-sized
+    * table, e.g. `part`) joins the match-bounded label frame BROADCAST,
+    * so the only corpus-sized work is one map-side scan — the same seam
+    * the live key uses, minus the vocabulary-quadratic front half.
+    * `measureCents` is the golden attribute to repair (min over the
+    * cluster), already cast to exact integer cents by the caller. */
+  def goldenRecords(spark: SparkSession, erDir: String, source: DataFrame,
+      nameCol: String, measureCents: org.apache.spark.sql.Column): DataFrame = {
+    val res = resolved(spark, erDir)
+    val multi = res.groupBy("root").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select("root")
+    // match-bounded: rows = members of merged clusters only
+    val labels = res.join(multi, "root")
+    val clusters = labels.groupBy(col("root").as("canonical_name"))
+      .agg(count(lit(1)).as("n_names"),
+        array_join(array_sort(collect_list(col("name"))), "|").as("members"))
+    val golden = source
+      .join(broadcast(labels.select(col("name").as(nameCol), col("root"))),
+        Seq(nameCol))
+      .groupBy(col("root").as("canonical_name"))
+      .agg(count(lit(1)).as("n_parts"),
+        min(measureCents).as("min_price_cents"))
+    clusters.join(golden, "canonical_name")
+      .select("canonical_name", "n_names", "n_parts", "min_price_cents",
+        "members")
+      .orderBy("canonical_name")
   }
 
   /** Longest forwarding chain — the read-amplification gauge a fold
@@ -265,6 +334,7 @@ object IncrementalEntityResolution {
       var frontier = fwd.select(col("src"), col("dst").as("cur"))
       var frontierCk: Option[DataFrame] = None
       var more = frontier.limit(1).count() > 0
+      val bound = fwd.count() + 1 // same derived ceiling as followCore
       while (more) {
         depth += 1
         val next = frontier.join(f, frontier("cur") === col("__fsrc"))
@@ -274,32 +344,81 @@ object IncrementalEntityResolution {
         frontierCk = Some(next)
         frontier = next
         more = frontier.limit(1).count() > 0
-        if (depth > 64) throw new IllegalStateException(
-          "forwarding chain exceeded 64 hops — see follow()'s invariant")
+        if (depth > bound) throw new IllegalStateException(
+          s"forwarding chain still moving after $bound hops (= fwd rows " +
+            "+ 1) — cycle in the fwd store; see followCore()'s invariant")
       }
       frontierCk.foreach(graft.queries.GateMemo.unpersistCheckpoint)
       depth
     } finally graft.queries.GateMemo.unpersistCheckpoint(fwd)
   }
 
-  /** Path-compression fold: rewrite every label with its resolved root
-    * and drop all forwarding rows (chains reset to 0). Labels-scan
-    * bounded — the union-find analog of the graph stores' log-fold,
-    * with the same stage-then-swap discipline handled by the
-    * SnapshotStore merge (labels) and a directory swap (fwd). */
+  /** Complete a crashed [[fold]] index swap (the one window where the
+    * live index dir is absent: between the two renames). The staged
+    * index is complete iff Spark's job-commit `_SUCCESS` marker exists —
+    * an incomplete stage (crash mid-write) is left for the next fold's
+    * overwrite, and the live dir is still intact in that window. Also
+    * sweeps `__fold_old` debris (crash after the second rename). Every
+    * ingest and fold calls this first, so the index is always readable
+    * after any single-crash history — same discipline as
+    * `VersionDrain.recoverFold`. */
+  private def recoverIndexSwap(spark: SparkSession, erDir: String): Unit = {
+    val (fs, _) = fsOf(spark, erDir)
+    val idx = new org.apache.hadoop.fs.Path(idxDir(erDir))
+    val stage = new org.apache.hadoop.fs.Path(idxDir(erDir) + "__fold_stage")
+    val old = new org.apache.hadoop.fs.Path(idxDir(erDir) + "__fold_old")
+    val stageComplete =
+      fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS"))
+    if (!fs.exists(idx) && stageComplete) {
+      if (!fs.rename(stage, idx)) throw new java.io.IOException(
+        s"ER index swap recovery failed: $stage -> $idx")
+    }
+    if (fs.exists(old) && fs.exists(idx)) fs.delete(old, true)
+  }
+
+  /** Path-compression fold: rewrite every label with its resolved root,
+    * compact the name index, and drop all forwarding rows (chains reset
+    * to 0). Labels-scan bounded — the union-find analog of the graph
+    * stores' log-fold, with the same stage-then-swap discipline handled
+    * by the SnapshotStore merge (labels), a staged directory swap (the
+    * index), and a directory delete (fwd).
+    *
+    * The index rewrite is what bounds read I/O across at-least-once
+    * replays: ingest appends are append-only, so every replay
+    * re-appends its batch's rows and reads stay correct only through
+    * the lookup's distinct — without compaction the index's SIZE (and
+    * every batch's band-pruned read) amplifies forever. Rebuilding from
+    * the deduped labels key set resets the index to exactly one row per
+    * name ever labeled; crash-residue index rows (indexed but never
+    * labeled) are dropped, which is safe because their batch's replay
+    * re-appends them before it labels them (the index-first crash
+    * order). */
   def fold(spark: SparkSession, erDir: String, numBuckets: Int = 16): Unit = {
     // a store that was never ingested has nothing to compact (and an
     // empty merge would create a hollow labels snapshot)
     if (SnapshotStore.currentManifest(spark, labelsDir(erDir)).isEmpty) return
+    recoverIndexSwap(spark, erDir)
     val res = resolved(spark, erDir).localCheckpoint(true)
     try {
       SnapshotStore.merge(spark, labelsDir(erDir), res,
         Seq("name"), numBuckets)
+      // index compaction: one row per labeled name, staged then swapped
+      // (recoverIndexSwap completes a crashed swap; `_SUCCESS` gates it)
+      val (fs, _) = fsOf(spark, erDir)
+      val idx = new org.apache.hadoop.fs.Path(idxDir(erDir))
+      val stage = new org.apache.hadoop.fs.Path(idxDir(erDir) + "__fold_stage")
+      val old = new org.apache.hadoop.fs.Path(idxDir(erDir) + "__fold_old")
+      res.select(col("name")).withColumn("len", length(col("name")))
+        .write.mode("overwrite").partitionBy("len").parquet(stage.toString)
+      if (fs.exists(idx) && !fs.rename(idx, old))
+        throw new java.io.IOException(s"ER index swap failed: $idx -> $old")
+      if (!fs.rename(stage, idx)) throw new java.io.IOException(
+        s"ER index swap failed: $stage -> $idx (complete index at $stage)")
+      fs.delete(old, true)
       // fwd rows are now redundant: every label IS its resolved root.
       // Dropping the store is safe at any crash point — a surviving fwd
       // dir only re-forwards roots the labels no longer hold (src rows
       // that no label references resolve nothing).
-      val (fs, _) = fsOf(spark, erDir)
       fs.delete(new org.apache.hadoop.fs.Path(fwdDir(erDir)), true)
     } finally graft.queries.GateMemo.unpersistCheckpoint(res)
   }

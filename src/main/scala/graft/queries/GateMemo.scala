@@ -52,6 +52,25 @@ private[graft] object GateMemo {
       }
     }
 
+  /** Drop EVERY entry, unpersisting cached frames' checkpointed blocks.
+    * The bench calls this at the gate-family boundary (the registry
+    * runs alphabetically, so every `q_gate_*` key precedes every later
+    * operator key): the memo exists to amortize twins WITHIN the gate
+    * family, but its checkpointed fixtures would otherwise occupy the
+    * block manager for the entire rest of the capture — the round-15
+    * driver capture showed the checkpoint-juggling graph keys paying
+    * for that occupancy with 2x eviction-churn inflation. After the
+    * last gate key nothing reads the memo again (the scope rule:
+    * operator keys always compute live), so the blocks are pure dead
+    * weight there. */
+  private[graft] def evictAll(): Unit =
+    cache.keys.foreach { k =>
+      cache.remove(k).foreach {
+        case ds: Dataset[_] => unpersistCheckpoint(ds)
+        case _ => ()
+      }
+    }
+
   /** Free a localCheckpointed frame's blocks: the checkpoint's plan is
     * a LogicalRDD over the materialized RDD — unpersist that RDD; plans
     * of any other shape are left alone (defensive: nothing else is ever

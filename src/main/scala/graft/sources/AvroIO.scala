@@ -144,10 +144,17 @@ object AvroIO {
     val fields = sparkSchema.fields.map(f => (f.name, f.dataType))
     val java8 = spark.conf
       .get("spark.sql.datetime.java8API.enabled", "false").toBoolean
+    // declare the reader schema (it IS known here — derived from the
+    // Spark schema the caller reads under): without it every task logs
+    // "Reader schema was not set" and falls back to the writer schema,
+    // which drowns benchmark tails in warnings
+    val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
+    AvroJob.setInputKeySchema(job, toAvroSchema(sparkSchema))
     val rows = spark.sparkContext.newAPIHadoopFile(
       path,
       classOf[AvroKeyInputFormat[GenericRecord]],
-      classOf[AvroKey[GenericRecord]], classOf[NullWritable])
+      classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+      job.getConfiguration)
       .mapPartitions(_.map { case (k, _) =>
         val rec = k.datum()
         Row.fromSeq(fields.toSeq.map { case (n, dt) =>

@@ -83,6 +83,59 @@ class IncrementalEntityResolutionSpec extends AnyFunSuite {
       "post-fold merge must unify the pair")
   }
 
+  test("autoFoldDepth: the ingest folds its own store past the chain budget") {
+    val dir = freshDir()
+    import spark.implicits._
+    def ingAuto(names: String*): Unit =
+      ingest(spark, dir, names.toDF("name"), "name", autoFoldDepth = Some(1))
+    ingAuto("abb", "bbb")
+    ingAuto("aab") // depth 1 — at budget, no fold
+    assert(chainDepth(spark, dir) == 1, "at-budget chain must survive")
+    ingAuto("aaa") // depth 2 — OVER budget, the ingest folds itself
+    assert(chainDepth(spark, dir) == 0, "over-budget ingest must auto-fold")
+    assert(res(dir) == Map("aaa" -> "aaa", "aab" -> "aaa",
+      "abb" -> "aaa", "bbb" -> "aaa"), "resolution unchanged by auto-fold")
+  }
+
+  test("fold compacts the name index: replay-duplicated appends collapse") {
+    val dir = freshDir()
+    ing(dir, "abb", "bbb")
+    ing(dir, "aab")
+    ing(dir, "aab") // at-least-once replay appends duplicate index rows
+    ing(dir, "aab")
+    val idx = s"$dir/name_index"
+    assert(spark.read.parquet(idx).count() == 5,
+      "append-only index must hold one row per (batch, name) append")
+    val before = res(dir)
+    fold(spark, dir)
+    assert(spark.read.parquet(idx).select("name").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("aab", "abb", "bbb"),
+      "folded index = exactly the deduped labels key set")
+    assert(res(dir) == before)
+    // the compacted index still blocks: a new arrival matches history
+    ing(dir, "aaa")
+    assert(res(dir)("bbb") == "aaa")
+  }
+
+  test("a crashed index swap is recovered by the next ingest") {
+    val dir = freshDir()
+    ing(dir, "abb", "bbb")
+    val before = res(dir)
+    // simulate the one crash window where the live index dir is absent:
+    // fold renamed live -> __fold_old and died before stage -> live
+    // (stage holds a COMPLETE index — _SUCCESS was written by job commit)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idx = new org.apache.hadoop.fs.Path(s"$dir/name_index")
+    val stage = new org.apache.hadoop.fs.Path(s"$dir/name_index__fold_stage")
+    assert(fs.rename(idx, stage), "fixture: move live index to stage")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS")))
+    ing(dir, "aab") // must recover the swap, then match against history
+    assert(!fs.exists(stage) && fs.exists(idx))
+    assert(res(dir) == Map("aab" -> "aab", "abb" -> "aab", "bbb" -> "aab"))
+    assert(before("bbb") == "abb") // sanity: recovery really re-blocked
+  }
+
   test("a singleton-only batch writes labels and matches nothing") {
     val dir = freshDir()
     ing(dir, "qqqqqqqq", "rrrrrrrrrrrr")
