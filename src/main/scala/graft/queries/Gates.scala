@@ -44,6 +44,18 @@ object Gates {
   private def memoQ(s: SparkSession, d: String, q: Q): DataFrame =
     GateMemo.frame(s, d, q.name)(q.run(s, d))
 
+  /** The order key the store gates cancel end-to-end (min of the CDC
+    * batch slice — a 1-row driver scalar). Fails LOUDLY on an empty
+    * slice (a tiny scale factor with no qualifying orderkey) instead of
+    * the opaque NPE `getLong` throws on a null aggregate. */
+  private def doomedOrderKey(slice: DataFrame): Long = {
+    val row = slice.agg(min("l_orderkey")).head()
+    require(!row.isNullAt(0),
+      "store gate fixture slice is empty at this scale factor — no " +
+        "orderkey qualifies for the cancellation batch")
+    row.getLong(0)
+  }
+
   /** Mean recall@k of `ann` against `exact`; both are ranked
     * (qid, cid, …, rnk) frames. A probe the index lost entirely counts
     * as zero recall, not as excluded. Shared with AnnRecallProbe so the
@@ -1288,7 +1300,7 @@ object Gates {
       val replayNoop =
         SnapshotStore.currentManifest(s, edgeDir).map(_.version) == vBefore
       // cancel one whole %20==0 order end-to-end (1-row driver scalar)
-      val doomedK = b1.agg(min("l_orderkey")).head().getLong(0)
+      val doomedK = doomedOrderKey(b1)
       Streams.cdcDeleteBatch(s, liDir, cdcDir,
         li.filter(col("l_orderkey") === doomedK), keys)
       GraphEdgeStore.maintainFromCdc(s, cdcDir, edgeDir, ckpt)
@@ -1367,7 +1379,7 @@ object Gates {
         SnapshotStore.currentManifest(s, edgeDir).map(_.version) == vE &&
           SnapshotStore.currentManifest(s, degDir).map(_.version) == vD
       // cancel one whole order; its zero-crossed neighbors lose a degree
-      val doomedK = b1.agg(min("l_orderkey")).head().getLong(0)
+      val doomedK = doomedOrderKey(b1)
       Streams.cdcDeleteBatch(s, liDir, cdcDir,
         li.filter(col("l_orderkey") === doomedK), keys)
       GraphEdgeStore.maintainFromCdc(s, cdcDir, edgeDir, ckpt,
@@ -1501,7 +1513,7 @@ object Gates {
       val replayNoop =
         SnapshotStore.currentManifest(s, edgeDir).map(_.version) == vE &&
           SnapshotStore.currentManifest(s, cntDir).map(_.version) == vC
-      val doomedK = b1.agg(min("l_orderkey")).head().getLong(0)
+      val doomedK = doomedOrderKey(b1)
       Streams.cdcDeleteBatch(s, liDir, cdcDir,
         li.filter(col("l_orderkey") === doomedK), keys)
       drain()
@@ -1568,7 +1580,7 @@ object Gates {
       drain()
       val replayNoop =
         SnapshotStore.currentManifest(s, edgeDir).map(_.version) == vE
-      val doomedK = b1.agg(min("l_orderkey")).head().getLong(0)
+      val doomedK = doomedOrderKey(b1)
       Streams.cdcDeleteBatch(s, liDir, cdcDir,
         li.filter(col("l_orderkey") === doomedK), keys)
       drain()
@@ -1653,7 +1665,7 @@ object Gates {
       drain()
       val replayNoop =
         SnapshotStore.currentManifest(s, edgeDir).map(_.version) == vE
-      val doomedK = b1.agg(min("l_orderkey")).head().getLong(0)
+      val doomedK = doomedOrderKey(b1)
       Streams.cdcDeleteBatch(s, liDir, cdcDir,
         li.filter(col("l_orderkey") === doomedK), keys)
       drain()
@@ -1731,6 +1743,55 @@ object Gates {
     verdict(s, "q_gate_er_incremental", ok)
   }
 
+  /** Golden-record serving from the maintained ER store (round 16 — the
+    * day-2 payoff `q_gate_store_pagerank`/`_triangles` give the graph
+    * family, completed for entity resolution): with the store built by
+    * batch ingests, `q_entity_resolution`'s actual PRODUCT — canonical
+    * name, member roster, row coverage, repaired min price — is
+    * computable from the labels artifact plus one broadcast join
+    * against the row-sized source; the vocabulary is never re-blocked
+    * and the pair graph never re-derived. Pins: (1) store-served golden
+    * records == the live `q_entity_resolution` frame EXACTLY after the
+    * vocabulary arrives via base + two cascade-forcing batches (same
+    * split as `q_gate_er_incremental`); (2) replaying the last batch
+    * changes nothing; (3) the path-compression fold changes nothing and
+    * resets the chain gauge. */
+  val qGateStoreEr = Q(
+    "q_gate_store_er", oracleFor("q_gate_store_er")) { (s, d) =>
+    import graft.operators.IncrementalEntityResolution
+    val ok = GateMemo.value(s, d, "gate_store_er_ok") {
+      val work = "/root/repo/target/store_er_gate/" +
+        new java.io.File(d).getName
+      graft.LocalFs.rmrf(new java.io.File(work))
+      val erDir = s"$work/er"
+      val part = Tables.part(s, d).localCheckpoint(true)
+      try {
+        val names = part.select(col("p_name").as("name")).distinct()
+        val firstWord = split(col("name"), " ").getItem(0)
+        val base = names.filter(!firstWord.isin("red", "cold"))
+        val b1 = names.filter(firstWord === "red")
+        val b2 = names.filter(firstWord === "cold")
+        def ing(b: DataFrame): Unit =
+          IncrementalEntityResolution.ingest(s, erDir, b, "name")
+        ing(base); ing(b1); ing(b2)
+        val cents = round(col("p_retailprice") * 100, 0).cast("bigint")
+        def served(): Seq[String] =
+          IncrementalEntityResolution.goldenRecords(s, erDir, part,
+            "p_name", cents).collect().map(_.toString).toSeq
+        val live = memoQ(s, d, Extensions.qEntityResolution)
+          .collect().map(_.toString).toSeq
+        val parity = served() == live
+        ing(b2) // at-least-once replay of the latest batch
+        val replayNoop = served() == live
+        IncrementalEntityResolution.fold(s, erDir)
+        val foldInvariant = served() == live &&
+          IncrementalEntityResolution.chainDepth(s, erDir) == 0
+        live.nonEmpty && parity && replayNoop && foldInvariant
+      } finally GateMemo.unpersistCheckpoint(part)
+    }
+    verdict(s, "q_gate_store_er", ok)
+  }
+
   /** Full-text serving from maintained artifacts (round 15 — the BM25
     * twin of the edge-store family): postings (word, doc, tf) + doc
     * lengths maintained from a documents CDC feed by
@@ -1806,6 +1867,84 @@ object Gates {
     verdict(s, "q_gate_store_text_search", ok)
   }
 
+  /** Phrase serving from the POSITIONAL index (round 16 — closing the
+    * one refusal left at the BM25 store: `q_text_search_phrase`'s
+    * adjacency semantics need positions the tf postings don't carry).
+    * The store maintains the opt-in per-occurrence artifact — a signed
+    * (word, doc, pos) row per token, additive under −old/+new exactly
+    * like tf because each occurrence key is unique per side — and
+    * serves phrase through the live key's own anchor fan-out plan over
+    * index rows instead of posexplode(corpus). Pins: (1) store-served
+    * phrase == live `TextSearch.phrase` EXACTLY (the `q_text_search_
+    * phrase` terms) after base + two CDC batches; (2) an in-place
+    * update that APPENDS a phrase occurrence to ~5% of docs flows
+    * through positionally and parity holds on the mutated corpus;
+    * (3) whole-doc deletions drop their occurrences and parity holds;
+    * (4) replaying the drained feed is a version no-op on all three
+    * artifacts. */
+  val qGateStoreTextPhrase = Q(
+    "q_gate_store_text_phrase",
+    oracleFor("q_gate_store_text_phrase")) { (s, d) =>
+    import graft.streaming.{SnapshotStore, Streams, TextIndexStore}
+    val ok = GateMemo.value(s, d, "gate_store_text_phrase_ok") {
+      val work = "/root/repo/target/store_text_phrase_gate/" +
+        new java.io.File(d).getName
+      graft.LocalFs.rmrf(new java.io.File(work))
+      val docDir = s"$work/doc_store"
+      val cdcDir = s"$work/cdc"
+      val postDir = s"$work/postings"
+      val lenDir = s"$work/doclens"
+      val posDir = s"$work/positions"
+      val ckpt = s"$work/ckpt"
+      val keys = Seq("doc_id")
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+        .localCheckpoint(true)
+      val base = docs.filter(col("doc_id") % 10 =!= 0)
+      val b1 = docs.filter(col("doc_id") % 20 === 0)
+      val b2 = docs.filter(
+        col("doc_id") % 10 === 0 && col("doc_id") % 20 =!= 0)
+      Streams.cdcBatch(s, docDir, cdcDir, base, keys)
+      Streams.cdcBatch(s, docDir, cdcDir, b1, keys)
+      Streams.cdcBatch(s, docDir, cdcDir, b2, keys)
+      def drain(): Unit = TextIndexStore.maintainFromCdc(
+        s, cdcDir, postDir, lenDir, ckpt, positionsDir = Some(posDir))
+      drain()
+      val terms = Seq("table", "hash") // q_text_search_phrase's
+      def served(): Seq[String] =
+        TextIndexStore.searchPhrase(s, posDir, lenDir, terms, topK = 20)
+          .collect().map(_.toString).toSeq
+      def live(of: DataFrame): Seq[String] =
+        graft.operators.TextSearch.phrase(of, "doc_id", "text", terms,
+          topK = 20).collect().map(_.toString).toSeq
+      val parity = served() == live(docs)
+      // in-place update planting a NEW phrase occurrence in ~5% of docs
+      Streams.cdcUpdateBatch(s, docDir, cdcDir, keys,
+        Map("text" -> concat(col("text"), lit(" table hash"))),
+        col("doc_id") % 19 === 0)
+      drain()
+      val mutated = docs.withColumn("text",
+        when(col("doc_id") % 19 === 0,
+          concat(col("text"), lit(" table hash")))
+          .otherwise(col("text")))
+      val afterUpdate = served() == live(mutated)
+      val vP = SnapshotStore.currentManifest(s, postDir).map(_.version)
+      val vL = SnapshotStore.currentManifest(s, lenDir).map(_.version)
+      val vO = SnapshotStore.currentManifest(s, posDir).map(_.version)
+      drain()
+      val replayNoop =
+        SnapshotStore.currentManifest(s, postDir).map(_.version) == vP &&
+          SnapshotStore.currentManifest(s, lenDir).map(_.version) == vL &&
+          SnapshotStore.currentManifest(s, posDir).map(_.version) == vO
+      Streams.cdcDeleteBatch(s, docDir, cdcDir,
+        b1.select("doc_id"), keys)
+      drain()
+      val afterDelete =
+        served() == live(mutated.filter(col("doc_id") % 20 =!= 0))
+      served().nonEmpty && parity && afterUpdate && replayNoop && afterDelete
+    }
+    verdict(s, "q_gate_store_text_phrase", ok)
+  }
+
   /** SCD2 dimension history (round 14): the CDC log rendered as
     * type-2 validity intervals (`Streams.scd2` — one key-partitioned
     * lead() window; deletes close intervals without opening one) must
@@ -1872,7 +2011,8 @@ object Gates {
   val all: Seq[Q] = Seq(
     qGateScd2,
     qGateStoreJaccard, qGateStorePagerank, qGateStoreTriangles,
-    qGateStoreTextSearch, qGateErIncremental,
+    qGateStoreTextSearch, qGateStoreTextPhrase,
+    qGateErIncremental, qGateStoreEr,
     qGateStreamAnomaly,
     qGateStreamGraphDegree,
     qGateGraphEdgesIncremental,

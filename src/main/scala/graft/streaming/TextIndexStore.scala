@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
   *    rows (`word IN (...)` pushed into the bucketed parquet scan).
   *  - DOC LENGTHS: (doc_id, ver, dl) — token count per document, the
   *    node-sized side that yields N and avgdl.
+  *  - POSITIONS (opt-in): (word, doc_id, pos, ver, cnt) — one signed
+  *    row per token OCCURRENCE, the positional index [[searchPhrase]]
+  *    serves adjacency from. Corpus-token-sized (~3-5× the tf
+  *    postings), which is why it is a separate opt-in artifact rather
+  *    than positions bolted onto every posting.
   *
   * Same log-structured (key, ver) exactly-once design as
   * [[GraphEdgeStore]] (signed deltas under the CDC version in the key;
@@ -42,6 +47,7 @@ object TextIndexStore {
 
   private val PostingsKeys = Seq("word", "doc_id", "ver")
   private val DoclenKeys = Seq("doc_id", "ver")
+  private val PositionsKeys = Seq("word", "doc_id", "pos", "ver")
 
   /** (doc_id, word, tf, dl) of a (id, text) frame — the same
     * whitespace tokenizer the live BM25 uses; null text contributes
@@ -56,10 +62,29 @@ object TextIndexStore {
       .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
   }
 
-  /** Full build (or periodic log-fold rebuild) of both artifacts. */
+  /** (doc_id, word, pos) per token OCCURRENCE of a (id, text) frame —
+    * the positional index rows behind phrase serving. Each (doc, word,
+    * pos) triple is unique by construction, so a signed per-occurrence
+    * count is additive exactly like tf: an in-place update's −old
+    * cancels the occurrences the new text keeps in place (net 0 rows
+    * written for the unchanged prefix). */
+  private def tokenPos(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.TextOps.tokens(col(textCol)))
+          .as(Seq("pos", "word")))
+      .select(col("doc_id"), col("word"), col("pos"))
+
+  /** Full build (or periodic log-fold rebuild) of the artifacts.
+    * `positionsDir` opts into the POSITIONAL index phrase serving needs
+    * — one row per token occurrence, i.e. corpus-token-sized where the
+    * tf postings are (doc, distinct-term)-sized (the honest ~3-5×
+    * size cost of serving adjacency; skip it and phrase queries stay on
+    * the live `TextSearch.phrase` path). */
   def build(spark: SparkSession, postingsDir: String, doclenDir: String,
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      numBuckets: Int = 16): Unit = {
+      numBuckets: Int = 16, positionsDir: Option[String] = None): Unit = {
     val tt = tokenTf(docs, idCol, textCol).localCheckpoint(true)
     try {
       SnapshotStore.merge(spark, postingsDir,
@@ -70,6 +95,12 @@ object TextIndexStore {
         tt.groupBy("doc_id").agg(first("dl").as("dl"))
           .withColumn("ver", lit(BaseVer)),
         DoclenKeys, numBuckets)
+      positionsDir.foreach { pd =>
+        SnapshotStore.merge(spark, pd,
+          tokenPos(docs, idCol, textCol)
+            .withColumn("ver", lit(BaseVer)).withColumn("cnt", lit(1L)),
+          PositionsKeys, numBuckets)
+      }
     } finally graft.queries.GateMemo.unpersistCheckpoint(tt)
   }
 
@@ -80,7 +111,8 @@ object TextIndexStore {
     * doc). Idempotent per batchId on both stores. */
   def ingestBatch(spark: SparkSession, postingsDir: String,
       doclenDir: String, changes: DataFrame, batchId: Long,
-      idCol: String = "doc_id", numBuckets: Int = 16): Unit = {
+      idCol: String = "doc_id", numBuckets: Int = 16,
+      positionsDir: Option[String] = None): Unit = {
     require(batchId >= 0L,
       s"batchId must be >= 0 (got $batchId): $BaseVer is reserved for the base build")
     def side(textCol: String, types: Seq[String], sign: Int) =
@@ -108,6 +140,23 @@ object TextIndexStore {
       if (!dDelta.isEmpty) SnapshotStore.merge(spark, doclenDir, dDelta,
         DoclenKeys, numBuckets)
     } finally graft.queries.GateMemo.unpersistCheckpoint(delta)
+    // positional deltas: per-OCCURRENCE signed counts, same −old/+new
+    // additivity as tf (each (doc, word, pos) key is unique per side,
+    // and an update's kept-in-place occurrences net to zero — nothing
+    // is written for them)
+    positionsDir.foreach { pd =>
+      def posSide(textCol: String, types: Seq[String], sign: Int) =
+        tokenPos(changes.filter(col("change_type").isin(types: _*)),
+            idCol, textCol)
+          .withColumn("cnt", lit(sign.toLong))
+      val pDelta = posSide("new_text", Seq("insert", "update"), 1)
+        .unionByName(posSide("old_text", Seq("delete", "update"), -1))
+        .groupBy("word", "doc_id", "pos").agg(sum("cnt").as("cnt"))
+        .filter(col("cnt") =!= 0L)
+        .withColumn("ver", lit(batchId))
+      if (!pDelta.isEmpty) SnapshotStore.merge(spark, pd, pDelta,
+        PositionsKeys, numBuckets)
+    }
   }
 
   /** Drain the CDC feed into both artifacts at version granularity
@@ -116,16 +165,18 @@ object TextIndexStore {
   def maintainFromCdc(spark: SparkSession, cdcDir: String,
       postingsDir: String, doclenDir: String, checkpointDir: String,
       idCol: String = "doc_id", numBuckets: Int = 16,
-      autoFoldDepth: Option[Int] = None): Unit = {
+      autoFoldDepth: Option[Int] = None,
+      positionsDir: Option[String] = None): Unit = {
     // folded-through markers floor the drain exactly as in the graph
     // family: a folded version's rows are gone, so a lost watermark
     // must not let it re-merge; recover a crashed fold swap first so
     // the floor (and the store itself) is readable
-    val dirs = Seq(postingsDir, doclenDir)
+    val dirs = Seq(postingsDir, doclenDir) ++ positionsDir
     dirs.foreach(d => VersionDrain.recoverFold(spark, d))
     val floors = dirs.flatMap(d => VersionDrain.readFoldedThrough(spark, d))
     VersionDrain.drain(spark, cdcDir, checkpointDir, floors) { (batch, v) =>
-      ingestBatch(spark, postingsDir, doclenDir, batch, v, idCol, numBuckets)
+      ingestBatch(spark, postingsDir, doclenDir, batch, v, idCol,
+        numBuckets, positionsDir)
     }
     // self-triggering compaction — same policy as the graph stores
     // (GraphEdgeStore.maintainFromCdc): read amplification bounded at
@@ -135,6 +186,8 @@ object TextIndexStore {
         "tf", BaseVer, depth)
       VersionDrain.foldIfDeep(spark, doclenDir, Seq("doc_id"), "dl",
         BaseVer, depth)
+      positionsDir.foreach(pd => VersionDrain.foldIfDeep(spark, pd,
+        Seq("word", "doc_id", "pos"), "cnt", BaseVer, depth))
     }
   }
 
@@ -158,6 +211,11 @@ object TextIndexStore {
   def foldDocLens(spark: SparkSession, doclenDir: String): Unit =
     VersionDrain.foldStore(spark, doclenDir, Seq("doc_id"), "dl", BaseVer)
 
+  /** Fold the positional log (see [[foldPostings]]'s pairing note). */
+  def foldPositions(spark: SparkSession, positionsDir: String): Unit =
+    VersionDrain.foldStore(spark, positionsDir,
+      Seq("word", "doc_id", "pos"), "cnt", BaseVer)
+
   /** Live postings: per-(word, doc) version-log sum, vanished terms
     * dropped. */
   def postings(spark: SparkSession, postingsDir: String): DataFrame =
@@ -170,6 +228,19 @@ object TextIndexStore {
     SnapshotStore.read(spark, doclenDir)
       .groupBy("doc_id").agg(sum("dl").as("dl"))
       .filter(col("dl") > 0L)
+
+  /** Live token occurrences (word, doc_id, pos): per-key version-log
+    * sum of the signed occurrence counts; vanished occurrences drop.
+    * `termFilter` prunes the scan BEFORE the log sum (phrase serving
+    * reads only its own terms' rows). */
+  def positions(spark: SparkSession, positionsDir: String,
+      termFilter: Option[Seq[String]] = None): DataFrame = {
+    val raw = SnapshotStore.read(spark, positionsDir)
+    termFilter.fold(raw)(t => raw.filter(col("word").isInCollection(t)))
+      .groupBy("word", "doc_id", "pos").agg(sum("cnt").as("cnt"))
+      .filter(col("cnt") > 0L)
+      .select("word", "doc_id", "pos")
+  }
 
   /** BM25 top-k served from the maintained artifacts — the EXACT frame
     * `TextSearch.bm25` computes live (same expression tree, same
@@ -215,6 +286,65 @@ object TextIndexStore {
       graft.queries.GateMemo.unpersistCheckpoint(tf)
       graft.queries.GateMemo.unpersistCheckpoint(lens)
     }
+    out
+  }
+
+  /** Phrase (adjacency) search served from the POSITIONAL index — the
+    * EXACT frame `TextSearch.phrase` computes live (same anchor fan-out
+    * shape, same Lucene PhraseQuery BM25, same round(.,4)/tie-break),
+    * with the corpus never re-tokenized: the positions read is
+    * term-pruned, stats come from the doc-length store. This is what
+    * the positional artifact buys for its ~3-5× size over tf postings
+    * (see [[build]]); pairs that skipped `positionsDir` keep phrase
+    * queries on the live path.
+    *
+    * Plan: each stored occurrence of a phrase term fans out to its
+    * candidate anchor via the phrase-sized broadcast offsets table, one
+    * (doc, anchor) aggregate finds groups holding all L offsets, and
+    * df/stats are broadcast scalars — identical to the live key except
+    * the leaf is index rows instead of posexplode(corpus). */
+  def searchPhrase(spark: SparkSession, positionsDir: String,
+      doclenDir: String, terms: Seq[String], topK: Int = 20): DataFrame = {
+    require(terms.size >= 2, "searchPhrase: need >= 2 terms (use search for one)")
+    import graft.operators.TextSearch.{B, K1}
+    val L = terms.size
+    val lens = docLens(spark, doclenDir).localCheckpoint(true)
+    val out = try {
+      val stats = lens.agg(count(lit(1)).cast("double").as("__n"),
+        avg(col("dl").cast("double")).as("__avgdl"))
+      // phrase-sized (word -> offset) table; a repeated word fans its
+      // occurrences to every offset it occupies, same as the live key
+      val offsets = spark.createDataFrame(terms.zipWithIndex)
+        .toDF("word", "off")
+      val cand = positions(spark, positionsDir, Some(terms))
+        .join(broadcast(offsets), "word")
+        .select(col("doc_id").as("__id"),
+          (col("pos") - col("off")).as("anchor"), col("off"))
+        .filter(col("anchor") >= 0)
+      val ptf = cand.groupBy("__id", "anchor")
+        .agg(countDistinct("off").as("__c"))
+        .filter(col("__c") === L)
+        .groupBy("__id")
+        .agg(count(lit(1)).cast("double").as("tf"))
+        .join(lens.select(col("doc_id").as("__id"),
+          col("dl").cast("double").as("dl")), "__id")
+        .localCheckpoint(true)
+      try {
+        val dfreq = ptf.agg(count(lit(1)).cast("double").as("df")) // scalar
+        val idf = log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5))
+        val contrib = idf * (col("tf") * (lit(K1) + 1)) /
+          (col("tf") + lit(K1) * (lit(1.0) - B + lit(B) * col("dl") / col("__avgdl")))
+        ptf.crossJoin(broadcast(dfreq))
+          .crossJoin(broadcast(stats))
+          .select(col("__id"), round(contrib, 4).as("score"))
+          .orderBy(col("score").desc, col("__id").asc).limit(topK)
+          .withColumn("rnk", graft.functions.BoundedRank.rowNumberBounded(
+            col("__id"), col("score").desc, col("__id").asc).cast("bigint"))
+          .withColumnRenamed("__id", "doc_id")
+          .orderBy("rnk")
+          .localCheckpoint(true)
+      } finally graft.queries.GateMemo.unpersistCheckpoint(ptf)
+    } finally graft.queries.GateMemo.unpersistCheckpoint(lens)
     out
   }
 }

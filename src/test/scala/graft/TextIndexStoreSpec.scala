@@ -144,4 +144,91 @@ class TextIndexStoreSpec extends AnyFunSuite {
     assert(servedAll == liveAll && servedAll.map(_.split(",")(0))
       .forall(_.contains("4")))
   }
+
+  private def posSet(dir: String): Set[(String, Long, Int)] =
+    TextIndexStore.positions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("positional deltas move occurrences exactly; kept tokens net zero rows") {
+    val b = freshDir(); val p = s"$b/post"; val l = s"$b/len"
+    val o = s"$b/pos"
+    TextIndexStore.build(spark, p, l, docs((1L, "a b c")),
+      positionsDir = Some(o))
+    assert(posSet(o) == Set(("a", 1L, 0), ("b", 1L, 1), ("c", 1L, 2)))
+    // in-place update "a b c" -> "a b d": only position 2 moves — the
+    // kept-in-place prefix occurrences cancel (−old +new nets 0) and
+    // write NOTHING
+    TextIndexStore.ingestBatch(spark, p, l,
+      docs((1L, "ignored")).select(col("doc_id"),
+        lit("update").as("change_type"),
+        lit("a b c").as("old_text"), lit("a b d").as("new_text")), 0L,
+      positionsDir = Some(o))
+    assert(posSet(o) == Set(("a", 1L, 0), ("b", 1L, 1), ("d", 1L, 2)))
+    assert(streaming.SnapshotStore.read(spark, o)
+      .filter(col("ver") === 0L).count() == 2,
+      "ver-0 delta must hold only the two pos-2 rows (−c, +d)")
+    // whole-doc delete drops every occurrence
+    TextIndexStore.ingestBatch(spark, p, l,
+      docs((1L, "ignored")).select(col("doc_id"),
+        lit("delete").as("change_type"),
+        lit("a b d").as("old_text"),
+        lit(null).cast("string").as("new_text")), 1L,
+      positionsDir = Some(o))
+    assert(posSet(o).isEmpty)
+  }
+
+  test("served phrase equals the live phrase, including a repeated-word phrase") {
+    val b = freshDir(); val p = s"$b/post"; val l = s"$b/len"
+    val o = s"$b/pos"
+    val corpus = docs(
+      (1L, "x y z x y"),
+      (2L, "y x y"),
+      (3L, "x z y"),
+      (4L, "x y"),
+      (5L, "x y x"))
+    TextIndexStore.build(spark, p, l, corpus, positionsDir = Some(o))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    val served = rows(TextIndexStore.searchPhrase(spark, o, l,
+      Seq("x", "y"), topK = 4))
+    val live = rows(graft.operators.TextSearch.phrase(corpus, "doc_id",
+      "text", Seq("x", "y"), topK = 4))
+    assert(served == live && served.nonEmpty)
+    // repeated word: each x occurrence fans to offsets 0 AND 2
+    val served3 = rows(TextIndexStore.searchPhrase(spark, o, l,
+      Seq("x", "y", "x"), topK = 4))
+    val live3 = rows(graft.operators.TextSearch.phrase(corpus, "doc_id",
+      "text", Seq("x", "y", "x"), topK = 4))
+    assert(served3 == live3 && served3.nonEmpty &&
+      served3.head.startsWith("[5,"))
+  }
+
+  test("positions fold compacts the log; the view and replay floor survive") {
+    import spark.implicits._
+    val b = freshDir()
+    val cdcDir = s"$b/cdc"; val p = s"$b/post"; val l = s"$b/len"
+    val o = s"$b/pos"; val ckpt = s"$b/ckpt"
+    def ver(v: Int, rows: Seq[(Long, String, String, String)]): Unit =
+      rows.toDF("doc_id", "change_type", "old_text", "new_text")
+        .write.parquet(s"$cdcDir/__version=$v")
+    TextIndexStore.build(spark, p, l, docs((1L, "a b")),
+      positionsDir = Some(o))
+    ver(1, Seq((2L, "insert", null, "b a")))
+    ver(2, Seq((1L, "update", "a b", "b b")))
+    TextIndexStore.maintainFromCdc(spark, cdcDir, p, l, ckpt,
+      positionsDir = Some(o))
+    val before = posSet(o)
+    assert(before == Set(("b", 1L, 0), ("b", 1L, 1),
+      ("b", 2L, 0), ("a", 2L, 1)))
+    val raw = streaming.SnapshotStore.read(spark, o).count()
+    TextIndexStore.foldPositions(spark, o)
+    assert(streaming.SnapshotStore.read(spark, o).count() < raw)
+    assert(posSet(o) == before, "view unchanged by fold")
+    // watermark loss after fold: the folded-through floor must hold
+    assert(new java.io.File(s"$ckpt/_version_watermark").delete())
+    TextIndexStore.maintainFromCdc(spark, cdcDir, p, l, ckpt,
+      positionsDir = Some(o))
+    assert(posSet(o) == before,
+      "folded versions must not double-count on re-drain")
+  }
 }
