@@ -50,9 +50,12 @@ import graft.streaming.SnapshotStore
   *     length prune degenerates to one partition) flips to pigeonhole
   *     segment blocking, so compute stays linear even when the prune
   *     reads most of the index; the residual I/O is vocabulary-sized,
-  *     which at any corpus scale is dwarfed by the corpus itself (a
-  *     segment-hash-bucketed index layout would prune that too, the
-  *     documented next notch if vocabulary I/O ever dominates a batch).
+  *     which at any corpus scale is dwarfed by the corpus itself.
+  *     MEASURED (Round16Probe, SCALING.md "ER name-index I/O"): at a
+  *     fully degenerate single-length vocabulary, batch cost is FLAT
+  *     at 4× history — index I/O does not dominate, so the
+  *     (seg_id, segment-hash)-bucketed layout once floated as the next
+  *     notch stays deliberately unbuilt.
   *
   * Per-batch cost: band-pruned index read + pair-bounded levenshtein +
   * a merge-graph CC over (batch names ∪ matched roots) — affected
