@@ -286,10 +286,23 @@ object IncrementalEntityResolution {
 
   /** Every name ever ingested with its fully-resolved root — the frame
     * a full `q_entity_resolution`-style rebuild computes from scratch.
-    * One labels scan + chain-length broadcast probes. */
-  def resolved(spark: SparkSession, erDir: String): DataFrame = {
+    * One labels scan + chain-length broadcast probes.
+    *
+    * The returned frame is backed by a localCheckpoint the CALLER
+    * cannot free (it only sees a projection — the unpersist pitfall
+    * followCore documents); long-lived sessions making many resolution
+    * reads should prefer [[resolvedCore]] and free the spent frame once
+    * the result is consumed. */
+  def resolved(spark: SparkSession, erDir: String): DataFrame =
+    resolvedCore(spark, erDir)._1
+
+  /** [[resolved]] plus the checkpoint backing it (always present —
+    * follow runs ≥ 1 hop), the finish/spent pattern: consume the
+    * frame, then `GateMemo.unpersistCheckpoint` the spent one. */
+  private[graft] def resolvedCore(spark: SparkSession,
+      erDir: String): (DataFrame, Option[DataFrame]) = {
     val fwd = readFwd(spark, erDir)
-    follow(readLabels(spark, erDir), "root", fwd)
+    followCore(readLabels(spark, erDir), "root", fwd)
   }
 
   /** Golden records served from the maintained ER artifacts — the exact
@@ -307,24 +320,30 @@ object IncrementalEntityResolution {
     * cluster), already cast to exact integer cents by the caller. */
   def goldenRecords(spark: SparkSession, erDir: String, source: DataFrame,
       nameCol: String, measureCents: org.apache.spark.sql.Column): DataFrame = {
-    val res = resolved(spark, erDir)
-    val multi = res.groupBy("root").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= 2).select("root")
-    // match-bounded: rows = members of merged clusters only
-    val labels = res.join(multi, "root")
-    val clusters = labels.groupBy(col("root").as("canonical_name"))
-      .agg(count(lit(1)).as("n_names"),
-        array_join(array_sort(collect_list(col("name"))), "|").as("members"))
-    val golden = source
-      .join(broadcast(labels.select(col("name").as(nameCol), col("root"))),
-        Seq(nameCol))
-      .groupBy(col("root").as("canonical_name"))
-      .agg(count(lit(1)).as("n_parts"),
-        min(measureCents).as("min_price_cents"))
-    clusters.join(golden, "canonical_name")
-      .select("canonical_name", "n_names", "n_parts", "min_price_cents",
-        "members")
-      .orderBy("canonical_name")
+    val (res, spent) = resolvedCore(spark, erDir)
+    val out = try {
+      val multi = res.groupBy("root").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= 2).select("root")
+      // match-bounded: rows = members of merged clusters only
+      val labels = res.join(multi, "root")
+      val clusters = labels.groupBy(col("root").as("canonical_name"))
+        .agg(count(lit(1)).as("n_names"),
+          array_join(array_sort(collect_list(col("name"))), "|").as("members"))
+      val golden = source
+        .join(broadcast(labels.select(col("name").as(nameCol), col("root"))),
+          Seq(nameCol))
+        .groupBy(col("root").as("canonical_name"))
+        .agg(count(lit(1)).as("n_parts"),
+          min(measureCents).as("min_price_cents"))
+      clusters.join(golden, "canonical_name")
+        .select("canonical_name", "n_names", "n_parts", "min_price_cents",
+          "members")
+        .orderBy("canonical_name")
+        // eager + cluster-bounded: materializing the small output lets
+        // the resolution checkpoint be freed before returning
+        .localCheckpoint(true)
+    } finally spent.foreach(graft.queries.GateMemo.unpersistCheckpoint)
+    out
   }
 
   /** Longest forwarding chain — the read-amplification gauge a fold
@@ -401,7 +420,9 @@ object IncrementalEntityResolution {
     // empty merge would create a hollow labels snapshot)
     if (SnapshotStore.currentManifest(spark, labelsDir(erDir)).isEmpty) return
     recoverIndexSwap(spark, erDir)
-    val res = resolved(spark, erDir).localCheckpoint(true)
+    // resolvedCore's frame is already checkpoint-backed (finish/spent) —
+    // a second localCheckpoint here would just leak a duplicate
+    val (res, spent) = resolvedCore(spark, erDir)
     try {
       SnapshotStore.merge(spark, labelsDir(erDir), res,
         Seq("name"), numBuckets)
@@ -423,6 +444,6 @@ object IncrementalEntityResolution {
       // dir only re-forwards roots the labels no longer hold (src rows
       // that no label references resolve nothing).
       fs.delete(new org.apache.hadoop.fs.Path(fwdDir(erDir)), true)
-    } finally graft.queries.GateMemo.unpersistCheckpoint(res)
+    } finally spent.foreach(graft.queries.GateMemo.unpersistCheckpoint)
   }
 }

@@ -1799,7 +1799,10 @@ object Gates {
     * index rows instead of re-tokenizing the corpus per query. Pins:
     * (1) store-served BM25 == the live `q_text_search` computation
     * EXACTLY (same terms, same rounding/tie-break) after the corpus
-    * arrives via base + two CDC batches; (2) an in-place text UPDATE
+    * arrives via base + two CDC batches — and (round 16) BATCHED
+    * serving too: `searchBatch` scores a whole query batch from ONE
+    * term-pruned postings read and must row-equal the live
+    * `bm25Batch`; (2) an in-place text UPDATE
     * flows through as −old +new deltas (the contrast with the basket
     * store, which must refuse updates — a document is ONE row, so
     * per-row additivity makes updates safe) and parity holds against
@@ -1840,6 +1843,17 @@ object Gates {
         graft.operators.TextSearch.bm25(of, "doc_id", "text", terms,
           topK = 20).collect().map(_.toString).toSeq
       val parity = served() == live(docs)
+      // batched serving (round 16): one term-pruned postings read scores
+      // a whole query batch — rows == the live bm25Batch on this corpus
+      val qBatch = s.createDataFrame(Seq(
+        (1L, "vector"), (1L, "stream"), (2L, "window"), (2L, "hash")))
+        .toDF("qid", "term")
+      val batchParity = TextIndexStore.searchBatch(s, postDir, lenDir,
+          qBatch, "qid", "term", topK = 10)
+          .collect().map(_.toString).toSeq ==
+        graft.operators.TextSearch.bm25Batch(docs, "doc_id", "text",
+          qBatch, "qid", "term", topK = 10)
+          .collect().map(_.toString).toSeq
       // in-place text update: append a query term to ~5% of docs — the
       // feed carries update rows and the index moves −old +new
       Streams.cdcUpdateBatch(s, docDir, cdcDir, keys,
@@ -1862,7 +1876,8 @@ object Gates {
       drain()
       val afterDelete =
         served() == live(mutated.filter(col("doc_id") % 20 =!= 0))
-      served().nonEmpty && parity && afterUpdate && replayNoop && afterDelete
+      served().nonEmpty && parity && batchParity && afterUpdate &&
+        replayNoop && afterDelete
     }
     verdict(s, "q_gate_store_text_search", ok)
   }

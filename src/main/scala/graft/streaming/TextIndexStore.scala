@@ -306,15 +306,31 @@ object TextIndexStore {
   def searchPhrase(spark: SparkSession, positionsDir: String,
       doclenDir: String, terms: Seq[String], topK: Int = 20): DataFrame = {
     require(terms.size >= 2, "searchPhrase: need >= 2 terms (use search for one)")
+    searchPhraseAt(spark, positionsDir, doclenDir, terms.zipWithIndex, topK)
+  }
+
+  /** Positional phrase with EXPLICIT offsets served from the store —
+    * the `TextSearch.phraseAt` twin (Postgres's `a <N> b` distance
+    * operator): same anchor fan-out over index rows, same BM25, same
+    * determinism contract. [[searchPhrase]] is the consecutive-offsets
+    * special case. */
+  def searchPhraseAt(spark: SparkSession, positionsDir: String,
+      doclenDir: String, termOffsets: Seq[(String, Int)],
+      topK: Int = 20): DataFrame = {
+    require(termOffsets.size >= 2,
+      "searchPhraseAt: need >= 2 (term, offset) pairs")
+    require(termOffsets.map(_._2).distinct.size == termOffsets.size,
+      "searchPhraseAt: offsets must be distinct (one term per position)")
     import graft.operators.TextSearch.{B, K1}
-    val L = terms.size
+    val terms = termOffsets.map(_._1)
+    val L = termOffsets.size
     val lens = docLens(spark, doclenDir).localCheckpoint(true)
     val out = try {
       val stats = lens.agg(count(lit(1)).cast("double").as("__n"),
         avg(col("dl").cast("double")).as("__avgdl"))
       // phrase-sized (word -> offset) table; a repeated word fans its
       // occurrences to every offset it occupies, same as the live key
-      val offsets = spark.createDataFrame(terms.zipWithIndex)
+      val offsets = spark.createDataFrame(termOffsets)
         .toDF("word", "off")
       val cand = positions(spark, positionsDir, Some(terms))
         .join(broadcast(offsets), "word")
@@ -345,6 +361,65 @@ object TextIndexStore {
           .localCheckpoint(true)
       } finally graft.queries.GateMemo.unpersistCheckpoint(ptf)
     } finally graft.queries.GateMemo.unpersistCheckpoint(lens)
+    out
+  }
+
+  /** Batched BM25 served from the maintained artifacts — the
+    * `TextSearch.bm25Batch` twin: one job scoring a whole query batch,
+    * with the corpus-side work replaced by ONE term-pruned postings
+    * read over the union of all queries' terms. Each query then picks
+    * up its rows by a broadcast term join, exactly the live key's
+    * shape minus the tokenize/explode pipeline. The term union is
+    * collected driver-side (batch-bounded — a query batch's vocabulary
+    * is tiny) so the `IN`-set prunes the bucketed parquet scan the
+    * same way [[search]]'s terms do.
+    * @return (queryIdCol, doc_id, score, rnk) — rnk 1..topK per query,
+    *   row-equal to `bm25Batch` on the same corpus (spec-pinned) */
+  def searchBatch(spark: SparkSession, postingsDir: String,
+      doclenDir: String, queries: DataFrame, queryIdCol: String,
+      termCol: String, topK: Int = 20): DataFrame = {
+    import graft.operators.TextSearch.{B, K1}
+    import org.apache.spark.sql.expressions.Window
+    val batch = queries
+      .select(col(queryIdCol).as("__qid"), col(termCol).as("word")).distinct()
+      .localCheckpoint(true)
+    val lens = docLens(spark, doclenDir).localCheckpoint(true)
+    val out = try {
+      val termSet = batch.select("word").distinct()
+        .collect().map(_.getString(0)).toSeq
+      require(termSet.nonEmpty, "searchBatch: empty query batch")
+      val stats = lens.agg(count(lit(1)).cast("double").as("__n"),
+        avg(col("dl").cast("double")).as("__avgdl"))
+      val tf = postings(spark, postingsDir)
+        .filter(col("word").isInCollection(termSet))
+        .join(lens, "doc_id")
+        .select(col("doc_id").as("__id"), col("word"),
+          col("tf").cast("double").as("tf"), col("dl").cast("double").as("dl"))
+        .localCheckpoint(true)
+      try {
+        val dfreq = tf.groupBy("word")
+          .agg(count(lit(1)).cast("double").as("df"))
+        val idf = log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5))
+        val contrib = idf * (col("tf") * (lit(K1) + 1)) /
+          (col("tf") + lit(K1) * (lit(1.0) - B + lit(B) * col("dl") / col("__avgdl")))
+        val perQuery = Window.partitionBy("__qid")
+          .orderBy(col("score").desc, col("__id").asc)
+        tf.join(broadcast(dfreq), "word")
+          .crossJoin(broadcast(stats))
+          .join(broadcast(batch), "word")
+          .groupBy("__qid", "__id")
+          .agg(round(sum(contrib), 4).as("score"))
+          .withColumn("rnk", row_number().over(perQuery).cast("bigint"))
+          .filter(col("rnk") <= topK)
+          .withColumnRenamed("__qid", queryIdCol)
+          .withColumnRenamed("__id", "doc_id")
+          .orderBy(queryIdCol, "rnk")
+          .localCheckpoint(true)
+      } finally graft.queries.GateMemo.unpersistCheckpoint(tf)
+    } finally {
+      graft.queries.GateMemo.unpersistCheckpoint(lens)
+      graft.queries.GateMemo.unpersistCheckpoint(batch)
+    }
     out
   }
 }

@@ -203,6 +203,36 @@ class TextIndexStoreSpec extends AnyFunSuite {
       served3.head.startsWith("[5,"))
   }
 
+  test("served phraseAt (distance offsets) and served batch equal live twins") {
+    import spark.implicits._
+    val b = freshDir(); val p = s"$b/post"; val l = s"$b/len"
+    val o = s"$b/pos"
+    val corpus = docs(
+      (1L, "x y z x y"),
+      (2L, "y x y"),
+      (3L, "x z y"),
+      (4L, "x q y"),
+      (5L, "x y x"))
+    TextIndexStore.build(spark, p, l, corpus, positionsDir = Some(o))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    // x <2> y — matches "x z y" / "x q y" / "x y z x y"(x@0,y@... no:
+    // needs y at anchor+2; doc1 has x@0,y@... pos 2 is z — via x@3? y@?
+    // the live twin is the definition; just pin equality + non-vacuity
+    val servedAt = rows(TextIndexStore.searchPhraseAt(spark, o, l,
+      Seq(("x", 0), ("y", 2)), topK = 5))
+    val liveAt = rows(graft.operators.TextSearch.phraseAt(corpus, "doc_id",
+      "text", Seq(("x", 0), ("y", 2)), topK = 5))
+    assert(servedAt == liveAt && servedAt.nonEmpty)
+    val queries = Seq((10L, "x"), (10L, "y"), (11L, "z"))
+      .toDF("qid", "term")
+    val servedB = rows(TextIndexStore.searchBatch(spark, p, l, queries,
+      "qid", "term", topK = 3))
+    val liveB = rows(graft.operators.TextSearch.bm25Batch(corpus, "doc_id",
+      "text", queries, "qid", "term", topK = 3))
+    assert(servedB == liveB && servedB.nonEmpty)
+  }
+
   test("positions fold compacts the log; the view and replay floor survive") {
     import spark.implicits._
     val b = freshDir()
