@@ -233,6 +233,27 @@ class TextIndexStoreSpec extends AnyFunSuite {
     assert(servedB == liveB && servedB.nonEmpty)
   }
 
+  test("served reads term-prune the postings scan (filter pushed below the log sum)") {
+    val b = freshDir(); val p = s"$b/post"; val l = s"$b/len"
+    val o = s"$b/pos"
+    TextIndexStore.build(spark, p, l, docs((1L, "a b"), (2L, "b c")),
+      positionsDir = Some(o))
+    // the term filter sits ABOVE the version-log groupBy-sum in the
+    // serving composition; it must reach the parquet scan anyway (word
+    // is a grouping column, so Catalyst pushes it through the aggregate
+    // — the property that makes a query read |terms| postings lists
+    // instead of the whole index)
+    def pushed(df: org.apache.spark.sql.DataFrame): Boolean = {
+      df.collect()
+      df.queryExecution.executedPlan.toString.contains("In(word")
+    }
+    assert(pushed(TextIndexStore.postings(spark, p)
+      .filter(col("word").isInCollection(Seq("a", "c")))),
+      "tf postings read must push the term IN-set into the scan")
+    assert(pushed(TextIndexStore.positions(spark, o, Some(Seq("a", "c")))),
+      "positional read must push the term IN-set into the scan")
+  }
+
   test("positions fold compacts the log; the view and replay floor survive") {
     import spark.implicits._
     val b = freshDir()
