@@ -32,10 +32,23 @@ object FuzzyBlocking {
       explode(sequence(length(col("b")) - maxDist,
         length(col("b")) + maxDist)).as("bucket"))
     anchors.join(probes, "bucket")
-      .withColumn("edit_dist", levenshtein(col("a"), col("b")).cast("bigint"))
-      .filter(col("edit_dist") <= maxDist)
+      .withColumn("edit_dist", boundedDist(maxDist))
+      .filter(col("edit_dist") >= 0L)
       .select("a", "b", "edit_dist")
   }
+
+  /** The verify step's distance expression: Spark's THRESHOLD
+    * levenshtein (3-arg, SPARK-44125) computes a banded O(maxDist·n)
+    * DP instead of the full O(n²) table and returns −1 past the bound.
+    * For qualifying pairs the returned value IS the true distance, so
+    * the (a, b, edit_dist) contract (and every DuckDB oracle computing
+    * plain `levenshtein(...) <= d`) is unchanged. Measured honestly:
+    * at the registry's ~30-char part names the bench delta is inside
+    * noise (candidate generation dominates the verify DP) — the win is
+    * structural and matters for LONG strings (document titles,
+    * addresses), where the full table is O(n²) per candidate. */
+  private def boundedDist(maxDist: Int): org.apache.spark.sql.Column =
+    levenshtein(col("a"), col("b"), maxDist).cast("bigint")
 
   /** [[bandedPairs]]'s answer for the uniform-length regime —
     * PIGEONHOLE SEGMENT blocking (the PassJoin family, Li/Deng/Feng
@@ -112,8 +125,8 @@ object FuzzyBlocking {
       .select(col("b"), col("l"), col("seg_id"), col("seg"))
     val longPairs = segs.join(probes, Seq("l", "seg_id", "seg"))
       .select("a", "b").distinct()
-      .withColumn("edit_dist", levenshtein(col("a"), col("b")).cast("bigint"))
-      .filter(col("edit_dist") <= maxDist)
+      .withColumn("edit_dist", boundedDist(maxDist))
+      .filter(col("edit_dist") >= 0L)
     bandedPairs(shortLeft, right, maxDist).unionByName(longPairs)
   }
 
