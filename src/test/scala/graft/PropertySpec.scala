@@ -610,4 +610,58 @@ object PropertySpec extends Properties("graft") {
       }
     }
   }
+
+  property("text index (tf + lengths + positions) == rebuild under ANY op sequence") = {
+    // random insert/update/delete sequences over a 3-doc id space, tiny
+    // 3-word alphabet (maximizes shared tokens, so the signed deltas
+    // genuinely cancel and collide); every view must converge to the
+    // from-scratch build of the final corpus state. Exercises the
+    // −old/+new update additivity on all three artifacts at once.
+    val tinyDoc = Gen.listOfN(4, Gen.oneOf("a", "b", "c"))
+      .map(_.mkString(" "))
+    val opGen = Gen.zip(Gen.chooseNum(1, 3), Gen.oneOf("ins", "upd", "del"),
+      tinyDoc)
+    forAll(Gen.listOfN(4, opGen)) { ops =>
+      import spark.implicits._
+      import streaming.TextIndexStore
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_text_prop").toString
+      val (p, l, o) = (s"$dir/post", s"$dir/len", s"$dir/pos")
+      var state = Map(100L -> "a b") // non-empty base so reads exist
+      TextIndexStore.build(spark, p, l, state.toSeq.toDF("doc_id", "text"),
+        positionsDir = Some(o))
+      var ver = 0L
+      ops.foreach { case (id0, op, txt) =>
+        val id = id0.toLong
+        // CDC reality: an op on an id reflects its CURRENT state (an
+        // "insert" of a live id arrives as an update and vice versa)
+        val change: Option[(String, String, String)] = op match {
+          case "del" =>
+            if (state.contains(id)) Some(("delete", state(id), null)) else None
+          case _ =>
+            if (state.contains(id)) Some(("update", state(id), txt))
+            else Some(("insert", null, txt))
+        }
+        change.foreach { case (ct, old, nw) =>
+          TextIndexStore.ingestBatch(spark, p, l,
+            Seq((id, ct, old, nw))
+              .toDF("doc_id", "change_type", "old_text", "new_text"),
+            ver, positionsDir = Some(o))
+          ver += 1
+          if (ct == "delete") state -= id else state += id -> nw
+        }
+      }
+      val (p2, l2, o2) = (s"$dir/post2", s"$dir/len2", s"$dir/pos2")
+      TextIndexStore.build(spark, p2, l2,
+        state.toSeq.toDF("doc_id", "text"), positionsDir = Some(o2))
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.toString).sorted.toSeq
+      rows(TextIndexStore.postings(spark, p)) ==
+        rows(TextIndexStore.postings(spark, p2)) &&
+      rows(TextIndexStore.docLens(spark, l)) ==
+        rows(TextIndexStore.docLens(spark, l2)) &&
+      rows(TextIndexStore.positions(spark, o)) ==
+        rows(TextIndexStore.positions(spark, o2))
+    }
+  }
 }
