@@ -1675,6 +1675,84 @@ object Gates {
     verdict(s, "q_gate_store_triangles", ok)
   }
 
+  /** Traversal serving from the maintained edge store (round 16 —
+    * closes the LAST two live-only reads in the co-purchase family):
+    * BFS reachability and batched personalized PageRank are the
+    * family's most expensive keys precisely because they re-derive the
+    * edge list from the order log per run; with the store maintained,
+    * both are served through the SAME iteration cores the live keys
+    * use (`Graphs.reachFrom` / `pprBatchFrom` — caller-supplied edge
+    * frame, so the cores cannot drift). Pins: (1) store-served reach
+    * histogram AND batched-PPR top-5s == the REGISTERED keys' own
+    * frames EXACTLY after the corpus arrives via base + two CDC
+    * batches; (2) a whole-order cancellation moves the store and both
+    * served reads equal the live computation on the reduced corpus;
+    * (3) replaying the drained feed is a store-version no-op. */
+  val qGateStoreReachPpr = Q(
+    "q_gate_store_reach_ppr",
+    oracleFor("q_gate_store_reach_ppr")) { (s, d) =>
+    import graft.streaming.{GraphEdgeStore, SnapshotStore, Streams}
+    val ok = GateMemo.value(s, d, "gate_store_reach_ppr_ok") {
+      val work = "/root/repo/target/store_reach_ppr_gate/" +
+        new java.io.File(d).getName
+      graft.LocalFs.rmrf(new java.io.File(work))
+      val liDir = s"$work/lineitem_store"
+      val cdcDir = s"$work/cdc"
+      val edgeDir = s"$work/edges"
+      val ckpt = s"$work/ckpt"
+      val keys = Seq("l_orderkey", "l_partkey")
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        .distinct().localCheckpoint(true)
+      val base = li.filter(col("l_orderkey") % 10 =!= 0)
+      val b1 = li.filter(col("l_orderkey") % 20 === 0)
+      val b2 = li.filter(
+        col("l_orderkey") % 10 === 0 && col("l_orderkey") % 20 =!= 0)
+      Streams.cdcBatch(s, liDir, cdcDir, base, keys)
+      Streams.cdcBatch(s, liDir, cdcDir, b1, keys)
+      Streams.cdcBatch(s, liDir, cdcDir, b2, keys)
+      def drain(): Unit =
+        GraphEdgeStore.maintainFromCdc(s, cdcDir, edgeDir, ckpt)
+      drain()
+      def rows(df: DataFrame): Seq[String] =
+        df.collect().map(_.toString).toSeq
+      def fromSeam(e: DataFrame,
+          seam: DataFrame => (DataFrame, Seq[DataFrame])): Seq[String] = {
+        val (res, spent) = seam(e)
+        val out = rows(res)
+        (e +: spent).foreach(GateMemo.unpersistCheckpoint)
+        out
+      }
+      def storeEdges(): DataFrame =
+        GraphEdgeStore.edges(s, edgeDir).select("u", "v")
+          .localCheckpoint(true)
+      def liveEdges(of: DataFrame): DataFrame =
+        graft.queries.Baskets.pairs(
+            graft.queries.Baskets.baskets(of), "u", "v")
+          .distinct().localCheckpoint(true)
+      def servedReach(): Seq[String] = fromSeam(storeEdges(), Graphs.reachFrom)
+      def servedPpr(): Seq[String] = fromSeam(storeEdges(), Graphs.pprBatchFrom)
+      // initial parity is against the REGISTERED keys' own output (the
+      // strongest cross-check: the full key incl. its finish path)
+      val parity =
+        servedReach() == rows(memoQ(s, d, Graphs.qGraphReach)) &&
+          servedPpr() == rows(memoQ(s, d, Graphs.qGraphPprBatch))
+      val vE = SnapshotStore.currentManifest(s, edgeDir).map(_.version)
+      drain()
+      val replayNoop =
+        SnapshotStore.currentManifest(s, edgeDir).map(_.version) == vE
+      val doomedK = doomedOrderKey(b1)
+      Streams.cdcDeleteBatch(s, liDir, cdcDir,
+        li.filter(col("l_orderkey") === doomedK), keys)
+      drain()
+      val reduced = li.filter(col("l_orderkey") =!= doomedK)
+      val afterDelete =
+        servedReach() == fromSeam(liveEdges(reduced), Graphs.reachFrom) &&
+          servedPpr() == fromSeam(liveEdges(reduced), Graphs.pprBatchFrom)
+      servedPpr().nonEmpty && parity && replayNoop && afterDelete
+    }
+    verdict(s, "q_gate_store_reach_ppr", ok)
+  }
+
   /** Incremental entity resolution (round 15 — the day-2 half of
     * `q_entity_resolution`, distributed union-find with lazy path
     * compression in [[graft.operators.IncrementalEntityResolution]]):
@@ -2026,6 +2104,7 @@ object Gates {
   val all: Seq[Q] = Seq(
     qGateScd2,
     qGateStoreJaccard, qGateStorePagerank, qGateStoreTriangles,
+    qGateStoreReachPpr,
     qGateStoreTextSearch, qGateStoreTextPhrase,
     qGateErIncremental, qGateStoreEr,
     qGateStreamAnomaly,

@@ -356,6 +356,17 @@ object Graphs {
 
   private def pprBuild(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     val e = edges(s, d)
+    val (res, spent) = pprFrom(e)
+    (res, e +: spent)
+  }
+
+  /** Personalized PageRank from a caller-supplied canonical (u, v)
+    * edge frame — the serving seam the maintained edge store reads
+    * through (`q_gate_store_reach_ppr`), shared with the live key so
+    * the iteration core cannot drift. The caller owns `e` (pass a
+    * materialized frame — the adjacency reads it once per iteration);
+    * the returned spent frames are the internal checkpoints. */
+  private[graft] def pprFrom(e: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val adj = symmetrize(e)
     val deg = degrees(adj).localCheckpoint(true)
     val scale = rankScale(deg.count())
@@ -379,7 +390,7 @@ object Graphs {
     }
     (r.select(col("node"), col("r").as("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("node"))
-      .limit(20), Seq(e, deg, tele))
+      .limit(20), Seq(deg, tele))
   }
 
   /** Personalized PageRank from the top co-purchase hub — the "related
@@ -425,8 +436,15 @@ object Graphs {
   }
 
   private def pprBatchBuild(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
-    import org.apache.spark.sql.expressions.Window
     val e = edges(s, d)
+    val (res, spent) = pprBatchFrom(e)
+    (res, e +: spent)
+  }
+
+  /** Batched PPR from a caller-supplied canonical (u, v) edge frame —
+    * see [[pprFrom]]'s seam contract. */
+  private[graft] def pprBatchFrom(e: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    import org.apache.spark.sql.expressions.Window
     val adj = symmetrize(e)
     val deg = degrees(adj).localCheckpoint(true)
     val scale = rankScale(deg.count())
@@ -448,7 +466,7 @@ object Graphs {
     (r.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
       .select(col("seed"), col("node"), col("r").as("rank_scaled"))
       .orderBy(col("seed"), col("rank_scaled").desc, col("node")),
-      Seq(e, deg, tele))
+      Seq(deg, tele))
   }
 
   /** Batched personalized PageRank — "related products" for the top-5
@@ -701,15 +719,27 @@ object Graphs {
         |       WHERE node IS NOT NULL GROUP BY 1)
         |SELECT CAST(hop AS BIGINT) AS hop, count(*) AS nodes FROM mh
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val e = edges(s, d)
+    val (res, spent) = reachFrom(e)
+    finish(res, e +: spent)
+  }
+
+  /** BFS hop histogram from a caller-supplied canonical (u, v) edge
+    * frame — the serving seam the maintained edge store reads through
+    * (`q_gate_store_reach_ppr`), shared with the live key. Caller owns
+    * `e` (pass a materialized frame — the adjacency derives from it);
+    * spent frames are the internal checkpoints. */
+  private[graft] def reachFrom(e: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    val s = e.sparkSession
     import s.implicits._
-    val adj = symmetrize(edges(s, d)).localCheckpoint(true)
+    val adj = symmetrize(e).localCheckpoint(true)
     // 1-row driver read — the seed is a scalar parameter of the scan,
     // not a data-sized collect. An edgeless corpus has no seed: emit
     // the empty histogram under the output schema (the convention the
     // active-users family uses for an empty log)
     val seedRow = adj.agg(min("src")).head()
     if (seedRow.isNullAt(0))
-      finish(Seq.empty[(Long, Long)].toDF("hop", "nodes"), Seq(adj))
+      (Seq.empty[(Long, Long)].toDF("hop", "nodes"), Seq(adj))
     else {
       val seed = seedRow.getLong(0)
       var visited = Seq((seed, 0L)).toDF("node", "hop")
@@ -725,8 +755,7 @@ object Graphs {
           next.withColumn("hop", lit(h.toLong)))
         frontier = next
       }
-      finish(
-        visited.groupBy("hop").agg(count(lit(1)).as("nodes")).orderBy("hop"),
+      (visited.groupBy("hop").agg(count(lit(1)).as("nodes")).orderBy("hop"),
         adj +: hops)
     }
   }
