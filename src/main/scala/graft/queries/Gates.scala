@@ -2038,6 +2038,85 @@ object Gates {
     verdict(s, "q_gate_store_text_phrase", ok)
   }
 
+  /** Maintained profile stats (round 16 — day-2 for the QUALITY
+    * surface, the reference's reason to exist): per-column moment
+    * vectors (n, nulls, exact-cents sum, decimal sum-of-squares) kept
+    * as a [[graft.streaming.StatsStore]] artifact fed by the table's
+    * CDC feed — quality gauges (null rate, mean) become a
+    * columns-bounded artifact read instead of a table scan; only
+    * arriving batches ever touch the data-sized axis. Pins, each
+    * against a FULL RESCAN of the maintained table's current content
+    * (exact integers on both sides — no double drift can hide):
+    * (1) parity after base + two CDC insert batches; (2) an UPDATE
+    * wave (+1 quantity on ~5% of rows) flows through as −old +new
+    * moment deltas; (3) a NULL-injection wave moves the null counter
+    * and parity holds (and nulls really are nonzero — non-vacuity);
+    * (4) replaying the drained feed is a store-version no-op; (5) a
+    * whole-order cancellation decrements the moments and parity holds
+    * on the reduced table. */
+  val qGateStoreStats = Q(
+    "q_gate_store_stats", oracleFor("q_gate_store_stats")) { (s, d) =>
+    import graft.streaming.{SnapshotStore, StatsStore, Streams}
+    val ok = GateMemo.value(s, d, "gate_store_stats_ok") {
+      val work = "/root/repo/target/store_stats_gate/" +
+        new java.io.File(d).getName
+      graft.LocalFs.rmrf(new java.io.File(work))
+      val liDir = s"$work/lineitem_store"
+      val cdcDir = s"$work/cdc"
+      val statsDir = s"$work/stats"
+      val ckpt = s"$work/ckpt"
+      val keys = Seq("l_orderkey", "l_partkey")
+      val payload = Seq("l_quantity", "l_returnflag")
+      val li = Tables.lineitem(s, d)
+        .groupBy("l_orderkey", "l_partkey")
+        .agg(sum("l_quantity").as("l_quantity"),
+          max("l_returnflag").as("l_returnflag"))
+        .localCheckpoint(true)
+      val base = li.filter(col("l_orderkey") % 10 =!= 0)
+      val b1 = li.filter(col("l_orderkey") % 20 === 0)
+      val b2 = li.filter(
+        col("l_orderkey") % 10 === 0 && col("l_orderkey") % 20 =!= 0)
+      Streams.cdcBatch(s, liDir, cdcDir, base, keys)
+      Streams.cdcBatch(s, liDir, cdcDir, b1, keys)
+      Streams.cdcBatch(s, liDir, cdcDir, b2, keys)
+      def drain(): Unit = StatsStore.maintainFromCdc(
+        s, cdcDir, statsDir, ckpt, keys, payload)
+      drain()
+      def rows(df: DataFrame): Seq[String] =
+        df.collect().map(_.toString).toSeq
+      def served(): Seq[String] = rows(StatsStore.stats(s, statsDir))
+      def parity(): Boolean = served() == rows(StatsStore.rescan(
+        s, SnapshotStore.read(s, liDir), keys ++ payload))
+      val afterIngest = parity()
+      Streams.cdcUpdateBatch(s, liDir, cdcDir, keys,
+        Map("l_quantity" -> (col("l_quantity") + 1)),
+        col("l_orderkey") % 19 === 0)
+      drain()
+      val afterUpdate = parity()
+      Streams.cdcUpdateBatch(s, liDir, cdcDir, keys,
+        Map("l_returnflag" -> lit(null).cast("string")),
+        col("l_orderkey") % 17 === 0)
+      drain()
+      val nullsMoved = StatsStore.stats(s, statsDir)
+        .filter(col("col") === "l_returnflag")
+        .head().getAs[Long]("nulls") > 0L
+      val afterNulls = parity()
+      val vS = SnapshotStore.currentManifest(s, statsDir).map(_.version)
+      drain()
+      val replayNoop =
+        SnapshotStore.currentManifest(s, statsDir).map(_.version) == vS
+      val doomedK = doomedOrderKey(b1)
+      Streams.cdcDeleteBatch(s, liDir, cdcDir,
+        li.filter(col("l_orderkey") === doomedK).select(keys.map(col): _*),
+        keys)
+      drain()
+      val afterDelete = parity()
+      served().nonEmpty && afterIngest && afterUpdate && nullsMoved &&
+        afterNulls && replayNoop && afterDelete
+    }
+    verdict(s, "q_gate_store_stats", ok)
+  }
+
   /** SCD2 dimension history (round 14): the CDC log rendered as
     * type-2 validity intervals (`Streams.scd2` — one key-partitioned
     * lead() window; deletes close intervals without opening one) must
@@ -2105,7 +2184,7 @@ object Gates {
     qGateScd2,
     qGateStoreJaccard, qGateStorePagerank, qGateStoreTriangles,
     qGateStoreReachPpr,
-    qGateStoreTextSearch, qGateStoreTextPhrase,
+    qGateStoreTextSearch, qGateStoreTextPhrase, qGateStoreStats,
     qGateErIncremental, qGateStoreEr,
     qGateStreamAnomaly,
     qGateStreamGraphDegree,

@@ -1,0 +1,206 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Day-2 maintenance for the PROFILE/QUALITY surface (round 16) — the
+  * reference's whole reason to exist is continuous catalog quality
+  * (README.md:3-5 "self-healing", services/geminiService.ts's
+  * profiling loop), and the engine's live keys (`q_quality_nulls`,
+  * `q_profile_drift`, …) compute their gauges by SCANNING the table.
+  * Right for exploration; mis-designed as the thing a monitoring loop
+  * runs hourly against a 100 TB table. Here per-column profile stats
+  * are a MAINTAINED artifact fed by the same CDC feed the other stores
+  * drain: quality reads become a (columns × log-depth)-row scan — KBs —
+  * and the data-sized axis is touched only by arriving batches.
+  *
+  * ARTIFACT: (col, ver, n, nulls, sum_cents, sumsq_cents2) — per
+  * tracked column, signed ADDITIVE deltas under the CDC version:
+  *   - n: rows present (insert +1, delete −1; updates net 0),
+  *   - nulls: null values of the column,
+  *   - sum_cents: exact-integer cents sum of numeric columns (the
+  *     registry's money/measure discipline — bit-identical under any
+  *     aggregation order, no double drift between the maintained sum
+  *     and a rescan),
+  *   - sumsq_cents2: decimal(38,0) sum of squared cents (fits ~10^20 —
+  *     beyond any Long-safe table; enables exact variance/stddev).
+  * Non-numeric columns carry n/nulls only (sum/sumsq stay 0).
+  *
+  * Additivity per CDC row: insert contributes +new image, delete −old,
+  * update −old +new (a no-op update nets zero on every measure) — the
+  * same IVM delta shape as [[Streams.cdcCountDeltas]], lifted to the
+  * full moment vector. KEY columns carry no old_/new_ images (they
+  * cannot change), so they contribute on insert/delete only — exactly
+  * right, since an update leaves every key value in place.
+  *
+  * Same log-structured (key, ver) exactly-once design as the other
+  * maintained artifacts: per-version deltas are deterministic in the
+  * batch frame, so at-least-once redelivery re-merges identical rows
+  * (a no-op), and the shared [[VersionDrain]] protocol supplies the
+  * watermark, replay floor, and fold crash recovery. The delta itself
+  * is a 2-row driver aggregate melted to (columns)-bounded rows — the
+  * feed is scanned once per side, nothing data-sized reaches the
+  * driver.
+  *
+  * Serving ([[stats]]): version-log sum per column; derived gauges
+  * (null rate, exact mean cents) are one projection on top. The gate
+  * (`q_gate_store_stats`) pins store-served stats == a full rescan of
+  * the maintained table at every stage (inserts, an update wave, a
+  * null-injection wave, deletions) plus the replay no-op.
+  */
+object StatsStore {
+
+  /** The full-build base version; CDC versions are ≥ 0. */
+  val BaseVer: Long = -1L
+
+  private val Keys = Seq("col", "ver")
+  private val statsSchema = StructType(Seq(
+    StructField("col", StringType, nullable = false),
+    StructField("n", LongType, nullable = false),
+    StructField("nulls", LongType, nullable = false),
+    StructField("sum_cents", LongType, nullable = false),
+    StructField("sumsq_cents2", DecimalType(38, 0), nullable = false)))
+
+  private def isNumeric(dt: DataType): Boolean =
+    dt.isInstanceOf[NumericType]
+
+  /** One-scan moment vector of `frame` for the tracked columns, melted
+    * to one row per column — the live twin a rescan computes and the
+    * builder of base/delta rows. `colName(c)` maps a frame column to
+    * the tracked name it contributes to (identity for a table scan;
+    * strips old_/new_ prefixes for CDC sides). The aggregate is one
+    * row with 4×|cols| measures; melting happens driver-side on that
+    * single row (schema-bounded, never data-sized). */
+  private def momentRows(frame: DataFrame, cols: Seq[(String, String)],
+      sign: Int): Seq[Row] = {
+    if (frame.isEmpty) return Seq.empty
+    val aggs = cols.flatMap { case (src, _) =>
+      val v = col(src)
+      val cents =
+        if (isNumeric(frame.schema(src).dataType))
+          round(v.cast("double") * 100, 0).cast("long")
+        else lit(null).cast("long")
+      Seq(
+        count(lit(1)).as(s"__n_$src"),
+        sum(when(v.isNull, 1L).otherwise(0L)).as(s"__nulls_$src"),
+        sum(coalesce(cents, lit(0L))).as(s"__sum_$src"),
+        sum(coalesce(cents.cast(DecimalType(38, 0)) *
+          cents.cast(DecimalType(38, 0)), lit(0).cast(DecimalType(38, 0))))
+          .as(s"__sq_$src"))
+    }
+    val row = frame.agg(aggs.head, aggs.tail: _*).head()
+    def l(name: String): Long =
+      if (row.isNullAt(row.fieldIndex(name))) 0L
+      else row.getLong(row.fieldIndex(name))
+    def d(name: String): java.math.BigDecimal =
+      if (row.isNullAt(row.fieldIndex(name))) java.math.BigDecimal.ZERO
+      else row.getDecimal(row.fieldIndex(name))
+    cols.map { case (src, tracked) =>
+      Row(tracked,
+        l(s"__n_$src") * sign,
+        l(s"__nulls_$src") * sign,
+        l(s"__sum_$src") * sign,
+        d(s"__sq_$src").multiply(java.math.BigDecimal.valueOf(sign.toLong)))
+    }
+  }
+
+  private def toFrame(spark: SparkSession, rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList, 1), statsSchema)
+
+  /** Full build (or rebuild) of the stats artifact over the current
+    * table content. */
+  def build(spark: SparkSession, dir: String, table: DataFrame,
+      cols: Seq[String], numBuckets: Int = 4): Unit = {
+    val rows = momentRows(table, cols.map(c => c -> c), 1)
+    val frame = toFrame(spark, rows).withColumn("ver", lit(BaseVer))
+    if (rows.nonEmpty) SnapshotStore.merge(spark, dir, frame, Keys, numBuckets)
+  }
+
+  /** One CDC batch of table changes as signed moment deltas under
+    * version `batchId`. `keyCols` are the table's snapshot keys (no
+    * old_/new_ images — contribute on insert/delete only); `payloadCols`
+    * the tracked non-key columns (±old/new images). Idempotent per
+    * batchId. */
+  def ingestBatch(spark: SparkSession, dir: String, changes: DataFrame,
+      batchId: Long, keyCols: Seq[String], payloadCols: Seq[String],
+      numBuckets: Int = 4): Unit = {
+    require(batchId >= 0L,
+      s"batchId must be >= 0 (got $batchId): $BaseVer is reserved for the base build")
+    val plusPayload = momentRows(
+      changes.filter(col("change_type").isin("insert", "update")),
+      payloadCols.map(c => s"new_$c" -> c), 1)
+    val minusPayload = momentRows(
+      changes.filter(col("change_type").isin("delete", "update")),
+      payloadCols.map(c => s"old_$c" -> c), -1)
+    val plusKeys = momentRows(
+      changes.filter(col("change_type") === "insert"),
+      keyCols.map(c => c -> c), 1)
+    val minusKeys = momentRows(
+      changes.filter(col("change_type") === "delete"),
+      keyCols.map(c => c -> c), -1)
+    // net per column (an update wave that changes nothing nets to zero
+    // and writes NO row for that column — same discipline as the text
+    // store's kept-in-place occurrences)
+    val net = (plusPayload ++ minusPayload ++ plusKeys ++ minusKeys)
+      .groupBy(_.getString(0)).toSeq.map { case (c, rs) =>
+        Row(c, rs.map(_.getLong(1)).sum, rs.map(_.getLong(2)).sum,
+          rs.map(_.getLong(3)).sum,
+          rs.map(_.getDecimal(4)).foldLeft(java.math.BigDecimal.ZERO)(_ add _))
+      }
+      .filter(r => r.getLong(1) != 0L || r.getLong(2) != 0L ||
+        r.getLong(3) != 0L || r.getDecimal(4).signum != 0)
+    if (net.nonEmpty)
+      SnapshotStore.merge(spark, dir,
+        toFrame(spark, net).withColumn("ver", lit(batchId)), Keys, numBuckets)
+  }
+
+  /** Drain the CDC feed into the artifact (shared [[VersionDrain]]
+    * protocol), with the standard depth-triggered self-fold. */
+  def maintainFromCdc(spark: SparkSession, cdcDir: String, dir: String,
+      checkpointDir: String, keyCols: Seq[String], payloadCols: Seq[String],
+      numBuckets: Int = 4, autoFoldDepth: Option[Int] = None): Unit = {
+    VersionDrain.recoverFold(spark, dir)
+    val floors = VersionDrain.readFoldedThrough(spark, dir).toSeq
+    VersionDrain.drain(spark, cdcDir, checkpointDir, floors) { (batch, v) =>
+      ingestBatch(spark, dir, batch, v, keyCols, payloadCols, numBuckets)
+    }
+    autoFoldDepth.foreach { depth =>
+      if (VersionDrain.logDepth(spark, dir, BaseVer) > depth)
+        fold(spark, dir)
+    }
+  }
+
+  /** Fold the stats log (multi-measure [[VersionDrain.foldStoreMulti]];
+    * `n` is the liveness gauge — a column netting 0 rows drops). */
+  def fold(spark: SparkSession, dir: String): Unit =
+    VersionDrain.foldStoreMulti(spark, dir, Seq("col"),
+      Seq("n", "nulls", "sum_cents", "sumsq_cents2"), BaseVer)
+
+  /** Live per-column stats: version-log sum plus the derived gauges a
+    * quality monitor reads — null_rate (exact micro-units: nulls·10⁶
+    * DIV n) and mean_cents (exact integer DIV). Columns-bounded. */
+  def stats(spark: SparkSession, dir: String): DataFrame =
+    SnapshotStore.read(spark, dir)
+      .groupBy("col")
+      .agg(sum("n").as("n"), sum("nulls").as("nulls"),
+        sum("sum_cents").as("sum_cents"),
+        sum("sumsq_cents2").cast(DecimalType(38, 0)).as("sumsq_cents2"))
+      .filter(col("n") > 0L)
+      .withColumn("null_rate_ppm", expr("nulls * 1000000L DIV n"))
+      .withColumn("mean_cents", expr("sum_cents DIV n"))
+      .orderBy("col")
+
+  /** The rescan twin of [[stats]] over a table's CURRENT content —
+    * what the gate compares the artifact against (and what a
+    * from-scratch [[build]] writes). */
+  def rescan(spark: SparkSession, table: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    val base = toFrame(spark, momentRows(table, cols.map(c => c -> c), 1))
+    base.filter(col("n") > 0L)
+      .withColumn("null_rate_ppm", expr("nulls * 1000000L DIV n"))
+      .withColumn("mean_cents", expr("sum_cents DIV n"))
+      .orderBy("col")
+  }
+}

@@ -92,8 +92,18 @@ private[graft] object VersionDrain {
     * the additive measure; `baseVer` the store family's base sentinel.
     * Keys whose net value is ≤ 0 are physically dropped. */
   private[graft] def foldStore(spark: SparkSession, dir: String,
-      keys: Seq[String], valueCol: String, baseVer: Long): Unit = {
+      keys: Seq[String], valueCol: String, baseVer: Long): Unit =
+    foldStoreMulti(spark, dir, keys, Seq(valueCol), baseVer)
+
+  /** [[foldStore]] for stores carrying SEVERAL additive measures per
+    * key (e.g. the profile-stats store's n/nulls/sum/sumsq): every
+    * measure is version-summed; the FIRST measure is the liveness
+    * gauge — keys where it nets ≤ 0 are dropped (a count of zero means
+    * the key has left the corpus). */
+  private[graft] def foldStoreMulti(spark: SparkSession, dir: String,
+      keys: Seq[String], valueCols: Seq[String], baseVer: Long): Unit = {
     import org.apache.spark.sql.functions.{col, lit, max, sum}
+    require(valueCols.nonEmpty, "foldStoreMulti: no measure columns")
     recoverFold(spark, dir) // complete a crashed predecessor's swap first
     val base = new org.apache.hadoop.fs.Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -110,8 +120,9 @@ private[graft] object VersionDrain {
     if (throughRow.isNullAt(0)) return
     val through = throughRow.getLong(0)
     val summed = log.groupBy(keys.map(col): _*)
-      .agg(sum(valueCol).as(valueCol))
-      .filter(col(valueCol) > 0L)
+      .agg(sum(valueCols.head).as(valueCols.head),
+        valueCols.tail.map(c => sum(c).as(c)): _*)
+      .filter(col(valueCols.head) > 0L)
       .withColumn("ver", lit(baseVer))
       .localCheckpoint(true)
     try {

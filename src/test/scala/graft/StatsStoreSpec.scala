@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computable contracts of the maintained profile-stats store:
+  * exact-cents moment deltas for insert / update (incl. null moves) /
+  * delete, key-column contributions on insert/delete only, per-batchId
+  * idempotence, and fold. The end-to-end CDC arrival path incl. the
+  * full-rescan parity is driver-pinned by `q_gate_store_stats`. */
+class StatsStoreSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import streaming.StatsStore
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_stats").toString
+
+  private def table(rows: (Long, java.lang.Double, String)*) = {
+    import spark.implicits._
+    rows.toDF("id", "val", "tag")
+  }
+
+  private def statMap(dir: String): Map[String, (Long, Long, Long, Long)] =
+    StatsStore.stats(spark, dir).collect().map { r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getAs[Long]("mean_cents"))
+    }.toMap
+
+  test("build + insert/update/delete deltas move exact moments; replay idempotent") {
+    val dir = freshDir()
+    val cols = Seq("id", "val", "tag")
+    StatsStore.build(spark, dir, table((1L, 2.5, "a"), (2L, null, null)), cols)
+    // id: cents 100+200; val: 250 over 1 non-null of 2 rows; tag: text
+    assert(statMap(dir) == Map(
+      "id" -> (2L, 0L, 300L, 150L),
+      "val" -> (2L, 1L, 250L, 125L),
+      "tag" -> (2L, 1L, 0L, 0L)))
+    import spark.implicits._
+    def change(rows: (Long, String, java.lang.Double, java.lang.Double,
+        String, String)*) =
+      rows.toDF("id", "change_type", "old_val", "new_val", "old_tag", "new_tag")
+    // ver 0: insert (3, 1.0, "b")
+    StatsStore.ingestBatch(spark, dir,
+      change((3L, "insert", null, 1.0, null, "b")), 0L,
+      Seq("id"), Seq("val", "tag"))
+    assert(statMap(dir) == Map(
+      "id" -> (3L, 0L, 600L, 200L),
+      "val" -> (3L, 1L, 350L, 116L),
+      "tag" -> (3L, 1L, 0L, 0L)))
+    // ver 1: update id=2 val null -> 4.0 (null counter moves, key
+    // column untouched by an update)
+    val upd = change((2L, "update", null, 4.0, null, null))
+    StatsStore.ingestBatch(spark, dir, upd, 1L, Seq("id"), Seq("val", "tag"))
+    assert(statMap(dir) == Map(
+      "id" -> (3L, 0L, 600L, 200L),
+      "val" -> (3L, 0L, 750L, 250L),
+      "tag" -> (3L, 1L, 0L, 0L)))
+    // at-least-once replay of ver 1: identical rows re-merge — no-op
+    StatsStore.ingestBatch(spark, dir, upd, 1L, Seq("id"), Seq("val", "tag"))
+    assert(statMap(dir)("val") == (3L, 0L, 750L, 250L))
+    // ver 2: delete (1, 2.5, "a") — old images carry the moments out
+    StatsStore.ingestBatch(spark, dir,
+      change((1L, "delete", 2.5, null, "a", null)), 2L,
+      Seq("id"), Seq("val", "tag"))
+    assert(statMap(dir) == Map(
+      "id" -> (2L, 0L, 500L, 250L),
+      "val" -> (2L, 0L, 500L, 250L),
+      "tag" -> (2L, 1L, 0L, 0L)))
+    // fold: views unchanged, version rows reclaimed
+    val before = statMap(dir)
+    val raw = streaming.SnapshotStore.read(spark, dir).count()
+    StatsStore.fold(spark, dir)
+    assert(streaming.SnapshotStore.read(spark, dir).count() < raw)
+    assert(statMap(dir) == before)
+  }
+
+  test("a no-op update wave writes no rows; sumsq tracks exactly") {
+    val dir = freshDir()
+    StatsStore.build(spark, dir, table((1L, 3.0, "x")), Seq("val"))
+    import spark.implicits._
+    val noop = Seq((1L, "update", 3.0: java.lang.Double,
+        3.0: java.lang.Double, "x", "x"))
+      .toDF("id", "change_type", "old_val", "new_val", "old_tag", "new_tag")
+    val v0 = streaming.SnapshotStore.currentManifest(spark, dir).map(_.version)
+    StatsStore.ingestBatch(spark, dir, noop, 0L, Seq("id"), Seq("val"))
+    assert(streaming.SnapshotStore.currentManifest(spark, dir)
+      .map(_.version) == v0, "all-zero delta must not commit a version")
+    // sumsq: 300² = 90000 exactly
+    val sq = StatsStore.stats(spark, dir).filter(col("col") === "val")
+      .head().getDecimal(4)
+    assert(sq.longValueExact() == 90000L)
+  }
+}
