@@ -96,6 +96,39 @@ object Round16Probe {
     val e4 = ingestAgainst(100000L, s"$out/er4")
     println(f"er uniform-vocab batch (5000 names) vs history: " +
       f"1x(25k)=$e1%.2f s 4x(100k)=$e4%.2f s ratio=${e4 / e1}%.2fx")
+
+    // ---- 4: stats store batch cost vs maintained table size -------------
+    // claim: a batch's cost is feed-sized (two 1-row driver aggregates
+    // melted to columns-bounded delta rows + a columns-bounded merge) —
+    // the maintained table's SIZE never enters the per-batch path
+    import graft.streaming.StatsStore
+    val li = Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey", "l_partkey")
+      .agg(sum("l_quantity").as("l_quantity"),
+        max("l_returnflag").as("l_returnflag"))
+      .localCheckpoint(true)
+    val statCols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+    def liCopy(i: Int) = li
+      .withColumn("l_orderkey", col("l_orderkey") + i * 100000000L)
+    StatsStore.build(spark, s"$out/st1", liCopy(0), statCols)
+    StatsStore.build(spark, s"$out/st4",
+      (0 until 4).map(liCopy).reduce(_ unionByName _), statCols)
+    val statBatch = liCopy(0).filter(col("l_orderkey") % 10 === 3)
+      .withColumn("l_orderkey", col("l_orderkey") + 900000000L)
+      .select(col("l_orderkey"), col("l_partkey"),
+        lit("insert").as("change_type"),
+        lit(null).cast("double").as("old_l_quantity"),
+        col("l_quantity").as("new_l_quantity"),
+        lit(null).cast("string").as("old_l_returnflag"),
+        col("l_returnflag").as("new_l_returnflag"))
+      .localCheckpoint(true)
+    val sbn = statBatch.count()
+    val st1 = time(StatsStore.ingestBatch(spark, s"$out/st1", statBatch, 0L,
+      Seq("l_orderkey", "l_partkey"), Seq("l_quantity", "l_returnflag")))
+    val st4 = time(StatsStore.ingestBatch(spark, s"$out/st4", statBatch, 0L,
+      Seq("l_orderkey", "l_partkey"), Seq("l_quantity", "l_returnflag")))
+    println(f"stats store batch ($sbn rows) vs table: 1x=$st1%.2f s " +
+      f"4x=$st4%.2f s ratio=${st4 / st1}%.2fx")
     spark.stop()
   }
 }
