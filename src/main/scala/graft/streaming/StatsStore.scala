@@ -74,7 +74,7 @@ object StatsStore {
     * single row (schema-bounded, never data-sized). */
   private def momentRows(frame: DataFrame, cols: Seq[(String, String)],
       sign: Int): Seq[Row] = {
-    if (frame.isEmpty) return Seq.empty
+    if (cols.isEmpty || frame.isEmpty) return Seq.empty
     val aggs = cols.flatMap { case (src, _) =>
       val v = col(src)
       val cents =
@@ -191,6 +191,34 @@ object StatsStore {
       .withColumn("null_rate_ppm", expr("nulls * 1000000L DIV n"))
       .withColumn("mean_cents", expr("sum_cents DIV n"))
       .orderBy("col")
+
+  /** Profile DRIFT between two stats artifacts — the `q_profile_drift`
+    * gauge served day-2 style: compare the LIVE artifact against a
+    * frozen baseline artifact (e.g. the artifact dir copied at
+    * sign-off) without touching either table. Exact integer deltas per
+    * column: null-rate movement in ppm, mean movement in cents, and
+    * the row-count ratio in ppm — a monitoring loop alerts on
+    * thresholds over a columns-bounded frame. Columns present on only
+    * one side surface with the other side's gauges null (schema drift
+    * is itself a signal, not an error). */
+  def drift(spark: SparkSession, liveDir: String,
+      baselineDir: String): DataFrame = {
+    val live = stats(spark, liveDir).select(col("col"),
+      col("n").as("n_live"), col("null_rate_ppm").as("nr_live"),
+      col("mean_cents").as("mean_live"))
+    val baseline = stats(spark, baselineDir).select(col("col"),
+      col("n").as("n_base"), col("null_rate_ppm").as("nr_base"),
+      col("mean_cents").as("mean_base"))
+    live.join(baseline, Seq("col"), "full_outer")
+      .select(col("col"),
+        (col("nr_live") - col("nr_base")).as("null_rate_delta_ppm"),
+        (col("mean_live") - col("mean_base")).as("mean_delta_cents"),
+        when(col("n_base") > 0L, expr("n_live * 1000000L DIV n_base"))
+          .as("row_ratio_ppm"),
+        col("n_live").isNull.as("dropped_col"),
+        col("n_base").isNull.as("new_col"))
+      .orderBy("col")
+  }
 
   /** The rescan twin of [[stats]] over a table's CURRENT content —
     * what the gate compares the artifact against (and what a

@@ -74,6 +74,25 @@ class StatsStoreSpec extends AnyFunSuite {
     assert(statMap(dir) == before)
   }
 
+  test("drift between a live and a baseline artifact reads exact deltas") {
+    val base = freshDir(); val live = freshDir()
+    StatsStore.build(spark, base, table((1L, 2.0, "a"), (2L, 4.0, "b")),
+      Seq("val", "tag"))
+    // live: val mean moved 300 -> 500 cents? build (1, 4.0), (2, 6.0):
+    // mean (400+600)/2 = 500 vs baseline (200+400)/2 = 300; tag gains
+    // a null -> null rate 0 -> 500000 ppm; an extra column appears
+    StatsStore.build(spark, live, table((1L, 4.0, null), (2L, 6.0, "b")),
+      Seq("val", "tag", "id"))
+    val d = StatsStore.drift(spark, live, base).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(d("val").getAs[Long]("mean_delta_cents") == 200L)
+    assert(d("val").getAs[Long]("null_rate_delta_ppm") == 0L)
+    assert(d("val").getAs[Long]("row_ratio_ppm") == 1000000L)
+    assert(d("tag").getAs[Long]("null_rate_delta_ppm") == 500000L)
+    assert(d("id").getAs[Boolean]("new_col") &&
+      !d("id").getAs[Boolean]("dropped_col"))
+  }
+
   test("a no-op update wave writes no rows; sumsq tracks exactly") {
     val dir = freshDir()
     StatsStore.build(spark, dir, table((1L, 3.0, "x")), Seq("val"))
