@@ -99,7 +99,10 @@ object Bench {
       // only spent when the captures genuinely disagree).
       def disagree(rs: Vector[(Double, Boolean)]): Boolean = {
         val s = rs.map(_._1).sorted
-        s.head >= 5.0 && s(1) > s.head * 1.5
+        // size guard: under SPARK_GRAFT_REPS=1 a ≥5 s key skips every
+        // earlier rep loop and arrives here with a single run — s(1)
+        // would throw, crashing the capture (round-16 advice)
+        s.size >= 2 && s.head >= 5.0 && s(1) > s.head * 1.5
       }
       while (disagree(runs) && runs.size < 4) runs :+= runOnce()
       if (lastGateKey.contains(name)) graft.queries.GateMemo.evictAll()

@@ -319,7 +319,17 @@ object IncrementalEntityResolution {
     * `measureCents` is the golden attribute to repair (min over the
     * cluster), already cast to exact integer cents by the caller. */
   def goldenRecords(spark: SparkSession, erDir: String, source: DataFrame,
-      nameCol: String, measureCents: org.apache.spark.sql.Column): DataFrame = {
+      nameCol: String, measureCents: org.apache.spark.sql.Column): DataFrame =
+    goldenRecordsCore(spark, erDir, source, nameCol, measureCents)
+
+  /** [[goldenRecords]], where the returned frame IS the (cluster-
+    * bounded) localCheckpoint backing it — the finish/spent pattern:
+    * callers making repeated reads in a long-lived session should
+    * `GateMemo.unpersistCheckpoint` the frame once consumed, or the
+    * checkpoint blocks accumulate per call (round-16 advice). */
+  private[graft] def goldenRecordsCore(spark: SparkSession, erDir: String,
+      source: DataFrame, nameCol: String,
+      measureCents: org.apache.spark.sql.Column): DataFrame = {
     val (res, spent) = resolvedCore(spark, erDir)
     val out = try {
       val multi = res.groupBy("root").agg(count(lit(1)).as("__n"))

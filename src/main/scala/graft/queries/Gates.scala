@@ -1732,10 +1732,14 @@ object Gates {
       def servedReach(): Seq[String] = fromSeam(storeEdges(), Graphs.reachFrom)
       def servedPpr(): Seq[String] = fromSeam(storeEdges(), Graphs.pprBatchFrom)
       // initial parity is against the REGISTERED keys' own output (the
-      // strongest cross-check: the full key incl. its finish path)
+      // strongest cross-check: the full key incl. its finish path);
+      // the initial servedPpr is CAPTURED so the final non-vacuity bit
+      // reads it instead of re-running the whole iterative PPR a third
+      // time on the post-delete store (round-16 advice)
+      val servedPpr0 = servedPpr()
       val parity =
         servedReach() == rows(memoQ(s, d, Graphs.qGraphReach)) &&
-          servedPpr() == rows(memoQ(s, d, Graphs.qGraphPprBatch))
+          servedPpr0 == rows(memoQ(s, d, Graphs.qGraphPprBatch))
       val vE = SnapshotStore.currentManifest(s, edgeDir).map(_.version)
       drain()
       val replayNoop =
@@ -1748,7 +1752,7 @@ object Gates {
       val afterDelete =
         servedReach() == fromSeam(liveEdges(reduced), Graphs.reachFrom) &&
           servedPpr() == fromSeam(liveEdges(reduced), Graphs.pprBatchFrom)
-      servedPpr().nonEmpty && parity && replayNoop && afterDelete
+      servedPpr0.nonEmpty && parity && replayNoop && afterDelete
     }
     verdict(s, "q_gate_store_reach_ppr", ok)
   }
@@ -1853,9 +1857,15 @@ object Gates {
           IncrementalEntityResolution.ingest(s, erDir, b, "name")
         ing(base); ing(b1); ing(b2)
         val cents = round(col("p_retailprice") * 100, 0).cast("bigint")
-        def served(): Seq[String] =
-          IncrementalEntityResolution.goldenRecords(s, erDir, part,
-            "p_name", cents).collect().map(_.toString).toSeq
+        // finish/spent: the served frame IS its cluster-bounded
+        // checkpoint — free it after each collect so the gate's three
+        // reads don't stack blocks in the session (round-16 advice)
+        def served(): Seq[String] = {
+          val g = IncrementalEntityResolution.goldenRecordsCore(
+            s, erDir, part, "p_name", cents)
+          try g.collect().map(_.toString).toSeq
+          finally GateMemo.unpersistCheckpoint(g)
+        }
         val live = memoQ(s, d, Extensions.qEntityResolution)
           .collect().map(_.toString).toSeq
         val parity = served() == live

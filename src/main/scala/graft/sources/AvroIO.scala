@@ -58,7 +58,12 @@ object AvroIO {
     val fields = schema.fields.map { f =>
       val u = Schema.createUnion(
         List(Schema.create(Schema.Type.NULL), avroType(f.dataType)).asJava)
-      new Schema.Field(f.name, u, null, null)
+      // null default: when this schema is declared as the READER schema
+      // (read() below), a writer file missing a declared column must
+      // resolve to null — the lenient behavior the writer-schema
+      // fallback had before the reader declaration (round-16 advice);
+      // without the default, Avro schema resolution rejects the file
+      new Schema.Field(f.name, u, null, Schema.Field.NULL_DEFAULT_VALUE)
     }
     val rec = Schema.createRecord(name, null, "graft", false)
     rec.setFields(fields.toList.asJava)
@@ -144,23 +149,58 @@ object AvroIO {
     val fields = sparkSchema.fields.map(f => (f.name, f.dataType))
     val java8 = spark.conf
       .get("spark.sql.datetime.java8API.enabled", "false").toBoolean
-    // declare the reader schema (it IS known here — derived from the
-    // Spark schema the caller reads under): without it every task logs
-    // "Reader schema was not set" and falls back to the writer schema,
-    // which drowns benchmark tails in warnings
+    // Deliberately NOT declaring a reader schema: with one set, the
+    // Avro record reader decodes every record through a
+    // ResolvingDecoder even when reader == writer structurally — a
+    // measured 1.46x on the whole round-trip key (2.27 s vs 1.56 s
+    // min-of-4 at sf0.1/local[32]; the round-16 regression's cause).
+    // The staging contract's lenient semantics survive without it:
+    // the Row assembly below pulls fields BY NAME from the writer
+    // record (GenericData.Record.get(name) returns null for a field
+    // the writer lacks), so a missing declared column still reads as
+    // null and extra writer columns are ignored. What is given up is
+    // Avro-side type PROMOTION (int→long etc.) — out of scope for a
+    // staging tier whose writer is [[write]] above. The per-task
+    // "Reader schema was not set" warning is pointed at exactly this
+    // fallback, so silence that one logger here (in-process executors
+    // under local[*]; a real cluster sets the same logger level in its
+    // log4j2 properties).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      classOf[AvroKeyInputFormat[_]].getName,
+      org.apache.logging.log4j.Level.ERROR)
     val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
-    AvroJob.setInputKeySchema(job, toAvroSchema(sparkSchema))
     val rows = spark.sparkContext.newAPIHadoopFile(
       path,
       classOf[AvroKeyInputFormat[GenericRecord]],
       classOf[AvroKey[GenericRecord]], classOf[NullWritable],
       job.getConfiguration)
-      .mapPartitions(_.map { case (k, _) =>
-        val rec = k.datum()
-        Row.fromSeq(fields.toSeq.map { case (n, dt) =>
-          fromAvro(rec.get(n), dt, java8)
-        })
-      })
+      .mapPartitions { it =>
+        // field positions resolved ONCE per writer schema, not per
+        // record: by-name access is a hash lookup per field per record
+        // (and Avro 1.12's Record.get(name) THROWS on a field the
+        // writer lacks — the lenient null is decided here instead);
+        // -1 marks a declared column absent from the file
+        var cached: Schema = null
+        var pos: Array[Int] = null
+        it.map { case (k, _) =>
+          val rec = k.datum()
+          val rs = rec.getSchema
+          if (rs ne cached) {
+            cached = rs
+            pos = fields.map { case (n, _) =>
+              val f = rs.getField(n); if (f == null) -1 else f.pos }
+          }
+          val vals = new Array[Any](fields.length)
+          var i = 0
+          while (i < fields.length) {
+            vals(i) =
+              if (pos(i) < 0) null
+              else fromAvro(rec.get(pos(i)), fields(i)._2, java8)
+            i += 1
+          }
+          Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+        }
+      }
     spark.createDataFrame(rows, sparkSchema)
   }
 }

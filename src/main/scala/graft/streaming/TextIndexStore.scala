@@ -387,7 +387,22 @@ object TextIndexStore {
     val out = try {
       val termSet = batch.select("word").distinct()
         .collect().map(_.getString(0)).toSeq
-      require(termSet.nonEmpty, "searchBatch: empty query batch")
+      // empty query batch: the live twin (TextSearch.bm25Batch) returns
+      // an empty frame — agree rather than throw (round-16 advice). The
+      // frame is built from the schema directly, not from limit(0)
+      // projections of the checkpoints the finally blocks free.
+      if (termSet.isEmpty)
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              queryIdCol, batch.schema("__qid").dataType),
+            org.apache.spark.sql.types.StructField(
+              "doc_id", lens.schema("doc_id").dataType),
+            org.apache.spark.sql.types.StructField(
+              "score", org.apache.spark.sql.types.DoubleType),
+            org.apache.spark.sql.types.StructField(
+              "rnk", org.apache.spark.sql.types.LongType))))
       val stats = lens.agg(count(lit(1)).cast("double").as("__n"),
         avg(col("dl").cast("double")).as("__avgdl"))
       val tf = postings(spark, postingsDir)

@@ -65,6 +65,32 @@ class AvroIOSpec extends AnyFunSuite {
     assert(agg(back) == agg(slice))
   }
 
+  test("a declared column the writer lacks reads as null (schema drift)") {
+    // the staging contract's lenient read: the reader declares the
+    // schema it expects; a column missing from the file resolves to
+    // null via the by-name row assembly (no Avro reader schema is set —
+    // the resolver costs 1.46x per record, BASELINE round-17 note)
+    val written = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "a"), Row(2L, "b")), 1),
+      written)
+    val dir = freshDir("drift")
+    graft.sources.AvroIO.write(df, dir)
+    val declared = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("added_later", DoubleType)))
+    val back = graft.sources.AvroIO.read(spark, dir, declared)
+      .orderBy("k").collect()
+    assert(back.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(back.forall(_.isNullAt(2)))
+    // and the reader-schema builder still gives union fields a null
+    // default, so any consumer that DOES declare it as a reader schema
+    // resolves missing writer fields leniently too
+    val f = graft.sources.AvroIO.toAvroSchema(declared).getField("added_later")
+    assert(f.hasDefaultValue)
+  }
+
   test("unmappable nested types are refused loudly") {
     val e = intercept[IllegalArgumentException] {
       graft.sources.AvroIO.toAvroSchema(StructType(Seq(
