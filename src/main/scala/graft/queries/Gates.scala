@@ -2127,6 +2127,91 @@ object Gates {
     verdict(s, "q_gate_store_stats", ok)
   }
 
+  /** Store-served P5 outlier gauge (round 17 — the quality surface the
+    * round-16 verdict named): the mean±3σ thresholds of
+    * `q_quality_outliers` (Catalog.scala's P5 key) derived from the
+    * [[graft.streaming.StatsStore]]'s exact per-(column, group) moments
+    * instead of a stats-pass scan — a monitoring loop reads a
+    * segment-bounded artifact, and only the exceedance COUNT (which
+    * needs the data by definition) scans the table, once. Pins, each
+    * comparing [[StatsStore.servedOutliers]] (exact decimal moments →
+    * thresholds) against [[StatsStore.rescanOutliers]] (the live key's
+    * float avg/stddev_samp computation — an INDEPENDENT derivation, so
+    * agreement certifies the maintained moments): (1) parity after
+    * base + two CDC insert batches; (2) a PLANTED-outlier update wave
+    * (100× price on ~1% of orders) flows through as −old +new moment
+    * deltas, parity holds, and the planted rows are actually flagged
+    * (non-vacuity); (3) replaying the drained feed is a store-version
+    * no-op; (4) a whole-order cancellation decrements the grouped
+    * moments and parity holds on the reduced table. */
+  val qGateStoreOutliers = Q(
+    "q_gate_store_outliers", oracleFor("q_gate_store_outliers")) { (s, d) =>
+    import graft.streaming.{SnapshotStore, StatsStore, Streams}
+    val ok = GateMemo.value(s, d, "gate_store_outliers_ok") {
+      val work = "/root/repo/target/store_outliers_gate/" +
+        new java.io.File(d).getName
+      graft.LocalFs.rmrf(new java.io.File(work))
+      val liDir = s"$work/lineitem_store"
+      val cdcDir = s"$work/cdc"
+      val statsDir = s"$work/stats"
+      val ckpt = s"$work/ckpt"
+      val keys = Seq("l_orderkey", "l_partkey")
+      val li = Tables.lineitem(s, d)
+        .groupBy("l_orderkey", "l_partkey")
+        .agg(sum("l_extendedprice").as("l_extendedprice"),
+          max("l_returnflag").as("l_returnflag"))
+        .localCheckpoint(true)
+      val base = li.filter(col("l_orderkey") % 10 =!= 0)
+      val b1 = li.filter(col("l_orderkey") % 20 === 0)
+      val b2 = li.filter(
+        col("l_orderkey") % 10 === 0 && col("l_orderkey") % 20 =!= 0)
+      Streams.cdcBatch(s, liDir, cdcDir, base, keys)
+      Streams.cdcBatch(s, liDir, cdcDir, b1, keys)
+      Streams.cdcBatch(s, liDir, cdcDir, b2, keys)
+      // the gauge's value column is tracked GROUPED by the segment
+      // label, so thresholds exist per l_returnflag like the live key's
+      def drain(): Unit = StatsStore.maintainFromCdc(
+        s, cdcDir, statsDir, ckpt, keys, Seq("l_extendedprice"),
+        groupCol = Some("l_returnflag"))
+      drain()
+      def rows(df: DataFrame): Seq[String] =
+        df.collect().map(_.toString).toSeq
+      def served(): Seq[String] = rows(StatsStore.servedOutliers(
+        s, statsDir, SnapshotStore.read(s, liDir),
+        "l_extendedprice", "l_returnflag"))
+      def parity(): Boolean = served() == rows(StatsStore.rescanOutliers(
+        SnapshotStore.read(s, liDir), "l_extendedprice", "l_returnflag"))
+      val afterIngest = parity()
+      def flaggedTotal(): Long = StatsStore.servedOutliers(
+        s, statsDir, SnapshotStore.read(s, liDir),
+        "l_extendedprice", "l_returnflag")
+        .agg(sum("n_outliers")).head().getLong(0)
+      val flaggedBefore = flaggedTotal()
+      // plant unmistakable outliers: 100x the price on ~1% of orders —
+      // the update's -old +new deltas move the grouped moments AND the
+      // planted rows must exceed the moved thresholds
+      Streams.cdcUpdateBatch(s, liDir, cdcDir, keys,
+        Map("l_extendedprice" -> (col("l_extendedprice") * 100)),
+        col("l_orderkey") % 97 === 0)
+      drain()
+      val afterPlant = parity()
+      val planted = flaggedTotal() > flaggedBefore
+      val vS = SnapshotStore.currentManifest(s, statsDir).map(_.version)
+      drain()
+      val replayNoop =
+        SnapshotStore.currentManifest(s, statsDir).map(_.version) == vS
+      val doomedK = doomedOrderKey(b1)
+      Streams.cdcDeleteBatch(s, liDir, cdcDir,
+        li.filter(col("l_orderkey") === doomedK).select(keys.map(col): _*),
+        keys)
+      drain()
+      val afterDelete = parity()
+      served().nonEmpty && afterIngest && afterPlant && planted &&
+        replayNoop && afterDelete
+    }
+    verdict(s, "q_gate_store_outliers", ok)
+  }
+
   /** SCD2 dimension history (round 14): the CDC log rendered as
     * type-2 validity intervals (`Streams.scd2` — one key-partitioned
     * lead() window; deletes close intervals without opening one) must
@@ -2195,6 +2280,7 @@ object Gates {
     qGateStoreJaccard, qGateStorePagerank, qGateStoreTriangles,
     qGateStoreReachPpr,
     qGateStoreTextSearch, qGateStoreTextPhrase, qGateStoreStats,
+    qGateStoreOutliers,
     qGateErIncremental, qGateStoreEr,
     qGateStreamAnomaly,
     qGateStreamGraphDegree,

@@ -6,8 +6,10 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Hand-computable contracts of the maintained profile-stats store:
   * exact-cents moment deltas for insert / update (incl. null moves) /
   * delete, key-column contributions on insert/delete only, per-batchId
-  * idempotence, and fold. The end-to-end CDC arrival path incl. the
-  * full-rescan parity is driver-pinned by `q_gate_store_stats`. */
+  * idempotence, fold, grouped segments (incl. a group-moving update),
+  * and the decimal sum's headroom past Long. The end-to-end CDC
+  * arrival path incl. the full-rescan parity is driver-pinned by
+  * `q_gate_store_stats` / `q_gate_store_outliers`. */
 class StatsStoreSpec extends AnyFunSuite {
   import SparkTestSession._
   import streaming.StatsStore
@@ -22,7 +24,8 @@ class StatsStoreSpec extends AnyFunSuite {
 
   private def statMap(dir: String): Map[String, (Long, Long, Long, Long)] =
     StatsStore.stats(spark, dir).collect().map { r =>
-      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getAs[String]("col") -> (r.getAs[Long]("n"), r.getAs[Long]("nulls"),
+        r.getAs[java.math.BigDecimal]("sum_cents").longValueExact(),
         r.getAs[Long]("mean_cents"))
     }.toMap
 
@@ -35,6 +38,9 @@ class StatsStoreSpec extends AnyFunSuite {
       "id" -> (2L, 0L, 300L, 150L),
       "val" -> (2L, 1L, 250L, 125L),
       "tag" -> (2L, 1L, 0L, 0L)))
+    // ungrouped artifacts carry the "" segment on every row
+    assert(StatsStore.stats(spark, dir).collect()
+      .forall(_.getAs[String]("grp") == StatsStore.NoGroup))
     import spark.implicits._
     def change(rows: (Long, String, java.lang.Double, java.lang.Double,
         String, String)*) =
@@ -106,7 +112,78 @@ class StatsStoreSpec extends AnyFunSuite {
       .map(_.version) == v0, "all-zero delta must not commit a version")
     // sumsq: 300² = 90000 exactly
     val sq = StatsStore.stats(spark, dir).filter(col("col") === "val")
-      .head().getDecimal(4)
+      .head().getAs[java.math.BigDecimal]("sumsq_cents2")
     assert(sq.longValueExact() == 90000L)
+  }
+
+  test("sum_cents carries exactly past the Long ceiling (10^18-cents edge)") {
+    // four rows of 4.6e18 cents each: their Long sum (1.84e19) would
+    // wrap (Long.MaxValue ≈ 9.22e18); decimal(38,0) carries it — the
+    // round-16 verdict's undocumented-overflow item. The per-value
+    // ceiling stays inside the documented sumsq headroom: 4 × (4.6e18)²
+    // ≈ 8.5e37 < 10^38. (Values past 2^53 cents also exceed double's
+    // exact-integer range — the honest per-VALUE precision bound; what
+    // this row pins is that the running SUM no longer wraps silently.)
+    val dir = freshDir()
+    StatsStore.build(spark, dir,
+      table((1L, 4.6e16, "a"), (2L, 4.6e16, "b"),
+        (3L, 4.6e16, "c"), (4L, 4.6e16, "d")), Seq("val"))
+    val r = StatsStore.stats(spark, dir).filter(col("col") === "val").head()
+    val sum = r.getAs[java.math.BigDecimal]("sum_cents")
+    assert(sum.compareTo(
+      java.math.BigDecimal.valueOf(Long.MaxValue)) > 0,
+      s"sum $sum must exceed Long.MaxValue without wrapping")
+    assert(r.getAs[Long]("mean_cents") == sum.divideToIntegralValue(
+      java.math.BigDecimal.valueOf(4)).longValueExact())
+  }
+
+  test("grouped segments: per-group moments, group-moving update nets across") {
+    val dir = freshDir()
+    StatsStore.build(spark, dir,
+      table((1L, 2.0, "a"), (2L, 4.0, "a"), (3L, 10.0, "b")),
+      Seq("val"), groupCol = Some("tag"))
+    def seg(): Map[String, (Long, Long)] =
+      StatsStore.stats(spark, dir).filter(col("col") === "val").collect()
+        .map(r => r.getAs[String]("grp") ->
+          (r.getAs[Long]("n"),
+            r.getAs[java.math.BigDecimal]("sum_cents").longValueExact()))
+        .toMap
+    assert(seg() == Map("a" -> (2L, 600L), "b" -> (1L, 1000L)))
+    import spark.implicits._
+    // update moves id=2 from segment a to b AND changes its value:
+    // minus side reads old images (a, 4.0), plus side new (b, 6.0)
+    val mv = Seq((2L, "update", 4.0: java.lang.Double, 6.0: java.lang.Double,
+        "a", "b"))
+      .toDF("id", "change_type", "old_val", "new_val", "old_tag", "new_tag")
+    StatsStore.ingestBatch(spark, dir, mv, 0L, Seq("id"), Seq("val", "tag"),
+      groupCol = Some("tag"))
+    assert(seg() == Map("a" -> (1L, 200L), "b" -> (2L, 1600L)))
+  }
+
+  test("outlier thresholds from exact moments match the float rescan twin") {
+    // 20 tight values + one planted far outlier per segment
+    import spark.implicits._
+    val rows = (1 to 20).map(i => (i.toLong, 100.0 + i, "a")) ++
+      Seq((21L, 5000.0, "a")) ++
+      (22 to 41).map(i => (i.toLong, 50.0 + (i % 7), "b")) ++
+      Seq((42L, -900.0, "b"))
+    val t = rows.toDF("id", "val", "tag")
+    val dir = freshDir()
+    StatsStore.build(spark, dir, t, Seq("val"), groupCol = Some("tag"))
+    val served = StatsStore.servedOutliers(spark, dir, t, "val", "tag")
+      .collect().map(_.toString).toSeq
+    val live = StatsStore.rescanOutliers(t, "val", "tag")
+      .collect().map(_.toString).toSeq
+    assert(served == live)
+    // non-vacuity: the planted extremes are actually flagged
+    val flagged = StatsStore.servedOutliers(spark, dir, t, "val", "tag")
+      .agg(sum("n_outliers")).head().getLong(0)
+    assert(flagged >= 2L)
+    // n == 1 segments serve a null σ (stddev_samp semantics), not a crash
+    val one = table((1L, 7.0, "z"))
+    val dir2 = freshDir()
+    StatsStore.build(spark, dir2, one, Seq("val"), groupCol = Some("tag"))
+    val th = StatsStore.outlierThresholds(spark, dir2, "val").head()
+    assert(th.isNullAt(th.fieldIndex("sigma")))
   }
 }
