@@ -299,6 +299,14 @@ object Relations {
       minContainment: Double = 0.5): DataFrame =
     scoreSketches(columnSketches(tables, k), k, minContainment)
 
+  /** Score an already-materialized sketch set ([[columnSketches]]'s
+    * schema) — the entry point for sketches served from a maintained
+    * artifact ([[graft.streaming.SketchCatalogStore]]) rather than
+    * rebuilt from table data. */
+  def discoverFromSketches(sketches: DataFrame, k: Int = 256,
+      minContainment: Double = 0.5): DataFrame =
+    scoreSketches(sketches, k, minContainment)
+
   /** Incremental discovery: score a NEW dataset's columns against an
     * already-sketched catalog WITHOUT touching the catalog tables' data
     * — the production shape when one table arrives into a thousand-table

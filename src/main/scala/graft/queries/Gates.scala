@@ -2212,6 +2212,144 @@ object Gates {
     verdict(s, "q_gate_store_outliers", ok)
   }
 
+  /** Store-served relationship discovery (round 17 — the round-16
+    * verdict's TOP item): the catalog's FK verdicts and knowledge-graph
+    * edges served from [[graft.streaming.SketchCatalogStore]]'s
+    * maintained per-(table, column) KMV sketches — the LAST registered
+    * family whose serving path rescanned the data. Fixture: a
+    * four-table catalog (CDC-maintained orders + customer slices,
+    * static nation + region built once) whose true FK chain
+    * orders.custkey → customer.custkey → nation.nationkey →
+    * region.regionkey must be rediscovered from the ARTIFACT alone.
+    * Pins: (1) served sketches are BIT-IDENTICAL to
+    * `Relations.columnSketches` over every table's current content
+    * after base + insert batches (delta-merge exactness — the KMV
+    * union argument); (2) the served fk_candidate edge set equals the
+    * EXACT `Relations.discover`'s (cross-derivation: true FKs have
+    * containment exactly 1.0 in both, and the fixture's only estimated
+    * same-name pair sits ≥ 6σ from the 0.95 threshold); (3) replaying
+    * both drained feeds is a store-version no-op; (4) an update wave
+    * on an UNTRACKED column writes nothing; (5) an update wave
+    * MUTATING a tracked column triggers the honest per-table rebuild
+    * ('full' row present — KMV is not mutation-additive) and sketch
+    * parity holds; (6) a delete wave (customers without orders, so
+    * the FK chain survives) triggers the rebuild and both parities
+    * hold on the reduced catalog; (7) [[SketchCatalogStore.compact]]
+    * leaves every served sketch invariant; (8) the served cardinality
+    * gauge is exact below k and within 25% (≈ 4× the KMV RSE at
+    * k=256) of true distinct counts above it. */
+  val qGateStoreCatalogRelations = Q(
+    "q_gate_store_catalog_relations",
+    oracleFor("q_gate_store_catalog_relations")) { (s, d) =>
+    import graft.catalog.Relations
+    import graft.streaming.{SketchCatalogStore, SnapshotStore, Streams}
+    val ok = GateMemo.value(s, d, "gate_store_catalog_relations_ok") {
+      val work = "/root/repo/target/store_catalog_gate/" +
+        new java.io.File(d).getName
+      graft.LocalFs.rmrf(new java.io.File(work))
+      val ordDir = s"$work/orders_store"; val ordCdc = s"$work/orders_cdc"
+      val custDir = s"$work/customer_store"; val custCdc = s"$work/customer_cdc"
+      val skDir = s"$work/sketches"
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .localCheckpoint(true)
+      val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        .localCheckpoint(true)
+      try {
+        val nation = Tables.nation(s, d).select("n_nationkey", "n_regionkey")
+        val region = Tables.region(s, d).select("r_regionkey")
+        SketchCatalogStore.build(s, skDir, "nation", nation)
+        SketchCatalogStore.build(s, skDir, "region", region)
+        Streams.cdcBatch(s, ordDir, ordCdc,
+          orders.filter(col("o_orderkey") % 10 =!= 0), Seq("o_orderkey"))
+        Streams.cdcBatch(s, ordDir, ordCdc,
+          orders.filter(col("o_orderkey") % 10 === 0), Seq("o_orderkey"))
+        Streams.cdcBatch(s, custDir, custCdc,
+          cust.filter(col("c_custkey") % 5 =!= 0), Seq("c_custkey"))
+        Streams.cdcBatch(s, custDir, custCdc,
+          cust.filter(col("c_custkey") % 5 === 0), Seq("c_custkey"))
+        def drain(): Unit = {
+          SketchCatalogStore.maintainFromCdc(s, ordCdc, skDir,
+            s"$work/ord_ckpt", "orders_s", ordDir, Seq("o_orderkey"))
+          SketchCatalogStore.maintainFromCdc(s, custCdc, skDir,
+            s"$work/cust_ckpt", "customer_s", custDir, Seq("c_custkey"))
+        }
+        drain()
+        def catalogNow(): Seq[(String, DataFrame)] = Seq(
+          "orders_s" -> SnapshotStore.read(s, ordDir),
+          "customer_s" -> SnapshotStore.read(s, custDir),
+          "nation" -> nation, "region" -> region)
+        def rows(df: DataFrame): Seq[String] =
+          df.collect().map(_.toString).toSeq.sorted
+        def servedSk(): Seq[String] = rows(SketchCatalogStore.sketches(s, skDir))
+        def freshSk(): Seq[String] = rows(Relations.columnSketches(catalogNow()))
+        // edge identity + verdict only: the sketch family's n_common /
+        // containment are k-bounded estimates, definitionally different
+        // numbers from the exact operator's
+        def fkOf(df: DataFrame): Seq[String] =
+          rows(df.filter(col("verdict") === "fk_candidate")
+            .select("table_a", "col_a", "table_b", "col_b"))
+        def servedFk(): Seq[String] = fkOf(SketchCatalogStore.discover(s, skDir))
+        def liveFk(): Seq[String] = fkOf(Relations.discover(catalogNow()))
+        val sketchParity = servedSk() == freshSk()
+        val served0 = servedFk()
+        val fkParity = served0 == liveFk() && served0.nonEmpty &&
+          served0.contains(
+            "[orders_s,o_custkey,customer_s,c_custkey]")
+        val v0 = SnapshotStore.currentManifest(s, skDir).map(_.version)
+        drain()
+        val replayNoop =
+          SnapshotStore.currentManifest(s, skDir).map(_.version) == v0
+        // an untracked-column wave must not touch the artifact at all
+        Streams.cdcUpdateBatch(s, ordDir, ordCdc, Seq("o_orderkey"),
+          Map("o_totalprice" -> (col("o_totalprice") * 1.1)),
+          col("o_orderkey") % 13 === 0)
+        drain()
+        val untrackedNoop =
+          SnapshotStore.currentManifest(s, skDir).map(_.version) == v0
+        // a tracked-column mutation forces the per-table rebuild (KMV
+        // cannot subtract); shifting within the nation domain keeps the
+        // FK chain intact while changing sketch content
+        Streams.cdcUpdateBatch(s, custDir, custCdc, Seq("c_custkey"),
+          Map("c_nationkey" -> pmod(col("c_nationkey") + 1, lit(25))),
+          col("c_custkey") % 11 === 0)
+        drain()
+        val rebuilt = SnapshotStore.read(s, skDir)
+          .filter(col("tbl") === "customer_s" && col("kind") === "full")
+          .limit(1).count() > 0
+        val afterMutation = servedSk() == freshSk()
+        // delete only customers WITHOUT orders: the o_custkey ⊆
+        // c_custkey subset survives, so the fk chain must too
+        val doomed = cust
+          .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+          .filter(col("c_custkey") % 3 === 0).select("c_custkey")
+        Streams.cdcDeleteBatch(s, custDir, custCdc, doomed, Seq("c_custkey"))
+        drain()
+        val afterDelete = servedSk() == freshSk() && servedFk() == liveFk() &&
+          servedFk().contains(
+            "[orders_s,o_custkey,customer_s,c_custkey]")
+        SketchCatalogStore.compact(s, skDir)
+        val compactInvariant = servedSk() == freshSk()
+        // served cardinality gauge: exact below k, within 25% above
+        val cardOk = SketchCatalogStore.cardinalities(s, skDir).collect()
+          .forall { r =>
+            val frame = catalogNow().toMap.apply(r.getString(0))
+            val exact = frame.select(countDistinct(col(r.getString(1))))
+              .head().getLong(0)
+            if (r.getBoolean(3)) r.getLong(2) == exact
+            else math.abs(r.getLong(2) - exact) <= 0.25 * exact
+          }
+        sketchParity && fkParity && replayNoop && untrackedNoop &&
+          rebuilt && afterMutation && afterDelete && compactInvariant &&
+          cardOk
+      } finally {
+        GateMemo.unpersistCheckpoint(orders)
+        GateMemo.unpersistCheckpoint(cust)
+      }
+    }
+    verdict(s, "q_gate_store_catalog_relations", ok)
+  }
+
   /** SCD2 dimension history (round 14): the CDC log rendered as
     * type-2 validity intervals (`Streams.scd2` — one key-partitioned
     * lead() window; deletes close intervals without opening one) must
@@ -2280,7 +2418,7 @@ object Gates {
     qGateStoreJaccard, qGateStorePagerank, qGateStoreTriangles,
     qGateStoreReachPpr,
     qGateStoreTextSearch, qGateStoreTextPhrase, qGateStoreStats,
-    qGateStoreOutliers,
+    qGateStoreOutliers, qGateStoreCatalogRelations,
     qGateErIncremental, qGateStoreEr,
     qGateStreamAnomaly,
     qGateStreamGraphDegree,
