@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Behavioral event analytics over `events` — the product-analytics
@@ -274,27 +275,14 @@ object EventAnalytics {
     * reported day has a fully defined (possibly partial-history) WAU.
     * Stickiness = DAU/WAU — the engagement ratio product analytics
     * reads daily. */
-  val qActiveUsers = Q(
-    "q_active_users",
-    """WITH act AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d,
-      |                             user_id
-      |             FROM events),
-      |bounds AS (SELECT max(d) AS hi FROM act),
-      |dau AS (SELECT d, count(*) AS dau FROM act GROUP BY 1),
-      |contrib AS (
-      |  SELECT DISTINCT w.wend, a.user_id
-      |  FROM act a CROSS JOIN bounds b
-      |  JOIN LATERAL (SELECT unnest(generate_series(a.d, least(a.d + 6, b.hi),
-      |                              INTERVAL 1 DAY)) AS wend) w ON true),
-      |wau AS (SELECT CAST(wend AS DATE) AS d, count(*) AS wau
-      |        FROM contrib GROUP BY 1)
-      |SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau,
-      |       round(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
-      |FROM dau JOIN wau ON dau.d = wau.d
-      |ORDER BY day""".stripMargin) { (s, d) =>
-    val act = Tables.events(s, d)
-      .select(to_date(date_trunc("day", col("ts"))).as("d"), col("user_id"))
-      .distinct()
+  /** The DAU / rolling-WAU / stickiness computation over a
+    * caller-supplied DISTINCT (d, user_id) activity frame — the seam
+    * the maintained activity store serves through (the
+    * `Graphs.pagerankFrom` pattern, round 17): the live key derives
+    * the frame from the event log; `ActivityStore.activity` derives
+    * the identical frame from its user×day-sized artifact, so the two
+    * reads share every expression from here down. */
+  def activeUsersFrom(act: DataFrame): DataFrame = {
     val hiRow = act.agg(max("d")).head()
     val dau = act.groupBy("d").agg(count(lit(1)).as("dau"))
     if (hiRow.isNullAt(0))
@@ -318,6 +306,29 @@ object EventAnalytics {
           round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
         .orderBy("day")
     }
+  }
+
+  val qActiveUsers = Q(
+    "q_active_users",
+    """WITH act AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d,
+      |                             user_id
+      |             FROM events),
+      |bounds AS (SELECT max(d) AS hi FROM act),
+      |dau AS (SELECT d, count(*) AS dau FROM act GROUP BY 1),
+      |contrib AS (
+      |  SELECT DISTINCT w.wend, a.user_id
+      |  FROM act a CROSS JOIN bounds b
+      |  JOIN LATERAL (SELECT unnest(generate_series(a.d, least(a.d + 6, b.hi),
+      |                              INTERVAL 1 DAY)) AS wend) w ON true),
+      |wau AS (SELECT CAST(wend AS DATE) AS d, count(*) AS wau
+      |        FROM contrib GROUP BY 1)
+      |SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+      |       round(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
+      |FROM dau JOIN wau ON dau.d = wau.d
+      |ORDER BY day""".stripMargin) { (s, d) =>
+    activeUsersFrom(Tables.events(s, d)
+      .select(to_date(date_trunc("day", col("ts"))).as("d"), col("user_id"))
+      .distinct())
   }
 
   /** The sketch path for q_active_users at 100 TB: per-day HyperLogLog

@@ -2350,6 +2350,108 @@ object Gates {
     verdict(s, "q_gate_store_catalog_relations", ok)
   }
 
+  /** Store-served active users (round 17 — the round-16 verdict's
+    * item #5, opening the events-axis day-2 family): DAU / rolling
+    * WAU / stickiness served from
+    * [[graft.streaming.ActivityStore]]'s maintained (day, user, cnt)
+    * artifact — the event log is the 100 TB axis, and the registered
+    * key rescans it per run; the artifact is users×days-sized. The
+    * store carries signed event COUNTS (not bare first-seen pairs),
+    * so retractions and cross-midnight ts edits net through the same
+    * additive algebra as every other maintained artifact. Pins:
+    * (1) served == the live computation over the PARTIAL corpus after
+    * base + one CDC batch (the shared `activeUsersFrom` seam, fed
+    * from the artifact vs from the log); (2) after the final batch,
+    * served == the REGISTERED `q_active_users` output EXACTLY;
+    * (3) replaying the drained feed is a store-version no-op; (4) a
+    * SAME-DAY ts edit wave nets zero and writes nothing; (5) a
+    * cross-midnight wave (+1 day on ~6% of events) nets −old-day
+    * +new-day and parity holds; (6) a GDPR user wipe (every event of
+    * ~3% of users retracted) empties those users' activity
+    * (non-vacuity: they were active before) and parity holds on the
+    * reduced log; (7) the log-fold reclaims version rows with the
+    * served frame invariant. */
+  val qGateStoreActiveUsers = Q(
+    "q_gate_store_active_users",
+    oracleFor("q_gate_store_active_users")) { (s, d) =>
+    import graft.streaming.{ActivityStore, SnapshotStore, Streams}
+    val ok = GateMemo.value(s, d, "gate_store_active_users_ok") {
+      val work = "/root/repo/target/store_active_gate/" +
+        new java.io.File(d).getName
+      graft.LocalFs.rmrf(new java.io.File(work))
+      val evDir = s"$work/events_store"
+      val cdcDir = s"$work/cdc"
+      val actDir = s"$work/activity"
+      val ckpt = s"$work/ckpt"
+      val keys = Seq("event_id")
+      val ev = Tables.events(s, d).select("event_id", "ts", "user_id")
+        .localCheckpoint(true)
+      try {
+        val base = ev.filter(col("event_id") % 10 =!= 0)
+        val b1 = ev.filter(col("event_id") % 20 === 0)
+        val b2 = ev.filter(
+          col("event_id") % 10 === 0 && col("event_id") % 20 =!= 0)
+        Streams.cdcBatch(s, evDir, cdcDir, base, keys)
+        Streams.cdcBatch(s, evDir, cdcDir, b1, keys)
+        def drain(): Unit =
+          ActivityStore.maintainFromCdc(s, cdcDir, actDir, ckpt)
+        drain()
+        def rows(df: DataFrame): Seq[String] =
+          df.collect().map(_.toString).toSeq
+        def served(): Seq[String] = rows(ActivityStore.activeUsers(s, actDir))
+        def liveNow(): Seq[String] = rows(EventAnalytics.activeUsersFrom(
+          SnapshotStore.read(s, evDir)
+            .select(to_date(date_trunc("day", col("ts"))).as("d"),
+              col("user_id"))
+            .distinct()))
+        val partial = served() == liveNow()
+        Streams.cdcBatch(s, evDir, cdcDir, b2, keys)
+        drain()
+        // the full corpus is live: the strongest cross-check is the
+        // REGISTERED key's own output (incl. its finish path)
+        val full = served() == rows(memoQ(s, d, EventAnalytics.qActiveUsers))
+        val v0 = SnapshotStore.currentManifest(s, actDir).map(_.version)
+        drain()
+        val replayNoop =
+          SnapshotStore.currentManifest(s, actDir).map(_.version) == v0
+        // a same-day edit nets zero per pair and must write NOTHING
+        // (midnight-safe: the new ts is the truncated day + 1 hour)
+        Streams.cdcUpdateBatch(s, evDir, cdcDir, keys,
+          Map("ts" -> (date_trunc("day", col("ts")) +
+            expr("INTERVAL 1 HOUR")).cast("timestamp_ntz")),
+          col("event_id") % 23 === 0)
+        drain()
+        val sameDayNoop =
+          SnapshotStore.currentManifest(s, actDir).map(_.version) == v0
+        // a cross-midnight wave moves the pair: −old-day +new-day
+        Streams.cdcUpdateBatch(s, evDir, cdcDir, keys,
+          Map("ts" -> (col("ts") + expr("INTERVAL 1 DAY"))
+            .cast("timestamp_ntz")),
+          col("event_id") % 17 === 0)
+        drain()
+        val afterMove = served() == liveNow()
+        // GDPR wipe: retract EVERY event of the doomed users
+        val hadUsers = ActivityStore.activity(s, actDir)
+          .filter(col("user_id") % 37 === 0).limit(1).count() > 0
+        val doomed = SnapshotStore.read(s, evDir)
+          .filter(col("user_id") % 37 === 0).select("event_id")
+        Streams.cdcDeleteBatch(s, evDir, cdcDir, doomed, keys)
+        drain()
+        val wiped = ActivityStore.activity(s, actDir)
+          .filter(col("user_id") % 37 === 0).limit(1).count() == 0
+        val afterWipe = served() == liveNow()
+        val rawRows = SnapshotStore.read(s, actDir).count()
+        ActivityStore.fold(s, actDir)
+        val foldOk = served() == liveNow() &&
+          SnapshotStore.read(s, actDir).count() < rawRows
+        served().nonEmpty && partial && full && replayNoop &&
+          sameDayNoop && afterMove && hadUsers && wiped && afterWipe &&
+          foldOk
+      } finally GateMemo.unpersistCheckpoint(ev)
+    }
+    verdict(s, "q_gate_store_active_users", ok)
+  }
+
   /** SCD2 dimension history (round 14): the CDC log rendered as
     * type-2 validity intervals (`Streams.scd2` — one key-partitioned
     * lead() window; deletes close intervals without opening one) must
@@ -2418,7 +2520,7 @@ object Gates {
     qGateStoreJaccard, qGateStorePagerank, qGateStoreTriangles,
     qGateStoreReachPpr,
     qGateStoreTextSearch, qGateStoreTextPhrase, qGateStoreStats,
-    qGateStoreOutliers, qGateStoreCatalogRelations,
+    qGateStoreOutliers, qGateStoreCatalogRelations, qGateStoreActiveUsers,
     qGateErIncremental, qGateStoreEr,
     qGateStreamAnomaly,
     qGateStreamGraphDegree,
