@@ -162,6 +162,65 @@ object EventAnalytics {
       Seq("view", "click", "purchase"), maxGap = "24 hours")
   }
 
+  /** Daily cohort retention over a caller-supplied DISTINCT (d,
+    * user_id) activity frame — the second consumer of the activity
+    * seam (see [[activeUsersFrom]]): cohort day = each user's first
+    * active day, and since day-truncation commutes with min, the pair
+    * frame determines it exactly. Pairs are unique, so the
+    * (cohort, offset, user) projection needs no re-distinct. */
+  def retentionCohortFrom(act: DataFrame): DataFrame = {
+    val first = act.groupBy("user_id").agg(min("d").as("cohort_day"))
+    val actOff = act.join(first, "user_id")
+      .select(col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).cast("bigint").as("day_offset"),
+        col("user_id"))
+    val counts = actOff.groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("users"))
+    val sizes = counts.filter(col("day_offset") === 0)
+      .select(col("cohort_day"), col("users").as("cohort_size"))
+    counts.join(broadcast(sizes), "cohort_day")
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("users"),
+        round(col("users").cast("double") / col("cohort_size"), 4)
+          .as("retention"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** Weekly cohort retention + cross-cohort curve over the same
+    * activity frame: a user's several active days inside one week
+    * collapse, so this projection DOES re-distinct at week grain. */
+  def retentionWeeklyFrom(act: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val first = act.groupBy("user_id")
+      .agg(to_date(date_trunc("week", min("d"))).as("cohort_week"))
+    val actW = act.join(first, "user_id")
+      .select(col("cohort_week"),
+        (datediff(to_date(date_trunc("week", col("d"))), col("cohort_week"))
+          / 7).cast("bigint").as("week_offset"),
+        col("user_id"))
+      .distinct()
+    val counts = actW.groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("users"))
+    val sizes = counts.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("users").as("cohort_size"))
+    val wOff = Window.partitionBy("week_offset")
+    counts.join(broadcast(sizes), "cohort_week")
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("users"),
+        round(col("users").cast("double") / col("cohort_size"), 4)
+          .as("retention"),
+        round(sum("users").over(wOff).cast("double")
+          / sum("cohort_size").over(wOff), 4).as("curve_retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** The day-grain distinct activity frame the three seam consumers
+    * share — what the live keys derive from the event log and the
+    * activity store serves from its artifact. */
+  private[graft] def activityOf(events: DataFrame): DataFrame =
+    events.select(to_date(date_trunc("day", col("ts"))).as("d"),
+      col("user_id")).distinct()
+
   /** Daily cohort retention: users grouped by the day of their first
     * event; for each (cohort, day offset), how many came back, and what
     * share of the cohort that is. The cohort×offset summary is bounded
@@ -187,25 +246,7 @@ object EventAnalytics {
       |       round(CAST(c.users AS DOUBLE) / s.cohort_size, 4) AS retention
       |FROM counts c JOIN sizes s USING (cohort_day)
       |ORDER BY cohort_day, day_offset""".stripMargin) { (s, d) =>
-    val ev = Tables.events(s, d)
-    val first = ev.groupBy("user_id")
-      .agg(to_date(date_trunc("day", min("ts"))).as("cohort_day"))
-    val act = ev.join(first, "user_id")
-      .select(col("cohort_day"),
-        datediff(to_date(date_trunc("day", col("ts"))), col("cohort_day"))
-          .cast("bigint").as("day_offset"),
-        col("user_id"))
-      .distinct()
-    val counts = act.groupBy("cohort_day", "day_offset")
-      .agg(count(lit(1)).as("users"))
-    val sizes = counts.filter(col("day_offset") === 0)
-      .select(col("cohort_day"), col("users").as("cohort_size"))
-    counts.join(broadcast(sizes), "cohort_day")
-      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
-        col("day_offset"), col("users"),
-        round(col("users").cast("double") / col("cohort_size"), 4)
-          .as("retention"))
-      .orderBy("cohort_day", "day_offset")
+    retentionCohortFrom(activityOf(Tables.events(s, d)))
   }
 
   /** Weekly cohort retention + retention-curve summary: q_retention_cohort
@@ -238,29 +279,7 @@ object EventAnalytics {
       |         AS curve_retention
       |FROM counts c JOIN sizes s USING (cohort_week)
       |ORDER BY cohort_week, week_offset""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(s, d)
-    val first = ev.groupBy("user_id")
-      .agg(to_date(date_trunc("week", min("ts"))).as("cohort_week"))
-    val act = ev.join(first, "user_id")
-      .select(col("cohort_week"),
-        (datediff(to_date(date_trunc("week", col("ts"))), col("cohort_week"))
-          / 7).cast("bigint").as("week_offset"),
-        col("user_id"))
-      .distinct()
-    val counts = act.groupBy("cohort_week", "week_offset")
-      .agg(count(lit(1)).as("users"))
-    val sizes = counts.filter(col("week_offset") === 0)
-      .select(col("cohort_week"), col("users").as("cohort_size"))
-    val wOff = Window.partitionBy("week_offset")
-    counts.join(broadcast(sizes), "cohort_week")
-      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
-        col("week_offset"), col("users"),
-        round(col("users").cast("double") / col("cohort_size"), 4)
-          .as("retention"),
-        round(sum("users").over(wOff).cast("double")
-          / sum("cohort_size").over(wOff), 4).as("curve_retention"))
-      .orderBy("cohort_week", "week_offset")
+    retentionWeeklyFrom(activityOf(Tables.events(s, d)))
   }
 
   /** DAU / rolling-7-day WAU / stickiness per day. The scale problem is
@@ -326,9 +345,7 @@ object EventAnalytics {
       |       round(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
       |FROM dau JOIN wau ON dau.d = wau.d
       |ORDER BY day""".stripMargin) { (s, d) =>
-    activeUsersFrom(Tables.events(s, d)
-      .select(to_date(date_trunc("day", col("ts"))).as("d"), col("user_id"))
-      .distinct())
+    activeUsersFrom(activityOf(Tables.events(s, d)))
   }
 
   /** The sketch path for q_active_users at 100 TB: per-day HyperLogLog

@@ -2452,6 +2452,72 @@ object Gates {
     verdict(s, "q_gate_store_active_users", ok)
   }
 
+  /** Store-served cohort retention (round 17 — the SECOND consumer of
+    * the activity artifact, proving the store is a family surface,
+    * not a one-key cache): a user's cohort day is their first ACTIVE
+    * day, which the (day, user) pair frame determines exactly, so
+    * BOTH registered retention keys serve from the same artifact
+    * `q_gate_store_active_users` maintains. Pins: (1) after the full
+    * corpus arrives via two CDC batches, store-served daily AND
+    * weekly retention == the REGISTERED keys' own outputs EXACTLY;
+    * (2) replay is a store-version no-op; (3) a GDPR wipe (~3% of
+    * users) removes their cohort contributions entirely — parity
+    * against the live recomputation over the reduced log, with the
+    * doomed users' cohort sizes actually shrunk (non-vacuity via a
+    * planted wiped-cohort check). */
+  val qGateStoreRetention = Q(
+    "q_gate_store_retention",
+    oracleFor("q_gate_store_retention")) { (s, d) =>
+    import graft.streaming.{ActivityStore, SnapshotStore, Streams}
+    val ok = GateMemo.value(s, d, "gate_store_retention_ok") {
+      val work = "/root/repo/target/store_retention_gate/" +
+        new java.io.File(d).getName
+      graft.LocalFs.rmrf(new java.io.File(work))
+      val evDir = s"$work/events_store"
+      val cdcDir = s"$work/cdc"
+      val actDir = s"$work/activity"
+      val ckpt = s"$work/ckpt"
+      val keys = Seq("event_id")
+      val ev = Tables.events(s, d).select("event_id", "ts", "user_id")
+        .localCheckpoint(true)
+      try {
+        Streams.cdcBatch(s, evDir, cdcDir,
+          ev.filter(col("event_id") % 2 === 0), keys)
+        Streams.cdcBatch(s, evDir, cdcDir,
+          ev.filter(col("event_id") % 2 =!= 0), keys)
+        def drain(): Unit =
+          ActivityStore.maintainFromCdc(s, cdcDir, actDir, ckpt)
+        drain()
+        def rows(df: DataFrame): Seq[String] =
+          df.collect().map(_.toString).toSeq
+        val daily = rows(ActivityStore.retentionCohort(s, actDir)) ==
+          rows(memoQ(s, d, EventAnalytics.qRetentionCohort))
+        val weekly = rows(ActivityStore.retentionWeekly(s, actDir)) ==
+          rows(memoQ(s, d, EventAnalytics.qRetentionWeekly))
+        val v0 = SnapshotStore.currentManifest(s, actDir).map(_.version)
+        drain()
+        val replayNoop =
+          SnapshotStore.currentManifest(s, actDir).map(_.version) == v0
+        // GDPR wipe: the doomed users' cohort contributions must vanish
+        val cohortBefore = ActivityStore.activity(s, actDir)
+          .filter(col("user_id") % 37 === 0).limit(1).count() > 0
+        val doomed = SnapshotStore.read(s, evDir)
+          .filter(col("user_id") % 37 === 0).select("event_id")
+        Streams.cdcDeleteBatch(s, evDir, cdcDir, doomed, keys)
+        drain()
+        def liveNow(f: DataFrame => DataFrame): Seq[String] =
+          rows(f(EventAnalytics.activityOf(SnapshotStore.read(s, evDir))))
+        val afterWipe =
+          rows(ActivityStore.retentionCohort(s, actDir)) ==
+            liveNow(EventAnalytics.retentionCohortFrom) &&
+            rows(ActivityStore.retentionWeekly(s, actDir)) ==
+              liveNow(EventAnalytics.retentionWeeklyFrom)
+        daily && weekly && replayNoop && cohortBefore && afterWipe
+      } finally GateMemo.unpersistCheckpoint(ev)
+    }
+    verdict(s, "q_gate_store_retention", ok)
+  }
+
   /** SCD2 dimension history (round 14): the CDC log rendered as
     * type-2 validity intervals (`Streams.scd2` — one key-partitioned
     * lead() window; deletes close intervals without opening one) must
@@ -2521,6 +2587,7 @@ object Gates {
     qGateStoreReachPpr,
     qGateStoreTextSearch, qGateStoreTextPhrase, qGateStoreStats,
     qGateStoreOutliers, qGateStoreCatalogRelations, qGateStoreActiveUsers,
+    qGateStoreRetention,
     qGateErIncremental, qGateStoreEr,
     qGateStreamAnomaly,
     qGateStreamGraphDegree,

@@ -125,4 +125,20 @@ object ActivityStore {
     * event log never read. */
   def activeUsers(spark: SparkSession, dir: String): DataFrame =
     graft.queries.EventAnalytics.activeUsersFrom(activity(spark, dir))
+
+  /** Store-served daily cohort retention — the registered
+    * `q_retention_cohort` output from the artifact: a user's cohort
+    * day is their first ACTIVE day, which the pair frame determines
+    * exactly (day-truncation commutes with min), so retention needs
+    * nothing the activity artifact doesn't already carry. A GDPR wipe
+    * re-cohorts nothing retroactively wrong: the user's pairs vanish
+    * entirely, exactly as the live recomputation over the reduced log
+    * would (gate-pinned). */
+  def retentionCohort(spark: SparkSession, dir: String): DataFrame =
+    graft.queries.EventAnalytics.retentionCohortFrom(activity(spark, dir))
+
+  /** Store-served weekly cohort retention + cross-cohort curve — the
+    * registered `q_retention_weekly` output from the artifact. */
+  def retentionWeekly(spark: SparkSession, dir: String): DataFrame =
+    graft.queries.EventAnalytics.retentionWeeklyFrom(activity(spark, dir))
 }

@@ -379,6 +379,48 @@ class PlanSpec extends AnyFunSuite {
     assert("partial_min_by|partial_count".r.findFirstIn(p).isDefined, p)
   }
 
+  test("store-served reads scan ONLY artifact files, never a table") {
+    import org.apache.spark.sql.functions._
+    // activity serving: build a tiny artifact, then assert every file
+    // scan in the serving read's executed plan points inside the
+    // artifact dir — the store family's whole contract is that the
+    // data-sized table never appears in a serving plan
+    val actDir = java.nio.file.Files.createTempDirectory("plan_act").toString
+    import spark.implicits._
+    val ch = Seq(
+      (1L, "insert", null: java.lang.Long, 7L),
+      (2L, "insert", null: java.lang.Long, 8L))
+      .toDF("event_id", "change_type", "old_user_id", "new_user_id")
+      .withColumn("old_ts", lit(null).cast("timestamp_ntz"))
+      .withColumn("new_ts", lit("2024-03-01T10:00:00").cast("timestamp_ntz"))
+    streaming.ActivityStore.ingestBatch(spark, actDir, ch, 0L)
+    val servedAct = streaming.ActivityStore.activeUsers(spark, actDir)
+    servedAct.collect()
+    // plan strings TRUNCATE long paths ("file:/tmp/plan_act157…"), so a
+    // scanned entry matches if it and the artifact root prefix one
+    // another after stripping the ellipsis
+    def inside(dir: String)(path: String): Boolean = {
+      val full = "file:" + dir
+      val p = path.stripSuffix("...")
+      p.startsWith(full) || full.startsWith(p)
+    }
+    val actPlan = servedAct.queryExecution.executedPlan.toString
+    val scanned = "file:[^,\\]\\s]*".r.findAllIn(actPlan).toList
+    assert(scanned.nonEmpty, "expected the artifact scan to be visible:\n" + actPlan)
+    assert(scanned.forall(inside(actDir)),
+      s"serving read scans a non-artifact path: $scanned")
+    // catalog sketch serving: same pin on the merged-sketch read
+    val skDir = java.nio.file.Files.createTempDirectory("plan_sk").toString
+    val t = Seq((1L, 10L), (2L, 20L)).toDF("row_id", "ref_id")
+    streaming.SketchCatalogStore.build(spark, skDir, "t", t)
+    val servedSk = streaming.SketchCatalogStore.sketches(spark, skDir)
+    servedSk.collect()
+    val skPlan = servedSk.queryExecution.executedPlan.toString
+    val skScans = "file:[^,\\]\\s]*".r.findAllIn(skPlan).toList
+    assert(skScans.nonEmpty && skScans.forall(inside(skDir)),
+      s"sketch serving scans a non-artifact path: $skScans")
+  }
+
   test("graph pagerank: edge list never shuffles for the contribution join") {
     val p = graphPlan("q_graph_pagerank")
     // each of the 3 iterations joins the NODE-sized contribution frame
