@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -138,12 +139,24 @@ object Commerce {
     // checkpoint it because three consumers (the corpus max-date probe,
     // the quartile aggregate, and the scoring pass) would otherwise
     // each re-execute the scan+shuffle subtree (Catalyst doesn't
-    // CTE-dedup DataFrame branches)
-    val m = Tables.orders(s, d).groupBy("o_custkey").agg(
+    // CTE-dedup DataFrame branches). The store-served path skips the
+    // checkpoint: its m is artifact-sized, so three re-reads are cheap
+    // and leak-free.
+    rfmFrom(Tables.orders(s, d).groupBy("o_custkey").agg(
       count(lit(1)).as("freq"),
       sum(round(col("o_totalprice") * 100, 0).cast("bigint")).as("cents"),
       max("o_orderdate").as("last_o"))
-      .localCheckpoint(true)
+      .localCheckpoint(true))
+  }
+
+  /** The RFM quartile-scoring computation over a caller-supplied
+    * per-customer frame (o_custkey, freq, cents, last_o) — the seam
+    * the maintained order-activity store serves through
+    * ([[graft.streaming.RfmStore]]): the live key derives the frame
+    * from the order log; the store derives the identical frame from
+    * its customers×active-days artifact (freq/cents are additive sums,
+    * recency is max over days with positive net count — delete-safe). */
+  def rfmFrom(m: DataFrame): DataFrame = {
     val mx = m.agg(to_date(max("last_o")).as("hi"))
     val base = m.crossJoin(broadcast(mx))
       .select(col("o_custkey"),

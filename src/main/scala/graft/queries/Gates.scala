@@ -2518,6 +2518,93 @@ object Gates {
     verdict(s, "q_gate_store_retention", ok)
   }
 
+  /** Store-served RFM segmentation (round 17 — the commerce axis's
+    * day-2 opener, [[graft.streaming.RfmStore]]): `q_rfm`'s
+    * per-customer recency/frequency/monetary frame served from the
+    * maintained (customer, order-day) artifact — freq/cents are
+    * additive sums, and recency = max over days with POSITIVE net
+    * count, which is why the artifact keys by day: cancellations move
+    * recency correctly with no rebuild. Pins: (1) after the corpus
+    * arrives via two CDC batches, store-served RFM == the REGISTERED
+    * key's own output EXACTLY (through the shared `rfmFrom` scoring
+    * seam); (2) replay is a store-version no-op; (3) a REPRICING wave
+    * (price × 0.5 on ~8% of orders) nets −old +new cents and parity
+    * holds against the live recomputation; (4) a DATE-MOVING wave
+    * (+30 days on ~3% of orders) moves (customer, day) cells and
+    * recency follows; (5) a cancellation wave (every order of ~3% of
+    * customers) removes those customers from the served frame
+    * entirely (non-vacuity: they were present) with parity on the
+    * reduced log; (6) the log-fold reclaims rows with the served
+    * output invariant. */
+  val qGateStoreRfm = Q(
+    "q_gate_store_rfm", oracleFor("q_gate_store_rfm")) { (s, d) =>
+    import graft.streaming.{RfmStore, SnapshotStore, Streams}
+    val ok = GateMemo.value(s, d, "gate_store_rfm_ok") {
+      val work = "/root/repo/target/store_rfm_gate/" +
+        new java.io.File(d).getName
+      graft.LocalFs.rmrf(new java.io.File(work))
+      val ordDir = s"$work/orders_store"
+      val cdcDir = s"$work/cdc"
+      val rfmDir = s"$work/rfm"
+      val ckpt = s"$work/ckpt"
+      val keys = Seq("o_orderkey")
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .localCheckpoint(true)
+      try {
+        Streams.cdcBatch(s, ordDir, cdcDir,
+          orders.filter(col("o_orderkey") % 2 === 0), keys)
+        Streams.cdcBatch(s, ordDir, cdcDir,
+          orders.filter(col("o_orderkey") % 2 =!= 0), keys)
+        def drain(): Unit =
+          RfmStore.maintainFromCdc(s, cdcDir, rfmDir, ckpt)
+        drain()
+        def rows(df: DataFrame): Seq[String] =
+          df.collect().map(_.toString).toSeq
+        def served(): Seq[String] = rows(RfmStore.rfm(s, rfmDir))
+        // the live twin: the registered key's own m derivation over the
+        // maintained table's CURRENT content (artifact-free recompute)
+        def liveNow(): Seq[String] = rows(Commerce.rfmFrom(
+          SnapshotStore.read(s, ordDir).groupBy("o_custkey").agg(
+            count(lit(1)).as("freq"),
+            sum(round(col("o_totalprice") * 100, 0).cast("bigint"))
+              .as("cents"),
+            max("o_orderdate").as("last_o"))))
+        val full = served() == rows(memoQ(s, d, Commerce.qRfm))
+        val v0 = SnapshotStore.currentManifest(s, rfmDir).map(_.version)
+        drain()
+        val replayNoop =
+          SnapshotStore.currentManifest(s, rfmDir).map(_.version) == v0
+        Streams.cdcUpdateBatch(s, ordDir, cdcDir, keys,
+          Map("o_totalprice" -> (col("o_totalprice") * 0.5)),
+          col("o_orderkey") % 13 === 0)
+        drain()
+        val afterReprice = served() == liveNow()
+        Streams.cdcUpdateBatch(s, ordDir, cdcDir, keys,
+          Map("o_orderdate" -> date_add(col("o_orderdate"), 30)),
+          col("o_orderkey") % 29 === 0)
+        drain()
+        val afterMove = served() == liveNow()
+        val hadCust = RfmStore.customerStats(s, rfmDir)
+          .filter(col("o_custkey") % 31 === 0).limit(1).count() > 0
+        val doomed = SnapshotStore.read(s, ordDir)
+          .filter(col("o_custkey") % 31 === 0).select("o_orderkey")
+        Streams.cdcDeleteBatch(s, ordDir, cdcDir, doomed, keys)
+        drain()
+        val gone = RfmStore.customerStats(s, rfmDir)
+          .filter(col("o_custkey") % 31 === 0).limit(1).count() == 0
+        val afterCancel = served() == liveNow()
+        val rawRows = SnapshotStore.read(s, rfmDir).count()
+        RfmStore.fold(s, rfmDir)
+        val foldOk = served() == liveNow() &&
+          SnapshotStore.read(s, rfmDir).count() < rawRows
+        served().nonEmpty && full && replayNoop && afterReprice &&
+          afterMove && hadCust && gone && afterCancel && foldOk
+      } finally GateMemo.unpersistCheckpoint(orders)
+    }
+    verdict(s, "q_gate_store_rfm", ok)
+  }
+
   /** SCD2 dimension history (round 14): the CDC log rendered as
     * type-2 validity intervals (`Streams.scd2` — one key-partitioned
     * lead() window; deletes close intervals without opening one) must
@@ -2587,7 +2674,7 @@ object Gates {
     qGateStoreReachPpr,
     qGateStoreTextSearch, qGateStoreTextPhrase, qGateStoreStats,
     qGateStoreOutliers, qGateStoreCatalogRelations, qGateStoreActiveUsers,
-    qGateStoreRetention,
+    qGateStoreRetention, qGateStoreRfm,
     qGateErIncremental, qGateStoreEr,
     qGateStreamAnomaly,
     qGateStreamGraphDegree,

@@ -52,7 +52,13 @@ import org.apache.spark.sql.functions._
   *
   * Exactly-once: the shared [[VersionDrain]] watermark protocol; batch
   * sketches are deterministic (fixed xxhash64, distinct heap), so
-  * at-least-once redelivery re-merges identical rows. [[compact]]
+  * at-least-once redelivery re-merges identical rows. One crash window
+  * needs naming: a REBUILD at version v reads the table's LATEST
+  * content, not content-as-of-v, so a replayed rebuild can capture
+  * values that later delta versions also carry. Harmless by
+  * construction — sketches are value SETS, so double-inclusion merges
+  * to the same bottom-k (spec-pinned) — which is exactly why the
+  * artifact stores hashes rather than counts. [[compact]]
   * writes the served merge as a 'full' row at the newest version — a
   * regular idempotent upsert (crash-safe by the store's commit
   * protocol); rows below the new floor become dead weight for the

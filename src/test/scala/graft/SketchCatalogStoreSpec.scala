@@ -86,6 +86,25 @@ class SketchCatalogStoreSpec extends AnyFunSuite {
     assert(served(dir) == fresh("t", cur2))
   }
 
+  test("a rebuild from content AHEAD of its version is healed by set semantics") {
+    // crash window: a rebuild at version v reads the table's LATEST
+    // content (not content-as-of-v), so after a watermark-write crash
+    // the replayed rebuild can capture values that later delta versions
+    // ALSO carry. Harmless by construction: sketches are value SETS
+    // (hash-deduped), so double-inclusion merges to the same bottom-k —
+    // this row pins that the serving merge equals the fresh rescan even
+    // when a 'full' floor overlaps the deltas above it.
+    val dir = freshDir()
+    val cur2 = tbl((1L, 10L), (2L, 20L), (3L, 30L))
+    SketchCatalogStore.ingestBatch(spark, dir, "t",
+      change((1L, "insert", null, 10L)), 0L, Seq("row_id"), tbl((1L, 10L)))
+    // rebuild at ver 1 sees content that already includes ver 2's row
+    SketchCatalogStore.build(spark, dir, "t", cur2, ver = 1L)
+    SketchCatalogStore.ingestBatch(spark, dir, "t",
+      change((3L, "insert", null, 30L)), 2L, Seq("row_id"), cur2)
+    assert(served(dir) == fresh("t", cur2))
+  }
+
   test("compact rewrites the floor without moving any served sketch") {
     val dir = freshDir()
     (0 to 4).foreach { v =>
