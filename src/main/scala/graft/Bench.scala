@@ -105,17 +105,39 @@ object Bench {
         s.size >= 2 && s.head >= 5.0 && s(1) > s.head * 1.5
       }
       while (disagree(runs) && runs.size < 4) runs :+= runOnce()
-      if (lastGateKey.contains(name)) graft.queries.GateMemo.evictAll()
-      (name, runs.map(_._1).min, runs.forall(_._2), runs.size)
+      if (lastGateKey.contains(name)) {
+        graft.queries.GateMemo.evictAll()
+        // ... and reclaim the gate family's DISK residue too (round-17
+        // verdict item #1): evictAll frees the memo's block-manager
+        // fixtures, but the gates' CDC feeds / SnapshotStores /
+        // checkpoints stay on disk under GateMemo.WorkRoot, and their
+        // OS page-cache footprint is the suspected mechanism behind
+        // the recurring post-gate inflation of the checkpoint-heavy
+        // graph keys (flagged rounds 15-17). Deleting the files
+        // releases their page cache; every gate rebuilds its subdir
+        // from scratch on entry, so a later re-run loses nothing.
+        // SPARK_GRAFT_KEEP_GATE_DIRS=1 keeps the residue — the A/B
+        // control for proving/disproving the mechanism (BASELINE.md
+        // round-18 note); never set in a recorded capture.
+        if (!sys.env.contains("SPARK_GRAFT_KEEP_GATE_DIRS"))
+          graft.queries.GateMemo.evictWorkDirs()
+      }
+      // cold = the FIRST rep's time: for memoizing gate keys the min is
+      // a memo-hit (0.006 s) while the real store-build cost is paid in
+      // rep 1 and was previously invisible — a reader could not see a
+      // store-build regression at all (round-17 verdict item #4). For
+      // plain keys cold also records the cache-cold cost the min
+      // deliberately excludes.
+      (name, runs.map(_._1).min, runs.forall(_._2), runs.size, runs.head._1)
     }
     def r3(v: Double): Double = math.round(v * 1000).toDouble / 1000
     // minimal JSON string escaping for the user-controlled sfDir (a
     // quote or backslash in the env var must not emit unparseable JSON)
     def js(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    def jmap(rs: Seq[(String, Double, Boolean, Int)]): String =
-      rs.map { case (k, v, _, _) => js(k) + ":" + r3(v) }.mkString("{", ",", "}")
-    val errors = results.collect { case (n, _, false, _) => "\"" + n + "\"" }
+    def jmap(rs: Seq[(String, Double, Boolean, Int, Double)]): String =
+      rs.map { case (k, v, _, _, _) => js(k) + ":" + r3(v) }.mkString("{", ",", "}")
+    val errors = results.collect { case (n, _, false, _, _) => "\"" + n + "\"" }
     val total = r3(results.map(_._2).sum)
     // Full per-query detail goes to a file; stdout gets ONE COMPACT line
     // (total + the 10 slowest + failures) so it survives a bounded
@@ -130,11 +152,18 @@ object Bench {
     // suspicious number was (or wasn't) captured under the min-of-5
     // noise policy rather than as a single hot-host sample
     val repsJson = results
-      .map { case (k, _, _, n) => js(k) + ":" + n }.mkString("{", ",", "}")
+      .map { case (k, _, _, n, _) => js(k) + ":" + n }.mkString("{", ",", "}")
+    // first-rep (cold) times next to the min: the min is the
+    // reproducible PLAN cost, the cold rep carries the build/IO cost a
+    // memoizing gate pays once — both are needed to read a gate-family
+    // capture round-over-round (round-17 verdict item #4; BASELINE.md
+    // explains the two columns)
+    val coldJson = results
+      .map { case (k, _, _, _, c) => js(k) + ":" + r3(c) }.mkString("{", ",", "}")
     Files.writeString(Paths.get(detailFile),
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
       s""""errors":${errors.mkString("[", ",", "]")},"queries":${jmap(results)},""" +
-      s""""reps":$repsJson,"sf":${js(sfDir)}}""" + "\n")
+      s""""reps":$repsJson,"cold":$coldJson,"sf":${js(sfDir)}}""" + "\n")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
       s""""errors":${errors.mkString("[", ",", "]")},"queries":${jmap(slowest)},""" +

@@ -59,9 +59,25 @@ object Commerce {
       |         AS cum_ltv_per_user
       |FROM agg a JOIN sizes s USING (cohort_month)
       |ORDER BY cohort_month, month_offset""".stripMargin) { (s, d) =>
-    val o = Tables.orders(s, d).select(col("o_custkey"),
-      to_date(date_trunc("month", col("o_orderdate"))).as("m"),
-      round(col("o_totalprice") * 100, 0).cast("bigint").as("cents"))
+    cohortLtvFrom(Tables.orders(s, d).select(col("o_custkey"),
+      col("o_orderdate").as("d"),
+      round(col("o_totalprice") * 100, 0).cast("bigint").as("cents")))
+  }
+
+  /** The cohort-LTV computation over a caller-supplied activity-cell
+    * frame (o_custkey, d, cents) — the seam the maintained order store
+    * serves through ([[graft.streaming.RfmStore.cohortLtv]]). The live
+    * key passes one row PER ORDER; the store passes its per-(customer,
+    * day) artifact cells. Both yield the IDENTICAL output because every
+    * downstream step commutes with the day-level pre-aggregation:
+    * cohort month = month of min(d) (min commutes with month
+    * truncation — the retention seam's argument verbatim), monthly
+    * revenue is an additive cents sum, and month-activity is presence
+    * of ANY live cell (count(DISTINCT custkey) ignores multiplicity). */
+  def cohortLtvFrom(cells: DataFrame): DataFrame = {
+    val o = cells.select(col("o_custkey"),
+      to_date(date_trunc("month", col("d"))).as("m"),
+      col("cents"))
     val f = o.groupBy("o_custkey").agg(min("m").as("cohort_month"))
     val agg = o.join(f, "o_custkey")
       .groupBy(col("cohort_month"),

@@ -41,6 +41,25 @@ private[graft] object GateMemo {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(String, String, String), Any]
 
+  /** Root of every gate fixture's on-disk work area (the CDC feeds,
+    * SnapshotStores, and streaming checkpoints the `q_gate_*` keys
+    * build). One shared root so the bench can reclaim the WHOLE gate
+    * family's disk footprint — file blocks still sitting in the OS
+    * page cache included — in one rmrf at the gate-family boundary
+    * (round-17 verdict item #1: `evictAll()` freed the memo's
+    * block-manager fixtures but left ~the gates' store dirs on disk,
+    * and their page-cache residue is the suspected mechanism behind
+    * the recurring post-gate inflation of the checkpoint-heavy graph
+    * keys). Each gate still rmrf's its own subdir on entry, so
+    * reclaiming here never breaks a later re-run. */
+  val WorkRoot = "/root/repo/target/gate_work"
+
+  /** Delete the shared gate work root (see [[WorkRoot]]); called by
+    * the bench at the gate-family boundary alongside [[evictAll]].
+    * Safe mid-session: gates rebuild their subdirs from scratch. */
+  private[graft] def evictWorkDirs(): Unit =
+    graft.LocalFs.rmrf(new java.io.File(WorkRoot))
+
   /** Drop every entry whose sfDir differs from `keep`, unpersisting any
     * cached frame's checkpointed blocks. Cheap no-op when the cache
     * already holds only `keep` entries (the common single-sfDir run). */

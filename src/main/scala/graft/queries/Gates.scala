@@ -458,7 +458,7 @@ object Gates {
     val ok = GateMemo.value(s, d, "gate_index_drift_ok") {
       graft.functions.VectorExpressions.register(s)
       val dir = new java.io.File(
-        "/root/repo/target/drift_gate_index/" + new java.io.File(d).getName)
+        GateMemo.WorkRoot + "/drift_gate_index/" + new java.io.File(d).getName)
       graft.LocalFs.rmrf(dir) // fresh founding model per driver run (determinism)
       val e = Tables.embeddings(s, d).localCheckpoint(true)
       val founding = bundleCorpus(e.filter(col("vec_id") % 3 =!= 0), 0)
@@ -581,7 +581,7 @@ object Gates {
     import graft.streaming.Streams
     val ok = GateMemo.value(s, d, "gate_stream_late_ok") {
       val work = new java.io.File(
-        "/root/repo/target/stream_late_gate/" + new java.io.File(d).getName)
+        GateMemo.WorkRoot + "/stream_late_gate/" + new java.io.File(d).getName)
       graft.LocalFs.rmrf(work)
       val landing = new java.io.File(work, "landing"); landing.mkdirs()
       // LTZ event time (watermarks reject NTZ; session is UTC, so the
@@ -693,7 +693,7 @@ object Gates {
     import graft.streaming.Streams
     val ok = GateMemo.value(s, d, "gate_stream_stream_join_ok") {
       val work = new java.io.File(
-        "/root/repo/target/stream_ss_join_gate/" + new java.io.File(d).getName)
+        GateMemo.WorkRoot + "/stream_ss_join_gate/" + new java.io.File(d).getName)
       graft.LocalFs.rmrf(work)
       val landing = new java.io.File(work, "landing"); landing.mkdirs()
       val onTime = Tables.events(s, d)
@@ -769,7 +769,7 @@ object Gates {
     val ok = GateMemo.value(s, d, "gate_stream_funnel_ok") {
       val steps = Seq("view", "click", "purchase")
       val work = new java.io.File(
-        "/root/repo/target/stream_funnel_gate/" + new java.io.File(d).getName)
+        GateMemo.WorkRoot + "/stream_funnel_gate/" + new java.io.File(d).getName)
       graft.LocalFs.rmrf(work)
       val landing = new java.io.File(work, "landing"); landing.mkdirs()
       val corpus = Tables.events(s, d)
@@ -855,7 +855,7 @@ object Gates {
     import org.apache.spark.sql.expressions.Window
     val ok = GateMemo.value(s, d, "gate_stream_transitions_ok") {
       val work = new java.io.File(
-        "/root/repo/target/stream_transitions_gate/" + new java.io.File(d).getName)
+        GateMemo.WorkRoot + "/stream_transitions_gate/" + new java.io.File(d).getName)
       graft.LocalFs.rmrf(work)
       val landing = new java.io.File(work, "landing"); landing.mkdirs()
       val corpus = Tables.events(s, d)
@@ -933,7 +933,7 @@ object Gates {
     oracleFor("q_gate_snapshot_compact_gauge")) { (s, d) =>
     import graft.streaming.SnapshotStore
     val ok = GateMemo.value(s, d, "gate_snapshot_compact_gauge_ok") {
-      val dir = "/root/repo/target/compact_gauge_store/" +
+      val dir = GateMemo.WorkRoot + "/compact_gauge_store/" +
         new java.io.File(d).getName
       graft.LocalFs.rmrf(new java.io.File(dir))
       val orders = Tables.orders(s, d)
@@ -1090,7 +1090,7 @@ object Gates {
     import graft.streaming.Streams
     val ok = GateMemo.value(s, d, "gate_exactly_once_ok") {
       val work = new java.io.File(
-        "/root/repo/target/exactly_once_gate/" + new java.io.File(d).getName)
+        GateMemo.WorkRoot + "/exactly_once_gate/" + new java.io.File(d).getName)
       graft.LocalFs.rmrf(work)
       val out = new java.io.File(work, "out")
       val chk = new java.io.File(work, "chk")
@@ -1168,7 +1168,7 @@ object Gates {
     import graft.operators.{IncrementalNearDup, IndexMaintenance}
     val ok = GateMemo.value(s, d, "gate_index_vacuum_ok") {
       val dir = new java.io.File(
-        "/root/repo/target/vacuum_gate_index/" + new java.io.File(d).getName)
+        GateMemo.WorkRoot + "/vacuum_gate_index/" + new java.io.File(d).getName)
       // sweep the parent: a crashed prior run can leave __vacuum_old_
       // siblings NEXT TO dir, which would wedge this run's rename
       graft.LocalFs.rmrf(dir.getParentFile)
@@ -1273,7 +1273,7 @@ object Gates {
     oracleFor("q_gate_graph_edges_incremental")) { (s, d) =>
     import graft.streaming.{GraphEdgeStore, SnapshotStore, Streams}
     val ok = GateMemo.value(s, d, "gate_graph_edges_incremental_ok") {
-      val work = "/root/repo/target/graph_edges_gate/" +
+      val work = GateMemo.WorkRoot + "/graph_edges_gate/" +
         new java.io.File(d).getName
       graft.LocalFs.rmrf(new java.io.File(work))
       val liDir = s"$work/lineitem_store"
@@ -1338,7 +1338,7 @@ object Gates {
     oracleFor("q_gate_stream_graph_degree")) { (s, d) =>
     import graft.streaming.{GraphEdgeStore, SnapshotStore, Streams}
     val ok = GateMemo.value(s, d, "gate_stream_graph_degree_ok") {
-      val work = "/root/repo/target/stream_graph_degree_gate/" +
+      val work = GateMemo.WorkRoot + "/stream_graph_degree_gate/" +
         new java.io.File(d).getName
       graft.LocalFs.rmrf(new java.io.File(work))
       val liDir = s"$work/lineitem_store"
@@ -1410,7 +1410,7 @@ object Gates {
     import graft.streaming.{SnapshotStore, Streams}
     val ok = GateMemo.value(s, d, "gate_stream_anomaly_ok") {
       val work = new java.io.File(
-        "/root/repo/target/stream_anomaly_gate/" + new java.io.File(d).getName)
+        GateMemo.WorkRoot + "/stream_anomaly_gate/" + new java.io.File(d).getName)
       graft.LocalFs.rmrf(work)
       val landing = new java.io.File(work, "landing"); landing.mkdirs()
       val storeDir = s"$work/cells"
@@ -1474,7 +1474,7 @@ object Gates {
     "q_gate_store_jaccard", oracleFor("q_gate_store_jaccard")) { (s, d) =>
     import graft.streaming.{GraphEdgeStore, SnapshotStore, Streams}
     val ok = GateMemo.value(s, d, "gate_store_jaccard_ok") {
-      val work = "/root/repo/target/store_jaccard_gate/" +
+      val work = GateMemo.WorkRoot + "/store_jaccard_gate/" +
         new java.io.File(d).getName
       graft.LocalFs.rmrf(new java.io.File(work))
       val liDir = s"$work/lineitem_store"
@@ -1540,7 +1540,7 @@ object Gates {
     "q_gate_store_pagerank", oracleFor("q_gate_store_pagerank")) { (s, d) =>
     import graft.streaming.{GraphEdgeStore, SnapshotStore, Streams}
     val ok = GateMemo.value(s, d, "gate_store_pagerank_ok") {
-      val work = "/root/repo/target/store_pagerank_gate/" +
+      val work = GateMemo.WorkRoot + "/store_pagerank_gate/" +
         new java.io.File(d).getName
       graft.LocalFs.rmrf(new java.io.File(work))
       val liDir = s"$work/lineitem_store"
@@ -1613,7 +1613,7 @@ object Gates {
     "q_gate_store_triangles", oracleFor("q_gate_store_triangles")) { (s, d) =>
     import graft.streaming.{GraphEdgeStore, SnapshotStore, Streams}
     val ok = GateMemo.value(s, d, "gate_store_triangles_ok") {
-      val work = "/root/repo/target/store_triangles_gate/" +
+      val work = GateMemo.WorkRoot + "/store_triangles_gate/" +
         new java.io.File(d).getName
       graft.LocalFs.rmrf(new java.io.File(work))
       val liDir = s"$work/lineitem_store"
@@ -1693,7 +1693,7 @@ object Gates {
     oracleFor("q_gate_store_reach_ppr")) { (s, d) =>
     import graft.streaming.{GraphEdgeStore, SnapshotStore, Streams}
     val ok = GateMemo.value(s, d, "gate_store_reach_ppr_ok") {
-      val work = "/root/repo/target/store_reach_ppr_gate/" +
+      val work = GateMemo.WorkRoot + "/store_reach_ppr_gate/" +
         new java.io.File(d).getName
       graft.LocalFs.rmrf(new java.io.File(work))
       val liDir = s"$work/lineitem_store"
@@ -1779,7 +1779,7 @@ object Gates {
     "q_gate_er_incremental", oracleFor("q_gate_er_incremental")) { (s, d) =>
     import graft.operators.IncrementalEntityResolution
     val ok = GateMemo.value(s, d, "gate_er_incremental_ok") {
-      val work = "/root/repo/target/er_incremental_gate/" +
+      val work = GateMemo.WorkRoot + "/er_incremental_gate/" +
         new java.io.File(d).getName
       graft.LocalFs.rmrf(new java.io.File(work))
       val erDir = s"$work/er"
@@ -1842,7 +1842,7 @@ object Gates {
     "q_gate_store_er", oracleFor("q_gate_store_er")) { (s, d) =>
     import graft.operators.IncrementalEntityResolution
     val ok = GateMemo.value(s, d, "gate_store_er_ok") {
-      val work = "/root/repo/target/store_er_gate/" +
+      val work = GateMemo.WorkRoot + "/store_er_gate/" +
         new java.io.File(d).getName
       graft.LocalFs.rmrf(new java.io.File(work))
       val erDir = s"$work/er"
@@ -1902,7 +1902,7 @@ object Gates {
     oracleFor("q_gate_store_text_search")) { (s, d) =>
     import graft.streaming.{SnapshotStore, Streams, TextIndexStore}
     val ok = GateMemo.value(s, d, "gate_store_text_search_ok") {
-      val work = "/root/repo/target/store_text_gate/" +
+      val work = GateMemo.WorkRoot + "/store_text_gate/" +
         new java.io.File(d).getName
       graft.LocalFs.rmrf(new java.io.File(work))
       val docDir = s"$work/doc_store"
@@ -1990,7 +1990,7 @@ object Gates {
     oracleFor("q_gate_store_text_phrase")) { (s, d) =>
     import graft.streaming.{SnapshotStore, Streams, TextIndexStore}
     val ok = GateMemo.value(s, d, "gate_store_text_phrase_ok") {
-      val work = "/root/repo/target/store_text_phrase_gate/" +
+      val work = GateMemo.WorkRoot + "/store_text_phrase_gate/" +
         new java.io.File(d).getName
       graft.LocalFs.rmrf(new java.io.File(work))
       val docDir = s"$work/doc_store"
@@ -2068,7 +2068,7 @@ object Gates {
     "q_gate_store_stats", oracleFor("q_gate_store_stats")) { (s, d) =>
     import graft.streaming.{SnapshotStore, StatsStore, Streams}
     val ok = GateMemo.value(s, d, "gate_store_stats_ok") {
-      val work = "/root/repo/target/store_stats_gate/" +
+      val work = GateMemo.WorkRoot + "/store_stats_gate/" +
         new java.io.File(d).getName
       graft.LocalFs.rmrf(new java.io.File(work))
       val liDir = s"$work/lineitem_store"
@@ -2082,6 +2082,7 @@ object Gates {
         .agg(sum("l_quantity").as("l_quantity"),
           max("l_returnflag").as("l_returnflag"))
         .localCheckpoint(true)
+      try {
       val base = li.filter(col("l_orderkey") % 10 =!= 0)
       val b1 = li.filter(col("l_orderkey") % 20 === 0)
       val b2 = li.filter(
@@ -2123,6 +2124,7 @@ object Gates {
       val afterDelete = parity()
       served().nonEmpty && afterIngest && afterUpdate && nullsMoved &&
         afterNulls && replayNoop && afterDelete
+      } finally GateMemo.unpersistCheckpoint(li)
     }
     verdict(s, "q_gate_store_stats", ok)
   }
@@ -2148,7 +2150,7 @@ object Gates {
     "q_gate_store_outliers", oracleFor("q_gate_store_outliers")) { (s, d) =>
     import graft.streaming.{SnapshotStore, StatsStore, Streams}
     val ok = GateMemo.value(s, d, "gate_store_outliers_ok") {
-      val work = "/root/repo/target/store_outliers_gate/" +
+      val work = GateMemo.WorkRoot + "/store_outliers_gate/" +
         new java.io.File(d).getName
       graft.LocalFs.rmrf(new java.io.File(work))
       val liDir = s"$work/lineitem_store"
@@ -2161,6 +2163,7 @@ object Gates {
         .agg(sum("l_extendedprice").as("l_extendedprice"),
           max("l_returnflag").as("l_returnflag"))
         .localCheckpoint(true)
+      try {
       val base = li.filter(col("l_orderkey") % 10 =!= 0)
       val b1 = li.filter(col("l_orderkey") % 20 === 0)
       val b2 = li.filter(
@@ -2208,6 +2211,7 @@ object Gates {
       val afterDelete = parity()
       served().nonEmpty && afterIngest && afterPlant && planted &&
         replayNoop && afterDelete
+      } finally GateMemo.unpersistCheckpoint(li)
     }
     verdict(s, "q_gate_store_outliers", ok)
   }
@@ -2244,7 +2248,7 @@ object Gates {
     import graft.catalog.Relations
     import graft.streaming.{SketchCatalogStore, SnapshotStore, Streams}
     val ok = GateMemo.value(s, d, "gate_store_catalog_relations_ok") {
-      val work = "/root/repo/target/store_catalog_gate/" +
+      val work = GateMemo.WorkRoot + "/store_catalog_gate/" +
         new java.io.File(d).getName
       graft.LocalFs.rmrf(new java.io.File(work))
       val ordDir = s"$work/orders_store"; val ordCdc = s"$work/orders_cdc"
@@ -2376,7 +2380,7 @@ object Gates {
     oracleFor("q_gate_store_active_users")) { (s, d) =>
     import graft.streaming.{ActivityStore, SnapshotStore, Streams}
     val ok = GateMemo.value(s, d, "gate_store_active_users_ok") {
-      val work = "/root/repo/target/store_active_gate/" +
+      val work = GateMemo.WorkRoot + "/store_active_gate/" +
         new java.io.File(d).getName
       graft.LocalFs.rmrf(new java.io.File(work))
       val evDir = s"$work/events_store"
@@ -2470,7 +2474,7 @@ object Gates {
     oracleFor("q_gate_store_retention")) { (s, d) =>
     import graft.streaming.{ActivityStore, SnapshotStore, Streams}
     val ok = GateMemo.value(s, d, "gate_store_retention_ok") {
-      val work = "/root/repo/target/store_retention_gate/" +
+      val work = GateMemo.WorkRoot + "/store_retention_gate/" +
         new java.io.File(d).getName
       graft.LocalFs.rmrf(new java.io.File(work))
       val evDir = s"$work/events_store"
@@ -2540,7 +2544,7 @@ object Gates {
     "q_gate_store_rfm", oracleFor("q_gate_store_rfm")) { (s, d) =>
     import graft.streaming.{RfmStore, SnapshotStore, Streams}
     val ok = GateMemo.value(s, d, "gate_store_rfm_ok") {
-      val work = "/root/repo/target/store_rfm_gate/" +
+      val work = GateMemo.WorkRoot + "/store_rfm_gate/" +
         new java.io.File(d).getName
       graft.LocalFs.rmrf(new java.io.File(work))
       val ordDir = s"$work/orders_store"
@@ -2605,6 +2609,218 @@ object Gates {
     verdict(s, "q_gate_store_rfm", ok)
   }
 
+  /** Store-served cohort LTV (round 18 — the round-17 verdict's
+    * commerce ask): the registered `q_cohort_ltv` served from the SAME
+    * (customer, day) artifact that serves RFM
+    * ([[graft.streaming.RfmStore.cohortLtv]] through the shared
+    * [[Commerce.cohortLtvFrom]] seam) — the last commerce reader with
+    * no rescan-free path. Pins, each comparing the store-served output
+    * against the live seam over the maintained table's CURRENT content
+    * (and, first, against the REGISTERED key itself): (1) after the
+    * corpus arrives via two CDC insert batches, served == the
+    * registered `q_cohort_ltv` output exactly; (2) replaying the
+    * drained feed is a store-version no-op; (3) a repricing wave
+    * (half price on ~8% of orders) moves monthly revenue and LTV with
+    * parity; (4) a date-move wave (+40 days on ~3% of orders) moves
+    * cells ACROSS MONTHS — month offsets, activity counts, and (for
+    * customers whose entire first month moved) cohort assignment all
+    * shift, with parity; (5) a cancellation wave (every order of ~3%
+    * of customers) removes those customers from their cohorts entirely
+    * (non-vacuity: total cohort size shrinks) with parity on the
+    * reduced log; (6) the log-fold reclaims rows with the served
+    * output invariant. */
+  val qGateStoreLtv = Q(
+    "q_gate_store_ltv", oracleFor("q_gate_store_ltv")) { (s, d) =>
+    import graft.streaming.{RfmStore, SnapshotStore, Streams}
+    val ok = GateMemo.value(s, d, "gate_store_ltv_ok") {
+      val work = GateMemo.WorkRoot + "/store_ltv_gate/" +
+        new java.io.File(d).getName
+      graft.LocalFs.rmrf(new java.io.File(work))
+      val ordDir = s"$work/orders_store"
+      val cdcDir = s"$work/cdc"
+      val rfmDir = s"$work/rfm"
+      val ckpt = s"$work/ckpt"
+      val keys = Seq("o_orderkey")
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .localCheckpoint(true)
+      try {
+        Streams.cdcBatch(s, ordDir, cdcDir,
+          orders.filter(col("o_orderkey") % 2 === 0), keys)
+        Streams.cdcBatch(s, ordDir, cdcDir,
+          orders.filter(col("o_orderkey") % 2 =!= 0), keys)
+        def drain(): Unit =
+          RfmStore.maintainFromCdc(s, cdcDir, rfmDir, ckpt)
+        drain()
+        def rows(df: DataFrame): Seq[String] =
+          df.collect().map(_.toString).toSeq
+        def served(): Seq[String] = rows(RfmStore.cohortLtv(s, rfmDir))
+        // the live twin: the registered key's own derivation over the
+        // maintained table's CURRENT content (artifact-free recompute)
+        def liveNow(): Seq[String] = rows(Commerce.cohortLtvFrom(
+          SnapshotStore.read(s, ordDir).select(col("o_custkey"),
+            col("o_orderdate").as("d"),
+            round(col("o_totalprice") * 100, 0).cast("bigint").as("cents"))))
+        val full = served() == rows(memoQ(s, d, Commerce.qCohortLtv))
+        val v0 = SnapshotStore.currentManifest(s, rfmDir).map(_.version)
+        drain()
+        val replayNoop =
+          SnapshotStore.currentManifest(s, rfmDir).map(_.version) == v0
+        Streams.cdcUpdateBatch(s, ordDir, cdcDir, keys,
+          Map("o_totalprice" -> (col("o_totalprice") * 0.5)),
+          col("o_orderkey") % 13 === 0)
+        drain()
+        val afterReprice = served() == liveNow()
+        Streams.cdcUpdateBatch(s, ordDir, cdcDir, keys,
+          Map("o_orderdate" -> date_add(col("o_orderdate"), 40)),
+          col("o_orderkey") % 29 === 0)
+        drain()
+        val afterMove = served() == liveNow()
+        def totalFounders(): Long = RfmStore.cohortLtv(s, rfmDir)
+          .filter(col("month_offset") === 0L).agg(sum("cohort_size"))
+          .head().getLong(0)
+        val foundersBefore = totalFounders()
+        val doomed = SnapshotStore.read(s, ordDir)
+          .filter(col("o_custkey") % 31 === 0).select("o_orderkey")
+        Streams.cdcDeleteBatch(s, ordDir, cdcDir, doomed, keys)
+        drain()
+        val afterCancel = served() == liveNow()
+        val shrunk = totalFounders() < foundersBefore
+        val rawRows = SnapshotStore.read(s, rfmDir).count()
+        RfmStore.fold(s, rfmDir)
+        val foldOk = served() == liveNow() &&
+          SnapshotStore.read(s, rfmDir).count() < rawRows
+        served().nonEmpty && full && replayNoop && afterReprice &&
+          afterMove && afterCancel && shrunk && foldOk
+      } finally GateMemo.unpersistCheckpoint(orders)
+    }
+    verdict(s, "q_gate_store_ltv", ok)
+  }
+
+  /** Store-served funnel family (round 18 — the round-17 verdict's
+    * events-axis ask): `q_funnel`, `q_funnel_latency`, and
+    * `q_funnel_unordered` served from ONE maintained
+    * [[graft.streaming.FunnelStore]] — the signed-count cell artifact
+    * over distinct (user, step-type, ts) rows that makes event
+    * retraction ADDITIVE (the ActivityStore move; per-user step TIMES
+    * are min-chains and not delete-additive, so the artifact keys by
+    * cell, not by user). The sequence-shaped siblings (paths /
+    * transitions / sessions) are a documented measured refusal —
+    * deletion re-links neighbors, so no per-cell algebra exists (see
+    * FunnelStore's scaladoc and SCALING.md). Pins, each comparing all
+    * THREE store-served outputs against the live derivations over the
+    * maintained event table's CURRENT content (and, first, against the
+    * REGISTERED keys themselves): (1) after the corpus arrives via two
+    * CDC insert batches, served == the registered q_funnel /
+    * q_funnel_latency / q_funnel_unordered outputs exactly; (2)
+    * replaying the drained feed is a store-version no-op; (3) a batch
+    * touching only NON-tracked event types writes nothing; (4) a
+    * ts-shift wave (+35 minutes on ~6% of events) moves cells and the
+    * funnel windows follow, with parity; (5) a type-correction wave
+    * (purchase → click on ~11% of purchases) moves mass BETWEEN steps
+    * with parity (non-vacuity: the purchase step shrinks); (6) a GDPR
+    * wave retracting EVERY event of ~3% of users holds parity on the
+    * reduced log (non-vacuity: those users had live cells); (7) the
+    * log-fold reclaims rows with all three served outputs invariant. */
+  val qGateStoreFunnel = Q(
+    "q_gate_store_funnel", oracleFor("q_gate_store_funnel")) { (s, d) =>
+    import graft.streaming.{FunnelStore, SnapshotStore, Streams}
+    val ok = GateMemo.value(s, d, "gate_store_funnel_ok") {
+      val work = GateMemo.WorkRoot + "/store_funnel_gate/" +
+        new java.io.File(d).getName
+      graft.LocalFs.rmrf(new java.io.File(work))
+      val evDir = s"$work/events_store"
+      val cdcDir = s"$work/cdc"
+      val funDir = s"$work/funnel"
+      val ckpt = s"$work/ckpt"
+      val keys = Seq("event_id")
+      val steps = Seq("view", "click", "purchase")
+      val gap = "24 hours"
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type")
+        .localCheckpoint(true)
+      try {
+        Streams.cdcBatch(s, evDir, cdcDir,
+          ev.filter(col("event_id") % 2 === 0), keys)
+        Streams.cdcBatch(s, evDir, cdcDir,
+          ev.filter(col("event_id") % 2 =!= 0), keys)
+        def drain(): Unit =
+          FunnelStore.maintainFromCdc(s, cdcDir, funDir, ckpt, steps)
+        drain()
+        def rows(df: DataFrame): Seq[String] =
+          df.collect().map(_.toString).toSeq
+        def served(): Seq[Seq[String]] = Seq(
+          rows(FunnelStore.funnel(s, funDir, steps, gap)),
+          rows(FunnelStore.funnelLatency(s, funDir, steps, gap)),
+          rows(FunnelStore.funnelUnordered(s, funDir, steps, gap)))
+        // the live twins: the registered keys' own derivations over the
+        // maintained table's CURRENT content (artifact-free recompute)
+        def liveNow(): Seq[Seq[String]] = {
+          val cur = SnapshotStore.read(s, evDir)
+          Seq(
+            rows(graft.operators.Funnel.run(cur, steps, gap)),
+            rows(graft.operators.Funnel.latency(cur, steps, gap)),
+            rows(graft.operators.Funnel.runUnordered(cur, steps, gap)))
+        }
+        val full = served() == Seq(
+          rows(memoQ(s, d, EventAnalytics.qFunnel)),
+          rows(memoQ(s, d, EventAnalytics.qFunnelLatency)),
+          rows(memoQ(s, d, EventAnalytics.qFunnelUnordered)))
+        val v0 = SnapshotStore.currentManifest(s, funDir).map(_.version)
+        drain()
+        val replayNoop =
+          SnapshotStore.currentManifest(s, funDir).map(_.version) == v0
+        // an update wave entirely within NON-tracked types writes nothing
+        Streams.cdcUpdateBatch(s, evDir, cdcDir, keys,
+          Map("ts" -> (col("ts") + expr("INTERVAL 1 MINUTE"))
+            .cast("timestamp_ntz")),
+          !col("event_type").isin(steps: _*) && col("event_id") % 3 === 0)
+        drain()
+        val untrackedNoop =
+          SnapshotStore.currentManifest(s, funDir).map(_.version) == v0
+        // a ts-shift wave moves cells; deadline windows follow
+        Streams.cdcUpdateBatch(s, evDir, cdcDir, keys,
+          Map("ts" -> (col("ts") + expr("INTERVAL 35 MINUTES"))
+            .cast("timestamp_ntz")),
+          col("event_id") % 17 === 0)
+        drain()
+        val afterShift = served() == liveNow()
+        // a type correction moves mass BETWEEN steps (−old-type
+        // +new-type). Non-vacuity is pinned on the CELL frame, not the
+        // funnel counts: on a dense spec-scale log every user keeps a
+        // runner-up purchase, so step-3 reach legitimately may not move
+        // — but the retyped purchase cells MUST vanish.
+        def purchaseCells(): Long = FunnelStore.stepEvents(s, funDir)
+          .filter(col("event_type") === "purchase").count()
+        val purchasesBefore = purchaseCells()
+        Streams.cdcUpdateBatch(s, evDir, cdcDir, keys,
+          Map("event_type" -> lit("click")),
+          col("event_type") === "purchase" && col("event_id") % 9 === 0)
+        drain()
+        val afterRetype = served() == liveNow()
+        val retyped = purchaseCells() < purchasesBefore
+        // GDPR wipe: retract EVERY event of the doomed users
+        val hadUsers = FunnelStore.stepEvents(s, funDir)
+          .filter(col("user_id") % 31 === 0).limit(1).count() > 0
+        val doomed = SnapshotStore.read(s, evDir)
+          .filter(col("user_id") % 31 === 0).select("event_id")
+        Streams.cdcDeleteBatch(s, evDir, cdcDir, doomed, keys)
+        drain()
+        val wiped = FunnelStore.stepEvents(s, funDir)
+          .filter(col("user_id") % 31 === 0).limit(1).count() == 0
+        val afterWipe = served() == liveNow()
+        val rawRows = SnapshotStore.read(s, funDir).count()
+        FunnelStore.fold(s, funDir)
+        val foldOk = served() == liveNow() &&
+          SnapshotStore.read(s, funDir).count() < rawRows
+        served().forall(_.nonEmpty) && full && replayNoop &&
+          untrackedNoop && afterShift && afterRetype && retyped &&
+          hadUsers && wiped && afterWipe && foldOk
+      } finally GateMemo.unpersistCheckpoint(ev)
+    }
+    verdict(s, "q_gate_store_funnel", ok)
+  }
+
   /** SCD2 dimension history (round 14): the CDC log rendered as
     * type-2 validity intervals (`Streams.scd2` — one key-partitioned
     * lead() window; deletes close intervals without opening one) must
@@ -2619,7 +2835,7 @@ object Gates {
     "q_gate_scd2", oracleFor("q_gate_scd2")) { (s, d) =>
     import graft.streaming.{SnapshotStore, Streams}
     val ok = GateMemo.value(s, d, "gate_scd2_ok") {
-      val work = "/root/repo/target/scd2_gate/" + new java.io.File(d).getName
+      val work = GateMemo.WorkRoot + "/scd2_gate/" + new java.io.File(d).getName
       graft.LocalFs.rmrf(new java.io.File(work))
       val dimDir = s"$work/dim"; val cdcDir = s"$work/cdc"
       val keys = Seq("l_orderkey", "l_partkey")
@@ -2674,7 +2890,7 @@ object Gates {
     qGateStoreReachPpr,
     qGateStoreTextSearch, qGateStoreTextPhrase, qGateStoreStats,
     qGateStoreOutliers, qGateStoreCatalogRelations, qGateStoreActiveUsers,
-    qGateStoreRetention, qGateStoreRfm,
+    qGateStoreRetention, qGateStoreRfm, qGateStoreLtv, qGateStoreFunnel,
     qGateErIncremental, qGateStoreEr,
     qGateStreamAnomaly,
     qGateStreamGraphDegree,

@@ -110,6 +110,40 @@ object AvroIO {
     case (x, _) => x
   }
 
+  /** Silence the per-task "Reader schema was not set" warning exactly
+    * once per JVM (read() deliberately skips the reader-schema
+    * declaration — see the note there). A lazy val rather than a call
+    * per read(): Configurator.setLevel mutates global JVM log config,
+    * so repeating it per read is both redundant and a wider mute than
+    * intended (round-17 advice). */
+  private lazy val silenceReaderSchemaWarning: Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      classOf[AvroKeyInputFormat[_]].getName,
+      org.apache.logging.log4j.Level.ERROR)
+
+  /** With no reader schema declared, Avro schema-resolution type
+    * PROMOTION (int→long, float→double, …) never runs, so a writer
+    * field whose type differs from the declared Spark type would reach
+    * [[fromAvro]] raw and surface as a ClassCastException deep in a
+    * task. Validate once per writer schema instead and fail with a
+    * message naming the field (round-17 advice). Accepts a `[null, T]`
+    * union or plain T on the writer side. */
+  private def checkWriterType(name: String, writer: Schema,
+      declared: DataType): Unit = {
+    val w =
+      if (writer.getType == Schema.Type.UNION)
+        writer.getTypes.asScala.find(_.getType != Schema.Type.NULL)
+          .getOrElse(writer)
+      else writer
+    val expect = avroType(declared)
+    if (w.getType != expect.getType)
+      throw new IllegalStateException(
+        s"Avro staging read: field '$name' was written as ${w.getType} " +
+          s"but is declared $declared (needs ${expect.getType}); no " +
+          "reader-schema resolution runs here, so rewrite the file or " +
+          "declare the writer's type")
+  }
+
   /** Write `df` as an Avro container-file directory (one file per
     * partition, the standard hadoop layout). Row → GenericRecord is the
     * only map; no shuffle, no collect. */
@@ -165,9 +199,7 @@ object AvroIO {
     // fallback, so silence that one logger here (in-process executors
     // under local[*]; a real cluster sets the same logger level in its
     // log4j2 properties).
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      classOf[AvroKeyInputFormat[_]].getName,
-      org.apache.logging.log4j.Level.ERROR)
+    silenceReaderSchemaWarning
     val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
     val rows = spark.sparkContext.newAPIHadoopFile(
       path,
@@ -187,8 +219,11 @@ object AvroIO {
           val rs = rec.getSchema
           if (rs ne cached) {
             cached = rs
-            pos = fields.map { case (n, _) =>
-              val f = rs.getField(n); if (f == null) -1 else f.pos }
+            pos = fields.map { case (n, dt) =>
+              val f = rs.getField(n)
+              if (f == null) -1
+              else { checkWriterType(n, f.schema(), dt); f.pos }
+            }
           }
           val vals = new Array[Any](fields.length)
           var i = 0

@@ -121,4 +121,28 @@ object RfmStore {
     * order log never read. */
   def rfm(spark: SparkSession, dir: String): DataFrame =
     graft.queries.Commerce.rfmFrom(customerStats(spark, dir))
+
+  /** The live per-(customer, day) cell frame (o_custkey, d, cents) —
+    * every (customer, day) with a POSITIVE net order count after the
+    * version-log sum, carrying that day's exact net cents. The shared
+    * input shape of the day-2 serving paths below. */
+  def activityCells(spark: SparkSession, dir: String): DataFrame =
+    SnapshotStore.read(spark, dir)
+      .groupBy("o_custkey", "d")
+      .agg(sum("cnt").as("__cnt"), sum("cents").as("cents"))
+      .filter(col("__cnt") > 0L)
+      .select(col("o_custkey"), col("d"), col("cents"))
+
+  /** Store-served cohort LTV (round 18 — the round-17 verdict's
+    * commerce ask): the registered `q_cohort_ltv` output via the shared
+    * [[graft.queries.Commerce.cohortLtvFrom]] seam, computed from the
+    * maintained (customer, day) cells instead of an order-log scan —
+    * the artifact already determines it exactly: cohort month = month
+    * of the customer's first LIVE day (min commutes with month
+    * truncation, and cancellations drop cells so a fully-cancelled
+    * first month re-cohorts the customer exactly as a live rescan
+    * would), monthly revenue = Σ net cents, month-activity = any live
+    * cell in the month. The order log is never read. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame =
+    graft.queries.Commerce.cohortLtvFrom(activityCells(spark, dir))
 }

@@ -189,10 +189,27 @@ object StatsStore {
     val minusKeys = momentRows(
       changes.filter(col("change_type") === "delete"),
       keyCols.map(c => c -> c), -1, sideGroup("old"))
+    // Key values cannot change under an update — but when a PAYLOAD
+    // grouping column is declared, an update that moves a row between
+    // groups re-segments the key columns too, so key moments must ride
+    // the update wave as −old-group +new-group (a same-group update
+    // nets to zero per (col, grp) below and writes nothing). A KEY
+    // grouping column cannot move, so the extra scans are skipped.
+    val keyGroupMoves = groupCol.exists(g => !keyCols.contains(g))
+    val updates = changes.filter(col("change_type") === "update")
+    val plusKeysUpd =
+      if (keyGroupMoves)
+        momentRows(updates, keyCols.map(c => c -> c), 1, sideGroup("new"))
+      else Seq.empty
+    val minusKeysUpd =
+      if (keyGroupMoves)
+        momentRows(updates, keyCols.map(c => c -> c), -1, sideGroup("old"))
+      else Seq.empty
     // net per (column, group) (an update wave that changes nothing nets
     // to zero and writes NO row for that column — same discipline as
     // the text store's kept-in-place occurrences)
-    val net = (plusPayload ++ minusPayload ++ plusKeys ++ minusKeys)
+    val net = (plusPayload ++ minusPayload ++ plusKeys ++ minusKeys ++
+        plusKeysUpd ++ minusKeysUpd)
       .groupBy(r => (r.getString(0), r.getString(1))).toSeq
       .map { case ((c, g), rs) =>
         Row(c, g, rs.map(_.getLong(2)).sum, rs.map(_.getLong(3)).sum,
@@ -259,15 +276,21 @@ object StatsStore {
   def outlierThresholds(spark: SparkSession, dir: String,
       valueCol: String): DataFrame = {
     val dec = DecimalType(38, 0)
-    val varNum = col("n").cast(dec) * col("sumsq_cents2") -
+    // The live key's avg/stddev_samp IGNORE null values, so the moment
+    // divisor is the NON-NULL count m = n − nulls (the stored cents of
+    // null values were coalesced to 0 and add nothing to the sums, so
+    // only the divisor needs the correction); groups with m == 0 carry
+    // null μ and groups with m < 2 null σ, matching avg/stddev_samp.
+    val m = col("n") - col("nulls")
+    val varNum = m.cast(dec) * col("sumsq_cents2") -
       col("sum_cents") * col("sum_cents")
     stats(spark, dir)
       .filter(col("col") === valueCol)
       .select(col("grp"), col("n"),
-        (col("sum_cents").cast("double") / col("n") / 100.0).as("mu"),
-        when(col("n") >= 2L,
+        when(m > 0L, col("sum_cents").cast("double") / m / 100.0).as("mu"),
+        when(m >= 2L,
           sqrt(varNum.cast("double") /
-            (col("n").cast("double") * (col("n") - 1L).cast("double"))) / 100.0)
+            (m.cast("double") * (m - 1L).cast("double"))) / 100.0)
           .as("sigma"))
   }
 

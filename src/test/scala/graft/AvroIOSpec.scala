@@ -91,6 +91,26 @@ class AvroIOSpec extends AnyFunSuite {
     assert(f.hasDefaultValue)
   }
 
+  test("a writer type mismatching the declared type fails with a named field") {
+    // round-17 advice: with no Avro reader schema there is no
+    // resolution-time type promotion, so an int-written / long-declared
+    // field must fail ONCE per file with a clear message instead of a
+    // ClassCastException deep in a task
+    val written = StructType(Seq(
+      StructField("k", IntegerType), StructField("v", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1, "a")), 1), written)
+    val dir = freshDir("typemismatch")
+    graft.sources.AvroIO.write(df, dir)
+    val declared = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.sources.AvroIO.read(spark, dir, declared).collect()
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg.contains("'k'") && msg.contains("INT"))
+  }
+
   test("unmappable nested types are refused loudly") {
     val e = intercept[IllegalArgumentException] {
       graft.sources.AvroIO.toAvroSchema(StructType(Seq(

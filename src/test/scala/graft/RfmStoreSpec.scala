@@ -74,4 +74,37 @@ class RfmStoreSpec extends AnyFunSuite {
         10.0, 10.0)), 1L)
     assert(stats(dir) == Map(9L -> (1L, 1000L, "2024-03-01")))
   }
+
+  test("cohort LTV from cells: cancellation re-cohorts; seam == per-order") {
+    // round-18 seam (q_gate_store_ltv's algebra, hand-computable here):
+    // customer 7 founds in March (one order), buys again in April;
+    // customer 8 founds in April. Cancelling 7's ONLY March order must
+    // RE-COHORT 7 into April — cohort month = month of min LIVE day.
+    val dir = freshDir()
+    RfmStore.ingestBatch(spark, dir, change(
+      (1L, "insert", null, 7L, null, day("2024-03-05"), null, 10.0),
+      (2L, "insert", null, 7L, null, day("2024-04-09"), null, 20.0),
+      (3L, "insert", null, 8L, null, day("2024-04-20"), null, 5.0)), 0L)
+    def ltv(): Seq[(String, Long, Long, Long, Double)] =
+      RfmStore.cohortLtv(spark, dir).collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getAs[Double]("revenue"))).toSeq
+    assert(ltv() == Seq(
+      ("2024-03", 0L, 1L, 1L, 10.0),  // 7 founds March
+      ("2024-03", 1L, 1L, 1L, 20.0),  // 7 active in April (offset 1)
+      ("2024-04", 0L, 1L, 1L, 5.0)))  // 8 founds April
+    // the seam yields the IDENTICAL frame from per-order rows (the live
+    // key's input shape) — the day-level pre-aggregation commutes
+    import spark.implicits._
+    val perOrder = Seq((7L, day("2024-03-05"), 1000L),
+      (7L, day("2024-04-09"), 2000L), (8L, day("2024-04-20"), 500L))
+      .toDF("o_custkey", "d", "cents")
+    assert(RfmStore.cohortLtv(spark, dir).collect().map(_.toString).toSeq ==
+      queries.Commerce.cohortLtvFrom(perOrder).collect().map(_.toString).toSeq)
+    // cancel order 1 — customer 7's entire March vanishes: re-cohorted
+    RfmStore.ingestBatch(spark, dir, change(
+      (1L, "delete", 7L, null, day("2024-03-05"), null, 10.0, null)), 1L)
+    assert(ltv() == Seq(
+      ("2024-04", 0L, 2L, 2L, 25.0)))  // both found April now
+  }
 }

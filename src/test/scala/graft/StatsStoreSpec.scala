@@ -160,6 +160,80 @@ class StatsStoreSpec extends AnyFunSuite {
     assert(seg() == Map("a" -> (1L, 200L), "b" -> (2L, 1600L)))
   }
 
+  test("group-moving update re-segments KEY columns too") {
+    // round-17 advice: key values cannot change under an update, but
+    // their SEGMENT can — a payload-group move must carry the key
+    // moments −old-group +new-group or the artifact silently diverges
+    // from a rescan after the first such update
+    val dir = freshDir()
+    StatsStore.build(spark, dir,
+      table((1L, 2.0, "a"), (2L, 4.0, "a"), (3L, 10.0, "b")),
+      Seq("id", "val", "tag"), groupCol = Some("tag"))
+    def seg(c: String): Map[String, (Long, Long)] =
+      StatsStore.stats(spark, dir).filter(col("col") === c).collect()
+        .map(r => r.getAs[String]("grp") ->
+          (r.getAs[Long]("n"),
+            r.getAs[java.math.BigDecimal]("sum_cents").longValueExact()))
+        .toMap
+    assert(seg("id") == Map("a" -> (2L, 300L), "b" -> (1L, 300L)))
+    import spark.implicits._
+    // move id=2 from a to b with val UNCHANGED: the only real movement
+    // is the segmentation itself — id (key) and val/tag (payload) all
+    // shift one row of moments from a to b
+    val mv = Seq((2L, "update", 4.0: java.lang.Double, 4.0: java.lang.Double,
+        "a", "b"))
+      .toDF("id", "change_type", "old_val", "new_val", "old_tag", "new_tag")
+    StatsStore.ingestBatch(spark, dir, mv, 0L, Seq("id"), Seq("val", "tag"),
+      groupCol = Some("tag"))
+    assert(seg("id") == Map("a" -> (1L, 100L), "b" -> (2L, 500L)))
+    assert(seg("val") == Map("a" -> (1L, 200L), "b" -> (2L, 1400L)))
+    // full artifact == rescan of the moved table, every tracked column
+    val moved = table((1L, 2.0, "a"), (2L, 4.0, "b"), (3L, 10.0, "b"))
+    assert(StatsStore.stats(spark, dir)
+      .select("col", "grp", "n", "nulls", "sum_cents", "sumsq_cents2")
+      .collect().map(_.toString).toSeq ==
+      StatsStore.rescan(spark, moved, Seq("id", "val", "tag"),
+        groupCol = Some("tag"))
+        .select("col", "grp", "n", "nulls", "sum_cents", "sumsq_cents2")
+        .collect().map(_.toString).toSeq)
+    // a same-group update stays a no-op commit (netting discipline)
+    val v0 = streaming.SnapshotStore.currentManifest(spark, dir).map(_.version)
+    val stay = Seq((3L, "update", 10.0: java.lang.Double,
+        10.0: java.lang.Double, "b", "b"))
+      .toDF("id", "change_type", "old_val", "new_val", "old_tag", "new_tag")
+    StatsStore.ingestBatch(spark, dir, stay, 1L, Seq("id"), Seq("val", "tag"),
+      groupCol = Some("tag"))
+    assert(streaming.SnapshotStore.currentManifest(spark, dir)
+      .map(_.version) == v0)
+  }
+
+  test("outlier gauge parity when the value column contains nulls") {
+    // round-17 advice: avg/stddev_samp ignore nulls, so the served
+    // thresholds must divide by the NON-NULL count — with nulls in the
+    // column the old all-rows divisor diverged from the rescan twin
+    import spark.implicits._
+    val rows: Seq[(Long, java.lang.Double, String)] =
+      (1 to 20).map(i => (i.toLong, (100.0 + i): java.lang.Double, "a")) ++
+        Seq((21L, null: java.lang.Double, "a"), (22L, 5000.0: java.lang.Double, "a"),
+          (23L, null: java.lang.Double, "b"), (24L, 7.0: java.lang.Double, "b"))
+    val t = rows.toDF("id", "val", "tag")
+    val dir = freshDir()
+    StatsStore.build(spark, dir, t, Seq("val"), groupCol = Some("tag"))
+    val served = StatsStore.servedOutliers(spark, dir, t, "val", "tag")
+      .collect().map(_.toString).toSeq
+    val live = StatsStore.rescanOutliers(t, "val", "tag")
+      .collect().map(_.toString).toSeq
+    assert(served == live)
+    // non-vacuity: group a's planted 5000 is flagged despite the null
+    assert(StatsStore.servedOutliers(spark, dir, t, "val", "tag")
+      .filter(col("grp") === "a").head().getAs[Long]("n_outliers") >= 1L)
+    // group b has one non-null value: m == 1 → null σ (stddev_samp)
+    val thB = StatsStore.outlierThresholds(spark, dir, "val")
+      .filter(col("grp") === "b").head()
+    assert(thB.isNullAt(thB.fieldIndex("sigma")))
+    assert(thB.getAs[Double]("mu") == 7.0)
+  }
+
   test("outlier thresholds from exact moments match the float rescan twin") {
     // 20 tight values + one planted far outlier per segment
     import spark.implicits._
