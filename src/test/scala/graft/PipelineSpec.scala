@@ -222,6 +222,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(fin.foldReclaimedRows, s"fold reclaimed no raw log rows: $fin")
   }
 
+  test("customer serving demo: composed stores serve exactly through arrivals, GDPR wipe, and folds") {
+    val root = "/root/repo/target/customer_serving_demo_test"
+    LocalFs.rmrf(new java.io.File(root))
+    val (days, fin) = graft.examples.CustomerServingDemo.run(spark, sf, root)
+    assert(days.map(_.day) ==
+      Seq("day0", "day1", "day2_gdpr", "day3_folded"))
+    days.foreach { d =>
+      assert(d.activeUsersEq, s"${d.day}: served DAU/WAU diverged from live")
+      assert(d.retentionEq, s"${d.day}: served retention diverged")
+      assert(d.funnelEq, s"${d.day}: served funnel diverged")
+      assert(d.funnelUnorderedEq, s"${d.day}: served any-order funnel diverged")
+      assert(d.rfmEq, s"${d.day}: served RFM diverged")
+      assert(d.ltvEq, s"${d.day}: served cohort LTV diverged")
+    }
+    assert(fin.replayNoopAllStores, s"replay moved an artifact version: $fin")
+    assert(fin.wipeNonVacuous, s"GDPR wave found no subjects to wipe: $fin")
+    assert(fin.wipedBothAxes, s"GDPR wipe left subject rows behind: $fin")
+    assert(fin.foldReclaimedRows, s"folds reclaimed no raw log rows: $fin")
+  }
+
   test("incremental ingest demo: exactly-once corpus, re-crawl refused, vacuum reclaims") {
     val root = "/root/repo/target/incremental_demo_test"
     LocalFs.rmrf(new java.io.File(root))
