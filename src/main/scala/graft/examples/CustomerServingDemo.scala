@@ -1,7 +1,8 @@
 package graft.examples
 
 import graft.{GraftSession, Tables}
-import graft.streaming.{ActivityStore, FunnelStore, RfmStore, SnapshotStore, Streams}
+import graft.catalog.Relations
+import graft.streaming.{ActivityStore, FunnelStore, RfmStore, SketchCatalogStore, SnapshotStore, Streams}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -19,6 +20,14 @@ import org.apache.spark.sql.functions._
   *   - The orders CDC feed drains into the [[RfmStore]] (customer,
   *     day) frame, serving RFM segmentation AND cohort LTV from one
   *     artifact.
+  *   - BOTH feeds additionally drain into ONE [[SketchCatalogStore]]
+  *     (the catalog axis): per-column KMV sketches of events and
+  *     orders are maintained next to a statically-sketched customer
+  *     dimension, so FK discovery (orders.o_custkey → customer
+  *     .c_custkey) and the cardinality gauge serve without scanning
+  *     either table — and the GDPR delete wave exercises the store's
+  *     honest discipline (KMV cannot subtract → per-table rebuild)
+  *     inside the same composed drain that nets the other artifacts.
   *   - Every serving surface is cross-checked EXACTLY against the live
   *     derivation over the maintained tables' current content: DAU/WAU,
   *     cohort retention, the ordered funnel + any-order twin, RFM, LTV.
@@ -44,7 +53,10 @@ object CustomerServingDemo {
       funnelEq: Boolean,        // served ordered funnel == live
       funnelUnorderedEq: Boolean,
       rfmEq: Boolean,           // served RFM segmentation == live
-      ltvEq: Boolean)           // served cohort LTV == live
+      ltvEq: Boolean,           // served cohort LTV == live
+      catalogSketchEq: Boolean, // maintained KMV sketches == fresh rescan
+      fkServedOk: Boolean)      // served FK verdicts == exact discovery,
+                                //   orders→customer edge present
 
   final case class FinalReport(
       replayNoopAllStores: Boolean, // re-drain moved no artifact version
@@ -65,6 +77,7 @@ object CustomerServingDemo {
     val actDir = s"$outRoot/activity"
     val funDir = s"$outRoot/funnel"
     val rfmDir = s"$outRoot/rfm"
+    val skDir = s"$outRoot/sketches"
     val evKeys = Seq("event_id")
     val ordKeys = Seq("o_orderkey")
 
@@ -74,10 +87,14 @@ object CustomerServingDemo {
     val ord = Tables.orders(spark, sfDir)
       .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
       .localCheckpoint(true)
+    // the static dimension the catalog axis discovers orders against
+    val cust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_nationkey").localCheckpoint(true)
+    SketchCatalogStore.build(spark, skDir, "customer", cust)
 
     // one drain() advances every consumer: the events feed fans out to
-    // activity + funnel (separate checkpoints over the SAME feed), the
-    // orders feed to rfm
+    // activity + funnel + catalog (separate checkpoints over the SAME
+    // feed), the orders feed to rfm + catalog
     def drain(): Unit = {
       ActivityStore.maintainFromCdc(spark, evCdc, actDir,
         s"$outRoot/ckpt_act")
@@ -85,6 +102,10 @@ object CustomerServingDemo {
         s"$outRoot/ckpt_fun", Steps)
       RfmStore.maintainFromCdc(spark, ordCdc, rfmDir,
         s"$outRoot/ckpt_rfm")
+      SketchCatalogStore.maintainFromCdc(spark, evCdc, skDir,
+        s"$outRoot/ckpt_sk_ev", "events", evDir, evKeys)
+      SketchCatalogStore.maintainFromCdc(spark, ordCdc, skDir,
+        s"$outRoot/ckpt_sk_ord", "orders", ordDir, ordKeys)
     }
 
     def rows(df: DataFrame): Seq[String] =
@@ -108,8 +129,20 @@ object CustomerServingDemo {
         col("o_orderdate").as("d"),
         round(col("o_totalprice") * 100, 0).cast("bigint").as("cents"))
 
+    // the catalog axis' live twins: fresh sketches / exact discovery
+    // over the maintained tables' current content + the static dim
+    def catalogNow(): Seq[(String, DataFrame)] = Seq(
+      "events" -> SnapshotStore.read(spark, evDir),
+      "orders" -> SnapshotStore.read(spark, ordDir),
+      "customer" -> cust)
+    def fkOf(df: DataFrame): Seq[String] =
+      df.filter(col("verdict") === "fk_candidate")
+        .select("table_a", "col_a", "table_b", "col_b")
+        .collect().map(_.toString).toSeq.sorted
+
     def serve(day: String): DayReport = {
       import graft.queries.{Commerce, EventAnalytics}
+      val servedFk = fkOf(SketchCatalogStore.discover(spark, skDir))
       DayReport(day,
         activeUsersEq = rows(ActivityStore.activeUsers(spark, actDir)) ==
           rows(EventAnalytics.activeUsersFrom(liveActivityPairs())),
@@ -123,7 +156,12 @@ object CustomerServingDemo {
         rfmEq = rows(RfmStore.rfm(spark, rfmDir)) ==
           rows(Commerce.rfmFrom(liveStats())),
         ltvEq = rows(RfmStore.cohortLtv(spark, rfmDir)) ==
-          rows(Commerce.cohortLtvFrom(liveLtvCells())))
+          rows(Commerce.cohortLtvFrom(liveLtvCells())),
+        catalogSketchEq =
+          rows(SketchCatalogStore.sketches(spark, skDir)).sorted ==
+            rows(Relations.columnSketches(catalogNow())).sorted,
+        fkServedOk = servedFk == fkOf(Relations.discover(catalogNow())) &&
+          servedFk.contains("[orders,o_custkey,customer,c_custkey]"))
     }
 
     // day 0: backfill BOTH axes through the same CDC path arrivals use
@@ -143,7 +181,7 @@ object CustomerServingDemo {
     val r1 = serve("day1")
 
     // crash replay: the drained feeds must start no batch anywhere
-    def versions(): Seq[Option[Long]] = Seq(actDir, funDir, rfmDir)
+    def versions(): Seq[Option[Long]] = Seq(actDir, funDir, rfmDir, skDir)
       .map(dr => SnapshotStore.currentManifest(spark, dr).map(_.version))
     val vBefore = versions()
     drain()
@@ -151,8 +189,10 @@ object CustomerServingDemo {
 
     // day 2: ONE GDPR erasure request, BOTH axes — the composed wave.
     // The same subject-id rule picks the doomed users' events and the
-    // doomed customers' orders; each store's signed algebra nets them
-    // out, no rebuild anywhere.
+    // doomed customers' orders; the signed-algebra stores (activity /
+    // funnel / rfm) net them out, while the KMV catalog takes its
+    // honest per-table rebuild (sketches cannot subtract) — both
+    // disciplines inside one drain.
     def doomedActive(): Long = ActivityStore.activity(spark, actDir)
       .filter(col("user_id") % 37 === 0).count()
     def doomedRfm(): Long = RfmStore.customerStats(spark, rfmDir)
@@ -166,16 +206,23 @@ object CustomerServingDemo {
         .filter(col("o_custkey") % 37 === 0).select("o_orderkey"), ordKeys)
     drain()
     val wiped = doomedActive() == 0 && doomedRfm() == 0
+    // the delete wave must have routed the catalog down its rebuild
+    // path: a post-base 'full' sketch row for the mutated tables
+    val catalogRebuilt = SnapshotStore.read(spark, skDir)
+      .filter(col("kind") === "full" && col("ver") >= 0L &&
+        col("tbl").isin("events", "orders"))
+      .select("tbl").distinct().count() == 2L
     val r2 = serve("day2_gdpr")
 
     // day 3: compaction window — fold every version log; serving must
     // be bit-invariant because a fold changes representation, not state
-    def rawRows(): Seq[Long] = Seq(actDir, funDir, rfmDir)
+    def rawRows(): Seq[Long] = Seq(actDir, funDir, rfmDir, skDir)
       .map(dr => SnapshotStore.read(spark, dr).count())
     val rowsBefore = rawRows()
     ActivityStore.fold(spark, actDir)
     FunnelStore.fold(spark, funDir)
     RfmStore.fold(spark, rfmDir)
+    SketchCatalogStore.compact(spark, skDir)
     val rowsAfter = rawRows()
     val foldReclaimed = rowsAfter.zip(rowsBefore).forall { case (a, b) =>
       a <= b } && rowsAfter.sum < rowsBefore.sum
@@ -183,8 +230,10 @@ object CustomerServingDemo {
 
     graft.queries.GateMemo.unpersistCheckpoint(ev)
     graft.queries.GateMemo.unpersistCheckpoint(ord)
+    graft.queries.GateMemo.unpersistCheckpoint(cust)
     (Seq(r0, r1, r2, r3),
-      FinalReport(replayNoop, wiped, hadSubjects, foldReclaimed))
+      FinalReport(replayNoop, wiped && catalogRebuilt, hadSubjects,
+        foldReclaimed))
   }
 
   def main(args: Array[String]): Unit = {

@@ -235,6 +235,10 @@ class PipelineSpec extends AnyFunSuite {
       assert(d.funnelUnorderedEq, s"${d.day}: served any-order funnel diverged")
       assert(d.rfmEq, s"${d.day}: served RFM diverged")
       assert(d.ltvEq, s"${d.day}: served cohort LTV diverged")
+      assert(d.catalogSketchEq,
+        s"${d.day}: maintained sketches diverged from a fresh rescan")
+      assert(d.fkServedOk,
+        s"${d.day}: served FK discovery diverged or lost orders→customer")
     }
     assert(fin.replayNoopAllStores, s"replay moved an artifact version: $fin")
     assert(fin.wipeNonVacuous, s"GDPR wave found no subjects to wipe: $fin")
