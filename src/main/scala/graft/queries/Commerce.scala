@@ -235,11 +235,23 @@ object Commerce {
       |          GROUP BY 1, 2)
       |SELECT part_a, part_b, orders FROM pairs
       |ORDER BY orders DESC, part_a, part_b LIMIT 20""".stripMargin) { (s, d) =>
-    Baskets.pairs(Baskets.baskets(Tables.lineitem(s, d)), "part_a", "part_b")
-      .groupBy("part_a", "part_b").agg(count(lit(1)).as("orders"))
-      .orderBy(col("orders").desc, col("part_a"), col("part_b"))
-      .limit(20)
+    basketPairsFrom(
+      Baskets.pairs(Baskets.baskets(Tables.lineitem(s, d)), "part_a", "part_b")
+        .groupBy("part_a", "part_b").agg(count(lit(1)).as("orders")))
   }
+
+  /** Top-20 ranking over a caller-supplied aggregated pair-support
+    * frame (part_a, part_b, orders) — the seam the maintained
+    * co-purchase edge store serves through
+    * ([[graft.streaming.GraphEdgeStore.basketPairs]]): the live key
+    * aggregates the map-side basket expansion; the store's edge weight
+    * w IS "orders containing both parts" (same whole-basket derivation,
+    * maintained), so both frames are identical and so is the ranking.
+    * Integer supports + the (part_a, part_b) tie-break make the cutoff
+    * deterministic. */
+  def basketPairsFrom(pairs: DataFrame): DataFrame =
+    pairs.orderBy(col("orders").desc, col("part_a"), col("part_b"))
+      .limit(20)
 
   /** Association rules over the co-purchase baskets: support counts,
     * directed confidence and lift for every part pair co-purchased in
@@ -278,11 +290,25 @@ object Commerce {
     val baskets = Baskets.baskets(Tables.lineitem(s, d)).localCheckpoint(true)
     val pairs = Baskets.pairs(baskets, "part_a", "part_b")
       .groupBy("part_a", "part_b").agg(count(lit(1)).as("both_orders"))
-      .where(col("both_orders") >= 2)
     val item = baskets.select(explode(col("basket")).as("part"))
       .groupBy("part").agg(count(lit(1)).as("cnt"))
     val n = baskets.agg(count(lit(1)).as("n"))
-    pairs
+    basketLiftFrom(pairs, item, n)
+  }
+
+  /** The association-rule computation over caller-supplied support
+    * frames — the seam the maintained co-purchase artifacts serve
+    * through ([[graft.streaming.GraphEdgeStore.basketLift]]): `pairs`
+    * (part_a, part_b, both_orders) from the edge store or the live
+    * basket expansion, `item` (part, cnt = orders containing the part)
+    * from the counts store or a basket explode, `n` a 1-row corpus
+    * order count from the order-count store or a basket count. All
+    * three stats are order-level counts over whole baskets, so the
+    * maintained and live frames are identical and the exact-integer
+    * 4dp lift/confidence downstream is too. */
+  def basketLiftFrom(pairs: DataFrame, item: DataFrame,
+      n: DataFrame): DataFrame =
+    pairs.where(col("both_orders") >= 2)
       .join(item.select(col("part").as("part_a"), col("cnt").as("ca")), "part_a")
       .join(item.select(col("part").as("part_b"), col("cnt").as("cb")), "part_b")
       .crossJoin(n)
@@ -293,7 +319,6 @@ object Commerce {
           "AS DOUBLE) / 10000.0").as("conf_a_to_b"))
       .orderBy(col("lift").desc, col("part_a"), col("part_b"))
       .limit(20)
-  }
 
   /** Repeat-purchase cadence: one summary row over the gaps (in days)
     * between a customer's consecutive orders — repeat customers, gap

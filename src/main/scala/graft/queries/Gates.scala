@@ -2821,6 +2821,107 @@ object Gates {
     verdict(s, "q_gate_store_funnel", ok)
   }
 
+  /** Store-served market basket (round 18 — closes the LAST commerce
+    * readers of the order log with no rescan-free path): `q_basket_pairs`
+    * and `q_basket_lift` served from the co-purchase family's maintained
+    * artifacts — pair supports from the edge store (w IS "orders
+    * containing both parts"), item order-counts from the counts store,
+    * and the lift denominator from the new 1-row-per-batch order-count
+    * store — through the shared [[Commerce.basketPairsFrom]] /
+    * [[Commerce.basketLiftFrom]] seams. Pins: (1) after the corpus
+    * arrives via two whole-order CDC insert batches, BOTH served outputs
+    * == the REGISTERED keys' outputs exactly; (2) replaying the drained
+    * feed is a version no-op on all three artifacts; (3) a cancellation
+    * wave (whole orders, ~3% of orderkeys) shrinks the corpus
+    * non-vacuously (order count strictly down, edge rows reclaimed) with
+    * parity against the live seam recompute over the reduced corpus;
+    * (4) folding all three version logs reclaims rows with both served
+    * outputs invariant. */
+  val qGateStoreBasket = Q(
+    "q_gate_store_basket", oracleFor("q_gate_store_basket")) { (s, d) =>
+    import graft.streaming.{GraphEdgeStore, SnapshotStore, Streams}
+    val ok = GateMemo.value(s, d, "gate_store_basket_ok") {
+      val work = GateMemo.WorkRoot + "/store_basket_gate/" +
+        new java.io.File(d).getName
+      graft.LocalFs.rmrf(new java.io.File(work))
+      val liDir = s"$work/lineitem_store"
+      val cdcDir = s"$work/cdc"
+      val edgeDir = s"$work/edges"
+      val cntDir = s"$work/counts"
+      val ordDir = s"$work/order_count"
+      val ckpt = s"$work/ckpt"
+      val keys = Seq("l_orderkey", "l_partkey")
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        .distinct().localCheckpoint(true)
+      try {
+        // two whole-order batches (the family's basket atomicity
+        // contract: orderkey parity keeps every basket in one batch)
+        Streams.cdcBatch(s, liDir, cdcDir,
+          li.filter(col("l_orderkey") % 2 === 0), keys)
+        Streams.cdcBatch(s, liDir, cdcDir,
+          li.filter(col("l_orderkey") % 2 =!= 0), keys)
+        def drain(): Unit = GraphEdgeStore.maintainFromCdc(s, cdcDir,
+          edgeDir, ckpt, countsDir = Some(cntDir),
+          orderCountDir = Some(ordDir))
+        drain()
+        def rows(df: DataFrame): Seq[String] =
+          df.collect().map(_.toString).toSeq
+        def served(): Seq[Seq[String]] = Seq(
+          rows(GraphEdgeStore.basketPairs(s, edgeDir)),
+          rows(GraphEdgeStore.basketLift(s, edgeDir, cntDir, ordDir)))
+        // the live twins: the registered keys' own derivations over the
+        // maintained table's CURRENT content (artifact-free recompute)
+        def liveNow(): Seq[Seq[String]] = {
+          val cur = SnapshotStore.read(s, liDir)
+          val baskets = Baskets.baskets(cur)
+          Seq(
+            rows(Commerce.basketPairsFrom(
+              Baskets.pairs(baskets, "part_a", "part_b")
+                .groupBy("part_a", "part_b")
+                .agg(count(lit(1)).as("orders")))),
+            rows(Commerce.basketLiftFrom(
+              Baskets.pairs(baskets, "part_a", "part_b")
+                .groupBy("part_a", "part_b")
+                .agg(count(lit(1)).as("both_orders")),
+              baskets.select(explode(col("basket")).as("part"))
+                .groupBy("part").agg(count(lit(1)).as("cnt")),
+              baskets.agg(count(lit(1)).as("n")))))
+        }
+        val full = served() == Seq(
+          rows(memoQ(s, d, Commerce.qBasketPairs)),
+          rows(memoQ(s, d, Commerce.qBasketLift)))
+        def versions(): Seq[Option[Long]] = Seq(edgeDir, cntDir, ordDir)
+          .map(dr => SnapshotStore.currentManifest(s, dr).map(_.version))
+        val v0 = versions()
+        drain()
+        val replayNoop = versions() == v0
+        // cancellation wave: whole orders only, so the deltas stay
+        // basket-atomic; the order count must strictly shrink and the
+        // edge store must lose live pairs (the doomed orders carry
+        // multi-part baskets at every SF)
+        def nOrders(): Long = GraphEdgeStore.orderCount(s, ordDir)
+          .head().getLong(0)
+        def nEdges(): Long = GraphEdgeStore.edges(s, edgeDir).count()
+        val (ordersBefore, edgesBefore) = (nOrders(), nEdges())
+        Streams.cdcDeleteBatch(s, liDir, cdcDir,
+          li.filter(col("l_orderkey") % 31 === 0), keys)
+        drain()
+        val shrunk = nOrders() < ordersBefore && nEdges() < edgesBefore
+        val afterCancel = served() == liveNow()
+        def rawRows(): Long = Seq(edgeDir, cntDir, ordDir)
+          .map(dr => SnapshotStore.read(s, dr).count()).sum
+        val rowsBefore = rawRows()
+        GraphEdgeStore.foldEdges(s, edgeDir)
+        GraphEdgeStore.foldCounts(s, cntDir)
+        GraphEdgeStore.foldOrderCount(s, ordDir)
+        val foldOk = served() == liveNow() && rawRows() < rowsBefore
+        served().forall(_.nonEmpty) && full && replayNoop && shrunk &&
+          afterCancel && foldOk
+      } finally GateMemo.unpersistCheckpoint(li)
+    }
+    verdict(s, "q_gate_store_basket", ok)
+  }
+
   /** SCD2 dimension history (round 14): the CDC log rendered as
     * type-2 validity intervals (`Streams.scd2` — one key-partitioned
     * lead() window; deletes close intervals without opening one) must
@@ -2891,6 +2992,7 @@ object Gates {
     qGateStoreTextSearch, qGateStoreTextPhrase, qGateStoreStats,
     qGateStoreOutliers, qGateStoreCatalogRelations, qGateStoreActiveUsers,
     qGateStoreRetention, qGateStoreRfm, qGateStoreLtv, qGateStoreFunnel,
+    qGateStoreBasket,
     qGateErIncremental, qGateStoreEr,
     qGateStreamAnomaly,
     qGateStreamGraphDegree,

@@ -261,6 +261,84 @@ object GraphEdgeStore {
       .groupBy("l_partkey").agg(sum("n").as("n"))
       .filter(col("n") > 0L)
 
+  // ---- total-order-count store (round 18) ---------------------------
+  //
+  // The FOURTH (and tiniest) maintained artifact of the co-purchase
+  // family: n = count of distinct orders with ≥ 1 line — the corpus
+  // size `q_basket_lift`'s lift denominator needs next to the pair
+  // weights and per-part counts. With all three maintained, the ENTIRE
+  // market-basket surface (pair ranking, confidence, lift) serves from
+  // artifacts. The count is delete-ADDITIVE precisely because of the
+  // basket atomicity contract the whole family already enforces: a
+  // batch carries WHOLE orders, so an insert batch's distinct-orderkey
+  // count is all-new (+k) and a delete batch's is all-dead (−k) — no
+  // per-order residency tracking needed. One row per batch under a
+  // constant key; replay re-merges the identical (k, ver) row.
+
+  private val OrderCountKeys = Seq("k", "ver")
+
+  /** Full build of the total-order-count store (one row). */
+  def buildOrderCount(spark: SparkSession, orderCountDir: String,
+      li: DataFrame, numBuckets: Int = 1): Unit =
+    SnapshotStore.merge(spark, orderCountDir,
+      li.select("l_orderkey").distinct().agg(count(lit(1)).as("n"))
+        .withColumn("k", lit(0)).withColumn("ver", lit(BaseVer)),
+      OrderCountKeys, numBuckets)
+
+  /** One CDC batch's signed order-count delta (+distinct inserted
+    * orderkeys, −distinct deleted — exact under the whole-order batch
+    * contract), merged under `batchId`. Idempotent per batchId. */
+  def ingestOrderCountBatch(spark: SparkSession, orderCountDir: String,
+      changes: DataFrame, batchId: Long, numBuckets: Int = 1): Unit = {
+    require(batchId >= 0L,
+      s"batchId must be >= 0 (got $batchId): $BaseVer is reserved for the base build")
+    def distinctOrders(changeType: String) =
+      changes.filter(col("change_type") === changeType)
+        .select("l_orderkey").distinct().count()
+    val delta = distinctOrders("insert") - distinctOrders("delete")
+    if (delta != 0L) {
+      import spark.implicits._
+      SnapshotStore.merge(spark, orderCountDir,
+        Seq((0, batchId, delta)).toDF("k", "ver", "n"),
+        OrderCountKeys, numBuckets)
+    }
+  }
+
+  /** The current total order count as a 1-row (n) frame — the lift
+    * denominator, served without touching the order log. Empty store
+    * (or fully-cancelled corpus) reads as n = 0. */
+  def orderCount(spark: SparkSession, orderCountDir: String): DataFrame =
+    SnapshotStore.read(spark, orderCountDir)
+      .agg(coalesce(sum("n"), lit(0L)).as("n"))
+
+  /** Fold the total-order-count store's version log. */
+  def foldOrderCount(spark: SparkSession, orderCountDir: String): Unit =
+    VersionDrain.foldStore(spark, orderCountDir, Seq("k"), "n", BaseVer)
+
+  /** Store-served top co-purchased pairs — the registered
+    * `q_basket_pairs` output via the shared
+    * [[graft.queries.Commerce.basketPairsFrom]] seam over the
+    * maintained edge weights (w IS "orders containing both parts"),
+    * the order log never read. */
+  def basketPairs(spark: SparkSession, edgeDir: String): DataFrame =
+    graft.queries.Commerce.basketPairsFrom(
+      edges(spark, edgeDir).select(col("u").as("part_a"),
+        col("v").as("part_b"), col("w").as("orders")))
+
+  /** Store-served association rules — the registered `q_basket_lift`
+    * output via the shared [[graft.queries.Commerce.basketLiftFrom]]
+    * seam: pair supports from the edge store, item order-counts from
+    * the counts store, the corpus size from the order-count store.
+    * Three artifact-sized reads, zero log scans. */
+  def basketLift(spark: SparkSession, edgeDir: String, countsDir: String,
+      orderCountDir: String): DataFrame =
+    graft.queries.Commerce.basketLiftFrom(
+      edges(spark, edgeDir).select(col("u").as("part_a"),
+        col("v").as("part_b"), col("w").as("both_orders")),
+      partCounts(spark, countsDir)
+        .select(col("l_partkey").as("part"), col("n").as("cnt")),
+      orderCount(spark, orderCountDir))
+
   // ---- version-granularity drain (round-15 fix) ----------------------
   //
   // WHY NOT A FILE STREAM: the previous drain consumed Streams.cdcSource
@@ -294,6 +372,7 @@ object GraphEdgeStore {
       checkpointDir: String, numBuckets: Int = 16,
       degreeDir: Option[String] = None,
       countsDir: Option[String] = None,
+      orderCountDir: Option[String] = None,
       autoFoldDepth: Option[Int] = None): Unit = {
     // SINGLE-WRITER CONTRACT (same as every SnapshotStore writer): one
     // drain (or fold) at a time per store. Two concurrent drains would
@@ -307,7 +386,7 @@ object GraphEdgeStore {
     // folded version's rows are gone, so a lost watermark must not let
     // it re-merge (see the fold section); unfolded versions above the
     // floor still replay idempotently.
-    val dirs = Seq(edgeDir) ++ degreeDir ++ countsDir
+    val dirs = Seq(edgeDir) ++ degreeDir ++ countsDir ++ orderCountDir
     // self-heal any store whose last fold crashed mid-swap BEFORE
     // reading its fold floor: a drain against the missing-live state
     // would otherwise silently rebuild a fresh store without the
@@ -322,6 +401,8 @@ object GraphEdgeStore {
       }
       countsDir.foreach(cd =>
         ingestCountsBatch(spark, cd, batch, v, numBuckets))
+      orderCountDir.foreach(od =>
+        ingestOrderCountBatch(spark, od, batch, v))
     }
     // self-triggering compaction (round 15): with a depth budget the
     // drain leaves every store's read amplification bounded — a fold
@@ -334,6 +415,8 @@ object GraphEdgeStore {
         Seq("node"), "dd", BaseVer, depth))
       countsDir.foreach(cd => VersionDrain.foldIfDeep(spark, cd,
         Seq("l_partkey"), "n", BaseVer, depth))
+      orderCountDir.foreach(od => VersionDrain.foldIfDeep(spark, od,
+        Seq("k"), "n", BaseVer, depth))
     }
   }
 

@@ -123,6 +123,34 @@ object Round18Probe {
       f"sequence; reduction 1.0x). Live transitions recompute: " +
       f"${tTransLive}%.2f s")
 
+    // ---- 4: basket serving from the maintained co-purchase artifacts -----
+    // the registered q_basket_pairs / q_basket_lift derivations from the
+    // log vs GraphEdgeStore.basketPairs/basketLift from the edge +
+    // counts + order-count stores; report the artifact-vs-log row shapes
+    // honestly (pre-saturation the pair artifact EXCEEDS the log —
+    // bounded by catalog², not corpus size, so the crossover is a scale
+    // property, same as the counts store)
+    import graft.streaming.GraphEdgeStore
+    val liB = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+      .localCheckpoint(true)
+    val nLi = liB.count()
+    GraphEdgeStore.build(spark, s"$out/bEdges", liB)
+    GraphEdgeStore.buildCounts(spark, s"$out/bCounts", liB)
+    GraphEdgeStore.buildOrderCount(spark, s"$out/bOrd", liB)
+    val nPairs = GraphEdgeStore.edges(spark, s"$out/bEdges").count()
+    val tBLive = time {
+      graft.queries.Commerce.qBasketPairs.run(spark, sf).collect()
+      graft.queries.Commerce.qBasketLift.run(spark, sf).collect()
+    }
+    val tBServed = time {
+      GraphEdgeStore.basketPairs(spark, s"$out/bEdges").collect()
+      GraphEdgeStore.basketLift(spark, s"$out/bEdges", s"$out/bCounts",
+        s"$out/bOrd").collect()
+    }
+    println(f"[probe] basket serve: log ($nLi lineitem rows) ${tBLive}%.2f s " +
+      f"vs artifacts ($nPairs pair rows + part counts + 1-row n) " +
+      f"${tBServed}%.2f s for both keys")
+
     spark.stop()
   }
 }

@@ -420,4 +420,82 @@ class GraphEdgeStoreSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("delete + insert"))
   }
+
+  private def nOrders(dir: String): Long =
+    GraphEdgeStore.orderCount(spark, dir).head().getLong(0)
+
+  test("order-count store: whole-order deltas are additive, replay idempotent, fold compacts") {
+    val dir = freshDir()
+    // base: orders 1 and 2
+    GraphEdgeStore.buildOrderCount(spark, dir,
+      li((1L, 10L), (1L, 20L), (2L, 10L)))
+    assert(nOrders(dir) == 2L)
+    // batch 0: orders 3 and 4 arrive (distinct orderkeys, multi-line)
+    val b0 = li((3L, 10L), (3L, 20L), (4L, 30L))
+      .withColumn("change_type", lit("insert"))
+    GraphEdgeStore.ingestOrderCountBatch(spark, dir, b0, 0L)
+    assert(nOrders(dir) == 4L)
+    // replaying the same batchId re-merges the identical row — no-op
+    GraphEdgeStore.ingestOrderCountBatch(spark, dir, b0, 0L)
+    assert(nOrders(dir) == 4L)
+    // batch 1: whole order 1 cancels while order 5 arrives — net 0,
+    // but per-kind counts still record +1/−1 through one merged row
+    GraphEdgeStore.ingestOrderCountBatch(spark, dir,
+      li((1L, 10L), (1L, 20L)).withColumn("change_type", lit("delete"))
+        .unionByName(li((5L, 40L)).withColumn("change_type", lit("insert"))),
+      1L)
+    assert(nOrders(dir) == 4L)
+    // batch 2: two whole orders cancel
+    GraphEdgeStore.ingestOrderCountBatch(spark, dir,
+      li((2L, 10L), (3L, 10L), (3L, 20L))
+        .withColumn("change_type", lit("delete")), 2L)
+    assert(nOrders(dir) == 2L)
+    // fold compacts the log to one base row; the served count is
+    // invariant
+    val rawBefore = streaming.SnapshotStore.read(spark, dir).count()
+    GraphEdgeStore.foldOrderCount(spark, dir)
+    assert(streaming.SnapshotStore.read(spark, dir).count() < rawBefore)
+    assert(nOrders(dir) == 2L)
+  }
+
+  test("order-count store: an empty or fully-cancelled corpus reads as zero") {
+    val dir = freshDir()
+    GraphEdgeStore.buildOrderCount(spark, dir, li((1L, 10L)))
+    assert(nOrders(dir) == 1L)
+    GraphEdgeStore.ingestOrderCountBatch(spark, dir,
+      li((1L, 10L)).withColumn("change_type", lit("delete")), 0L)
+    assert(nOrders(dir) == 0L)
+  }
+
+  test("store-served basket pairs and lift equal the live seam recompute") {
+    import graft.queries.{Baskets, Commerce}
+    val eDir = freshDir(); val cDir = freshDir(); val oDir = freshDir()
+    // orders: 1:{10,20,30}, 2:{10,20}, 3:{10,20}, 4:{30,40} — pair
+    // (10,20) support 3, the rest ≤ 1; n = 4 orders
+    val corpus = li((1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L), (3L, 10L), (3L, 20L), (4L, 30L), (4L, 40L))
+    GraphEdgeStore.build(spark, eDir, corpus)
+    GraphEdgeStore.buildCounts(spark, cDir, corpus)
+    GraphEdgeStore.buildOrderCount(spark, oDir, corpus)
+    val baskets = Baskets.baskets(corpus)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    assert(rows(GraphEdgeStore.basketPairs(spark, eDir)) ==
+      rows(Commerce.basketPairsFrom(
+        Baskets.pairs(baskets, "part_a", "part_b")
+          .groupBy("part_a", "part_b").agg(count(lit(1)).as("orders")))))
+    val servedLift = GraphEdgeStore.basketLift(spark, eDir, cDir, oDir)
+    assert(rows(servedLift) ==
+      rows(Commerce.basketLiftFrom(
+        Baskets.pairs(baskets, "part_a", "part_b")
+          .groupBy("part_a", "part_b").agg(count(lit(1)).as("both_orders")),
+        baskets.select(explode(col("basket")).as("part"))
+          .groupBy("part").agg(count(lit(1)).as("cnt")),
+        baskets.agg(count(lit(1)).as("n")))))
+    // hand-check the one ≥2-support rule: (10,20) both=3, ca=cb=3,
+    // n=4 → lift = 3·4/(3·3) = 1.3333, conf = 3/3 = 1.0
+    val r = servedLift.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (10L, 20L, 3L))
+    assert(r.getDouble(3) == 1.3333 && r.getDouble(4) == 1.0)
+  }
 }
