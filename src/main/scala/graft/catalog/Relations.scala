@@ -68,13 +68,36 @@ object Relations {
     * to their own slice, so total scanned bytes stay one-table-wide. */
   private val MeltBatch = 48
 
-  private[graft] def melt(tables: Seq[(String, DataFrame)]): DataFrame = {
+  private[graft] def melt(tables: Seq[(String, DataFrame)]): DataFrame =
+    meltAs(tables, "string")
+
+  /** Exact-path melt (round-18 optimization, guide §2.3 "narrower
+    * types"): when EVERY candidate column across the table set is
+    * integral, values melt as LONG instead of STRING — long→string is
+    * injective, so every downstream equality, distinct count and
+    * intersection count is provably unchanged, while the value-keyed
+    * exchange (the one data-sized shuffle in [[scoreMelted]]) carries
+    * 8-byte keys instead of UTF8 strings and the melt skips the
+    * per-cell number→text render (probe: exact discover 4.97 → 3.37 s
+    * at sf0.1, identical 147 output rows). A catalog with any string
+    * candidate keeps the string melt — cross-type equality there is
+    * defined on the string image. The KMV sketch path always melts as
+    * STRING: sketch hashes are persisted artifacts
+    * ([[graft.streaming.SketchCatalogStore]]) and must stay stable. */
+  private[graft] def meltExact(tables: Seq[(String, DataFrame)]): DataFrame = {
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    val allIntegral = tables.forall { case (_, df) =>
+      idLikeColumns(df).forall(c => integral.contains(df.schema(c).dataType)) }
+    meltAs(tables, if (allIntegral) "long" else "string")
+  }
+
+  private def meltAs(tables: Seq[(String, DataFrame)], tpe: String): DataFrame = {
     val melted = tables.flatMap { case (t, df) =>
       val cols = idLikeColumns(df)
       // codegen-safe width: wide catalogs melt in column batches
       cols.grouped(MeltBatch).map { group =>
         df.select(explode(array(group.map(c =>
-          struct(lit(c).as("col"), col(c).cast("string").as("v"))): _*)).as("cv"))
+          struct(lit(c).as("col"), col(c).cast(tpe).as("v"))): _*)).as("cv"))
           .select(lit(t).as("tbl"), col("cv.col").as("col"), col("cv.v").as("v"))
           .where(col("v").isNotNull)
       }
@@ -122,7 +145,7 @@ object Relations {
     * (table_a, col_a, table_b, col_b, n_common, containment, verdict).
     * Directed: containment is asymmetric (A→B ≠ B→A). */
   def discover(tables: Seq[(String, DataFrame)], minContainment: Double = 0.5): DataFrame =
-    scoreMelted(melt(tables), minContainment)
+    scoreMelted(meltExact(tables), minContainment)
 
   /** Size-dispatched discovery (round-11 verdict item #5, the
     * q_dedup_cluster auto-dispatch pattern applied to the catalog):
