@@ -71,26 +71,6 @@ object Relations {
   private[graft] def melt(tables: Seq[(String, DataFrame)]): DataFrame =
     meltAs(tables, "string")
 
-  /** Exact-path melt (round-18 optimization, guide §2.3 "narrower
-    * types"): when EVERY candidate column across the table set is
-    * integral, values melt as LONG instead of STRING — long→string is
-    * injective, so every downstream equality, distinct count and
-    * intersection count is provably unchanged, while the value-keyed
-    * exchange (the one data-sized shuffle in [[scoreMelted]]) carries
-    * 8-byte keys instead of UTF8 strings and the melt skips the
-    * per-cell number→text render (probe: exact discover 4.97 → 3.37 s
-    * at sf0.1, identical 147 output rows). A catalog with any string
-    * candidate keeps the string melt — cross-type equality there is
-    * defined on the string image. The KMV sketch path always melts as
-    * STRING: sketch hashes are persisted artifacts
-    * ([[graft.streaming.SketchCatalogStore]]) and must stay stable. */
-  private[graft] def meltExact(tables: Seq[(String, DataFrame)]): DataFrame = {
-    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
-    val allIntegral = tables.forall { case (_, df) =>
-      idLikeColumns(df).forall(c => integral.contains(df.schema(c).dataType)) }
-    meltAs(tables, if (allIntegral) "long" else "string")
-  }
-
   private def meltAs(tables: Seq[(String, DataFrame)], tpe: String): DataFrame = {
     val melted = tables.flatMap { case (t, df) =>
       val cols = idLikeColumns(df)
@@ -106,6 +86,67 @@ object Relations {
       "relationship discovery found no id-like candidate column (name " +
         "'id'/'*_id'/'*key' + integral or string type) in any input table")
     melted.reduce(_ union _)
+  }
+
+  /** The exact path's candidate coder (round-18 optimization, guide
+    * §2.3 "project before the exchange / narrower types"): every
+    * (table, column-or-group) candidate gets one small int
+    * `tableIdx << 16 | colIdx` — driver-side metadata, no data touched
+    * — so the data-sized value exchange and the membership explode
+    * carry a 4-byte code instead of a struct of two strings; names are
+    * re-attached by a broadcast decode join on the CATALOG-sized count
+    * frame. Counting distinct values per candidate and per candidate
+    * pair is invariant under this bijective relabeling, and the
+    * cross-table pair-halving condition only needs SOME strict total
+    * order on tables (the mirror union restores both directions), so
+    * the high-bits compare serves. Width bounds are validated loudly. */
+  private[graft] final case class CodedMelt(
+      melted: DataFrame,                 // (tc: Int, v)
+      decode: Seq[(Int, String, String)]) // (tc, tbl, col)
+
+  private def codeCandidates(cands: Seq[(String, Seq[String])]): Map[(String, String), Int] = {
+    val tIdx = cands.map(_._1).zipWithIndex.toMap
+    require(tIdx.size < (1 << 15),
+      s"candidate coder supports < 32768 tables, got ${tIdx.size}")
+    cands.flatMap { case (t, cs) =>
+      require(cs.size < (1 << 16),
+        s"candidate coder supports < 65536 candidate columns per table, " +
+          s"table $t has ${cs.size}")
+      cs.zipWithIndex.map { case (c, i) => (t, c) -> ((tIdx(t) << 16) | i) }
+    }.toMap
+  }
+
+  /** Exact-path melt to (tc, v) rows. Values melt as LONG when EVERY
+    * candidate column across the table set is integral — long→string is
+    * injective, so every downstream equality, distinct count and
+    * intersection count is provably unchanged while the value-keyed
+    * exchange carries 8-byte keys instead of UTF8 strings (probe: exact
+    * discover 4.97 → 3.37 s at sf0.1 from the long melt, → 2.73 s with
+    * the candidate coder, identical output). A catalog with any string
+    * candidate keeps the string values — cross-type equality there is
+    * defined on the string image. The KMV sketch path keeps the
+    * string-everything [[melt]]: sketch hashes are persisted artifacts
+    * ([[graft.streaming.SketchCatalogStore]]) and must stay stable. */
+  private[graft] def meltExact(tables: Seq[(String, DataFrame)]): CodedMelt = {
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    val allIntegral = tables.forall { case (_, df) =>
+      idLikeColumns(df).forall(c => integral.contains(df.schema(c).dataType)) }
+    val tpe = if (allIntegral) "long" else "string"
+    val code = codeCandidates(tables.map { case (t, df) => t -> idLikeColumns(df) })
+    val melted = tables.flatMap { case (t, df) =>
+      val cols = idLikeColumns(df)
+      cols.grouped(MeltBatch).map { group =>
+        df.select(explode(array(group.map(c =>
+          struct(lit(code((t, c))).as("tc"), col(c).cast(tpe).as("v"))): _*)).as("cv"))
+          .select(col("cv.tc").as("tc"), col("cv.v").as("v"))
+          .where(col("v").isNotNull)
+      }
+    }
+    require(melted.nonEmpty,
+      "relationship discovery found no id-like candidate column (name " +
+        "'id'/'*_id'/'*key' + integral or string type) in any input table")
+    CodedMelt(melted.reduce(_ union _),
+      code.toSeq.map { case ((t, c), i) => (i, t, c) })
   }
 
   /** Melt DECLARED column GROUPS of every table to (table, group, value)
@@ -212,48 +253,88 @@ object Relations {
   def discoverComposite(tables: Seq[(String, DataFrame)],
       groups: Map[String, Seq[Seq[String]]],
       minContainment: Double = 0.5): DataFrame =
-    scoreMelted(meltGroups(tables, groups), minContainment)
+    scoreMelted(meltGroupsCoded(tables, groups), minContainment)
 
-  private[graft] def scoreMelted(melted: DataFrame, minContainment: Double): DataFrame = {
-    // per-value column sets: the one data-sized exchange. collect_set
-    // dedups (tbl, col) per value with ≤ C entries of partial-aggregate
-    // state per group — map-side combine bounds the shuffle to distinct
-    // (value, tbl, col) triples.
-    val columnSets = melted.groupBy("v")
-      .agg(collect_set(struct(col("tbl"), col("col"))).as("cs"))
-    // per value, emit its singleton memberships (tb/cb null — these
-    // count cardinalities) AND its cross-table pairs (these count
-    // intersections) in ONE exploded pass, so one data-sized aggregation
-    // produces the whole catalog-sized count table: no second scan, no
-    // join below the final combine. Intersection counts are SYMMETRIC,
-    // so only table-lexicographic pairs are exploded (halves the ≤ C²
-    // per-value fan-out) and the mirror direction is re-derived from the
+  /** [[meltGroups]] through the candidate coder — the composite twin of
+    * [[meltExact]] (group values stay collision-safe concat STRINGS;
+    * only the group LABEL rides as a code). */
+  private[graft] def meltGroupsCoded(tables: Seq[(String, DataFrame)],
+      groups: Map[String, Seq[Seq[String]]]): CodedMelt = {
+    val labels = tables.map { case (t, _) =>
+      t -> groups.getOrElse(t, Seq.empty).filter(_.nonEmpty).map(_.mkString("+")) }
+    val code = codeCandidates(labels)
+    val melted = tables.flatMap { case (t, df) =>
+      val gs = groups.getOrElse(t, Seq.empty).filter(_.nonEmpty)
+      gs.foreach(g => g.foreach(c => require(df.columns.contains(c),
+        s"declared group column $t.$c does not exist")))
+      if (gs.isEmpty) None
+      else Some(
+        df.select(explode(array(gs.map { g =>
+          struct(lit(code((t, g.mkString("+")))).as("tc"),
+            concat_ws("", g.map(c => col(c).cast("string")): _*).as("v"),
+            g.map(c => col(c).isNotNull).reduce(_ && _).as("ok"))
+        }: _*)).as("cv"))
+          .where(col("cv.ok"))
+          .select(col("cv.tc").as("tc"), col("cv.v").as("v")))
+    }
+    require(melted.nonEmpty, "composite discovery: no declared group " +
+      "for any input table (pass groups = Map(table -> Seq(Seq(col, ...))))")
+    CodedMelt(melted.reduce(_ union _),
+      code.toSeq.map { case ((t, c), i) => (i, t, c) })
+  }
+
+  private[graft] def scoreMelted(cm: CodedMelt, minContainment: Double): DataFrame = {
+    val spark = cm.melted.sparkSession
+    import spark.implicits._
+    // per-value candidate-code sets: the one data-sized exchange.
+    // collect_set dedups codes per value with ≤ C ints of
+    // partial-aggregate state per group — map-side combine bounds the
+    // shuffle to distinct (value, code) pairs, and the 4-byte code
+    // replaces the former struct-of-two-strings (probe: 3.37 → 2.73 s
+    // at sf0.1 on top of the long melt).
+    val columnSets = cm.melted.groupBy("v")
+      .agg(collect_set(col("tc")).as("cs"))
+    // per value, emit its singleton memberships (tb = -1, codes are
+    // non-negative — these count cardinalities) AND its cross-table
+    // pairs (these count intersections) in ONE exploded pass, so one
+    // data-sized aggregation produces the whole catalog-sized count
+    // table: no second scan, no join below the final combine.
+    // Intersection counts are SYMMETRIC, so pairs are exploded only for
+    // table-code-ascending pairs (halves the ≤ C² per-value fan-out —
+    // any strict total order on tables serves, the high bits are the
+    // table index) and the mirror direction is re-derived from the
     // catalog-sized counts below.
     val memberships = concat(
-      transform(col("cs"), a => struct(
-        a("tbl").as("ta"), a("col").as("ca"),
-        lit(null).cast("string").as("tb"), lit(null).cast("string").as("cb"))),
+      transform(col("cs"), a => struct(a.as("ta"), lit(-1).as("tb"))),
       flatten(transform(col("cs"), a =>
-        transform(filter(col("cs"), b => b("tbl") > a("tbl")),
-          b => struct(a("tbl").as("ta"), a("col").as("ca"),
-            b("tbl").as("tb"), b("col").as("cb"))))))
+        transform(filter(col("cs"), b => shiftright(b, 16) > shiftright(a, 16)),
+          b => struct(a.as("ta"), b.as("tb"))))))
     // catalog-sized (≤ C + C²/2 rows) — checkpoint so the cardinality
     // lookup and the pair scoring below reread 300 rows, not the data
     val counts = columnSets
       .select(explode(memberships).as("m"))
-      .groupBy(col("m.ta").as("ta"), col("m.ca").as("ca"),
-        col("m.tb").as("tb"), col("m.cb").as("cb"))
+      .groupBy(col("m.ta").as("ta"), col("m.tb").as("tb"))
       .agg(count(lit(1)).as("n"))
       .localCheckpoint(true)
 
-    val card = counts.where(col("tb").isNull)
-      .select(col("ta").as("tbl"), col("ca").as("col"), col("n").as("nd"))
-    val oneWay = counts.where(col("tb").isNotNull)
+    // names re-attach on the CATALOG-sized frames via broadcast decode
+    val decode = cm.decode.toDF("__tc", "__tbl", "__col")
+    val card = counts.where(col("tb") === -1)
+      .join(broadcast(decode), col("ta") === col("__tc"))
+      .select(col("__tbl").as("tbl"), col("__col").as("col"), col("n").as("nd"))
+    val oneWay = counts.where(col("tb") =!= -1)
     val inter = oneWay
-      .select(col("ta").as("table_a"), col("ca").as("col_a"),
-        col("tb").as("table_b"), col("cb").as("col_b"), col("n").as("n_common"))
-      .unionByName(oneWay.select(col("tb").as("table_a"), col("cb").as("col_a"),
-        col("ta").as("table_b"), col("ca").as("col_b"), col("n").as("n_common")))
+      .select(col("ta"), col("tb"), col("n").as("n_common"))
+      .unionByName(oneWay.select(col("tb").as("ta"), col("ta").as("tb"),
+        col("n").as("n_common")))
+      .join(broadcast(decode.select(col("__tc"),
+        col("__tbl").as("table_a"), col("__col").as("col_a"))),
+        col("ta") === col("__tc"))
+      .join(broadcast(decode.select(col("__tc").as("__tc2"),
+        col("__tbl").as("table_b"), col("__col").as("col_b"))),
+        col("tb") === col("__tc2"))
+      .select(col("table_a"), col("col_a"), col("table_b"), col("col_b"),
+        col("n_common"))
 
     val containment = col("n_common").cast("double") / col("nd")
     inter

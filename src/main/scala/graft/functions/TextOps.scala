@@ -43,6 +43,29 @@ object TextOps {
       .distinct()
   }
 
+  /** Distinct 64-bit shingle HASHES per document: [[shingleRows]] with
+    * xxhash64 applied BEFORE the distinct, so the dedup exchange carries
+    * (id, 8-byte hash) instead of (id, shingle string) — round-18
+    * optimization for the near-dup pair core, measured 0.87 → 0.58 s at
+    * sf0.1. Equivalence: identical to hashing after the distinct unless
+    * two DISTINCT shingles of the SAME document collide in xxhash64 —
+    * the same ~10⁻⁹-per-corpus collision class the hash-keyed join
+    * downstream already accepts (and the string-keyed oracle agrees
+    * with unless one actually occurs). Consumers that need shingle
+    * STRINGS (seeded MinHash signatures, decontamination reporting)
+    * keep [[shingleRows]]. */
+  def shingleHashRows(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 3): DataFrame = {
+    val ws = col("__ws")
+    df.select(col(idCol), tokens(col(textCol)).as("__ws"))
+      .filter(size(ws) >= w)
+      .select(col(idCol), ws, posexplode(sequence(lit(1), size(ws) - (w - 1))))
+      .select(col(idCol),
+        xxhash64(concat_ws(" ",
+          (0 until w).map(k => element_at(ws, col("col") + k)): _*)).as("s"))
+      .distinct()
+  }
+
   /** Distinct w-word shingles (w consecutive tokens joined by space).
     * Documents shorter than w tokens yield an empty array. */
   def shingles(text: Column, w: Int = 3): Column = {

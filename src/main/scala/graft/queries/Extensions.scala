@@ -91,9 +91,11 @@ object Extensions {
   private[graft] def nearDupPairsOf(docs: DataFrame, threshold: Double,
       maxShingleDf: Int): DataFrame = {
     // materialized once — feeds the df count, both self-join sides, and
-    // the size lookup (shingleRows shuffles once for its distinct)
-    val inv0 = TextOps.shingleRows(docs, "doc_id", "text", 3)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("s"))
+    // the size lookup (one distinct shuffle). Hash-BEFORE-distinct
+    // (TextOps.shingleHashRows): the dedup exchange carries 8-byte
+    // hashes instead of shingle strings — same collision class the
+    // hash-keyed join below already accepts.
+    val inv0 = TextOps.shingleHashRows(docs, "doc_id", "text", 3)
       .localCheckpoint(true)
     val hot = inv0.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf).select("s")
