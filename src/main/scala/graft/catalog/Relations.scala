@@ -271,7 +271,7 @@ object Relations {
       else Some(
         df.select(explode(array(gs.map { g =>
           struct(lit(code((t, g.mkString("+")))).as("tc"),
-            concat_ws("", g.map(c => col(c).cast("string")): _*).as("v"),
+            concat_ws("", g.map(c => col(c).cast("string")): _*).as("v"),
             g.map(c => col(c).isNotNull).reduce(_ && _).as("ok"))
         }: _*)).as("cv"))
           .where(col("cv.ok"))

@@ -32,16 +32,9 @@ object TextOps {
     * formulation paid a shuffle+sort by id before the distinct) and no
     * higher-order-function lambdas (HOFs are CodegenFallback and would
     * drop the hot path out of codegen). */
-  def shingleRows(df: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame = {
-    val ws = col("__ws")
-    df.select(col(idCol), tokens(col(textCol)).as("__ws"))
-      .filter(size(ws) >= w)
-      .select(col(idCol), ws, posexplode(sequence(lit(1), size(ws) - (w - 1))))
-      .select(col(idCol),
-        concat_ws(" ", (0 until w).map(k => element_at(ws, col("col") + k)): _*)
-          .as("shingle"))
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame =
+    shingleExpanded(df, idCol, textCol, w)((sh, _) => sh.as("shingle"))
       .distinct()
-  }
 
   /** Distinct 64-bit shingle HASHES per document: [[shingleRows]] with
     * xxhash64 applied BEFORE the distinct, so the dedup exchange carries
@@ -55,15 +48,25 @@ object TextOps {
     * STRINGS (seeded MinHash signatures, decontamination reporting)
     * keep [[shingleRows]]. */
   def shingleHashRows(df: DataFrame, idCol: String, textCol: String,
-      w: Int = 3): DataFrame = {
+      w: Int = 3): DataFrame =
+    shingleExpanded(df, idCol, textCol, w)((sh, _) => xxhash64(sh).as("s"))
+      .distinct()
+
+  /** The shared (id, shingle) expansion behind [[shingleRows]] and
+    * [[shingleHashRows]] — ONE definition of tokenization and shingle
+    * construction so the string and hash paths cannot silently diverge
+    * (their documented equivalence is "hash applied on top of the same
+    * shingle"). `out(shingle, id)` shapes the emitted column; the
+    * caller owns the trailing distinct. */
+  private def shingleExpanded(df: DataFrame, idCol: String, textCol: String,
+      w: Int)(out: (Column, Column) => Column): DataFrame = {
     val ws = col("__ws")
     df.select(col(idCol), tokens(col(textCol)).as("__ws"))
       .filter(size(ws) >= w)
       .select(col(idCol), ws, posexplode(sequence(lit(1), size(ws) - (w - 1))))
       .select(col(idCol),
-        xxhash64(concat_ws(" ",
-          (0 until w).map(k => element_at(ws, col("col") + k)): _*)).as("s"))
-      .distinct()
+        out(concat_ws(" ",
+          (0 until w).map(k => element_at(ws, col("col") + k)): _*), col(idCol)))
   }
 
   /** Distinct w-word shingles (w consecutive tokens joined by space).

@@ -212,7 +212,8 @@ object Graphs {
   /** Common-neighbors top-20 over a support-filtered (u, v) edge frame
     * — shared by the registered key (live lineitem derivation) and the
     * maintained-artifact path (GraphServingDemo serves the identical
-    * frame from a GraphEdgeStore). Per-center sorted neighbor set: the
+    * frame from a GraphEdgeStore). Per-center neighbor set (unordered —
+    * Baskets.pairs canonicalizes by value, so no per-group sort): the
     * wedge expansion is the SAME map-side Baskets.pairs the edge
     * derivation uses, applied to adjacency "baskets" — fan-out
     * deg(c)² per center, on the support-filtered graph where the
@@ -223,7 +224,7 @@ object Graphs {
     * the near-dup df cap). */
   private[graft] def linkPredictFrom(e2: DataFrame): DataFrame = {
     val nbrs = symmetrize(e2).groupBy(col("src"))
-      .agg(sort_array(collect_set(col("dst"))).as("basket"))
+      .agg(collect_set(col("dst")).as("basket"))
     val wedges = Baskets.pairs(nbrs, "a", "b")
       .groupBy("a", "b").agg(count(lit(1)).as("cn"))
     wedges.join(

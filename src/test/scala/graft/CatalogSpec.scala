@@ -445,6 +445,26 @@ class CatalogSpec extends AnyFunSuite {
     assert(clean(("c2", "c_part_id+c_supp_id")) == "fk_candidate")
   }
 
+  test("relations: composite melt is boundary-collision safe — (1,234) vs (12,34)") {
+    import spark.implicits._
+    // with an empty separator both tuples would concatenate to "1234"
+    // and the exact path would count a phantom intersection (and
+    // disagree with the sketch path, which melts with )
+    val a = Seq((1L, 234L)).toDF("x", "y")
+    val b = Seq((12L, 34L)).toDF("x", "y")
+    val groups = Map("a" -> Seq(Seq("x", "y")), "b" -> Seq(Seq("x", "y")))
+    val tables = Seq("a" -> a, "b" -> b)
+    val exact = graft.catalog.Relations
+      .discoverComposite(tables, groups, minContainment = 0.0)
+      .collect().map(r => (r.getString(0), r.getString(2)) -> r.getLong(4)).toMap
+    assert(exact(("a", "b")) == 0L && exact(("b", "a")) == 0L,
+      s"(1,234) and (12,34) must not melt to the same value: $exact")
+    val sketch = graft.catalog.Relations
+      .sketchDiscoverComposite(tables, groups, minContainment = 0.0)
+      .collect().map(r => (r.getString(0), r.getString(2)) -> r.getLong(4)).toMap
+    assert(sketch == exact, s"exact and sketch composite paths disagree:\n$sketch\n$exact")
+  }
+
   test("relations: composite sketch verdicts agree with the exact composite operator") {
     import spark.implicits._
     val parent = Seq((1L, 10L, "x"), (1L, 20L, "y"), (2L, 10L, "z"))
